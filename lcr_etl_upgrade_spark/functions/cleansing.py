@@ -1,0 +1,69 @@
+"""Column-expression library for the reference's cleansing semantics.
+
+Pure Column-in/Column-out helpers (JVM-side, codegen-friendly — no UDFs).
+Each mirrors a reference operator from SURVEY.md §2.4/§2.5:
+
+- F3 invalid-timestamp predicate   (reference ingest.py:521-527)
+- F4 residual-garbage predicate    (reference ingest.py:773-778)
+- C6 tolerant boolean coercion     (reference ingest.py:593-608)
+- C7 boolean-string normalization  (reference ingest.py:610-618, 386-388)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRUE_TOKENS = ("true", "1", "yes")
+FALSE_TOKENS = ("false", "0", "no")
+
+
+def invalid_timestamp_predicate(col: Column) -> Column:
+    """True when a raw string can't possibly be a timestamp.
+
+    Garbage definition (reference ingest.py:521-527): 1-3 alphabetic chars,
+    or total length <= 3, or contains no digit at all.
+    """
+    return (
+        col.rlike("^[A-Za-z]{1,3}$")
+        | (F.length(col) <= 3)
+        | ~col.rlike(".*\\d+.*")
+    )
+
+
+def residual_garbage_predicate(col: Column) -> Column:
+    """True when, after stripping timestamp characters, anything remains.
+
+    Reference ingest.py:773-778: strip ``[0-9\\-:. ]`` and flag non-empty
+    residue as invalid.
+    """
+    return F.regexp_replace(col.cast("string"), "[0-9\\-:. ]", "").rlike(".+")
+
+
+def boolean_expr(col: Column) -> Column:
+    """Tolerant text->boolean (reference ingest.py:593-608).
+
+    true/1/yes/t -> true; false/0/no/f -> false; anything else -> null.
+    """
+    lowered = F.lower(col.cast("string"))
+    return (
+        F.when(lowered.isin(*TRUE_TOKENS) | (lowered == "t"), F.lit(True))
+        .when(lowered.isin(*FALSE_TOKENS) | (lowered == "f"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def boolean_string_expr(col: Column) -> Column:
+    """Normalize boolean-ish strings to literal "TRUE"/"FALSE".
+
+    Reference ingest.py:610-618 (token set at ingest.py:386-388): null stays
+    null, recognized tokens map to "TRUE"/"FALSE", anything else passes
+    through unchanged.
+    """
+    lowered = F.lower(col.cast("string"))
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(lowered.isin(*TRUE_TOKENS, "t"), F.lit("TRUE"))
+        .when(lowered.isin(*FALSE_TOKENS, "f"), F.lit("FALSE"))
+        .otherwise(col.cast("string"))
+    )

@@ -1,0 +1,192 @@
+"""Type-coercion / cleansing operators (reference SURVEY.md §2.4–§2.5).
+
+Each reference semantic (C1–C10, F3–F5) is a pure Column expression or a
+single-projection DataFrame transform — JVM-side, codegen-friendly, no
+per-column withColumn chains. The fuzzy-parse fallback (U1/U2) lives in
+``operators.parsers`` as Arrow-vectorized pandas UDFs and is composed
+native-first (coalesce(to_timestamp(col), fuzzy(col))) so the Python path
+only ever sees rows the built-in parser rejected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.functions.cleansing import (
+    boolean_expr,
+    boolean_string_expr,
+    invalid_timestamp_predicate,
+    residual_garbage_predicate,
+)
+
+
+def _as_of_col(as_of: str | None) -> Column:
+    return (
+        F.lit(as_of).cast("timestamp_ntz")
+        if as_of is not None
+        else F.current_timestamp()
+    )
+
+
+def scrub_expr(col: Column) -> Column:
+    """F3/C9: null out values that cannot be timestamps (ingest.py:507-536)."""
+    return F.when(invalid_timestamp_predicate(col.cast("string")), F.lit(None)).otherwise(col)
+
+
+def timestamp_expr(col: Column, fuzzy: bool = True) -> Column:
+    """C2: native parse first, Arrow-vectorized fuzzy fallback
+    (ingest.py:551-570 orders native-first the same way)."""
+    cleaned = scrub_expr(col.cast("string"))
+    native = F.to_timestamp(cleaned)
+    if not fuzzy:
+        return native
+    from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
+
+    return F.coalesce(native, fuzzy_parse_timestamp(cleaned))
+
+
+def date_expr(col: Column, fuzzy: bool = True) -> Column:
+    """C3: to_date with fuzzy fallback (ingest.py:572-582)."""
+    cleaned = scrub_expr(col.cast("string"))
+    native = F.to_date(cleaned)
+    if not fuzzy:
+        return native
+    from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_date
+
+    return F.coalesce(native, fuzzy_parse_date(cleaned))
+
+
+def coerce_expr(
+    col: Column,
+    dtype: T.DataType,
+    *,
+    json_column: bool = False,
+    boolean_string: bool = False,
+    fuzzy: bool = True,
+) -> Column:
+    """Dispatch a single column to its cleansing expression, mirroring the
+    reference's transform_column (ingest.py:538-622):
+
+    - JSON columns: passthrough as string, never parsed/flattened (C1)
+    - TimestampType: scrub + native-first parse (C2)
+    - DateType: scrub + native-first parse (C3)
+    - DecimalType / DoubleType: plain cast (C4/C5)
+    - BooleanType: tolerant token coercion (C6)
+    - boolean-string columns: normalize to "TRUE"/"FALSE" (C7)
+    - everything else: cast to string (C8)
+    """
+    if json_column:
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            col.cast("string")
+        )
+    if boolean_string:
+        return boolean_string_expr(col)
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        return timestamp_expr(col, fuzzy=fuzzy)
+    if isinstance(dtype, T.DateType):
+        return date_expr(col, fuzzy=fuzzy)
+    if isinstance(dtype, T.DecimalType | T.DoubleType | T.FloatType):
+        return col.cast(dtype)
+    if isinstance(dtype, T.BooleanType):
+        return boolean_expr(col)
+    return col.cast(dtype)
+
+
+def cleanse_to_schema(
+    df: DataFrame,
+    target: T.StructType,
+    *,
+    json_columns: set[str] | None = None,
+    boolean_string_columns: set[str] | None = None,
+    as_of: str | None = None,
+    fuzzy: bool = True,
+) -> DataFrame:
+    """Apply the full cleansing pass as ONE projection (vs the reference's
+    ~90 chained withColumns per table, ingest.py:672-679).
+
+    ETL_* timestamp columns get a coalesce-to-as_of fallback, mirroring
+    clean_invalid_timestamps (ingest.py:529-535).
+    """
+    json_columns = json_columns or set()
+    boolean_string_columns = boolean_string_columns or set()
+    cols: list[Column] = []
+    for field in target.fields:
+        if field.name not in df.columns:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            continue
+        expr = coerce_expr(
+            F.col(field.name),
+            field.dataType,
+            json_column=field.name in json_columns,
+            boolean_string=field.name in boolean_string_columns,
+            fuzzy=fuzzy,
+        )
+        if field.name.startswith("ETL_") and isinstance(
+            field.dataType, T.TimestampType | T.TimestampNTZType
+        ):
+            expr = F.coalesce(expr, _as_of_col(as_of).cast(field.dataType))
+        cols.append(expr.cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def cap_future_timestamps(
+    df: DataFrame,
+    columns: list[str],
+    as_of: str | None = None,
+    output_suffix: str | None = None,
+) -> DataFrame:
+    """F5: clamp future timestamps to as_of (reference ingest.py:734-748
+    uses wall-clock current_timestamp; as_of injection makes it replayable).
+
+    With ``output_suffix`` the capped value lands in a new column;
+    otherwise it replaces the original.
+    """
+    ts = _as_of_col(as_of)
+    updates = {}
+    for name in columns:
+        capped = F.when(F.col(name) > ts, ts.cast(dict(df.dtypes)[name])).otherwise(
+            F.col(name)
+        )
+        updates[name + output_suffix if output_suffix else name] = capped
+    return df.withColumns(updates)
+
+
+def null_future_dates(df: DataFrame, columns: list[str], as_of: str | None = None) -> DataFrame:
+    """Date counterpart of F5 — futures become NULL, not capped (the
+    reference is deliberately asymmetric here: ingest.py:438-441)."""
+    d = _as_of_col(as_of).cast("date")
+    return df.withColumns(
+        {
+            name: F.when(F.col(name) > d, F.lit(None).cast("date")).otherwise(
+                F.col(name)
+            )
+            for name in columns
+        }
+    )
+
+
+def scrub_residual_garbage(
+    df: DataFrame, columns: list[str], as_of: str | None = None
+) -> DataFrame:
+    """F4 final pass: timestamps whose string form still contains non-
+    timestamp characters become NULL; ETL_* columns fall back to as_of
+    (reference ingest.py:765-778)."""
+    ts = _as_of_col(as_of)
+    updates = {}
+    for name in columns:
+        cleaned = F.when(
+            residual_garbage_predicate(F.col(name)), F.lit(None)
+        ).otherwise(F.col(name))
+        if name.startswith("ETL_"):
+            cleaned = F.coalesce(cleaned, ts.cast(dict(df.dtypes)[name]))
+        updates[name] = cleaned
+    return df.withColumns(updates)
+
+
+def backfill_modify_date(
+    df: DataFrame, modify_col: str = "MODIFY_DATE", create_col: str = "CREATE_DATE"
+) -> DataFrame:
+    """C10: MODIFY_DATE := coalesce(MODIFY_DATE, CREATE_DATE) (ingest.py:804)."""
+    return df.withColumn(modify_col, F.coalesce(F.col(modify_col), F.col(create_col)))

@@ -1,0 +1,116 @@
+"""Schema-conformance operators (reference SURVEY.md §2.3).
+
+The reference conforms raw tables with a chain of per-column
+``withColumnRenamed``/``withColumn`` calls (ingest.py:652-668) followed by a
+final reordering select (ingest.py:758-760). Here the whole conformance is a
+SINGLE projection: one Project node for Catalyst, one pass over the data,
+column pruning visible to the scan — the shape you want when the input is
+100 TB of parquet and the target schema needs 3 of 80 columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Audit constants mirror the reference's metadata enrichment
+# (ingest.py:686-692, sync.py:97-105).
+CREATED_BY = "ETL_PROCESS"
+SOURCE_SYSTEM = "LeadCustodyRepository"
+AUDIT_COLUMNS = (
+    "ETL_CREATED_DATE",
+    "ETL_LAST_UPDATE_DATE",
+    "CREATED_BY",
+    "TO_PROCESS",
+    "EDW_EXTERNAL_SOURCE_SYSTEM",
+)
+
+
+def conform_columns(
+    df: DataFrame,
+    mapping: dict[str, str],
+    target: list[tuple[str, str]],
+) -> DataFrame:
+    """Rename + add-missing-as-typed-null + reorder in one projection.
+
+    ``mapping`` maps source names (matched case-insensitively, reference
+    ingest.py:656-662) to target names; ``target`` is the ordered list of
+    ``(column_name, spark_type_ddl)``. Source columns not in the target are
+    dropped; target columns with no source arrive as typed nulls
+    (ingest.py:664-668).
+    """
+    lower_to_actual = {c.lower(): c for c in df.columns}
+    target_to_source: dict[str, str] = {}
+    for src_lower, tgt in mapping.items():
+        actual = lower_to_actual.get(src_lower.lower())
+        if actual is not None:
+            target_to_source[tgt] = actual
+    # Unmapped source columns that already carry a target name pass through.
+    for name, _ in target:
+        if name not in target_to_source and name.lower() in lower_to_actual:
+            target_to_source[name] = lower_to_actual[name.lower()]
+
+    cols: list[Column] = []
+    for name, dtype in target:
+        src = target_to_source.get(name)
+        if src is not None:
+            cols.append(F.col(src).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)
+
+
+def _as_of_col(as_of: str | None) -> Column:
+    return (
+        F.lit(as_of).cast("timestamp_ntz")
+        if as_of is not None
+        else F.current_timestamp()
+    )
+
+
+def add_audit_columns(df: DataFrame, as_of: str | None = None) -> DataFrame:
+    """P4 metadata enrichment (reference ingest.py:681-700).
+
+    One consistent timestamp across both ETL date columns; ``as_of`` is
+    injectable so pipelines are replayable/deterministic (the reference's
+    wall-clock ``current_timestamp()`` is the default).
+    """
+    ts = _as_of_col(as_of)
+    return df.withColumns(
+        {
+            "ETL_CREATED_DATE": ts,
+            "ETL_LAST_UPDATE_DATE": ts,
+            "CREATED_BY": F.lit(CREATED_BY),
+            "TO_PROCESS": F.lit(True),
+            "EDW_EXTERNAL_SOURCE_SYSTEM": F.lit(SOURCE_SYSTEM),
+        }
+    )
+
+
+def validate_schema(df: DataFrame, target: T.StructType) -> None:
+    """Presence + FULL type equality check (tightened vs the reference).
+
+    The reference compares only type classes, so DecimalType(10,2) passes
+    for DecimalType(38,0) (ingest.py:445-473 — noted as a deliberate
+    tightening target in SURVEY.md §1.3). Raises ValueError listing every
+    violation.
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    errors: list[str] = []
+    for field in target.fields:
+        if field.name not in actual:
+            errors.append(f"missing column: {field.name}")
+        elif actual[field.name] != field.dataType:
+            errors.append(
+                f"type mismatch for {field.name}: "
+                f"expected {field.dataType.simpleString()}, "
+                f"got {actual[field.name].simpleString()}"
+            )
+    if errors:
+        raise ValueError("schema validation failed: " + "; ".join(errors))
+
+
+def select_target(df: DataFrame, target: T.StructType) -> DataFrame:
+    """P3 final projection: fix order, drop extras (ingest.py:758-760)."""
+    return df.select(*[f.name for f in target.fields])

@@ -1,0 +1,111 @@
+"""L4 text-analysis operators for training-data pipelines.
+
+All expressions are built-in Column functions (JVM, codegen) — token
+counting, quality features and fingerprints run at full scan speed with no
+Python in the loop. Language ID uses a stopword-hit heuristic over a
+broadcast-able token dictionary, also pure expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seed lists for the n-gram/stopword heuristic.
+# Deliberately small: the heuristic is a scoring demo, not a model.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "la", "los", "que", "es", "una", "por"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), "\\s+")
+
+
+def token_count_expr(col: Column) -> Column:
+    return F.size(tokens_expr(col)).cast("long")
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """A BPE-ish proxy: count word chunks and standalone punctuation the way
+    a byte-pair tokenizer roughly segments (regexp-based, ~chars/4 floor)."""
+    words = F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+    return F.greatest(words, F.ceil(F.length(col) / 4)).cast("long")
+
+
+def stopword_ratio_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens_expr(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+        "stopword_ratio"
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features per document."""
+    c = F.col(text_col)
+    toks = tokens_expr(c)
+    n_tokens = F.size(toks)
+    return df.withColumns(
+        {
+            "n_chars_measured": F.length(c).cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "avg_token_len": (
+                (F.length(c) - n_tokens + 1).cast("double")
+                / F.greatest(n_tokens, F.lit(1))
+            ),
+            "punct_ratio": (
+                F.length(F.regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+                / F.greatest(F.length(c), F.lit(1))
+            ),
+            "stopword_ratio": stopword_ratio_expr(c, LANG_STOPWORDS["en"]),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword hits per language.
+
+    Pure expressions: one pass, a score column per language, greatest()
+    for the argmax. Ties resolve by language code order (deterministic).
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+
+    def hits(sw: tuple[str, ...]) -> Column:
+        # Factory closure: a `sw=sw` default arg would change the lambda's
+        # arity and PySpark would bind the 2-arg (element, index) form.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = {lang: hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = None
+    best_lang = F.lit("und")
+    # Fold right-to-left so earlier languages win ties.
+    for lang in reversed(sorted(scores)):
+        score = scores[lang]
+        if best is None:
+            best = score
+            best_lang = F.when(score > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when((score > 0) & (score >= best), F.lit(lang)).otherwise(
+                best_lang
+            )
+            best = F.greatest(score, best)
+    return df.withColumn("lang_pred", best_lang)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 + a normalized rolling-hash
+    style signature (lowercased, whitespace-collapsed md5 prefix)."""
+    c = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    return df.withColumns(
+        {
+            "content_md5": F.md5(c),
+            "normalized_fp": F.substring(F.md5(normalized), 1, 16),
+        }
+    )

@@ -1,0 +1,275 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11): text analysis, dedup,
+fingerprinting, embedding similarity — over documents/embeddings testdata.
+
+Exact/SQL-expressible ops carry DuckDB oracles; sketch-based ops (MinHash
+LSH, SimHash, hyperplane LSH) are engine-specific and exposed rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+from lcr_etl_upgrade_spark.plans.registry import query
+from lcr_etl_upgrade_spark.sources.testdata import load_table
+
+
+# --------------------------------------------------------------------------
+# L4: per-document text statistics
+# --------------------------------------------------------------------------
+@query(
+    "doc_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_measured,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (LENGTH(text) - LEN(string_split(text, ' ')) + 1.0)
+             / LEN(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            (F.length("text") - n_tokens + 1).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L4: corpus summary by language/source
+# --------------------------------------------------------------------------
+@query(
+    "doc_lang_summary",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars", "avg_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# L1: exact dedup via content hash (hash-groupBy, deterministic survivor)
+# --------------------------------------------------------------------------
+@query(
+    "doc_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY doc_id
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select(F.col("__dupkey").alias("content_md5"), "doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4: document fingerprinting (content md5 + normalized prefix fp)
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           SUBSTRING(md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS normalized_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select(
+        "doc_id", "content_md5", "normalized_fp"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L4: heuristic language ID (engine-specific scoring — rows-only check)
+# --------------------------------------------------------------------------
+@query("doc_language_id")
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L2: MinHash-LSH near-duplicate candidates (sketch — rows-only check)
+# --------------------------------------------------------------------------
+@query("doc_minhash_near_dup")
+def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=4)
+    verified = jaccard_pairs(docs, "doc_id", "text", cands)
+    return verified.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# L2: n-gram Jaccard similarity on a deterministic pair set (exact — oracled)
+# Pairs: consecutive doc_ids within the same language.
+# --------------------------------------------------------------------------
+@query(
+    "doc_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(
+               list_transform(
+                 range(1, GREATEST(LEN(string_split(LOWER(TRIM(text)), ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(LOWER(TRIM(text)), ' ')[i:i+2], ' ')
+               )
+             ) AS shingle_set
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.shingle_set AS sa, b.shingle_set AS sb
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    )
+    SELECT doc_a, doc_b,
+           CAST(LEN(list_intersect(sa, sb)) AS DOUBLE)
+             / GREATEST(LEN(list_distinct(sa || sb)), 1) AS jaccard
+    FROM pairs
+    ORDER BY doc_a
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    pairs = a.join(
+        b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("lang_a") == F.col("lang_b"))
+    ).select("doc_a", "doc_b")
+    return jaccard_pairs(docs, "doc_id", "text", pairs).orderBy("doc_a")
+
+
+# --------------------------------------------------------------------------
+# L2: SimHash signatures (sketch — rows-only check)
+# --------------------------------------------------------------------------
+@query("doc_simhash")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.dedup import simhash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_expr(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L3: brute-force cosine top-k (exact baseline — oracled via rounded score)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qvec AS DOUBLE[])) AS cosine
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine_r, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        cosine_topk(emb, queries, k=5, query_id="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3: LSH-bucketed approximate top-k (scale path — rows-only check)
+# --------------------------------------------------------------------------
+@query("embedding_cosine_topk_lsh")
+def embedding_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        cosine_topk_lsh(emb, queries, k=5, query_id="query_id", bits=4)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

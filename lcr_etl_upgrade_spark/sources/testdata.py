@@ -1,0 +1,56 @@
+"""Loaders for the driver-generated synthetic tables (TESTDATA.md).
+
+TPC-H-ish star schema (`region nation customer supplier part orders
+lineitem`) plus `events` (JSON props, nanosecond timestamps), `documents`
+(text corpus) and `embeddings` (array<float> vectors).
+
+Scale notes: these are plain ``spark.read.parquet`` scans — Catalyst pushes
+filters and prunes columns into the scan, so downstream operators should
+filter/select early and let pushdown do its job. The only special case is
+`events`: its parquet type is INT64 TIMESTAMP(NANOS,false), which Spark's
+reader only accepts as a raw long (``spark.sql.legacy.parquet.nanosAsLong``);
+we convert to ``timestamp_ntz`` losslessly via integer division to
+microseconds (epoch-nanos exceed double precision — never divide as float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.session import ensure_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; normalizes `events.ts` to timestamp_ntz."""
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros must be integer division; see module docstring.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given SF dir, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet (tables registered
+as views), and compares row count, column names/kinds, and values
+(column-name-sorted, row-sorted, exact — floats must match to the last
+digit of a repr round-trip, which is stricter than any sane hasher).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(value):
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def frame_to_rows(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(normalize(row[i]) for i in order))
+    out.sort()
+    return out, [columns[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"      WARNING: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        s_norm, s_cols = frame_to_rows([tuple(r) for r in srows], scols)
+        d_norm, d_cols = frame_to_rows(drows, dcols)
+        status = []
+        if len(s_norm) != len(d_norm):
+            status.append(f"rowcount {len(s_norm)} vs {len(d_norm)}")
+        if s_cols != d_cols:
+            status.append(f"columns {s_cols} vs {d_cols}")
+        if not status and s_norm != d_norm:
+            n_bad = sum(1 for a, b in zip(s_norm, d_norm) if a != b)
+            status.append(f"values differ in {n_bad}/{len(s_norm)} rows")
+            for a, b in zip(s_norm, d_norm):
+                if a != b:
+                    print(f"      spark: {a}")
+                    print(f"      duck : {b}")
+                    break
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)}")
+        else:
+            print(f"PASS  {name} ({len(s_norm)} rows, {time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {' '.join(failures)}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
