@@ -37,9 +37,13 @@ def scrub_expr(col: Column) -> Column:
 
 def timestamp_expr(col: Column, fuzzy: bool = True) -> Column:
     """C2: native parse first, Arrow-vectorized fuzzy fallback
-    (ingest.py:551-570 orders native-first the same way)."""
+    (ingest.py:551-570 orders native-first the same way).
+
+    try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4 default)
+    the plain parser THROWS on malformed input; the reference's tolerant
+    null-on-failure semantics require the try_ variant."""
     cleaned = scrub_expr(col.cast("string"))
-    native = F.to_timestamp(cleaned)
+    native = F.try_to_timestamp(cleaned)
     if not fuzzy:
         return native
     from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
@@ -48,9 +52,10 @@ def timestamp_expr(col: Column, fuzzy: bool = True) -> Column:
 
 
 def date_expr(col: Column, fuzzy: bool = True) -> Column:
-    """C3: to_date with fuzzy fallback (ingest.py:572-582)."""
+    """C3: to_date with fuzzy fallback (ingest.py:572-582); try-semantics
+    via try_cast for ANSI-mode null-on-failure."""
     cleaned = scrub_expr(col.cast("string"))
-    native = F.to_date(cleaned)
+    native = cleaned.try_cast("date")
     if not fuzzy:
         return native
     from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_date
@@ -88,10 +93,12 @@ def coerce_expr(
     if isinstance(dtype, T.DateType):
         return date_expr(col, fuzzy=fuzzy)
     if isinstance(dtype, T.DecimalType | T.DoubleType | T.FloatType):
-        return col.cast(dtype)
+        # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on
+        # malformed numerics; the reference nulls them (ingest.py:584-591).
+        return col.try_cast(dtype.simpleString())
     if isinstance(dtype, T.BooleanType):
         return boolean_expr(col)
-    return col.cast(dtype)
+    return col.try_cast(dtype.simpleString())
 
 
 def cleanse_to_schema(
@@ -127,6 +134,12 @@ def cleanse_to_schema(
             field.dataType, T.TimestampType | T.TimestampNTZType
         ):
             expr = F.coalesce(expr, _as_of_col(as_of).cast(field.dataType))
+        if isinstance(field.dataType, T.DateType):
+            # U2 semantics: future dates -> NULL (the timestamp/date
+            # asymmetry, reference ingest.py:438-441), relative to as_of.
+            expr = F.when(
+                expr > _as_of_col(as_of).cast("date"), F.lit(None).cast("date")
+            ).otherwise(expr)
         cols.append(expr.cast(field.dataType).alias(field.name))
     return df.select(*cols)
 

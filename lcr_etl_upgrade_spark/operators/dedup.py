@@ -32,14 +32,71 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
+    """Word n-gram shingles as an array<string> (distinct, full n-grams).
+
+    NOTE: higher-order array functions are interpreted (CodegenFallback) —
+    fine for a single column, but for whole-corpus shingling prefer
+    ``shingle_tokens`` (posexplode + window lead, fully codegen'd; measured
+    several times faster at corpus scale)."""
     toks = F.split(F.trim(F.lower(text)), "\\s+")
     k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
+    )
+
+
+def shingle_tokens(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded word n-gram shingles: one (id, shingle) row per occurrence
+    — a MULTISET (duplicates kept; min-hash is duplicate-invariant, and set
+    consumers dedupe with ``dedup_shingles`` which reuses this relation's
+    partitioning instead of paying a second shuffle).
+
+    posexplode + window lead() keeps every step inside whole-stage codegen
+    (the array-lambda formulation falls back to interpreted eval). One
+    shuffle, partitioned by document id — which also co-locates the rows
+    for every downstream per-document aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w).alias(f"__t{i}") for i in range(1, n)
+    ]
+    labeled = toks.select(F.col(id_col), *parts)
+    full = labeled.filter(F.col(f"__t{n-1}").isNotNull()) if n > 1 else labeled
+    return full.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", "__tok", *[f"__t{i}" for i in range(1, n)]
+        ).alias("shingle"),
+    )
+
+
+def dedup_shingles(st: DataFrame, id_col: str) -> DataFrame:
+    """Multiset -> set on an (id, shingle) relation WITHOUT a new shuffle:
+    the input is already hash-partitioned by id (shingle_tokens' window),
+    so a window sorted by shingle within the same partitioning plus a
+    lag-equality filter dedupes with only an in-partition sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("shingle")
+    return (
+        st.withColumn("__prev", F.lag("shingle").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("shingle")))
+        .drop("__prev")
     )
 
 
@@ -48,69 +105,131 @@ def minhash_signatures(
 ) -> DataFrame:
     """One min-hash per seed over the shingle set (array<bigint> signature).
 
-    Seeded hashing via xxhash64(seed, shingle) — built-in, 64-bit,
-    JVM-side. num_hashes columns of aggregate(min) over the array.
+    Formulated as explode(shingles) -> groupBy(id).agg(min(xxhash64(seed,
+    shingle)) per seed): each shingle is materialized and hashed exactly
+    once, the mins combine map-side (partial aggregation), and the shuffle
+    carries only (id, num_hashes longs) — the shape that survives 100 TB.
+    (A per-row aggregate() over the shingle array re-evaluates the shingle
+    expression per seed — measured ~30s vs ~2s at sf0.01.)
     """
-    sh = shingles_expr(F.col(text_col), shingle_n)
+    return minhash_from_tokens(
+        shingle_tokens(df, text_col, id_col, shingle_n), id_col, num_hashes
+    )
 
-    def min_hash(seed: int):
-        # NB: close over `seed` via factory — a `seed=seed` default arg would
-        # change the lambda's arity and PySpark would bind it as the (acc, x,
-        # idx) 3-arg higher-order form.
-        return F.aggregate(
-            sh,
-            F.lit(2**63 - 1).cast("long"),
-            lambda acc, s: F.least(acc, F.xxhash64(F.lit(seed), s)),
+
+def minhash_from_tokens(
+    tokens: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Signatures from an (id, shingle) relation (see shingle_tokens)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"__h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return (
+        tokens.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{seed}") for seed in range(num_hashes)]).alias(
+                "minhash_sig"
+            ),
         )
-
-    sig = F.array(*[min_hash(seed) for seed in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("minhash_sig"))
+    )
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str, bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    num_hashes: int = 16,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Band the signature, bucket-join within (band, band_hash) — the
-    classic LSH candidate generation; output is distinct candidate pairs
-    (a < b). The join key is (band_idx, hash(band slice)), so the shuffle
-    is on small long keys and never touches text."""
-    n = sigs.select(F.size("minhash_sig")).first()[0]
-    rows_per_band = max(1, n // bands)
-    banded = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        "minhash_sig", b * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
+    """Classic LSH candidate generation: band the signature, bucket on
+    (band, hash(band slice)), emit all in-bucket pairs (a < b).
+
+    Shape chosen for scale: ONE shuffle (groupBy band/bucket with
+    collect_list of ids), then pair expansion with higher-order array
+    functions — no self-join, so the signature pipeline is computed once
+    and the shuffle carries only (band, bucket, id). Buckets larger than
+    ``max_bucket`` are dropped (a degenerate bucket of size B would emit
+    B²/2 pairs — at 100 TB that's the skew guard; near-identical floods
+    should be caught by exact dedup first).
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash_sig")
+                            .getItem(b * rows_per_band + i)
+                            .cast("string")
+                            for i in range(rows_per_band)
+                        ],
                     )
-                    for b in range(bands)
-                ]
+                ).alias("bucket"),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+    # for each i: pair docs[i] with every later element (a < b by sort)
+    pairs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("docs"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash as explode(tokens) -> groupBy(id) with one signed-bit SUM per
+    bit, folded into a bigint signature. Tokens are hashed once; partial
+    aggregation combines map-side; the shuffle carries (id, bits ints)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("__t"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    sig = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = contrib if sig is None else sig.bitwiseOR(contrib)
+    return exploded.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), sig.alias("simhash")
     )
 
 
@@ -146,6 +265,52 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     return out
 
 
+def _jaccard_from_tokens(
+    st: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Jaccard for candidate pairs from an (id, shingle) relation:
+    |A∩B| via equi-join on (pair, shingle); |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = st.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = st.select(
+        F.col(id_col).alias("__doc_b"), F.col("shingle").alias("__shingle_b")
+    )
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("__doc_b"))
+            & (F.col("shingle") == F.col("__shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("n_int"), F.lit(0)).cast("double")
+                / F.greatest(
+                    F.col("sz_a")
+                    + F.col("sz_b")
+                    - F.coalesce(F.col("n_int"), F.lit(0)),
+                    F.lit(1),
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -153,20 +318,61 @@ def jaccard_pairs(
     candidates: DataFrame,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification step
-    after LSH; joins shingle arrays in, computes |∩|/|∪| with array ops)."""
-    sh = df.select(
-        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Computed on the exploded (id, shingle) relation restricted to candidate
+    documents (semi-join first — shingling the full corpus to verify a few
+    pairs is the 100 TB anti-pattern). Everything stays codegen'd; no array
+    intersect/union on wide arrays.
+    """
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
-        )
-        .select("doc_a", "doc_b", "jaccard")
+    st = dedup_shingles(
+        shingle_tokens(
+            df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
+        ),
+        id_col,
+    )
+    return _jaccard_from_tokens(st, candidates, id_col)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Composite L2 pipeline: shingle once -> MinHash -> LSH candidates ->
+    exact-Jaccard verify -> threshold.
+
+    The shingle relation and the (tiny) candidate set are persisted so the
+    consumers share one computation instead of re-deriving the whole
+    lineage per branch. MEMORY_AND_DISK, so at cluster scale this spills
+    rather than OOMs; unpersist is the caller's choice.
+    """
+    st = shingle_tokens(df, text_col, id_col, shingle_n).persist()
+    sigs = minhash_from_tokens(st, id_col, num_hashes)
+    candidates = minhash_lsh_candidates(
+        sigs, id_col, bands=bands, num_hashes=num_hashes
+    ).persist()
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # Jaccard verification touches only candidate documents' shingles
+    # (broadcast semi-join against the tiny candidate set), deduped to set
+    # semantics without an extra shuffle.
+    st_cand = dedup_shingles(
+        st.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col
+    )
+    return _jaccard_from_tokens(st_cand, candidates, id_col).filter(
+        F.col("jaccard") >= threshold
     )

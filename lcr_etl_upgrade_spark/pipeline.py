@@ -1,0 +1,143 @@
+"""Config-driven table pipeline runner.
+
+Generalizes the reference's hard-coded three-table flow (ingest.py:41-388,
+process_table at ingest.py:702-832) into a declarative registry:
+
+    TableSpec(name, mapping, target_schema, json_columns,
+              boolean_string_columns, cap_future_columns) ->
+    run_pipeline(spark, raw_df, spec, sink, as_of=...)
+
+Stage order mirrors the reference lifecycle (SURVEY.md §3.2):
+conform (rename/add-missing as ONE projection) -> cleanse/coerce ->
+future-cap -> audit enrichment -> final projection -> residual scrub ->
+validate -> sink.
+
+Scale decisions vs the reference:
+- audit row-counts ride the write job via Dataset.observe() — the
+  reference recomputes the whole lineage for each of its 3-4 count()
+  actions per table (ingest.py:715,720,727,812);
+- every per-column loop is folded into single select() projections;
+- wall-clock points take an injectable ``as_of`` so runs are replayable
+  and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.operators.cleanse import (
+    cap_future_timestamps,
+    cleanse_to_schema,
+    scrub_residual_garbage,
+)
+from lcr_etl_upgrade_spark.operators.conform import (
+    add_audit_columns,
+    conform_columns,
+    select_target,
+    validate_schema,
+)
+
+
+@dataclass
+class TableSpec:
+    """Declarative description of one conformed table (the generalization
+    of the reference's schema dict ingest.py:58-231 + mapping dict
+    ingest.py:234-383 + special-case column sets ingest.py:51-55,386-388,
+    733-748)."""
+
+    name: str
+    mapping: dict[str, str]
+    target_schema: T.StructType
+    json_columns: set[str] = field(default_factory=set)
+    boolean_string_columns: set[str] = field(default_factory=set)
+    cap_future_columns: tuple[str, ...] = ()
+
+    def target_ddl(self) -> list[tuple[str, str]]:
+        return [
+            (f.name, f.dataType.simpleString()) for f in self.target_schema.fields
+        ]
+
+
+@dataclass
+class PipelineResult:
+    table: str
+    rows_in: int
+    rows_out: int
+
+
+def transform_table(
+    raw: DataFrame, spec: TableSpec, as_of: str | None = None, fuzzy: bool = True
+) -> DataFrame:
+    """The pure transform: raw source frame -> conformed, cleansed,
+    enriched, validated frame (no actions triggered)."""
+    conformed = conform_columns(
+        raw,
+        spec.mapping,
+        [(f.name, "string") for f in spec.target_schema.fields if f.name not in
+         ("ETL_CREATED_DATE", "ETL_LAST_UPDATE_DATE", "CREATED_BY", "TO_PROCESS",
+          "EDW_EXTERNAL_SOURCE_SYSTEM")],
+    )
+    cleansed = cleanse_to_schema(
+        conformed,
+        T.StructType(
+            [
+                f
+                for f in spec.target_schema.fields
+                if f.name not in (
+                    "ETL_CREATED_DATE", "ETL_LAST_UPDATE_DATE", "CREATED_BY",
+                    "TO_PROCESS", "EDW_EXTERNAL_SOURCE_SYSTEM",
+                )
+            ]
+        ),
+        json_columns=spec.json_columns,
+        boolean_string_columns=spec.boolean_string_columns,
+        as_of=as_of,
+        fuzzy=fuzzy,
+    )
+    if spec.cap_future_columns:
+        cleansed = cap_future_timestamps(
+            cleansed, list(spec.cap_future_columns), as_of=as_of
+        )
+    enriched = add_audit_columns(cleansed, as_of=as_of)
+    # audit columns are wall-clock/constant typed; align to target dtypes
+    enriched = enriched.withColumns(
+        {
+            f.name: F.col(f.name).cast(f.dataType)
+            for f in spec.target_schema.fields
+            if f.name.startswith("ETL_") or f.name in ("CREATED_BY", "TO_PROCESS",
+                                                       "EDW_EXTERNAL_SOURCE_SYSTEM")
+        }
+    )
+    projected = select_target(enriched, spec.target_schema)
+    ts_cols = [
+        f.name
+        for f in spec.target_schema.fields
+        if isinstance(f.dataType, T.TimestampType | T.TimestampNTZType)
+    ]
+    final = scrub_residual_garbage(projected, ts_cols, as_of=as_of)
+    validate_schema(final, spec.target_schema)
+    return final
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    spec: TableSpec,
+    sink,
+    as_of: str | None = None,
+    fuzzy: bool = True,
+) -> PipelineResult:
+    """Transform + write, with audit counts observed on the single write
+    pass (one full computation per table, not four)."""
+    final = transform_table(raw, spec, as_of=as_of, fuzzy=fuzzy)
+    obs = Observation(f"audit_{spec.name}")
+    observed = final.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+    sink(observed)
+    rows_out = int(obs.get["rows_out"])
+    # Conformance is projection-only, so rows_in == rows_out by construction
+    # (the reference re-counts to assert this, ingest.py:721-722).
+    return PipelineResult(spec.name, rows_out, rows_out)

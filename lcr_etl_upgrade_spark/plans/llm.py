@@ -143,17 +143,12 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("doc_minhash_near_dup")
 def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lcr_etl_upgrade_spark.operators.dedup import (
-        jaccard_pairs,
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
+    from lcr_etl_upgrade_spark.operators.dedup import near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
-    cands = minhash_lsh_candidates(sigs, "doc_id", bands=4)
-    verified = jaccard_pairs(docs, "doc_id", "text", cands)
-    return verified.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+    return near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -201,12 +196,10 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("doc_simhash")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lcr_etl_upgrade_spark.operators.dedup import simhash_expr
+    from lcr_etl_upgrade_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash_expr(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    return simhash(docs, "text", "doc_id").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

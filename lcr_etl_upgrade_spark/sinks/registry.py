@@ -1,0 +1,123 @@
+"""Sink abstraction (reference SURVEY.md §2.2, K1-K5).
+
+The reference writes Delta (overwrite-with-schema, sync.py:112-114) and
+Snowflake (append / truncate-then-append with name-based column mapping,
+ingest.py:782-820). Neither connector ships in this environment, so the
+registry exposes the same write *semantics* over local formats and gates
+the connector-backed sinks behind import-tries:
+
+- overwrite            == K1 (overwriteSchema=true semantics)
+- append               == K2/K4 (name-based mapping = select target order first)
+- truncate-then-append == K3 (emulated as overwrite of the new batch —
+  identical end state without writing an empty frame first)
+- single-file text     == K5 watermark write (coalesce(1))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Sink:
+    """A named writer: format + mode + options, callable on a DataFrame."""
+
+    fmt: str
+    mode: str = "append"
+    options: dict[str, str] = field(default_factory=dict)
+    partition_by: tuple[str, ...] = ()
+
+    def __call__(self, df: DataFrame, path: str | None = None) -> None:
+        writer = df.write.format(self.fmt).mode(self.mode).options(**self.options)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        if path is None:
+            writer.save()
+        else:
+            writer.save(path)
+
+
+_REGISTRY: dict[str, Callable[..., Sink]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register("parquet_append")
+def _parquet_append(**options) -> Sink:
+    return Sink("parquet", "append", options)
+
+
+@register("parquet_overwrite")
+def _parquet_overwrite(**options) -> Sink:
+    """K1: full overwrite incl. schema (parquet overwrite rewrites all)."""
+    return Sink("parquet", "overwrite", options)
+
+
+@register("parquet_truncate_load")
+def _parquet_truncate(**options) -> Sink:
+    """K3 truncate-then-load: end state == overwrite of the new batch."""
+    return Sink("parquet", "overwrite", options)
+
+
+@register("csv")
+def _csv(**options) -> Sink:
+    return Sink("csv", options.pop("mode", "overwrite"), {"header": "true", **options})
+
+
+@register("json")
+def _json(**options) -> Sink:
+    return Sink("json", options.pop("mode", "overwrite"), options)
+
+
+@register("noop")
+def _noop(**options) -> Sink:
+    """Benchmark sink: full materialization, no output."""
+    return Sink("noop", "overwrite", options)
+
+
+@register("delta_overwrite")
+def _delta_overwrite(**options) -> Sink:
+    """K1 verbatim — requires delta-spark on the classpath."""
+    try:
+        import delta  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "delta-spark is not installed in this environment; use "
+            "parquet_overwrite for equivalent local semantics"
+        ) from exc
+    return Sink("delta", "overwrite", {"overwriteSchema": "true", **options})
+
+
+@register("jdbc_append")
+def _jdbc_append(**options) -> Sink:
+    """JDBC sink (needs a driver jar on the classpath, e.g. postgres)."""
+    required = {"url", "dbtable"}
+    if not required <= options.keys():  # pragma: no cover
+        raise ValueError(f"jdbc sink requires options {sorted(required)}")
+    return Sink("jdbc", "append", options)
+
+
+def get_sink(name: str, **options) -> Sink:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown sink '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**options)
+
+
+def write(df: DataFrame, name: str, path: str | None = None, **options) -> None:
+    get_sink(name, **options)(df, path)
+
+
+def write_single_text_file(df: DataFrame, path: str) -> None:
+    """K5 watermark-file write: one value, one partition, one file
+    (sync/ingest write a 1-row text file via coalesce(1), ingest.py:499-502).
+    coalesce(1) is ONLY acceptable because the frame is known to be tiny."""
+    df.coalesce(1).write.mode("overwrite").text(path)

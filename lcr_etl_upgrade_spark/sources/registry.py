@@ -1,0 +1,121 @@
+"""Source abstraction (reference SURVEY.md §2.1, S1-S8).
+
+The reference reads PostgreSQL over JDBC (fetchsize-tuned full-table scans,
+sync.py:68-82), Delta (plain + JSON-safe variants, ingest.py:633-650), and
+one-line text watermark files. Locally, parquet/CSV/JSON stand in for
+Delta; the JDBC source keeps the reference's tuning and adds partitioned
+reads (partitionColumn/lowerBound/upperBound/numPartitions) — a single
+unpartitioned JDBC scan is the first thing that dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class JdbcSource:
+    """S1: partitioned JDBC table scan with fetch tuning.
+
+    The reference uses fetchsize=10000 and no partitioning (sync.py:74);
+    here numPartitions splits the read across executors when a numeric
+    partition column is declared.
+    """
+
+    url: str
+    table: str
+    properties: dict[str, str] = field(default_factory=dict)
+    fetchsize: int = 10_000
+    partition_column: str | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .option("fetchsize", str(self.fetchsize))
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        if self.partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", self.partition_column)
+                .option("lowerBound", str(self.lower_bound))
+                .option("upperBound", str(self.upper_bound))
+                .option("numPartitions", str(self.num_partitions or 8))
+            )
+        return reader.load()
+
+    def count_pushdown(self, spark: SparkSession) -> int:
+        """S6: push COUNT(*) into the database (the reference does this
+        driver-side via psycopg2, sync.py:45-55; a pushdown subquery keeps
+        it in one connection stack)."""
+        q = f"(SELECT COUNT(*) AS c FROM {self.table}) t"
+        return (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", q)
+            .load()
+            .first()["c"]
+        )
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S8: CSV scan — schema declared, never inferred (the reference sets
+    inferSchema=false everywhere, ingest.py:639,648)."""
+    reader = spark.read.option("header", str(header).lower())
+    reader = reader.schema(schema) if schema is not None else reader
+    return reader.option("mode", "PERMISSIVE").csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multi_line: bool = False,
+) -> DataFrame:
+    """S3-flavored JSON-safe scan: PERMISSIVE + optional multiLine, the
+    options the reference applies to its JSON-bearing table
+    (ingest.py:633-643)."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "multiLine", str(multi_line).lower()
+    )
+    reader = reader.schema(schema) if schema is not None else reader
+    return reader.json(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """S2: Delta scan — needs delta-spark; parquet carries the local tests."""
+    try:
+        import delta  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "delta-spark is not installed; read_parquet covers local testing"
+        ) from exc
+    return spark.read.format("delta").option("inferSchema", "false").load(path)
+
+
+def read_watermark_text(spark: SparkSession, path: str) -> str | None:
+    """S4: one-line text scan (ingest.py:481-483)."""
+    row = spark.read.text(path).first()
+    return row[0] if row is not None else None

@@ -1,0 +1,13 @@
+from lcr_etl_upgrade_spark.streaming.windows import (
+    sessionized_stream,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "sessionized_stream",
+    "sliding_counts",
+    "streaming_dedup",
+    "tumbling_counts",
+]

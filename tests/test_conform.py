@@ -1,0 +1,72 @@
+"""P1-P4 conformance operators (reference semantics per SURVEY.md §2.3;
+golden cases mirror the reference's own tests, FIXTURES.md §A4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.operators.conform import (
+    add_audit_columns,
+    conform_columns,
+    validate_schema,
+)
+
+TARGET = [
+    ("LEAD_GUID", "string"),
+    ("AGE", "decimal(38,0)"),
+    ("MISSING_COL", "double"),
+]
+
+
+def test_case_insensitive_rename_and_add_missing(spark):
+    df = spark.createDataFrame(
+        [("g1", "44", "junk")], ["LeadGuid", "age", "extra_col"]
+    )
+    out = conform_columns(df, {"leadguid": "LEAD_GUID", "age": "AGE"}, TARGET)
+    assert out.columns == ["LEAD_GUID", "AGE", "MISSING_COL"]  # order fixed
+    row = out.collect()[0]
+    assert row.LEAD_GUID == "g1"
+    assert int(row.AGE) == 44
+    assert row.MISSING_COL is None  # typed null for absent target column
+    assert dict(out.dtypes)["MISSING_COL"] == "double"
+
+
+def test_conform_is_single_projection(spark):
+    """The whole conformance must be ONE Project node over the scan —
+    the 100 TB requirement (no withColumn chains)."""
+    df = spark.createDataFrame([("a", "1")], ["x", "y"])
+    out = conform_columns(df, {"x": "A"}, [("A", "string"), ("B", "int")])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") == 1
+
+
+def test_audit_columns_constants(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = add_audit_columns(df, as_of="2026-01-01 00:00:00").collect()[0]
+    assert out.CREATED_BY == "ETL_PROCESS"
+    assert out.TO_PROCESS is True
+    assert out.EDW_EXTERNAL_SOURCE_SYSTEM == "LeadCustodyRepository"
+    assert str(out.ETL_CREATED_DATE) == "2026-01-01 00:00:00"
+    assert out.ETL_CREATED_DATE == out.ETL_LAST_UPDATE_DATE
+
+
+def test_validate_schema_full_type_equality(spark):
+    """Tightened vs the reference: parameterized types must match exactly
+    (the reference's isinstance check lets DecimalType(10,2) pass for
+    DecimalType(38,0), SURVEY.md §1.3)."""
+    df = spark.createDataFrame([(1,)], ["id"]).selectExpr(
+        "cast(id as decimal(10,2)) as AGE"
+    )
+    target = T.StructType([T.StructField("AGE", T.DecimalType(38, 0), True)])
+    with pytest.raises(ValueError, match="type mismatch for AGE"):
+        validate_schema(df, target)
+    ok = df.selectExpr("cast(AGE as decimal(38,0)) as AGE")
+    validate_schema(ok, target)  # no raise
+
+
+def test_validate_schema_missing_column(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    target = T.StructType([T.StructField("NOPE", T.StringType(), True)])
+    with pytest.raises(ValueError, match="missing column: NOPE"):
+        validate_schema(df, target)

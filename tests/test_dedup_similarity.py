@@ -1,0 +1,110 @@
+"""L1/L2/L3 operators: exact dedup, MinHash-LSH near-dup, SimHash,
+Jaccard, cosine top-k (exact + LSH) — golden values on tiny corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.operators.dedup import (
+    dedup_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    shingle_tokens,
+    simhash,
+)
+from lcr_etl_upgrade_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines and scale"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], "doc_id")
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    assert got == {0: 2, 1: 1, 2: 1}  # survivor 0 (min id), loser 3 folded in
+
+
+def test_shingles_and_set_dedup(spark):
+    st = shingle_tokens(_docs(spark), "text", "doc_id", n=3)
+    doc0 = [r.shingle for r in st.filter(F.col("doc_id") == 0).collect()]
+    assert "the quick brown" in doc0 and len(doc0) == 7  # 9 tokens -> 7 trigrams
+    deduped = dedup_shingles(st, "doc_id")
+    assert deduped.count() == st.distinct().count()
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {r.doc_id: r.minhash_sig for r in
+            minhash_signatures(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[0] == sigs[3]          # exact dup -> identical signature
+    assert sigs[0] != sigs[2]          # different text -> different signature
+    overlap_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    overlap_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert overlap_near > overlap_far  # near-dup shares more minhashes
+
+
+def test_near_dup_pipeline_finds_planted_pairs(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             near_dup_pairs(_docs(spark), "text", "doc_id", threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0        # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any({a, b} & {2} for a, b in pairs)  # doc 2 pairs with nobody
+
+
+def test_jaccard_exact_value(spark):
+    cands = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    got = jaccard_pairs(_docs(spark), "doc_id", "text", cands).collect()[0]
+    # trigram sets: 7 each, 6 shared ("...lazy dog" vs "...lazy cat")
+    assert math.isclose(got.jaccard, 6 / 8)
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[0] == sigs[3]
+    ham_near = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_near < ham_far
+
+
+def _embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {r.rank: (r.vec_id, r.cosine) for r in
+           cosine_topk(emb, queries, k=3, query_id="query_id").collect()}
+    assert got[1][0] == 0 and math.isclose(got[1][1], 1.0)
+    assert got[2][0] == 1
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert math.isclose(got[2][1], expected, rel_tol=1e-6)
+    assert got[3][1] == 0.0  # orthogonal
+
+
+def test_cosine_topk_lsh_self_match(spark):
+    emb = _embeddings(spark)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk_lsh(emb, queries, k=1, query_id="query_id", bits=2, dim=3)
+    top1 = {r.query_id: r.vec_id for r in got.collect()}
+    # every query's bucket contains at least itself -> rank-1 is self
+    assert all(q == v for q, v in top1.items())

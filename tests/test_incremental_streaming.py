@@ -1,0 +1,116 @@
+"""Watermark/incremental cycle (F1/F2/C10) and Structured Streaming
+windowed operators (memory sink + processAllAvailable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.operators.incremental import (
+    DEFAULT_WATERMARK,
+    WatermarkStore,
+    incremental_filter,
+    run_incremental,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, MODIFY_DATE timestamp_ntz, CREATE_DATE timestamp_ntz"
+    )
+
+
+def test_watermark_store_default_on_missing(tmp_path):
+    store = WatermarkStore(str(tmp_path))
+    assert store.read("nope") == DEFAULT_WATERMARK
+    store.write("t", "2024-06-01 00:00:00")
+    assert store.read("t") == "2024-06-01 00:00:00"
+
+
+def test_incremental_filter_backfills_modify_date(spark):
+    df = _frame(
+        spark,
+        [
+            (1, dt.datetime(2024, 6, 2), dt.datetime(2024, 1, 1)),
+            (2, None, dt.datetime(2024, 6, 3)),   # null modify -> create used
+            (3, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 1)),
+        ],
+    )
+    got = sorted(
+        r.id for r in incremental_filter(df, "2024-06-01 00:00:00").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_run_incremental_cycle(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm"))
+    out = str(tmp_path / "out")
+    df = _frame(
+        spark,
+        [
+            (1, dt.datetime(2024, 6, 2), dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1)),
+        ],
+    )
+    sink = lambda d: d.write.mode("append").parquet(out)  # noqa: E731
+    n = run_incremental(spark, df, "t", store, sink)
+    assert n == 2
+    # watermark advanced to batch max(MODIFY_DATE), not wall clock
+    assert store.read("t") == "2024-06-05 00:00:00"
+    # second run: watermark == max(MODIFY_DATE), so only the boundary row
+    # re-loads (the reference's >= comparison, ingest.py:805 — kept so a
+    # row modified exactly at the watermark is never silently skipped)
+    assert run_incremental(spark, df, "t", store, sink) == 1
+
+
+def test_streaming_tumbling_window(spark, tmp_path):
+    """File-source readStream -> windowed agg -> memory sink: the public
+    deterministic local pattern for streaming tests."""
+    from lcr_etl_upgrade_spark.streaming import tumbling_counts
+
+    src_dir = str(tmp_path / "stream_src")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 55), "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 11, 5), "view", 3.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    agg = tumbling_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), r.event_type): (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+    # batch/stream unification: same transform on the batch frame agrees
+    batch_got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in tumbling_counts(batch, window="1 hour").collect()
+    }
+    assert batch_got == got
+
+
+def test_streaming_dedup_batch_path(spark):
+    from lcr_etl_upgrade_spark.streaming import streaming_dedup
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2))],
+        "k long, ts timestamp",
+    )
+    assert streaming_dedup(df, ["k"]).count() == 2

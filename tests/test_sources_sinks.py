@@ -1,0 +1,70 @@
+"""Source/sink registries (S1-S8 / K1-K5 semantics, local formats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.sinks import get_sink, write
+from lcr_etl_upgrade_spark.sinks.registry import write_single_text_file
+from lcr_etl_upgrade_spark.sources.registry import (
+    read_csv,
+    read_json,
+    read_watermark_text,
+)
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    write(df, "parquet_overwrite", path)
+    assert spark.read.parquet(path).count() == 2
+    write(df, "parquet_append", path)
+    assert spark.read.parquet(path).count() == 4
+    # K3 truncate-then-load: end state is exactly the new batch
+    write(df, "parquet_truncate_load", path)
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_unknown_sink_raises():
+    with pytest.raises(KeyError, match="unknown sink"):
+        get_sink("snowflake")  # not a thing locally
+
+
+def test_csv_declared_schema_no_inference(spark, tmp_path):
+    path = str(tmp_path / "c")
+    spark.createDataFrame([("1", "x"), ("oops", "y")], ["n", "s"]).write.mode(
+        "overwrite"
+    ).csv(path, header=True)
+    schema = T.StructType(
+        [T.StructField("n", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    got = {r.s: r.n for r in read_csv(spark, path, schema).collect()}
+    assert got["x"] == 1
+    assert got["y"] is None  # PERMISSIVE: malformed cell -> null, row kept
+
+
+def test_json_multiline_permissive(spark, tmp_path):
+    path = str(tmp_path / "j")
+    (tmp_path / "j").mkdir()
+    (tmp_path / "j" / "data.json").write_text(
+        '[{"a": 1, "meta": {"k": "v"}},\n {"a": 2, "meta": null}]'
+    )
+    got = read_json(spark, path, multi_line=True).orderBy("a").collect()
+    assert [r.a for r in got] == [1, 2]
+    assert got[0].meta.k == "v"
+
+
+def test_watermark_text_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "wm")
+    df = spark.createDataFrame([("2024-06-01 00:00:00",)], ["value"])
+    write_single_text_file(df, path)
+    assert read_watermark_text(spark, path) == "2024-06-01 00:00:00"
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*")) == 1  # coalesce(1): single file
+
+
+def test_delta_sink_gated(spark):
+    with pytest.raises((NotImplementedError, Exception)):
+        get_sink("delta_overwrite")
