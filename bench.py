@@ -46,7 +46,11 @@ def main() -> None:
 
     spark = get_session("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    # Warm up the JVM / parquet footers so query 1 isn't charged for startup.
+    # Warm up JVM, codegen, AQE and parquet readers on the tiny SF so the
+    # first measured query isn't charged for session startup.
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

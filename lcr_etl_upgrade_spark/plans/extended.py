@@ -1,0 +1,301 @@
+"""Extended operator coverage (SURVEY.md §2.9 [EXT] long tail + full
+pipeline parity): array/map/JSON function surface, SQL-API grouping sets,
+range window frames, exact percentiles, and the reference's complete
+conform->cleanse->enrich pipeline driven through a DuckDB-checkable query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.functions.numeric import dsum
+from lcr_etl_upgrade_spark.plans.registry import query
+from lcr_etl_upgrade_spark.sources.testdata import load_table
+
+
+# --------------------------------------------------------------------------
+# L6 extended: from_json with schema, map functions, to_json round-trip
+# --------------------------------------------------------------------------
+@query(
+    "events_json_advanced",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           json_keys(props)[1] AS first_key,
+           (CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS k_above_50
+    FROM events
+    WHERE event_id <= 2000
+    ORDER BY event_id
+    """,
+)
+def events_json_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    parsed = ev.withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    return parsed.select(
+        "event_id",
+        F.element_at("m", "k").alias("k_value"),
+        F.map_keys("m").getItem(0).alias("first_key"),
+        (F.element_at("m", "k") > 50).alias("k_above_50"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# §2.9 array function surface: split/size/contains/sort + higher-order
+# transform/filter/aggregate
+# --------------------------------------------------------------------------
+@query(
+    "doc_array_functions",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           LEN(tokens) AS n_tokens,
+           list_contains(tokens, 'spark') AS has_spark,
+           list_sort(tokens)[1] AS first_token_sorted,
+           LEN(list_filter(tokens, t -> LENGTH(t) > 4)) AS n_long_tokens,
+           CAST(list_sum(list_transform(tokens, t -> LENGTH(t))) AS BIGINT) AS total_token_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def doc_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(toks).getItem(0).alias("first_token_sorted"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        .cast("long")
+        .alias("total_token_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# A4 completion: GROUPING SETS through the SQL API (same Catalyst plan as
+# the DataFrame rollup/cube — demonstrates the spark.sql surface)
+# --------------------------------------------------------------------------
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation — both engines compute
+# (1-f)*lo + f*hi on the sorted values)
+# --------------------------------------------------------------------------
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 completion: RANGE frame over event-time (trailing 30-day spend)
+# --------------------------------------------------------------------------
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 24 * 3600, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Full reference-pipeline parity: dirty raw lead rows constructed from
+# orders, pushed through the COMPLETE conform->cleanse->cap->enrich->
+# validate pipeline (operators.conform/cleanse via pipeline.transform_table)
+# and hash-checked against a plain-SQL replication of every rule.
+# --------------------------------------------------------------------------
+_PIPE_AS_OF = "1999-06-01 00:00:00"
+
+
+@query(
+    "pipeline_lead_end_to_end",
+    oracle=f"""
+    WITH raw AS (
+      SELECT CONCAT('g', o_orderkey) AS leadguid,
+             CONCAT('LC', o_orderkey) AS leadcode,
+             CASE o_orderkey % 3 WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+                  WHEN 1 THEN 'abc' ELSE NULL END AS leadtypeid,
+             CASE o_orderkey % 4 WHEN 0 THEN CAST(o_orderdate AS VARCHAR)
+                  WHEN 1 THEN 'garbage' WHEN 2 THEN '--' ELSE NULL END AS leadcreatedate,
+             CASE o_orderkey % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'no' ELSE 'x' END AS subsourceid,
+             CASE o_orderkey % 2 WHEN 0 THEN CAST(o_totalprice AS VARCHAR)
+                  ELSE 'NaNope' END AS consumerdebt,
+             CASE o_orderkey % 5 WHEN 0 THEN 'true' WHEN 1 THEN '0'
+                  WHEN 2 THEN 'weird' ELSE NULL END AS isdeletedsource,
+             CASE o_orderkey % 2 WHEN 0 THEN CONCAT('{{"k":', o_orderkey, '}}')
+                  ELSE NULL END AS leadattributes,
+             CAST(o_orderdate AS VARCHAR) AS createdate,
+             CASE o_orderkey % 6 WHEN 0 THEN NULL
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS modifydate
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT leadguid AS LEAD_GUID,
+           leadcode AS LEAD_CODE,
+           CAST(TRY_CAST(leadtypeid AS DECIMAL(38,0)) AS VARCHAR) AS LEAD_TYPE_ID,
+           CAST(CASE WHEN regexp_matches(leadcreatedate, '^[A-Za-z]{{1,3}}$')
+                       OR LENGTH(leadcreatedate) <= 3
+                       OR NOT regexp_matches(leadcreatedate, '.*[0-9]+.*')
+                     THEN NULL
+                     ELSE TRY_CAST(leadcreatedate AS TIMESTAMP) END AS VARCHAR)
+             AS LEAD_CREATE_DATE,
+           CASE WHEN LOWER(subsourceid) IN ('true','1','yes','t') THEN TRUE
+                WHEN LOWER(subsourceid) IN ('false','0','no','f') THEN FALSE
+                ELSE NULL END AS SUB_SOURCE_ID,
+           TRY_CAST(consumerdebt AS DOUBLE) AS CONSUMER_DEBT,
+           CASE WHEN isdeletedsource IS NULL THEN NULL
+                WHEN LOWER(isdeletedsource) IN ('true','1','yes','t') THEN 'TRUE'
+                WHEN LOWER(isdeletedsource) IN ('false','0','no','f') THEN 'FALSE'
+                ELSE isdeletedsource END AS IS_DELETED_SOURCE,
+           leadattributes AS LEAD_ATTRIBUTES,
+           CAST(NULL AS VARCHAR) AS UTM_CAMPAIGN,
+           CAST(TRY_CAST(createdate AS TIMESTAMP) AS VARCHAR) AS CREATE_DATE,
+           CAST(TRY_CAST(modifydate AS TIMESTAMP) AS VARCHAR) AS MODIFY_DATE,
+           '{_PIPE_AS_OF}' AS ETL_CREATED_DATE,
+           'ETL_PROCESS' AS CREATED_BY,
+           TRUE AS TO_PROCESS,
+           'LeadCustodyRepository' AS EDW_EXTERNAL_SOURCE_SYSTEM
+    FROM raw
+    ORDER BY LEAD_GUID
+    """,
+)
+def pipeline_lead_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructs dirty raw-lead rows (every C1-C10 branch hit) from orders,
+    runs the real pipeline.transform_table with the LEAD spec, and projects
+    a DuckDB-comparable view of the result. fuzzy=False keeps the plan
+    oracle-expressible (the pandas-UDF path is covered by unit tests)."""
+    from lcr_etl_upgrade_spark.pipeline import transform_table
+    from lcr_etl_upgrade_spark.schemas import LEAD
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    k = F.col("o_orderkey")
+    iso = F.col("o_orderdate").cast("string")
+    raw = orders.select(
+        F.concat(F.lit("g"), k.cast("string")).alias("leadguid"),
+        F.concat(F.lit("LC"), k.cast("string")).alias("leadcode"),
+        F.when(k % 3 == 0, F.col("o_custkey").cast("string"))
+        .when(k % 3 == 1, F.lit("abc"))
+        .otherwise(F.lit(None))
+        .alias("leadtypeid"),
+        F.when(k % 4 == 0, iso)
+        .when(k % 4 == 1, F.lit("garbage"))
+        .when(k % 4 == 2, F.lit("--"))
+        .otherwise(F.lit(None))
+        .alias("leadcreatedate"),
+        F.when(k % 3 == 0, F.lit("true"))
+        .when(k % 3 == 1, F.lit("no"))
+        .otherwise(F.lit("x"))
+        .alias("subsourceid"),
+        F.when(k % 2 == 0, F.col("o_totalprice").cast("string"))
+        .otherwise(F.lit("NaNope"))
+        .alias("consumerdebt"),
+        F.when(k % 5 == 0, F.lit("true"))
+        .when(k % 5 == 1, F.lit("0"))
+        .when(k % 5 == 2, F.lit("weird"))
+        .otherwise(F.lit(None))
+        .alias("isdeletedsource"),
+        F.when(
+            k % 2 == 0, F.concat(F.lit('{"k":'), k.cast("string"), F.lit("}"))
+        )
+        .otherwise(F.lit(None))
+        .alias("leadattributes"),
+        iso.alias("createdate"),
+        F.when(k % 6 == 0, F.lit(None)).otherwise(iso).alias("modifydate"),
+    )
+    out = transform_table(raw, LEAD, as_of=_PIPE_AS_OF, fuzzy=False)
+    return out.select(
+        "LEAD_GUID",
+        "LEAD_CODE",
+        F.col("LEAD_TYPE_ID").cast("string").alias("LEAD_TYPE_ID"),
+        F.col("LEAD_CREATE_DATE").cast("string").alias("LEAD_CREATE_DATE"),
+        "SUB_SOURCE_ID",
+        "CONSUMER_DEBT",
+        "IS_DELETED_SOURCE",
+        "LEAD_ATTRIBUTES",
+        "UTM_CAMPAIGN",
+        F.col("CREATE_DATE").cast("string").alias("CREATE_DATE"),
+        F.col("MODIFY_DATE").cast("string").alias("MODIFY_DATE"),
+        F.col("ETL_CREATED_DATE").cast("string").alias("ETL_CREATED_DATE"),
+        "CREATED_BY",
+        "TO_PROCESS",
+        "EDW_EXTERNAL_SOURCE_SYSTEM",
+    ).orderBy("LEAD_GUID")
