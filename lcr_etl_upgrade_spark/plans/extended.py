@@ -44,6 +44,35 @@ def events_json_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L6 completion: json_tuple extraction + to_json re-serialization
+# --------------------------------------------------------------------------
+@query(
+    "events_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           REPLACE(props, ' ', '') AS reserialized
+    FROM events
+    WHERE event_id <= 1000
+    ORDER BY event_id
+    """,
+)
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple pulls fields positionally; to_json(from_json(...)) proves
+    the parse->struct->serialize round trip (Spark serializes compactly,
+    so the oracle compares against the whitespace-stripped original)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    tup = ev.select(
+        "event_id", F.json_tuple(F.col("props"), "k").alias("k_str"), "props"
+    )
+    return tup.select(
+        "event_id",
+        "k_str",
+        F.to_json(F.from_json("props", "map<string,long>")).alias("reserialized"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # §2.9 array function surface: split/size/contains/sort + higher-order
 # transform/filter/aggregate
 # --------------------------------------------------------------------------

@@ -89,3 +89,17 @@ def test_frame_sample_stub(spark):
     )
     got = [r.frame_idx for r in frame_sample_stub(df, every_n=2).collect()]
     assert got == [0, 2]  # 4 'frames', every 2nd
+
+
+def test_binary_file_source(spark, tmp_path):
+    from lcr_etl_upgrade_spark.operators.multimodal import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (d / "b.bin").write_bytes(b"payload-b")
+    (d / "skip.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(d), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"] == b"\x00\x01payload-a"
