@@ -131,3 +131,116 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    bits=0: exact all-pairs scoring (self-join on nothing — quadratic; the
+    small-corpus / verification baseline). bits>0: hyperplane-LSH bucketed —
+    only same-bucket pairs are scored, the 100 TB path (near-identical
+    vectors land in the same bucket with high probability; recall < 1).
+
+    Norms are computed once per row before pairing so the pair join does a
+    dot product only, not three.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__norm", norm_expr(F.col(vec_col))
+    )
+    if bits > 0:
+        base = hyperplane_signature(base, vec_col, bits, dim)
+    a_cols = [
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    ]
+    if bits > 0:
+        a_cols.append(F.col("lsh_bucket").alias("__ba"))
+        b_cols.append(F.col("lsh_bucket").alias("__bb"))
+    a, b = base.select(*a_cols), base.select(*b_cols)
+    cond = F.col("id_a") < F.col("id_b")
+    if bits > 0:
+        joined = a.join(b, (F.col("__ba") == F.col("__bb")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.withColumn(
+            "cosine",
+            dot_expr(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans (Spark ML) partitions the corpus
+    into inverted lists; each query scores only the n_probe nearest lists.
+
+    The scale shape: centroids are tiny (driver-side model broadcast by
+    Spark ML), assignment is one map pass, and the probe join fans each
+    query out to n_probe cells — candidate count drops by
+    ~n_centroids/n_probe versus brute force, with the same exact scoring
+    afterwards.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window as W
+
+    train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+
+    assigned = model.transform(
+        corpus.withColumn("features", array_to_vector(_to_double(F.col(vec_col))))
+    ).select(F.col(corpus_id), F.col(vec_col), F.col("prediction").alias("cell"))
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, f"cell int, centroid array<double>"
+    )
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    # each query x centroid -> keep n_probe nearest cells
+    probe_w = W.partitionBy(query_id).orderBy(F.desc("cent_sim"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cent_sim", cosine_expr(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id, "cell", "__qvec")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

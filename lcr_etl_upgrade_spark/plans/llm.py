@@ -266,3 +266,142 @@ def embedding_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# L2: embedding-cosine near-duplicate pairs (exact all-pairs — oracled;
+# threshold tuned to the synthetic corpus where max pairwise cosine ~0.51)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_cosine_near_dup",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r
+    FROM p WHERE cosine >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_near_dup_pairs(emb, threshold=0.4, bits=0)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: LSH-bucketed cosine near-dup (scale path — rows-only)
+# --------------------------------------------------------------------------
+@query("embedding_cosine_near_dup_lsh")
+def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_near_dup_pairs(emb, threshold=0.4, bits=4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3: IVF-style ANN (KMeans inverted lists + n_probe — rows-only; the
+# KMeans cell assignment is engine-specific)
+# --------------------------------------------------------------------------
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, query_id="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4: BPE-ish token counting (regex word/punct chunks, chars/4 floor)
+# --------------------------------------------------------------------------
+@query(
+    "doc_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS BIGINT)
+             AS n_chunks,
+           CAST(GREATEST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')),
+                         CEIL(LENGTH(text) / 4.0)) AS BIGINT) AS n_tokens_bpe_ish
+    FROM documents
+    WHERE lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ASCII word class in both engines (Java \\w is unicode-aware,
+    RE2's is not — spelling the class keeps the oracle exact)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    chunks = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        chunks.cast("long").alias("n_chunks"),
+        F.greatest(chunks, F.ceil(F.length("text") / 4.0))
+        .cast("long")
+        .alias("n_tokens_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L4: quality scoring (length/punct/stopword features, oracled)
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(LOWER(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           LEN(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a'], x)))
+             / GREATEST(LEN(toks), 1) AS stopword_ratio,
+           LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / GREATEST(LENGTH(text), 1) AS punct_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop = ("the", "and", "of", "to", "in", "is", "a")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    ).orderBy("doc_id")

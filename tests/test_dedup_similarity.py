@@ -108,3 +108,33 @@ def test_cosine_topk_lsh_self_match(spark):
     top1 = {r.query_id: r.vec_id for r in got.collect()}
     # every query's bucket contains at least itself -> rank-1 is self
     assert all(q == v for q, v in top1.items())
+
+
+def test_cosine_near_dup_exact_vs_lsh(spark):
+    emb = _embeddings(spark)
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_near_dup_pairs
+
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             cosine_near_dup_pairs(emb, threshold=0.9, bits=0).collect()}
+    assert set(exact) == {(0, 1)}  # only the planted near-pair
+    assert math.isclose(exact[(0, 1)], 0.9 / math.sqrt(0.82), rel_tol=1e-9)
+    # LSH variant returns a subset of the exact pairs at the same threshold
+    lsh = {(r.id_a, r.id_b) for r in
+           cosine_near_dup_pairs(emb, threshold=0.9, bits=2, dim=3).collect()}
+    assert lsh <= set(exact)
+
+
+def test_ivf_topk_self_match_and_subset(spark):
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _embeddings(spark)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_topk(emb, queries, k=2, n_centroids=2, n_probe=2, query_id="query_id")
+    rows = got.collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert all(q == v for q, v in top1.items())  # rank-1 is self (cosine 1.0)
+    # with n_probe == n_centroids, IVF degenerates to exact brute force
+    exact = {(r.query_id, r.rank): r.vec_id for r in
+             cosine_topk(emb, queries, k=2, query_id="query_id").collect()}
+    approx = {(r.query_id, r.rank): r.vec_id for r in rows}
+    assert approx == exact
