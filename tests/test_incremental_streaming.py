@@ -114,3 +114,62 @@ def test_streaming_dedup_batch_path(spark):
         "k long, ts timestamp",
     )
     assert streaming_dedup(df, ["k"]).count() == 2
+
+
+def test_streaming_session_window(spark, tmp_path):
+    from lcr_etl_upgrade_spark.streaming import sessionized_stream
+
+    src_dir = str(tmp_path / "sess_src")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7, 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 7, 2.0),   # same session (10 min gap)
+        (3, dt.datetime(2024, 1, 1, 12, 0), 7, 4.0),    # new session (110 min gap)
+        (4, dt.datetime(2024, 1, 1, 10, 5), 8, 8.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = (
+        sessionized_stream(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.session_start)): (r.n_events, r.session_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got[(7, "2024-01-01 10:00:00")] == (2, 3.0)
+    assert got[(7, "2024-01-01 12:00:00")] == (1, 4.0)
+    assert got[(8, "2024-01-01 10:05:00")] == (1, 8.0)
+
+
+def test_streaming_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: the exactly-once custom-sink seam (reference K2's
+    connector write maps here in a streaming deployment)."""
+    src_dir = str(tmp_path / "fb_src")
+    out_dir = str(tmp_path / "fb_out")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    def handle(bdf, epoch_id):
+        bdf.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+    assert set(got.columns) == {"id", "v", "epoch"}
