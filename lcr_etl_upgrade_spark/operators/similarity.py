@@ -244,3 +244,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k via an Arrow-batched numpy matmul
+    (mapInPandas): the vectorized alternative to the expression-based
+    cosine_topk.
+
+    The query matrix is captured in the task closure (small — it is
+    collected once on the driver and shipped with the serialized function,
+    the same distribution model as a broadcast variable) and each corpus
+    Arrow batch is scored as one (batch x dim) @ (dim x n_queries) matmul.
+    ~10-100x less per-element overhead than interpreted higher-order
+    expressions; numpy's SIMD/pairwise summation makes results differ from
+    sequential accumulation in the last ulp, so this variant is rows-only
+    for the oracle (the expression form is the hash-checked baseline).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, n_c),
+                    corpus_id: np.tile(pdf[corpus_id].to_numpy(), n_q),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(
+        score, f"{query_id} long, {corpus_id} long, cosine double"
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

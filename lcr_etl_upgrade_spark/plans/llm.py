@@ -405,3 +405,27 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("punct_ratio"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L3: vectorized (Arrow + numpy matmul) cosine top-k — the high-throughput
+# path; rows-only (SIMD summation differs from sequential in the last ulp)
+# --------------------------------------------------------------------------
+@query("embedding_cosine_topk_vectorized")
+def embedding_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        cosine_topk_vectorized(emb, queries, k=5, query_id="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -59,4 +59,8 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
         spark.conf.set(NANOS_AS_LONG, "true")
     except Exception:
         pass  # static conf on some builds; reader falls back to pyarrow
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark

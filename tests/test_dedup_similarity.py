@@ -138,3 +138,18 @@ def test_ivf_topk_self_match_and_subset(spark):
              cosine_topk(emb, queries, k=2, query_id="query_id").collect()}
     approx = {(r.query_id, r.rank): r.vec_id for r in rows}
     assert approx == exact
+
+
+def test_cosine_topk_vectorized_matches_exact(spark):
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+
+    emb = _embeddings(spark)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rank): (r.vec_id, round(r.cosine, 9)) for r in
+             cosine_topk(emb, queries, k=3, query_id="query_id").collect()}
+    vec = {(r.query_id, r.rank): (r.vec_id, round(r.cosine, 9)) for r in
+           cosine_topk_vectorized(emb, queries, k=3, query_id="query_id").collect()}
+    assert exact == vec

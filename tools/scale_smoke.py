@@ -1,0 +1,82 @@
+"""Scale smoke: replicate sf0.1 tables ~Nx into /tmp (keys shifted so
+cardinalities grow, not just row counts) and time the headline queries.
+
+Purpose: verify the plans scale ~linearly and AQE picks sane strategies
+(sort-merge vs broadcast) when the fact tables stop being tiny — the
+"would this survive a 100x scale-up" check, run at 10x by default.
+
+Usage: python tools/scale_smoke.py [factor]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.plans import QUERIES
+    from lcr_etl_upgrade_spark.session import get_session
+    from lcr_etl_upgrade_spark.sources.testdata import TABLES, load_table
+
+    out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
+    spark = get_session("scale_smoke")
+    try:
+        key_cols = {
+            "lineitem": ("l_orderkey",),
+            "orders": ("o_orderkey", "o_custkey"),
+            "customer": ("c_custkey",),
+            "events": ("event_id", "user_id"),
+            "documents": ("doc_id",),
+            "embeddings": ("vec_id",),
+        }
+        for t in TABLES:
+            df = load_table(spark, BASE, t)
+            if t in key_cols:
+                rep = df.crossJoin(
+                    F.broadcast(
+                        spark.range(factor).select(F.col("id").alias("__rep"))
+                    )
+                )
+                shift = 10_000_000
+                for kcol in key_cols[t]:
+                    rep = rep.withColumn(
+                        kcol, F.col(kcol) + F.col("__rep") * shift
+                    )
+                df = rep.drop("__rep")
+            df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+        n = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+        print(f"scaled lineitem rows: {n}")
+
+        for name in [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q5_nation_revenue",
+            "window_topk_per_group",
+            "events_sessionization",
+            "doc_minhash_near_dup",
+            "doc_dedup_exact",
+            "embedding_cosine_topk",
+        ]:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"{name}: {time.perf_counter() - t0:.2f}s")
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
