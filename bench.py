@@ -34,6 +34,8 @@ HEADLINE = [
     "doc_minhash_near_dup",
     "doc_text_stats",
     "embedding_cosine_topk",
+    "pipeline_lead_end_to_end",
+    "merge_scd2",
 ]
 
 

@@ -626,3 +626,141 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("order_month_start"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# J1 completion: full outer join (both-sides-preserved semantics)
+# --------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         big_ord AS (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders
+                     WHERE o_totalprice > 350000 GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.n_big_orders,
+           (c.c_custkey IS NULL) AS only_orders,
+           (o.o_custkey IS NULL) AS only_customer
+    FROM big_cust c FULL OUTER JOIN big_ord o ON c.c_custkey = o.o_custkey
+    ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey", "c_acctbal")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_big_orders",
+        F.col("c_custkey").isNull().alias("only_orders"),
+        F.col("o_custkey").isNull().alias("only_customer"),
+    ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# W2 completion: first/last value over window frames
+# --------------------------------------------------------------------------
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             AS last_price,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# E1 completion: multiset set operations (ALL variants)
+# --------------------------------------------------------------------------
+@query(
+    "setops_multiset",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ORDER BY op
+    """,
+)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+
+    def count_of(op: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), F.count(F.lit(1)).alias("n"))
+
+    return (
+        count_of("except_all", a.exceptAll(b))
+        .union(count_of("intersect_all", a.intersectAll(b)))
+        .union(count_of("union_all", a.unionAll(b)))
+        .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 completion: variance/stddev spelled deterministically (decimal-routed
+# sum and sum-of-squares; final arithmetic identical double ops)
+# --------------------------------------------------------------------------
+@query(
+    "agg_variance_manual",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity))
+             / (COUNT(l_quantity) - 1) AS sample_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s1 = F.sum(q.cast("decimal(18,6)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(18,6)")).cast("double")
+    n = F.count(q)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sample_variance"),
+        )
+        .orderBy("l_returnflag")
+    )
