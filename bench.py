@@ -48,11 +48,18 @@ def main() -> None:
 
     spark = get_session("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    # Warm up JVM, codegen, AQE and parquet readers on the tiny SF so the
-    # first measured query isn't charged for session startup.
-    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm-up: run every headline query once at the tiny SF so measured
+    # times reflect steady-state execution (codegen compiled, AQE paths
+    # exercised, readers open) rather than first-call JIT cost.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()  # drop tiny-SF persists from warm-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

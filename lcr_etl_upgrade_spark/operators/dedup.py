@@ -85,6 +85,39 @@ def shingle_tokens(
     )
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Like shingle_tokens, but emits a 64-bit shingle HASH instead of the
+    shingle string: tokens are hashed once, the n-gram identity is
+    xxhash64 over the n consecutive token hashes (window lead).
+
+    For MinHash/LSH/Jaccard-counting purposes hash identity is
+    equivalent to string identity up to 64-bit collisions (~n²/2⁶⁵ —
+    irrelevant against MinHash's own error), and every downstream persist
+    / shuffle / join carries one long instead of a text column. This is
+    the near-dup pipeline's fast path; use shingle_tokens when the actual
+    shingle strings are needed.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
+            "__pos", "__tok"
+        ),
+    ).select(F.col(id_col), "__pos", F.xxhash64("__tok").alias("__h"))
+    w = W.partitionBy(id_col).orderBy("__pos")
+    leads = [F.lead("__h", i).over(w).alias(f"__h{i}") for i in range(1, n)]
+    labeled = toks.select(F.col(id_col), F.col("__h").alias("__h0"), *leads)
+    if n > 1:
+        labeled = labeled.filter(F.col(f"__h{n-1}").isNotNull())
+    return labeled.select(
+        F.col(id_col),
+        F.xxhash64(*[F.col(f"__h{i}") for i in range(n)]).alias("shingle"),
+    )
+
+
 def dedup_shingles(st: DataFrame, id_col: str) -> DataFrame:
     """Multiset -> set on an (id, shingle) relation WITHOUT a new shuffle:
     the input is already hash-partitioned by id (shingle_tokens' window),
@@ -111,9 +144,12 @@ def minhash_signatures(
     carries only (id, num_hashes longs) — the shape that survives 100 TB.
     (A per-row aggregate() over the shingle array re-evaluates the shingle
     expression per seed — measured ~30s vs ~2s at sf0.01.)
+
+    Shingle identity is the 64-bit token-hash n-gram (shingle_hashes), so
+    the shuffle carries longs only.
     """
     return minhash_from_tokens(
-        shingle_tokens(df, text_col, id_col, shingle_n), id_col, num_hashes
+        shingle_hashes(df, text_col, id_col, shingle_n), id_col, num_hashes
     )
 
 
@@ -357,7 +393,7 @@ def near_dup_pairs(
     lineage per branch. MEMORY_AND_DISK, so at cluster scale this spills
     rather than OOMs; unpersist is the caller's choice.
     """
-    st = shingle_tokens(df, text_col, id_col, shingle_n).persist()
+    st = shingle_hashes(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_from_tokens(st, id_col, num_hashes)
     candidates = minhash_lsh_candidates(
         sigs, id_col, bands=bands, num_hashes=num_hashes
