@@ -11,9 +11,17 @@ themselves into ``plans.QUERIES`` / ``plans.ORACLES`` at import.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Import robustness: the engine package lives next to this file; make the
+# contract work regardless of the caller's CWD / sys.path.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF0001 = "/root/testdata/sf0.001"
 
