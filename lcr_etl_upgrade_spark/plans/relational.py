@@ -764,3 +764,62 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-resilient variants (operators/joins.py): salted execution must be
+# RESULT-IDENTICAL to the plain formulation — the oracle is the plain SQL.
+# --------------------------------------------------------------------------
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    GROUP BY o.o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    joined = salted_join(orders, cust, "o_custkey", salt=8)
+    return (
+        joined.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_salted_two_stage",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.joins import salted_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_aggregate(
+        orders,
+        ["o_orderpriority"],
+        aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("ps"),
+        ],
+        partial_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("ps").cast("double").alias("total"),
+        ],
+        salt=8,
+    ).orderBy("o_orderpriority")

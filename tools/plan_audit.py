@@ -21,9 +21,15 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# Queries where a cartesian product is the declared algorithm (brute-force
-# scoring against a broadcast query set).
-INTENTIONAL_CROSS = {"embedding_cosine_topk"}
+# Queries where a cartesian/nested-loop join is the declared algorithm:
+# brute-force scoring against a broadcast query set, exact all-pairs
+# baselines (their LSH/IVF variants are the scale paths), and the tiny
+# query-x-centroid probe join.
+INTENTIONAL_CROSS = {
+    "embedding_cosine_topk",
+    "embedding_cosine_near_dup",
+    "embedding_ivf_topk",
+}
 
 
 def plan_of(df) -> str:
