@@ -1,0 +1,65 @@
+"""EL sync stage: audit enrichment, observed counts, 3-way reconciliation,
+parallel per-table orchestration with per-table error isolation."""
+
+from __future__ import annotations
+
+from lcr_etl_upgrade_spark.sync import sync_table, sync_tables_parallel
+
+AS_OF = "2026-01-01 00:00:00"
+
+
+def test_sync_table_reconciles(spark, tmp_path):
+    out = str(tmp_path / "raw")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["id", "v"])
+    result = sync_table(
+        df,
+        "t1",
+        sink=lambda d: d.write.mode("overwrite").parquet(out),
+        verify_reader=lambda: spark.read.parquet(out),
+        source_count=10,
+        as_of=AS_OF,
+    )
+    assert result.reconciled
+    assert (result.source_count, result.written_count, result.verified_count) == (10, 10, 10)
+    written = spark.read.parquet(out)
+    assert written.count() == 10
+    row = written.collect()[0]
+    assert row.CREATED_BY == "ETL_PROCESS"
+    assert str(row.ETL_CREATED_DATE) == AS_OF
+
+
+def test_sync_table_detects_mismatch(spark, tmp_path):
+    out = str(tmp_path / "raw2")
+    df = spark.createDataFrame([(1,), (2,)], ["id"])
+    result = sync_table(
+        df,
+        "t2",
+        sink=lambda d: d.write.mode("overwrite").parquet(out),
+        verify_reader=lambda: spark.read.parquet(out),
+        source_count=99,  # out-of-band count disagrees
+        as_of=AS_OF,
+    )
+    assert not result.reconciled
+
+
+def test_sync_tables_parallel_isolates_failures(spark, tmp_path):
+    ok_out = str(tmp_path / "ok")
+    good = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    bad = spark.createDataFrame([(1,)], ["id"])
+
+    def boom(_df):
+        raise RuntimeError("sink exploded")
+
+    results = sync_tables_parallel(
+        {
+            "good": (good, lambda d: d.write.mode("overwrite").parquet(ok_out)),
+            "bad": (bad, boom),
+        },
+        max_workers=2,
+        as_of=AS_OF,
+    )
+    assert results["good"].reconciled and results["good"].written_count == 3
+    assert not results["bad"].reconciled
+    assert "sink exploded" in results["bad"].error
+    # the good table's output landed despite the bad one failing
+    assert spark.read.parquet(ok_out).count() == 3
