@@ -62,12 +62,19 @@ def main() -> None:
     spark.catalog.clearCache()  # drop tiny-SF persists from warm-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-N: container load makes single-shot times vary up to ~8x on
+    # identical plans; the minimum is the reproducible engine cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
