@@ -328,3 +328,76 @@ def pipeline_lead_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TO_PROCESS",
         "EDW_EXTERNAL_SOURCE_SYSTEM",
     ).orderBy("LEAD_GUID")
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (inverse of pivot; DataFrame.unpivot)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey_as_double' AS measure, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey, measure
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    wide = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey_as_double"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_as_double"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("o_orderkey", "measure")
+
+
+# --------------------------------------------------------------------------
+# Pure SQL-API multi-join (TPC-H Q10-shaped returned-item reporting):
+# the spark.sql string surface over registered views
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q10")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               n.n_name
+        FROM customer_q10 c
+        JOIN orders_q10 o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_q10 l ON l.l_orderkey = o.o_orderkey
+        JOIN nation_q10 n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
