@@ -2,13 +2,16 @@
 
 - exact_dedup: content-hash groupBy (one shuffle on the hash — the 100 TB
   pattern; never a full-text sort).
-- minhash_signatures / minhash_lsh_candidates: shingle -> k minhashes ->
-  band-bucket join. Everything is built-in higher-order functions
-  (transform/aggregate/xxhash64); candidate verification joins only within
-  LSH buckets, never O(n^2).
-- simhash: 64-bit sign-aggregated token hash, hamming-near pairs within
-  bucketed prefixes.
-- ngram_jaccard_pairs: exact Jaccard on shingle sets for candidate pairs.
+- shingle_tokens / shingle_hashes: exploded n-gram relations (posexplode +
+  window lead — fully codegen'd; the hashes variant carries one long per
+  shingle, the near-dup fast path).
+- minhash_signatures / minhash_lsh_candidates: k min-hashes via groupBy
+  with map-side partial aggregation -> banded bucket groupBy with
+  in-bucket pair expansion (no self-join, max_bucket skew guard).
+- simhash: sign-aggregated token-hash bits via explode + groupBy.
+- jaccard_pairs / near_dup_pairs: exact shingle-set Jaccard restricted to
+  candidate documents; the composite pipeline persists the shared shingle
+  relation so MinHash and verification compute it once.
 """
 
 from __future__ import annotations
