@@ -35,23 +35,28 @@ def scrub_expr(col: Column) -> Column:
     return F.when(invalid_timestamp_predicate(col.cast("string")), F.lit(None)).otherwise(col)
 
 
-def timestamp_expr(col: Column, fuzzy: bool = True) -> Column:
+def timestamp_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Column:
     """C2: native parse first, Arrow-vectorized fuzzy fallback
     (ingest.py:551-570 orders native-first the same way).
 
     try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4 default)
     the plain parser THROWS on malformed input; the reference's tolerant
-    null-on-failure semantics require the try_ variant."""
+    null-on-failure semantics require the try_ variant.
+
+    ``as_of`` reaches only the fuzzy path: the reference clamps futures to
+    'now' inside its parse UDF (ingest.py:415-418), so natively-parsed
+    future values stay untouched — cap_future_timestamps (F5) is the
+    separate explicit cap for the columns the reference lists."""
     cleaned = scrub_expr(col.cast("string"))
     native = F.try_to_timestamp(cleaned)
     if not fuzzy:
         return native
     from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
 
-    return F.coalesce(native, fuzzy_parse_timestamp(cleaned))
+    return F.coalesce(native, fuzzy_parse_timestamp(cleaned, as_of=as_of))
 
 
-def date_expr(col: Column, fuzzy: bool = True) -> Column:
+def date_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Column:
     """C3: to_date with fuzzy fallback (ingest.py:572-582); try-semantics
     via try_cast for ANSI-mode null-on-failure."""
     cleaned = scrub_expr(col.cast("string"))
@@ -60,7 +65,7 @@ def date_expr(col: Column, fuzzy: bool = True) -> Column:
         return native
     from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_date
 
-    return F.coalesce(native, fuzzy_parse_date(cleaned))
+    return F.coalesce(native, fuzzy_parse_date(cleaned, as_of=as_of))
 
 
 def coerce_expr(
@@ -70,6 +75,7 @@ def coerce_expr(
     json_column: bool = False,
     boolean_string: bool = False,
     fuzzy: bool = True,
+    as_of: str | None = None,
 ) -> Column:
     """Dispatch a single column to its cleansing expression, mirroring the
     reference's transform_column (ingest.py:538-622):
@@ -89,9 +95,9 @@ def coerce_expr(
     if boolean_string:
         return boolean_string_expr(col)
     if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
-        return timestamp_expr(col, fuzzy=fuzzy)
+        return timestamp_expr(col, fuzzy=fuzzy, as_of=as_of)
     if isinstance(dtype, T.DateType):
-        return date_expr(col, fuzzy=fuzzy)
+        return date_expr(col, fuzzy=fuzzy, as_of=as_of)
     if isinstance(dtype, T.DecimalType | T.DoubleType | T.FloatType):
         # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on
         # malformed numerics; the reference nulls them (ingest.py:584-591).
@@ -129,6 +135,7 @@ def cleanse_to_schema(
             json_column=field.name in json_columns,
             boolean_string=field.name in boolean_string_columns,
             fuzzy=fuzzy,
+            as_of=as_of,
         )
         if field.name.startswith("ETL_") and isinstance(
             field.dataType, T.TimestampType | T.TimestampNTZType

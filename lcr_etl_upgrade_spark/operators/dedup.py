@@ -25,8 +25,17 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
     Hash-groupBy, not dropDuplicates, so the survivor choice is explicit
     and stable across partitionings.
+
+    NULLs are encoded with an explicit sentinel before concatenation —
+    concat_ws silently skips NULLs, which would merge ('a', NULL, 'b')
+    with ('a', 'b', NULL). A real value equal to the sentinel ("\\x00N")
+    would still collide with NULL; acceptable for content keys.
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    encoded = [
+        F.when(F.col(c).isNull(), F.lit("\x00N")).otherwise(F.col(c).cast("string"))
+        for c in cols
+    ]
+    key = F.md5(F.concat_ws("\x1f", *encoded))
     return (
         df.withColumn("__dupkey", key)
         .groupBy("__dupkey")
@@ -73,7 +82,7 @@ def shingle_tokens(
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
             "__pos", "__tok"
         ),
-    )
+    ).filter(F.col("__tok") != "")  # split("") yields [""]: degenerate docs -> 0 rows
     w = W.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [
         F.lead("__tok", i).over(w).alias(f"__t{i}") for i in range(1, n)
@@ -104,12 +113,16 @@ def shingle_hashes(
     """
     from pyspark.sql import Window as W
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
-            "__pos", "__tok"
-        ),
-    ).select(F.col(id_col), "__pos", F.xxhash64("__tok").alias("__h"))
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
+                "__pos", "__tok"
+            ),
+        )
+        .filter(F.col("__tok") != "")
+        .select(F.col(id_col), "__pos", F.xxhash64("__tok").alias("__h"))
+    )
     w = W.partitionBy(id_col).orderBy("__pos")
     leads = [F.lead("__h", i).over(w).alias(f"__h{i}") for i in range(1, n)]
     labeled = toks.select(F.col(id_col), F.col("__h").alias("__h0"), *leads)
@@ -249,10 +262,16 @@ def simhash(
     """SimHash as explode(tokens) -> groupBy(id) with one signed-bit SUM per
     bit, folded into a bigint signature. Tokens are hashed once; partial
     aggregation combines map-side; the shuffle carries (id, bits ints)."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("__t"),
-    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("__t"),
+        )
+        # split("") yields [""]: drop empty tokens so whitespace-only/empty
+        # docs contribute no bits (they get no signature row at all)
+        .filter(F.col("__t") != "")
+        .select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    )
     aggs = [
         F.sum(
             F.when(
@@ -282,7 +301,7 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     Hash the token array ONCE into an array<long> first so the xxhash64
     isn't recomputed per bit.
     """
-    toks = F.split(F.trim(F.lower(text)), "\\s+")
+    toks = F.filter(F.split(F.trim(F.lower(text)), "\\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_contrib(b: int) -> Column:

@@ -37,16 +37,29 @@ class WatermarkStore:
     def read(self, table: str) -> str:
         """Returns the stored watermark, or 1900-01-01 on any failure
         (=> full reload, mirroring ingest.py:488-492)."""
-        try:
-            with open(self._path(table)) as fh:
-                value = fh.read().strip()
-            return value or DEFAULT_WATERMARK
-        except OSError:
-            return DEFAULT_WATERMARK
+        return self.read_state(table)[0]
 
     def write(self, table: str, value: str) -> None:
+        self.write_state(table, value, [])
+
+    def read_state(self, table: str) -> tuple[str, list[str]]:
+        """(watermark, boundary_keys): the keys of rows written AT the
+        watermark instant last run — excluded on re-filter so a plain
+        append sink stays idempotent with >= semantics."""
+        try:
+            with open(self._path(table)) as fh:
+                lines = [ln.rstrip("\n") for ln in fh]
+        except OSError:
+            return DEFAULT_WATERMARK, []
+        if not lines or not lines[0].strip():
+            return DEFAULT_WATERMARK, []
+        return lines[0].strip(), [ln for ln in lines[1:] if ln]
+
+    def write_state(self, table: str, value: str, boundary_keys: list[str]) -> None:
         with open(self._path(table), "w") as fh:
             fh.write(value)
+            for key in boundary_keys:
+                fh.write("\n" + key)
 
 
 def incremental_filter(
@@ -54,17 +67,36 @@ def incremental_filter(
     watermark: str,
     modify_col: str = "MODIFY_DATE",
     create_col: str | None = "CREATE_DATE",
+    key_col: str | None = None,
+    boundary_keys: list[str] | None = None,
 ) -> DataFrame:
     """C10 backfill + F1 filter (ingest.py:802-805). The predicate lands
-    directly above the scan, so parquet/Delta data skipping applies."""
+    directly above the scan, so parquet/Delta data skipping applies.
+
+    ``>=`` is kept (a row modified exactly at the watermark is never
+    silently skipped), which re-selects boundary-timestamp rows on the
+    next run. With ``key_col``/``boundary_keys`` those already-written
+    rows are excluded — `ts > wm OR (ts == wm AND key NOT IN boundary)`
+    — making a plain append sink idempotent. Without them, pair with an
+    idempotent (merge/upsert) sink or dedupe downstream.
+    """
     eff = (
         F.coalesce(F.col(modify_col), F.col(create_col))
         if create_col
         else F.col(modify_col)
     )
-    return df.withColumn(modify_col, eff).filter(
-        F.col(modify_col) >= F.lit(watermark).cast("timestamp_ntz")
-    )
+    wm = F.lit(watermark).cast("timestamp_ntz")
+    out = df.withColumn(modify_col, eff)
+    if key_col is not None and boundary_keys:
+        pred = (F.col(modify_col) > wm) | (
+            (F.col(modify_col) == wm)
+            & ~F.col(key_col).cast("string").isin(boundary_keys)
+        )
+        return out.filter(pred)
+    return out.filter(F.col(modify_col) >= wm)
+
+
+MAX_BOUNDARY_KEYS = 10_000
 
 
 def run_incremental(
@@ -75,16 +107,26 @@ def run_incremental(
     sink,
     modify_col: str = "MODIFY_DATE",
     create_col: str | None = "CREATE_DATE",
+    key_col: str | None = None,
 ) -> int:
     """Full incremental cycle; returns rows written (0 => short-circuit).
 
     ``sink`` is a callable DataFrame -> None. The batch max(MODIFY_DATE)
     is computed with observe() on the write pass — no extra scan.
+
+    With ``key_col`` the keys of rows written AT the new watermark are
+    persisted alongside it and excluded on the next run, so >= semantics
+    and a plain append sink together stay duplicate-free. The key fetch
+    is one tiny follow-up job (`ts == max` filter — pushdown-friendly),
+    capped at MAX_BOUNDARY_KEYS; above the cap (a degenerate all-one-
+    timestamp batch) it falls back to plain >= re-select semantics.
     """
     from pyspark.sql import Observation
 
-    watermark = store.read(table)
-    filtered = incremental_filter(df, watermark, modify_col, create_col)
+    watermark, boundary = store.read_state(table)
+    filtered = incremental_filter(
+        df, watermark, modify_col, create_col, key_col=key_col, boundary_keys=boundary
+    )
     if filtered.isEmpty():
         return 0
     obs = Observation(f"wm_{table}")
@@ -95,5 +137,15 @@ def run_incremental(
     result = obs.get
     new_wm = result["max_modify"]
     if new_wm is not None:
-        store.write(table, str(new_wm))
+        new_boundary: list[str] = []
+        if key_col is not None:
+            boundary_rows = (
+                filtered.filter(F.col(modify_col) == F.lit(new_wm))
+                .select(F.col(key_col).cast("string"))
+                .limit(MAX_BOUNDARY_KEYS + 1)
+                .collect()
+            )
+            if len(boundary_rows) <= MAX_BOUNDARY_KEYS:
+                new_boundary = [r[0] for r in boundary_rows]
+        store.write_state(table, str(new_wm), new_boundary)
     return int(result["n"])

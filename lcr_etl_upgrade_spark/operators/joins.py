@@ -28,7 +28,17 @@ def salted_join(
     times so every (key, salt) bucket finds its match. Use when ONE side
     is skewed and the other is small enough to replicate (but too big to
     broadcast outright).
+
+    Only left-preserving joins are valid: the right side is replicated
+    ``salt`` times, so right/full outer would emit each unmatched right
+    row once per salt bucket.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — the "
+            "exploded right side would duplicate unmatched right rows"
+        )
     salted_left = left.withColumn(
         "__salt",
         (F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(salt))).cast("int"),

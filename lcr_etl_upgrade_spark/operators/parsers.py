@@ -18,6 +18,7 @@ Reference semantics preserved:
 from __future__ import annotations
 
 import datetime as dt
+from functools import lru_cache
 from zoneinfo import ZoneInfo
 
 import pandas as pd
@@ -62,14 +63,33 @@ def _parse_one_timestamp(s: str, as_of: dt.datetime | None) -> dt.datetime | Non
     return None
 
 
-@F.pandas_udf(T.TimestampNTZType())
-def _fuzzy_ts_udf(values: pd.Series) -> pd.Series:
-    return values.map(lambda s: _parse_one_timestamp(s, None))
+@lru_cache(maxsize=64)
+def _fuzzy_ts_udf_for(as_of_iso: str | None):
+    """Build (and cache) a pandas UDF that clamps futures to ``as_of_iso``.
+
+    The reference clamps fuzzily-parsed future timestamps to 'now'
+    (ingest.py:411-418); here the clamp instant is captured at UDF-build
+    time so the job is replayable and oracle-hashable. ``None`` disables
+    the clamp (documented divergence for callers that want raw parses).
+    """
+    as_of = dt.datetime.fromisoformat(as_of_iso) if as_of_iso else None
+
+    @F.pandas_udf(T.TimestampNTZType())
+    def _udf(values: pd.Series) -> pd.Series:
+        return values.map(lambda s: _parse_one_timestamp(s, as_of))
+
+    return _udf
 
 
-def fuzzy_parse_timestamp(col: Column) -> Column:
-    """U1 fallback parser; returns timestamp_ntz (UTC wall time)."""
-    return _fuzzy_ts_udf(col)
+def fuzzy_parse_timestamp(col: Column, as_of: str | None = None) -> Column:
+    """U1 fallback parser; returns timestamp_ntz (UTC wall time).
+
+    ``as_of`` (ISO string, UTC wall time): fuzzily-parsed values later than
+    it are clamped to it, matching the reference's future-clamp
+    (ingest.py:415-418). Native-parsed values never pass through here, so
+    the clamp applies exactly where the reference applies it.
+    """
+    return _fuzzy_ts_udf_for(as_of)(col)
 
 
 def _parse_one_date(s: str, as_of_date: dt.date | None) -> dt.date | None:
@@ -84,11 +104,21 @@ def _parse_one_date(s: str, as_of_date: dt.date | None) -> dt.date | None:
     return parsed
 
 
-@F.pandas_udf(T.DateType())
-def _fuzzy_date_udf(values: pd.Series) -> pd.Series:
-    return values.map(lambda s: _parse_one_date(s, None))
+@lru_cache(maxsize=64)
+def _fuzzy_date_udf_for(as_of_iso: str | None):
+    as_of_date = dt.date.fromisoformat(as_of_iso[:10]) if as_of_iso else None
+
+    @F.pandas_udf(T.DateType())
+    def _udf(values: pd.Series) -> pd.Series:
+        return values.map(lambda s: _parse_one_date(s, as_of_date))
+
+    return _udf
 
 
-def fuzzy_parse_date(col: Column) -> Column:
-    """U2 fallback parser (strict parse only, per the reference)."""
-    return _fuzzy_date_udf(col)
+def fuzzy_parse_date(col: Column, as_of: str | None = None) -> Column:
+    """U2 fallback parser (strict parse only, per the reference).
+
+    ``as_of``: parsed dates after it become NULL — the deliberate
+    asymmetry with timestamps (ingest.py:438-441 vs 415-418).
+    """
+    return _fuzzy_date_udf_for(as_of)(col)

@@ -35,19 +35,31 @@ log = logging.getLogger(__name__)
 @dataclass
 class SyncResult:
     table: str
-    source_count: int
+    source_count: int | None
     written_count: int
     verified_count: int | None
     error: str | None = None
 
     @property
-    def reconciled(self) -> bool:
+    def reconciliation(self) -> str:
+        """'3-way' (source+written+verified), '2-way', or 'none'.
+
+        The written count alone is never evidence of reconciliation —
+        at least one independent count (source or re-read) must agree."""
         if self.error is not None:
-            return False
-        counts = {self.source_count, self.written_count}
-        if self.verified_count is not None:
-            counts.add(self.verified_count)
-        return len(counts) == 1
+            return "none"
+        independent = [
+            c for c in (self.source_count, self.verified_count) if c is not None
+        ]
+        if not independent:
+            return "none"
+        if any(c != self.written_count for c in independent):
+            return "none"
+        return "3-way" if len(independent) == 2 else "2-way"
+
+    @property
+    def reconciled(self) -> bool:
+        return self.reconciliation != "none"
 
 
 def sync_table(
@@ -64,9 +76,9 @@ def sync_table(
     ``sink``: DataFrame -> None writer. ``verify_reader``: () -> DataFrame
     re-reading what the sink wrote (reference sync.py:117-119).
     ``source_count``: out-of-band count (the reference's SQL COUNT(*)
-    pushed to Postgres, sync.py:45-55); defaults to the observed count —
-    passing it enables true 3-way reconciliation against the source
-    system.
+    pushed to Postgres, sync.py:45-55). When omitted it stays None —
+    reconciliation then requires the verify re-read; with neither,
+    ``reconciliation`` reports 'none' rather than silently passing.
     """
     enriched = add_audit_columns(df, as_of=as_of)
     obs = Observation(f"sync_{table}")
@@ -78,7 +90,7 @@ def sync_table(
         verified = verify_reader().count()
     return SyncResult(
         table=table,
-        source_count=written if source_count is None else source_count,
+        source_count=source_count,
         written_count=written,
         verified_count=verified,
     )
@@ -102,7 +114,7 @@ def sync_tables_parallel(
             return sync_table(df, name, sink, as_of=as_of)
         except Exception as exc:  # noqa: BLE001 — per-table isolation
             log.exception("sync failed for table %s", name)
-            return SyncResult(name, -1, -1, None, error=str(exc))
+            return SyncResult(name, None, -1, None, error=str(exc))
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         results = list(pool.map(run, jobs.items()))

@@ -64,6 +64,32 @@ def test_timestamp_native_then_fuzzy(spark):
     assert got == [dt.datetime(2024, 3, 1, 5, 0, 0)]  # 00:00 EST == 05:00 UTC
 
 
+def test_fuzzy_parse_clamps_future_to_as_of(spark):
+    """The reference clamps fuzzily-parsed FUTURE timestamps to 'now'
+    inside its parse UDF (ingest.py:415-418); as_of makes that replayable.
+    Future DATES parsed fuzzily become NULL (ingest.py:438-441)."""
+    as_of = "2026-01-01 00:00:00"
+    got = _vals(
+        spark,
+        ["03/01/2090 00:00:00", "03/01/2024 00:00:00"],
+        lambda c: timestamp_expr(c, fuzzy=True, as_of=as_of),
+    )
+    assert got == [dt.datetime(2026, 1, 1), dt.datetime(2024, 3, 1, 5, 0, 0)]
+    # natively-parsed futures are NOT clamped here (that is F5's job)
+    got = _vals(
+        spark, ["2090-01-02 03:04:05"], lambda c: timestamp_expr(c, fuzzy=True, as_of=as_of)
+    )
+    assert got == [dt.datetime(2090, 1, 2, 3, 4, 5)]
+    from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_date
+
+    got = _vals(
+        spark,
+        ["03/01/2090", "03/01/2024"],
+        lambda c: fuzzy_parse_date(c, as_of=as_of),
+    )
+    assert got == [None, dt.date(2024, 3, 1)]
+
+
 def test_date_parse(spark):
     got = _vals(spark, ["2024-03-01", "garbage9"], lambda c: date_expr(c, fuzzy=True))
     assert got == [dt.date(2024, 3, 1), None]

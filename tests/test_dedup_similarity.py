@@ -36,6 +36,43 @@ def test_exact_dedup_keeps_min_id(spark):
     assert got == {0: 2, 1: 1, 2: 1}  # survivor 0 (min id), loser 3 folded in
 
 
+def test_exact_dedup_null_position_distinguished(spark):
+    """('a', NULL, 'b') and ('a', 'b', NULL) are DIFFERENT contents —
+    concat_ws alone would merge them by skipping NULLs."""
+    df = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "a", "b", None), (3, "a", None, "b")],
+        ["id", "c1", "c2", "c3"],
+    )
+    out = exact_dedup(df, ["c1", "c2", "c3"], "id")
+    got = {r.id: r.dup_count for r in out.collect()}
+    assert got == {1: 2, 2: 1}  # 1&3 merge; 2 stays distinct
+
+
+def test_dedup_degenerate_inputs(spark):
+    """Empty / whitespace-only / null docs have defined, stable behavior
+    through shingling, minhash and simhash (no crash, no surprise rows)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "one two three four")],
+        ["doc_id", "text"],
+    )
+    # shingles: only doc 3 has >= n tokens -> others contribute zero rows
+    st = shingle_tokens(df, "text", "doc_id", n=3)
+    assert sorted({r.doc_id for r in st.collect()}) == [3]
+    # minhash: signature exists only for docs with shingles
+    sigs = {r.doc_id: r.minhash_sig for r in minhash_signatures(df, "text", "doc_id").collect()}
+    assert set(sigs) == {3} and len(sigs[3]) > 0
+    # simhash: empty-ish docs produce a DEFINED signature; identical
+    # degenerate inputs produce identical signatures
+    sh = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert 3 in sh
+    for d in (0, 1, 2):
+        if d in sh:
+            assert isinstance(sh[d], int)
+    # and the near-dup pipeline simply reports no pairs among degenerates
+    pairs = near_dup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert pairs == []
+
+
 def test_shingles_and_set_dedup(spark):
     st = shingle_tokens(_docs(spark), "text", "doc_id", n=3)
     doc0 = [r.shingle for r in st.filter(F.col("doc_id") == 0).collect()]

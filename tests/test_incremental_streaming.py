@@ -64,6 +64,37 @@ def test_run_incremental_cycle(spark, tmp_path):
     assert run_incremental(spark, df, "t", store, sink) == 1
 
 
+def test_run_incremental_boundary_idempotent_with_key(spark, tmp_path):
+    """With key_col the boundary rows written at the watermark instant are
+    excluded next run: a plain append sink accumulates no duplicates."""
+    store = WatermarkStore(str(tmp_path / "wm"))
+    out = str(tmp_path / "out")
+    df = _frame(
+        spark,
+        [
+            (1, dt.datetime(2024, 6, 2), dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1)),
+            (3, dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1)),  # tie at max
+        ],
+    )
+    sink = lambda d: d.write.mode("append").parquet(out)  # noqa: E731
+    assert run_incremental(spark, df, "t", store, sink, key_col="id") == 3
+    wm, boundary = store.read_state("t")
+    assert wm == "2024-06-05 00:00:00"
+    assert sorted(boundary) == ["2", "3"]
+    # no new data: second and third runs are true no-ops
+    assert run_incremental(spark, df, "t", store, sink, key_col="id") == 0
+    assert run_incremental(spark, df, "t", store, sink, key_col="id") == 0
+    assert spark.read.parquet(out).count() == 3
+    # a NEW row at the exact old watermark instant is still picked up
+    df2 = df.union(
+        _frame(spark, [(4, dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1))])
+    )
+    assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 1
+    assert spark.read.parquet(out).count() == 4
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]
+
+
 def test_streaming_tumbling_window(spark, tmp_path):
     """File-source readStream -> windowed agg -> memory sink: the public
     deterministic local pattern for streaming tests."""

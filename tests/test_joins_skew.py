@@ -27,6 +27,18 @@ def test_salted_join_left_outer(spark):
     assert got == {0: "hit", 9: None}
 
 
+def test_salted_join_rejects_right_preserving_how(spark):
+    """Right/full outer would emit unmatched right rows once per salt
+    bucket — the operator must refuse, not silently duplicate."""
+    import pytest
+
+    left = spark.createDataFrame([(0, 1)], ["k", "lv"])
+    right = spark.createDataFrame([(0, "r")], ["k", "rv"])
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", salt=2, how=how)
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.createDataFrame(
         [(0, float(i)) for i in range(1000)] + [(1, 5.0), (2, 7.0)],

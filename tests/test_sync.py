@@ -20,6 +20,7 @@ def test_sync_table_reconciles(spark, tmp_path):
         as_of=AS_OF,
     )
     assert result.reconciled
+    assert result.reconciliation == "3-way"
     assert (result.source_count, result.written_count, result.verified_count) == (10, 10, 10)
     written = spark.read.parquet(out)
     assert written.count() == 10
@@ -40,6 +41,38 @@ def test_sync_table_detects_mismatch(spark, tmp_path):
         as_of=AS_OF,
     )
     assert not result.reconciled
+    assert result.reconciliation == "none"
+
+
+def test_sync_table_without_independent_count_not_reconciled(spark, tmp_path):
+    """Omitting both source_count and verify_reader must surface 'no
+    independent count' — never a silently-true reconciliation."""
+    out = str(tmp_path / "raw3")
+    df = spark.createDataFrame([(1,), (2,)], ["id"])
+    result = sync_table(
+        df,
+        "t3",
+        sink=lambda d: d.write.mode("overwrite").parquet(out),
+        as_of=AS_OF,
+    )
+    assert result.source_count is None
+    assert result.written_count == 2
+    assert result.reconciliation == "none"
+    assert not result.reconciled
+
+
+def test_sync_table_two_way_via_verify_only(spark, tmp_path):
+    out = str(tmp_path / "raw4")
+    df = spark.createDataFrame([(1,), (2,)], ["id"])
+    result = sync_table(
+        df,
+        "t4",
+        sink=lambda d: d.write.mode("overwrite").parquet(out),
+        verify_reader=lambda: spark.read.parquet(out),
+        as_of=AS_OF,
+    )
+    assert result.reconciliation == "2-way"
+    assert result.reconciled
 
 
 def test_sync_tables_parallel_isolates_failures(spark, tmp_path):
@@ -58,7 +91,10 @@ def test_sync_tables_parallel_isolates_failures(spark, tmp_path):
         max_workers=2,
         as_of=AS_OF,
     )
-    assert results["good"].reconciled and results["good"].written_count == 3
+    # no verify_reader/source_count in the parallel jobs map => written
+    # count stands alone; reconciliation honestly reports 'none'
+    assert results["good"].error is None and results["good"].written_count == 3
+    assert results["good"].reconciliation == "none"
     assert not results["bad"].reconciled
     assert "sink exploded" in results["bad"].error
     # the good table's output landed despite the bad one failing
