@@ -82,6 +82,84 @@ def test_lead_assignment_future_caps(spark):
     assert row.METADATA == '{"k": 1}'
 
 
+def test_full_schema_fidelity():
+    """The registry carries the reference's COMPLETE column surface
+    (ingest.py:58-231, 234-383), including its type quirks."""
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.schemas import LEAD_XREF, TABLE_SPECS
+
+    # full column counts (business + 5 audit) == the reference's schema
+    # blocks ingest.py:59-163 / 164-185 / 186-230
+    assert len(LEAD.target_schema.fields) == 101
+    assert len(LEAD_XREF.target_schema.fields) == 18
+    assert len(LEAD_ASSIGNMENT.target_schema.fields) == 41
+    # mapping cardinality matches ingest.py:234-383
+    assert len(LEAD.mapping) == 95
+    assert len(LEAD_XREF.mapping) == 12
+    assert len(LEAD_ASSIGNMENT.mapping) == 35
+    # every mapping target exists in its schema; unmapped = typed-null adds
+    for spec in TABLE_SPECS.values():
+        names = {f.name for f in spec.target_schema.fields}
+        assert set(spec.mapping.values()) <= names
+    # the type quirks that make or break a port
+    by_name = {f.name: f.dataType for f in LEAD.target_schema.fields}
+    assert isinstance(by_name["SUB_SOURCE_ID"], T.BooleanType)
+    assert isinstance(by_name["BIRTH_DATE"], T.StringType)
+    assert isinstance(by_name["COBORROWER_BIRTH_DATE"], T.TimestampNTZType)
+    xref_types = {f.name: f.dataType for f in LEAD_XREF.target_schema.fields}
+    assert isinstance(xref_types["LEAD_LEVEL_ID"], T.StringType)
+    assert isinstance(xref_types["DATA_SOURCE_ID"], T.StringType)
+    la_types = {f.name: f.dataType for f in LEAD_ASSIGNMENT.target_schema.fields}
+    assert isinstance(la_types["IS_DELETED_SOURCE"], T.BooleanType)
+    assert LEAD_ASSIGNMENT.cap_future_columns == (
+        "PURCHASE_DATE", "ASSIGN_DATE", "CREATE_DATE",
+        "MODIFY_DATE", "STATUS_DATE", "EXCLUSIVITY_END_DATE",
+    )
+
+
+def test_lead_assignment_json_safe_read_truncate_load(spark, tmp_path):
+    """The reference's historical lead_assignment flow composed end to end:
+    JSON-safe read (multiLine/PERMISSIVE, ingest.py:633-643) -> transform
+    (future-cap included) -> truncate-then-load sink (ingest.py:782-791):
+    end state equals exactly the new batch, replacing prior contents."""
+    import json
+
+    from lcr_etl_upgrade_spark.sinks.registry import get_sink
+    from lcr_etl_upgrade_spark.sources.registry import read_json
+
+    src = tmp_path / "raw.json"
+    records = [
+        {"leadassignmentguid": "a1", "leadxrefguid": "x1",
+         "purchasedate": "2091-01-01 00:00:00",
+         "metadata": '{"k": 1}', "isdeletedsource": "yes",
+         "createdate": "2024-01-01 00:00:00", "modifydate": "2024-01-02 00:00:00"},
+        {"leadassignmentguid": "a2", "leadxrefguid": "x2",
+         "purchasedate": "2024-05-05 00:00:00",
+         "metadata": None, "isdeletedsource": "weird",
+         "createdate": "2024-01-03 00:00:00", "modifydate": None},
+    ]
+    # multiLine pretty-printed JSON array — the shape PERMISSIVE+multiLine
+    # exists to handle
+    src.write_text(json.dumps(records, indent=2))
+
+    out = str(tmp_path / "stg_lcr_lead_assignment")
+    # pre-existing stale contents that truncate-then-load must replace
+    spark.range(5).write.mode("overwrite").parquet(out)
+
+    raw = read_json(spark, str(src), multi_line=True)
+    final = transform_table(raw, LEAD_ASSIGNMENT, as_of=AS_OF)
+    get_sink("parquet_truncate_load")(final, out)
+
+    got = {r.LEAD_ASSIGNMENT_GUID: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a1", "a2"}  # stale rows gone
+    assert got["a1"].PURCHASE_DATE == dt.datetime(2026, 1, 1)  # capped
+    assert got["a1"].IS_DELETED_SOURCE is True
+    assert got["a2"].IS_DELETED_SOURCE is None  # 'weird' -> null (C6)
+    assert got["a1"].METADATA == '{"k": 1}'  # JSON passthrough
+    assert got["a2"].MODIFY_DATE is None
+
+
 def test_row_count_preserved(spark):
     out = transform_table(_raw_lead(spark), LEAD, as_of=AS_OF)
     assert out.count() == 3
