@@ -50,6 +50,80 @@ def salted_join(
     return out.drop("__salt")
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """J5 as-of join, scale-safe formulation: for each left row, the
+    LATEST right row of the same ``key`` with ``right_ts <= left_ts``
+    (strict < when ``allow_exact_match=False``).
+
+    Shape: union both sides into one event stream, one window
+    ``last(value, ignoreNulls)`` over ``partitionBy(key).orderBy(ts,
+    side)`` running unbounded-preceding -> current row. LINEAR in total
+    events with exactly one shuffle (the window's) — unlike the
+    range-join + row_number formulation, which materializes
+    |left_per_key| x |right_per_key| pairs before discarding all but one
+    per left row (quadratic for a hot key; see tests/test_joins_skew.py
+    for the cross-check and the hot-key case).
+
+    Output: every left column, plus ``right_ts`` and each of
+    ``value_cols`` from the matched right row (NULL when no prior right
+    event exists — semi-join afterwards if inner semantics are wanted).
+    Ties among right rows at the same instant resolve to the one latest
+    in (ts, value_cols) sort order, deterministically.
+    """
+    # side ordering encodes the <= vs < boundary: with exact match the
+    # right event at ts == left_ts must sort BEFORE the left row so the
+    # running last() sees it; with strict <, after.
+    right_side, left_side = (0, 1) if allow_exact_match else (2, 1)
+    carried = [right_ts] + value_cols
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_side).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carried],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns if c != key],
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key)
+        .orderBy("__ts", "__side", *[f"__r_{c}" for c in carried])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = r.unionByName(l).select(
+        F.col(key),
+        F.col("__side"),
+        *[F.col(f"__l_{c}") for c in left.columns if c != key],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in carried
+        ],
+    )
+    return matched.filter(F.col("__side") == left_side).select(
+        F.col(key),
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns if c != key],
+        *[F.col(f"__m_{c}").alias(c) for c in carried],
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -195,8 +195,13 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J5: as-of join — each purchase matched to the latest prior signup-or-view
-# of the same user (window over a range-joined pair set)
+# J5: as-of join — each purchase matched to the latest prior view of the
+# same user. Implemented as union + running last() window (LINEAR, one
+# shuffle); the oracle states the classic range-join + row_number
+# formulation, so the hash-match doubles as the semantic cross-check.
+# The range-join shape materializes purchases x views per user before
+# discarding all but one row — quadratic for a hot user; see
+# operators/joins.py:asof_join_backward and tests/test_joins_skew.py.
 # --------------------------------------------------------------------------
 @query(
     "events_asof_join",
@@ -222,6 +227,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -230,19 +237,21 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user_id"),
+        "user_id",
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
     )
-    w = W.partitionBy("event_id").orderBy(F.desc("view_ts"))
+    joined = asof_join_backward(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        value_cols=["view_value"],
+    )
     return (
-        purchases.join(
-            views,
-            (purchases.user_id == views.v_user_id)
-            & (views.view_ts <= purchases.purchase_ts),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        # inner-join semantics of the oracle: purchases with no prior view drop
+        joined.filter(F.col("view_ts").isNotNull())
         .select(
             "event_id",
             "user_id",

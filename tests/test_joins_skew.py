@@ -39,6 +39,97 @@ def test_salted_join_rejects_right_preserving_how(spark):
             salted_join(left, right, "k", salt=2, how=how)
 
 
+def _asof_via_range_join(left, right, key, left_ts, right_ts, value_cols):
+    """The classic range-join + row_number formulation — the semantic
+    cross-check for asof_join_backward (and the shape it replaces)."""
+    from pyspark.sql import Window as W
+
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts),
+        *[F.col(c) for c in value_cols],
+    )
+    w = W.partitionBy(*left.columns).orderBy(
+        F.desc(right_ts), *[F.desc(c) for c in value_cols]
+    )
+    return (
+        left.join(r, (left[key] == r["__rk"]) & (r[right_ts] <= left[left_ts]))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__rk")
+    )
+
+
+def test_asof_join_matches_range_join_formulation(spark):
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 150), (4, "u3", 50)],
+        ["pid", "u", "pts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 9.0), ("u1", 100, 10.0), ("u1", 201, 20.1),
+         ("u2", 10, 1.0), ("u2", 150, 15.0), ("u9", 1, 0.1)],
+        ["u", "vts", "vval"],
+    )
+    got = asof_join_backward(left, right, "u", "pts", "vts", ["vval"])
+    rows = {r.pid: (r.vts, r.vval) for r in got.collect()}
+    # exact-instant match included (<=); latest prior wins; no-match -> NULL
+    assert rows == {
+        1: (100, 10.0),
+        2: (201, 20.1),
+        3: (150, 15.0),
+        4: (None, None),
+    }
+    ref = _asof_via_range_join(left, right, "u", "pts", "vts", ["vval"])
+    ref_rows = {r.pid: (r.vts, r.vval) for r in ref.collect()}
+    inner = {k: v for k, v in rows.items() if v[0] is not None}
+    assert inner == ref_rows
+
+
+def test_asof_join_strict_inequality(spark):
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame([(1, "u1", 100)], ["pid", "u", "pts"])
+    right = spark.createDataFrame(
+        [("u1", 100, 10.0), ("u1", 90, 9.0)], ["u", "vts", "vval"]
+    )
+    got = asof_join_backward(
+        left, right, "u", "pts", "vts", ["vval"], allow_exact_match=False
+    ).collect()[0]
+    assert (got.vts, got.vval) == (90, 9.0)  # the ts==100 row is excluded
+
+
+def test_asof_join_hot_key_linear(spark):
+    """A power user with thousands of views must not blow up into a
+    views x purchases intermediate: the union+window shape is linear, so
+    this stays fast and exact. (The range-join formulation materializes
+    50 x 5000 pairs for this input before discarding 99.98% of them.)"""
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    n_views, n_purch = 5000, 50
+    views = spark.range(n_views).select(
+        F.lit("hot").alias("u"),
+        (F.col("id") * 2).alias("vts"),
+        F.col("id").cast("double").alias("vval"),
+    )
+    purchases = spark.range(n_purch).select(
+        F.col("id").alias("pid"),
+        F.lit("hot").alias("u"),
+        (F.col("id") * 100 + 1).alias("pts"),
+    )
+    got = asof_join_backward(purchases, views, "u", "pts", "vts", ["vval"])
+    rows = {r.pid: r.vts for r in got.collect()}
+    assert len(rows) == n_purch
+    # purchase at pts = 100k+1 -> latest even vts <= that is 100k
+    for pid, vts in rows.items():
+        expect = min((pid * 100 + 1) // 2 * 2, (n_views - 1) * 2)
+        assert vts == expect, (pid, vts, expect)
+    # plan shape: no join node at all — a single window does the matching
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.createDataFrame(
         [(0, float(i)) for i in range(1000)] + [(1, 5.0), (2, 7.0)],
