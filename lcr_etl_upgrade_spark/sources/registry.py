@@ -57,13 +57,14 @@ class JdbcSource:
         driver-side via psycopg2, sync.py:45-55; a pushdown subquery keeps
         it in one connection stack)."""
         q = f"(SELECT COUNT(*) AS c FROM {self.table}) t"
-        return (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", q)
-            .load()
-            .first()["c"]
+        reader = (
+            spark.read.format("jdbc").option("url", self.url).option("dbtable", q)
         )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        row = reader.load().first()
+        # column case depends on the database's identifier folding
+        return int(row[0])
 
 
 def read_parquet(
