@@ -34,8 +34,12 @@ HEADLINE = [
     "doc_minhash_near_dup",
     "doc_text_stats",
     "embedding_cosine_topk",
+    "embedding_cosine_topk_vectorized",
     "pipeline_lead_end_to_end",
+    "pipeline_lead_assignment_end_to_end",
     "merge_scd2",
+    "merge_upsert",
+    "q10_returned_items",
 ]
 
 

@@ -65,13 +65,12 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(
-    df: DataFrame, vec_col: str = "embedding", bits: int = 8, dim: int = 64
-) -> DataFrame:
-    """Random-hyperplane LSH bucket id: sign pattern against `bits` fixed
-    pseudo-random hyperplanes (deterministic — generated from xxhash64 of
-    (bit, coordinate), so the 'random' planes are reproducible with no
-    driver-side state and no data shuffle)."""
+def _bucket_expr(vec_col: str, bits: int, dim: int, table: int = 0) -> Column:
+    """One hyperplane-LSH bucket id: sign pattern against ``bits`` fixed
+    pseudo-random hyperplanes. Plane coefficients derive from
+    xxhash64(table*bits + bit, coordinate) — deterministic, reproducible,
+    no driver-side state; distinct ``table`` values give independent
+    plane sets (the multi-table OR-amplification lever)."""
     v = _to_double(F.col(vec_col))
 
     def plane_for(b: int) -> Column:
@@ -81,7 +80,9 @@ def hyperplane_signature(
         return F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: (
-                (F.xxhash64(F.lit(b), i) % F.lit(10_000)).cast("double")
+                (F.xxhash64(F.lit(table * bits + b), i) % F.lit(10_000)).cast(
+                    "double"
+                )
                 / F.lit(5_000.0)
             ),
         )
@@ -98,7 +99,14 @@ def hyperplane_signature(
                 F.lit(0).cast("long")
             )
         )
-    return df.withColumn("lsh_bucket", bucket)
+    return bucket
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (single table; see _bucket_expr)."""
+    return df.withColumn("lsh_bucket", _bucket_expr(vec_col, bits, dim))
 
 
 def cosine_topk_lsh(
@@ -110,19 +118,36 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     bits: int = 8,
     dim: int = 64,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows sharing the query's
-    hyperplane bucket. Recall < 1.0 by construction; the scale path."""
+    """Approximate top-k: score only corpus rows sharing a hyperplane
+    bucket with the query in at least one of ``tables`` independent
+    tables. Recall < 1.0 by construction; the scale path.
+
+    Multi-table is the recall lever (OR-amplification): each table
+    shrinks candidates ~2^bits-fold, and a true neighbor is found if ANY
+    table buckets it with the query. Candidates duplicated across tables
+    are deduped before ranking. Per-table buckets are computed in ONE
+    projection each side (no shuffle); the only shuffles are the
+    candidate dedup and the final per-query top-k window."""
     from pyspark.sql import Window as W
 
-    c = hyperplane_signature(corpus, vec_col, bits, dim)
-    q = hyperplane_signature(queries, vec_col, bits, dim).select(
+    bucket_arr = F.array(
+        *[_bucket_expr(vec_col, bits, dim, t) for t in range(tables)]
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        F.posexplode(bucket_arr).alias("__t", "__bucket"),
+    )
+    q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qvec"),
-        F.col("lsh_bucket").alias("__qbucket"),
+        F.posexplode(bucket_arr).alias("__t", "__bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), F.col("lsh_bucket") == F.col("__qbucket"))
+        c.join(F.broadcast(q), ["__t", "__bucket"])
+        .dropDuplicates([query_id, corpus_id])
         .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("__qvec")))
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))

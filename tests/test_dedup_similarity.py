@@ -18,6 +18,34 @@ from lcr_etl_upgrade_spark.operators.dedup import (
 )
 from lcr_etl_upgrade_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
+
+def test_lsh_multi_table_recall_contract(spark):
+    """Multi-table LSH (16x4-bit) must keep >= 50% of the true top-10 per
+    query on the embeddings testdata — the declared recall floor of the
+    scale path (plans/llm.py:embedding_lsh_recall)."""
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F2.col("vec_id") < 10).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, qs, k=10, query_id="query_id").collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_lsh(
+            emb, qs, k=10, query_id="query_id", bits=4, tables=16
+        ).collect()
+    }
+    per_q: dict[int, list[int]] = {}
+    for q, _ in exact:
+        per_q.setdefault(q, [0, 0])[0] += 1
+    for q, _ in exact & approx:
+        per_q[q][1] += 1
+    assert all(h / t >= 0.5 for t, h in per_q.values()), per_q
+
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
     (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0

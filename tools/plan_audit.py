@@ -29,6 +29,10 @@ INTENTIONAL_CROSS = {
     "embedding_cosine_topk",
     "embedding_cosine_near_dup",
     "embedding_ivf_topk",
+    # recall contracts embed the exact brute-force baseline by definition
+    # (the approx side is the scale path being measured against it)
+    "embedding_lsh_recall",
+    "embedding_ivf_recall",
 }
 
 
