@@ -1,6 +1,7 @@
 from lcr_etl_upgrade_spark.streaming.windows import (
     sessionized_stream,
     sliding_counts,
+    stateful_running_totals,
     streaming_dedup,
     tumbling_counts,
 )
@@ -8,6 +9,7 @@ from lcr_etl_upgrade_spark.streaming.windows import (
 __all__ = [
     "sessionized_stream",
     "sliding_counts",
+    "stateful_running_totals",
     "streaming_dedup",
     "tumbling_counts",
 ]

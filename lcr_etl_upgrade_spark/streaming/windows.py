@@ -107,3 +107,61 @@ def streaming_dedup(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running (count, sum, max) maintained in GroupState across
+    micro-batches; each batch that touches a key emits that key's updated
+    totals (output mode 'update').
+
+    This is the public pattern for stateful logic the built-in windowed
+    aggregations can't express (cross-batch accumulators, custom
+    eviction, session machines). State per key is three scalars — at 100
+    TB-of-stream scale the state store grows with |keys|, not |events|,
+    and the grouping shuffle is the only shuffle.
+
+    Batch frames take the equivalent one-shot groupBy — final state ==
+    batch aggregate over the same rows, which the equivalence test
+    asserts (tests/test_incremental_streaming.py).
+    """
+    out_fields = f"{key_col} long, n long, total double, max_value double"
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+            F.max(F.col(value_col).cast("double")).alias("max_value"),
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            n += len(pdf)
+            total += float(vals.sum())
+            batch_max = float(vals.max()) if len(vals) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total], "max_value": [mx]}
+        )
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_fields,
+            stateStructType="n long, total double, max_value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

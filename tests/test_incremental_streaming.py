@@ -204,3 +204,64 @@ def test_streaming_foreach_batch_sink(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 2
     assert set(got.columns) == {"id", "v", "epoch"}
+
+
+def test_stateful_running_totals_applyinpandas_with_state(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key state
+    accumulates ACROSS micro-batches, and the final emitted state equals
+    the one-shot batch aggregate over the same rows."""
+    from lcr_etl_upgrade_spark.streaming import stateful_running_totals
+
+    src_dir = tmp_path / "state_src"
+    src_dir.mkdir()
+    schema = "user_id long, value double"
+    batch1 = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(1, 30.0), (2, 1.0), (3, 7.0)], schema
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    out = stateful_running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            r.user_id: (r.n, r.total)
+            for r in spark.sql("SELECT * FROM running_totals").collect()
+        }
+        # first micro-batch state
+        assert mid[1] == (2, 30.0) and mid[2] == (1, 5.0)
+        batch2.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM running_totals").collect()
+    finally:
+        q.stop()
+    # memory sink in update mode appends each emission; last row per key
+    # is the final state
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n, r.total, r.max_value)
+    assert final == {
+        1: (3, 60.0, 30.0),
+        2: (2, 6.0, 5.0),
+        3: (1, 7.0, 7.0),
+    }
+    # batch equivalence: the batch path's one-shot aggregate agrees
+    all_rows = batch1.union(batch2)
+    batch_got = {
+        r.user_id: (r.n, r.total, r.max_value)
+        for r in stateful_running_totals(all_rows).collect()
+    }
+    assert batch_got == final
