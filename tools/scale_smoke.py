@@ -64,9 +64,11 @@ def main() -> None:
             "q5_nation_revenue",
             "window_topk_per_group",
             "events_sessionization",
+            "events_asof_join",
             "doc_minhash_near_dup",
             "doc_dedup_exact",
             "embedding_cosine_topk",
+            "q18_large_orders",
         ]:
             t0 = time.perf_counter()
             QUERIES[name](spark, out_dir).write.format("noop").mode(
