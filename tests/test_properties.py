@@ -66,6 +66,42 @@ def test_timestamp_expr_never_throws(spark, values):
 
 
 @given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)),  # (key, ts)
+        min_size=1,
+        max_size=20,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@SETTINGS
+def test_asof_join_equals_reference_semantics(spark, lefts, rights):
+    """asof_join_backward == 'latest right with ts <= left ts per key',
+    computed independently in Python, on arbitrary key/ts multisets
+    (duplicate timestamps included — ties resolve to max value, matching
+    the operator's (ts, value) ordering)."""
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "pid long, k long, lts long"
+    )
+    r_schema = "k long, rts long, rval double"
+    r_rows = [(k, t, float(t * 10 + k)) for k, t in rights]
+    right = spark.createDataFrame(r_rows, r_schema)
+    got = {
+        r.pid: (r.rts, r.rval)
+        for r in asof_join_backward(left, right, "k", "lts", "rts", ["rval"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        eligible = [(rt, float(rt * 10 + rk)) for rk, rt in rights if rk == k and rt <= t]
+        expect = max(eligible) if eligible else (None, None)
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(
     n_cols=st.integers(min_value=1, max_value=5),
     n_missing=st.integers(min_value=0, max_value=3),
 )
