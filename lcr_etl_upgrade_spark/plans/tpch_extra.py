@@ -193,3 +193,39 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS threshold
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN thresholds t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (TPC-H Q17): per-key average joined back
+    against the same fact table, rows below their own key's threshold.
+    The aggregate side shrinks to |parts| rows before the join; both sides
+    share the l_partkey shuffle key, so the join reuses the aggregation's
+    partitioning (one exchange each, no extra)."""
+    from lcr_etl_upgrade_spark.functions.numeric import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.5 * davg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+    )
