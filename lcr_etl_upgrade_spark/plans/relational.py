@@ -202,17 +202,31 @@ def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A3: approximate distinct (HLL) — engine-specific sketch, rows-only check
+# A3: approximate distinct (HLL) — engine-specific sketch, rows-only check,
+# but carrying a checkable contract: relative error vs the exact count must
+# stay within the declared rsd bound on every group row.
 # --------------------------------------------------------------------------
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.05
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
+        # HLL++ rsd is a standard deviation, not a hard bound; 4x rsd is a
+        # conservative always-true envelope that still catches a broken sketch
+        .withColumn("within_bound", F.col("rel_error") <= 4 * rsd)
         .orderBy("l_returnflag")
     )
 

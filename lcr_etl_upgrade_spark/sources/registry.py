@@ -66,6 +66,26 @@ class JdbcSource:
         # column case depends on the database's identifier folding
         return int(row[0])
 
+    def probe(self, spark: SparkSession, probe_query: str | None = None) -> bool:
+        """Liveness probe before orchestration — the reference runs
+        SELECT 1 and aborts the batch if it fails (sync.py:34-43).
+
+        The default constant subquery works on engines that allow
+        FROM-less SELECT (PostgreSQL, MySQL); pass ``probe_query`` for
+        dialects with a dummy table (Derby/DB2: ``(SELECT 1 AS ok FROM
+        SYSIBM.SYSDUMMY1) t``, Oracle: DUAL). Any exception => not live.
+        """
+        q = probe_query or "(SELECT 1 AS probe_ok) t"
+        reader = (
+            spark.read.format("jdbc").option("url", self.url).option("dbtable", q)
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        try:
+            return reader.load().first() is not None
+        except Exception:  # noqa: BLE001 — any failure means "not live"
+            return False
+
 
 def read_parquet(
     spark: SparkSession, path: str, schema: T.StructType | None = None

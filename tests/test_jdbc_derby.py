@@ -70,6 +70,21 @@ def test_jdbc_count_pushdown(spark, derby_url):
     assert source.count_pushdown(spark) == 200
 
 
+def test_jdbc_liveness_probe(spark, derby_url, tmp_path):
+    """SELECT-1-style probe: true on a live database, false (not raise)
+    on a dead one — the reference's orchestration precondition."""
+    derby_probe = "(SELECT 1 AS probe_ok FROM SYSIBM.SYSDUMMY1) t"
+    live = JdbcSource(url=derby_url, table="people", properties={"driver": DRIVER})
+    assert live.probe(spark, probe_query=derby_probe) is True
+    dead = JdbcSource(
+        # create=true omitted: connecting to a nonexistent Derby db fails
+        url=f"jdbc:derby:{tmp_path}/no_such_db",
+        table="people",
+        properties={"driver": DRIVER},
+    )
+    assert dead.probe(spark, probe_query=derby_probe) is False
+
+
 def test_jdbc_fetchsize_applied(spark, derby_url):
     """fetchsize is plumbed into the reader options (the reference's one
     JDBC tuning knob, sync.py:74)."""
