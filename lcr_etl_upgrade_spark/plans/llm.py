@@ -539,3 +539,64 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         floor=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+# L2-adjacent: edit-distance near-dup signal on a deterministic pair set
+# (consecutive doc_ids in the same language) — levenshtein is the classic
+# short-text dedup metric; exact, so fully oracled.
+# --------------------------------------------------------------------------
+@query(
+    "doc_edit_distance",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             substr(a.text, 1, 80) AS ta, substr(b.text, 1, 80) AS tb
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE a.doc_id < 100
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(ta, tb) AS edit_dist,
+           ROUND(1.0 - levenshtein(ta, tb)
+                 / GREATEST(LENGTH(ta), LENGTH(tb), 1), 6) AS similarity
+    FROM pairs
+    ORDER BY doc_a
+    """,
+)
+def doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein over 80-char prefixes of language-adjacent doc pairs
+    (prefix-capped: edit distance is O(len^2) per pair — at corpus scale
+    cap the operand length and use it as a VERIFY step after candidate
+    generation, never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 101)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.substring("text", 1, 80).alias("ta"),
+    ).filter(F.col("doc_a") < 100)
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.substring("text", 1, 80).alias("tb"),
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_a") + 1)
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(
+                1.0
+                - dist
+                / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+                6,
+            ).alias("similarity"),
+        )
+        .orderBy("doc_a")
+    )

@@ -265,3 +265,55 @@ def test_stateful_running_totals_applyinpandas_with_state(spark, tmp_path):
         for r in stateful_running_totals(all_rows).collect()
     }
     assert batch_got == final
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: a window is
+    finalized once the watermark passes its end, and an event arriving
+    AFTER that (later micro-batch, older timestamp) must not resurrect
+    or alter the closed window."""
+    from lcr_etl_upgrade_spark.streaming import tumbling_counts
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    on_time = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 20), "click", 2.0),
+            # advances the watermark far past the 10:00 window's end
+            (3, dt.datetime(2024, 1, 1, 15, 0), "click", 3.0),
+        ],
+        schema,
+    )
+    on_time.coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    agg = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a late event for the already-finalized 10:00 window
+        late = spark.createDataFrame(
+            [(4, dt.datetime(2024, 1, 1, 10, 30), "click", 100.0)], schema
+        )
+        late.coalesce(1).write.parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_out").collect()
+    finally:
+        q.stop()
+    got = {str(r.window_start): (r.n, r.total_value) for r in rows}
+    # the 10:00 window was emitted from the on-time batch only: the late
+    # value-100 event is dropped, not merged and not re-emitted
+    assert got["2024-01-01 10:00:00"] == (2, 3.0)
+    assert all(
+        abs(t - 100.0) > 1e-9 for _, t in got.values()
+    ), got
