@@ -96,16 +96,38 @@ def read_parquet(
     return reader.parquet(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_capture(schema: T.StructType) -> T.StructType:
+    """Append the PERMISSIVE-mode corrupt-record column to a declared
+    schema: malformed rows land whole in ``_corrupt_record`` instead of
+    being silently nulled — the error-tolerance upgrade SURVEY.md §4
+    calls for over the reference's bare PERMISSIVE reads."""
+    if CORRUPT_COL in [f.name for f in schema.fields]:
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
     header: bool = True,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """S8: CSV scan — schema declared, never inferred (the reference sets
-    inferSchema=false everywhere, ingest.py:639,648)."""
+    inferSchema=false everywhere, ingest.py:639,648).
+
+    ``capture_corrupt=True`` adds ``_corrupt_record``: malformed lines
+    arrive intact there for quarantine instead of vanishing."""
     reader = spark.read.option("header", str(header).lower())
-    reader = reader.schema(schema) if schema is not None else reader
+    if schema is not None:
+        reader = reader.schema(
+            with_corrupt_capture(schema) if capture_corrupt else schema
+        )
     return reader.option("mode", "PERMISSIVE").csv(path)
 
 
@@ -114,14 +136,19 @@ def read_json(
     path: str,
     schema: T.StructType | None = None,
     multi_line: bool = False,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """S3-flavored JSON-safe scan: PERMISSIVE + optional multiLine, the
     options the reference applies to its JSON-bearing table
-    (ingest.py:633-643)."""
+    (ingest.py:633-643). ``capture_corrupt`` quarantines malformed
+    records into ``_corrupt_record`` (see read_csv)."""
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "multiLine", str(multi_line).lower()
     )
-    reader = reader.schema(schema) if schema is not None else reader
+    if schema is not None:
+        reader = reader.schema(
+            with_corrupt_capture(schema) if capture_corrupt else schema
+        )
     return reader.json(path)
 
 

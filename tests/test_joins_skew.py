@@ -152,3 +152,55 @@ def test_salted_aggregate_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join handling is on in the session factory; verify it
+    actually FIRES: a join with one massive key must show skew-split
+    partitions in the final adaptive plan (the runtime guard that makes
+    un-salted fact-fact joins survive hot keys at scale)."""
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    # LEFT skewed: key 0 holds 2M rows, keys 1..99 hold 2k each.
+    # RIGHT uniform: exactly one row per key, so join output stays linear
+    # (the skew is in the shuffle partition SIZE, not the output).
+    spark.range(2_000_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("lv")
+    ).union(
+        spark.range(198_000).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("lv")
+        )
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    ).write.mode("overwrite").parquet(right_path)
+
+    conf = {
+        # thresholds low enough that the test-sized hot key counts as skew;
+        # partition coalescing off — at test sizes it merges the small
+        # partitions first and masks the skew decision
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        joined = spark.read.parquet(left_path).join(
+            spark.read.parquet(right_path), "k"
+        )
+        # aggregate THROUGH the join and inspect that exact DataFrame's
+        # executed plan — AQE finalizes (isFinalPlan=true) only on the
+        # query execution that actually ran
+        agg = joined.agg(F.count(F.lit(1)).alias("n"))
+        assert agg.collect()[0].n == 2_198_000  # every left row matches once
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # AQE marks the join it split: the SMJ/SHJ node carries skew=true
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -68,3 +68,45 @@ def test_watermark_text_roundtrip(spark, tmp_path):
 def test_delta_sink_gated(spark):
     with pytest.raises((NotImplementedError, Exception)):
         get_sink("delta_overwrite")
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE + _corrupt_record: malformed lines are quarantined
+    whole, not silently nulled (SURVEY.md §4 error-tolerance upgrade)."""
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.sources.registry import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,amount\n1,10.5\nnot_a_number_row,xx\n3,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema, capture_corrupt=True).cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert [r._corrupt_record for r in bad.collect()] == ["not_a_number_row,xx"]
+    df.unpersist()
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.sources.registry import read_json
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\n{broken json!!\n{"id": 3, "v": "c"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema, capture_corrupt=True).cache()
+    assert sorted(r.id for r in df.filter(df._corrupt_record.isNull()).collect()) == [1, 3]
+    assert df.filter(df._corrupt_record.isNotNull()).count() == 1
+    df.unpersist()
