@@ -317,3 +317,67 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert all(
         abs(t - 100.0) > 1e-9 for _, t in got.values()
     ), got
+
+
+def test_streaming_foreach_batch_upsert(spark, tmp_path):
+    """The reference's incremental load as a streaming pipeline:
+    readStream -> foreachBatch(upsert into the target by key). Re-sent
+    and updated keys converge to last-written state instead of
+    accumulating — the idempotent-sink composition the incremental
+    operators document."""
+    from lcr_etl_upgrade_spark.operators.merge import upsert
+
+    src_dir = tmp_path / "up_src"
+    src_dir.mkdir()
+    out = str(tmp_path / "target")
+    schema = "id long, v string, MODIFY_DATE timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, "a1", dt.datetime(2024, 6, 1)),
+            (2, "b1", dt.datetime(2024, 6, 1)),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (2, "b2", dt.datetime(2024, 6, 2)),  # update of key 2
+            (3, "c1", dt.datetime(2024, 6, 2)),  # new key
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    def apply_batch(bdf, epoch_id):
+        spark_local = bdf.sparkSession
+        try:
+            current = spark_local.read.parquet(out)
+            merged = upsert(current, bdf, ["id"])
+        except Exception:  # first batch: no target yet
+            merged = bdf
+        # stage-then-swap: parquet can't read+overwrite the same path in
+        # one job (Delta MERGE does this transactionally on a cluster)
+        staged = f"{out}__stage_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.move(staged, out)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+        assert {r.id: r.v for r in spark.read.parquet(out).collect()} == {
+            1: "a1",
+            2: "b1",
+        }
+        b2.coalesce(1).write.parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    assert final == {1: "a1", 2: "b2", 3: "c1"}  # updated, inserted, kept
