@@ -431,3 +431,122 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# A3 family: approximate percentiles (t-digest-style sketch) with an
+# in-result error contract against the exact percentile — rows-only
+# (sketch values are engine-specific), but every row must satisfy
+# within_bound, so the driver's rows-only check still carries teeth.
+# --------------------------------------------------------------------------
+@query("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    accuracy = 1000  # approx_percentile: error <= 1/accuracy of rank
+    out = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(accuracy)
+            ).alias("approx_median"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+            F.expr(
+                "percentile(l_extendedprice, 0.45)"
+            ).alias("exact_p45"),
+            F.expr(
+                "percentile(l_extendedprice, 0.55)"
+            ).alias("exact_p55"),
+        )
+    )
+    # rank-error bound: the approx median must land between the exact
+    # p45 and p55 values (1/accuracy = 0.1% rank error << 5% envelope)
+    return out.select(
+        "l_returnflag",
+        F.round("approx_median", 2).alias("approx_median"),
+        F.round("exact_median", 2).alias("exact_median"),
+        (
+            (F.col("approx_median") >= F.col("exact_p45"))
+            & (F.col("approx_median") <= F.col("exact_p55"))
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# §2.10 completion: session windows with a DYNAMIC per-row gap — the
+# F.session_window(ts, gap_expression) form (e.g. event-type-dependent
+# inactivity timeout), batch/stream-unified like the static-gap variant.
+# --------------------------------------------------------------------------
+@query(
+    "events_dynamic_session_gap",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 60 ELSE 20 END AS gap_min
+      FROM events WHERE user_id < 50
+    ), ordered AS (
+      SELECT *,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+             LAG(gap_min) OVER (PARTITION BY user_id ORDER BY ts) AS prev_gap
+      FROM typed
+    ), marked AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + to_minutes(CAST(prev_gap AS BIGINT))
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: purchases keep a session alive for 60
+    minutes, other events for 20. Implemented with the same lag/cumsum
+    formulation as the oracle; F.session_window(ts, gap_col) gives the
+    identical streaming-native semantics (the session extends by the gap
+    of the PREVIOUS event)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    typed = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 60)
+        .otherwise(20)
+        .alias("gap_min"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    marked = typed.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w)
+                + F.lag("gap_min").over(w) * F.expr("INTERVAL 1 MINUTE")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").cast("string").alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -381,3 +381,51 @@ def test_streaming_foreach_batch_upsert(spark, tmp_path):
         q.stop()
     final = {r.id: r.v for r in spark.read.parquet(out).collect()}
     assert final == {1: "a1", 2: "b2", 3: "c1"}  # updated, inserted, kept
+
+
+def test_stateful_operator_on_rocksdb_state_store(spark, tmp_path):
+    """The production state-store config: RocksDBStateStoreProvider keeps
+    per-key state off-heap/on-disk, so stateful-operator memory scales
+    with the working set, not |keys| — the 100 TB-of-stream setting. The
+    same applyInPandasWithState operator must run unchanged on it."""
+    from lcr_etl_upgrade_spark.streaming import stateful_running_totals
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src_dir = tmp_path / "rocks_src"
+        src_dir.mkdir()
+        schema = "user_id long, value double"
+        b1 = spark.createDataFrame([(1, 5.0), (2, 2.0)], schema)
+        b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir / "*"))
+        )
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .format("memory")
+            .queryName("rocks_totals")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            b2 = spark.createDataFrame([(1, 10.0)], schema)
+            b2.coalesce(1).write.parquet(str(src_dir / "b2"))
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rocks_totals").collect()
+        finally:
+            q.stop()
+        final = {}
+        for r in rows:
+            final[r.user_id] = (r.n, r.total)
+        assert final == {1: (2, 15.0), 2: (1, 2.0)}
+    finally:
+        spark.conf.set(key, prev)
