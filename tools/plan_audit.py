@@ -33,6 +33,9 @@ INTENTIONAL_CROSS = {
     # (the approx side is the scale path being measured against it)
     "embedding_lsh_recall",
     "embedding_ivf_recall",
+    # scalar-subquery shape: ONE-row aggregate broadcast against the
+    # corpus (global average comparison) — |corpus| x 1, not a blowup
+    "q22_global_sales_opportunity",
 }
 
 
