@@ -550,3 +550,83 @@ def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# J1 completion: NULL-safe equality join (<=> / IS NOT DISTINCT FROM) —
+# NULL keys match each other instead of vanishing from the join.
+# --------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 10 END AS grp
+      FROM orders WHERE o_orderkey <= 500
+    ), r AS (
+      SELECT CASE WHEN g = -1 THEN NULL ELSE g END AS grp,
+             CASE WHEN g = -1 THEN 'null_bucket'
+                  ELSE CONCAT('bucket_', g) END AS label
+      FROM (SELECT unnest([-1,0,1,2,3,4]) AS g)
+    )
+    SELECT l.o_orderkey, r.label
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    ORDER BY l.o_orderkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe: rows whose key is NULL join the NULL bucket instead of
+    dropping — the <=> operator the plain equi-join lacks. Still a hash
+    join (null-safe equality is hashable), not a nested loop."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    left = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 10)
+        .alias("grp"),
+    )
+    right = spark.createDataFrame(
+        [(None, "null_bucket")] + [(g, f"bucket_{g}") for g in range(5)],
+        "grp long, label string",
+    )
+    return (
+        left.join(F.broadcast(right), left.grp.eqNullSafe(right.grp))
+        .select("o_orderkey", "label")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 completion: arg-max / arg-min aggregates (min_by / max_by) — "the
+# value of column A at the row where B is extreme", without a window.
+# --------------------------------------------------------------------------
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           MAX(o_totalprice) AS biggest_price,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           MIN(o_totalprice) AS smallest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass arg-extremes per group: the windowless alternative to
+    rank-and-filter when only the extreme row's companion value is
+    needed (o_totalprice values are distinct in this corpus, so the
+    arg choice is unambiguous and oracle-stable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.max("o_totalprice").alias("biggest_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.min("o_totalprice").alias("smallest_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
