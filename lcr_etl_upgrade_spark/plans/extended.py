@@ -630,3 +630,35 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# A2 completion: collection aggregates — collect_list/collect_set made
+# deterministic via sort_array (collection order is partitioning-dependent,
+# so the sorted form is the only oracle-comparable one; at scale prefer
+# these over windows when groups are small enough to hold in memory).
+# --------------------------------------------------------------------------
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(o_orderkey)) AS order_keys,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey <= 200
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
