@@ -77,6 +77,13 @@ def asof_join_backward(
     event exists — semi-join afterwards if inner semantics are wanted).
     Ties among right rows at the same instant resolve to the one latest
     in (ts, value_cols) sort order, deterministically.
+
+    The matched row travels ATOMICALLY: all carried right-side columns
+    ride in one struct and a single ``last(struct, ignoreNulls)`` picks
+    the whole row. (A per-column ``last`` would, for a matched row with
+    a NULL in one value column, backfill that column from an OLDER right
+    row while ``right_ts`` came from the newer one — a frankenrow no
+    as-of join formulation should emit.)
     """
     # side ordering encodes the <= vs < boundary: with exact match the
     # right event at ts == left_ts must sort BEFORE the left row so the
@@ -87,40 +94,41 @@ def asof_join_backward(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(right_side).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__r"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
             for c in left.columns
             if c != key
         ],
     )
+    r_struct_type = r.schema["__r"].dataType
     l = left.select(  # noqa: E741
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(left_side).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carried],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c != key],
     )
     from pyspark.sql import Window as W
 
+    # structs order lexicographically by field, so ordering by __r keeps
+    # the same (ts, value_cols) tie-break as the old per-column form;
+    # left rows' NULL struct never ties (distinct __side).
     w = (
         W.partitionBy(key)
-        .orderBy("__ts", "__side", *[f"__r_{c}" for c in carried])
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = r.unionByName(l).select(
         F.col(key),
         F.col("__side"),
         *[F.col(f"__l_{c}") for c in left.columns if c != key],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in carried
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
     return matched.filter(F.col("__side") == left_side).select(
         F.col(key),
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c != key],
-        *[F.col(f"__m_{c}").alias(c) for c in carried],
+        *[F.col("__m").getField(c).alias(c) for c in carried],
     )
 
 

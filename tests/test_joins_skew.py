@@ -100,6 +100,25 @@ def test_asof_join_strict_inequality(spark):
     assert (got.vts, got.vval) == (90, 9.0)  # the ts==100 row is excluded
 
 
+def test_asof_join_null_value_column_travels_atomically(spark):
+    """When the matched right row has a NULL in one value column, that
+    NULL must come through — NOT be backfilled from an older right row
+    (the per-column last() bug: right_ts from the newer row + value from
+    the older one is a mixed row no as-of formulation should emit)."""
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame([(1, "u1", 200)], ["pid", "u", "pts"])
+    right = spark.createDataFrame(
+        [("u1", 100, 9.0, "old"), ("u1", 150, None, "new")],
+        ["u", "vts", "vval", "vtag"],
+    )
+    got = asof_join_backward(
+        left, right, "u", "pts", "vts", ["vval", "vtag"]
+    ).collect()[0]
+    # the matched row is (150, NULL, "new") — atomically
+    assert (got.vts, got.vval, got.vtag) == (150, None, "new")
+
+
 def test_asof_join_hot_key_linear(spark):
     """A power user with thousands of views must not blow up into a
     views x purchases intermediate: the union+window shape is linear, so
