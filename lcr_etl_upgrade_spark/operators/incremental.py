@@ -79,6 +79,12 @@ def incremental_filter(
     rows are excluded — `ts > wm OR (ts == wm AND key NOT IN boundary)`
     — making a plain append sink idempotent. Without them, pair with an
     idempotent (merge/upsert) sink or dedupe downstream.
+
+    A NULL key at the watermark instant is KEPT (the NOT-IN is wrapped
+    in coalesce(.., False) so three-valued logic can't silently drop the
+    row); NULL keys are never recorded as boundary keys, so such rows
+    re-select next run — exact append idempotence requires a non-null
+    ``key_col`` (document'd contract, same as any merge key).
     """
     eff = (
         F.coalesce(F.col(modify_col), F.col(create_col))
@@ -90,7 +96,9 @@ def incremental_filter(
     if key_col is not None and boundary_keys:
         pred = (F.col(modify_col) > wm) | (
             (F.col(modify_col) == wm)
-            & ~F.col(key_col).cast("string").isin(boundary_keys)
+            & ~F.coalesce(
+                F.col(key_col).cast("string").isin(boundary_keys), F.lit(False)
+            )
         )
         return out.filter(pred)
     return out.filter(F.col(modify_col) >= wm)
@@ -108,6 +116,7 @@ def run_incremental(
     modify_col: str = "MODIFY_DATE",
     create_col: str | None = "CREATE_DATE",
     key_col: str | None = None,
+    persist_batch: bool = True,
 ) -> int:
     """Full incremental cycle; returns rows written (0 => short-circuit).
 
@@ -116,10 +125,21 @@ def run_incremental(
 
     With ``key_col`` the keys of rows written AT the new watermark are
     persisted alongside it and excluded on the next run, so >= semantics
-    and a plain append sink together stay duplicate-free. The key fetch
-    is one tiny follow-up job (`ts == max` filter — pushdown-friendly),
+    and a plain append sink together stay duplicate-free. NULL keys are
+    skipped (see incremental_filter's contract). The boundary fetch is
     capped at MAX_BOUNDARY_KEYS; above the cap (a degenerate all-one-
     timestamp batch) it falls back to plain >= re-select semantics.
+
+    The SOURCE is traversed exactly once: the filtered batch is persisted
+    (MEMORY_AND_DISK) before the sink pass, and the boundary-key fetch
+    reads the cached blocks — not a re-scan. This also closes the
+    non-repeatable-read hazard: without the cache, a row appearing in the
+    source at ts == new_wm *between* the write job and the key fetch
+    would be recorded as a boundary key without ever having been written,
+    and permanently skipped next run. Pass ``persist_batch=False`` to
+    trade that guarantee for zero cache footprint when the source is a
+    snapshot (e.g. an immutable parquet partition) and the delta is huge;
+    the follow-up fetch's `ts == max` predicate is pushdown-friendly.
     """
     from pyspark.sql import Observation
 
@@ -127,25 +147,34 @@ def run_incremental(
     filtered = incremental_filter(
         df, watermark, modify_col, create_col, key_col=key_col, boundary_keys=boundary
     )
-    if filtered.isEmpty():
-        return 0
-    obs = Observation(f"wm_{table}")
-    observed = filtered.observe(
-        obs, F.max(modify_col).alias("max_modify"), F.count(F.lit(1)).alias("n")
-    )
-    sink(observed)
-    result = obs.get
-    new_wm = result["max_modify"]
-    if new_wm is not None:
-        new_boundary: list[str] = []
-        if key_col is not None:
-            boundary_rows = (
-                filtered.filter(F.col(modify_col) == F.lit(new_wm))
-                .select(F.col(key_col).cast("string"))
-                .limit(MAX_BOUNDARY_KEYS + 1)
-                .collect()
-            )
-            if len(boundary_rows) <= MAX_BOUNDARY_KEYS:
-                new_boundary = [r[0] for r in boundary_rows]
-        store.write_state(table, str(new_wm), new_boundary)
-    return int(result["n"])
+    if persist_batch:
+        filtered = filtered.persist()
+    try:
+        if filtered.isEmpty():
+            return 0
+        obs = Observation(f"wm_{table}")
+        observed = filtered.observe(
+            obs, F.max(modify_col).alias("max_modify"), F.count(F.lit(1)).alias("n")
+        )
+        sink(observed)
+        result = obs.get
+        new_wm = result["max_modify"]
+        if new_wm is not None:
+            new_boundary: list[str] = []
+            if key_col is not None:
+                boundary_rows = (
+                    filtered.filter(
+                        (F.col(modify_col) == F.lit(new_wm))
+                        & F.col(key_col).isNotNull()
+                    )
+                    .select(F.col(key_col).cast("string"))
+                    .limit(MAX_BOUNDARY_KEYS + 1)
+                    .collect()
+                )
+                if len(boundary_rows) <= MAX_BOUNDARY_KEYS:
+                    new_boundary = [r[0] for r in boundary_rows]
+            store.write_state(table, str(new_wm), new_boundary)
+        return int(result["n"])
+    finally:
+        if persist_batch:
+            filtered.unpersist()

@@ -95,6 +95,32 @@ def test_run_incremental_boundary_idempotent_with_key(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]
 
 
+def test_run_incremental_null_key_never_silently_dropped(spark, tmp_path):
+    """A NULL key at the watermark instant must be KEPT by the boundary
+    exclusion (three-valued NOT-IN would drop it) and never recorded as
+    a boundary key — it re-selects next run instead of vanishing."""
+    store = WatermarkStore(str(tmp_path / "wm"))
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1)),
+            (None, dt.datetime(2024, 6, 5), dt.datetime(2024, 1, 1)),
+        ],
+        "k string, MODIFY_DATE timestamp_ntz, CREATE_DATE timestamp_ntz",
+    )
+    sink = lambda d: d.write.mode("append").parquet(out)  # noqa: E731
+    assert run_incremental(spark, df, "t", store, sink, key_col="k") == 2
+    _, boundary = store.read_state("t")
+    assert boundary == ["a"]  # NULL key not recorded
+    # next run: the NULL-keyed boundary row re-selects (documented
+    # contract: exact idempotence needs a non-null key), the 'a' row
+    # is excluded, and crucially nothing errors or silently drops
+    assert run_incremental(spark, df, "t", store, sink, key_col="k") == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.filter(F.col("k").isNull()).count() == 2
+
+
 def test_streaming_tumbling_window(spark, tmp_path):
     """File-source readStream -> windowed agg -> memory sink: the public
     deterministic local pattern for streaming tests."""
