@@ -67,10 +67,20 @@ def _parse_one_timestamp(s: str, as_of: dt.datetime | None) -> dt.datetime | Non
 def _fuzzy_ts_udf_for(as_of_iso: str | None):
     """Build (and cache) a pandas UDF that clamps futures to ``as_of_iso``.
 
-    The reference clamps fuzzily-parsed future timestamps to 'now'
-    (ingest.py:411-418); here the clamp instant is captured at UDF-build
-    time so the job is replayable and oracle-hashable. ``None`` disables
-    the clamp (documented divergence for callers that want raw parses).
+    The clamp instant is captured at UDF-build time so the job is
+    replayable and oracle-hashable; ``None`` disables the clamp.
+
+    DELIBERATE DIVERGENCE from the reference: ingest.py NY-localizes and
+    future-clamps only its strict-parse branch (ingest.py:411-418) and
+    returns raw, unlocalized, UNCLAMPED datetimes from its fuzzy=True
+    fallback (ingest.py:419-422) — so a string that only parses fuzzily
+    escapes both the timezone normalization and the future clamp. That
+    asymmetry is almost certainly an oversight (one ingest row can mix
+    localized and raw instants depending on which branch each string
+    took), so this rebuild applies the same localize+clamp to BOTH
+    branches. Callers wanting the reference's raw fuzzy behavior get it
+    with ``as_of=None`` minus the localization, which we consider
+    unreproducible-by-design.
     """
     as_of = dt.datetime.fromisoformat(as_of_iso) if as_of_iso else None
 
@@ -84,10 +94,11 @@ def _fuzzy_ts_udf_for(as_of_iso: str | None):
 def fuzzy_parse_timestamp(col: Column, as_of: str | None = None) -> Column:
     """U1 fallback parser; returns timestamp_ntz (UTC wall time).
 
-    ``as_of`` (ISO string, UTC wall time): fuzzily-parsed values later than
-    it are clamped to it, matching the reference's future-clamp
-    (ingest.py:415-418). Native-parsed values never pass through here, so
-    the clamp applies exactly where the reference applies it.
+    ``as_of`` (ISO string, UTC wall time): parsed values later than it
+    are clamped to it. The reference applies its future-clamp only to
+    strict parses (ingest.py:415-418) and leaves fuzzy-fallback parses
+    raw (ingest.py:419-422); this rebuild clamps both — see
+    ``_fuzzy_ts_udf_for`` for why that divergence is deliberate.
     """
     return _fuzzy_ts_udf_for(as_of)(col)
 

@@ -129,7 +129,15 @@ def stateful_running_totals(
     batch aggregate over the same rows, which the equivalence test
     asserts (tests/test_incremental_streaming.py).
     """
-    out_fields = f"{key_col} long, n long, total double, max_value double"
+    # the key field keeps the input's real type (a hardcoded 'long' would
+    # fail or mis-cast string/decimal keys, breaking stream==batch parity)
+    from pyspark.sql.types import StructField, StructType
+
+    key_type = events.schema[key_col].dataType
+    out_schema = StructType(
+        [StructField(key_col, key_type)]
+        + list(StructType.fromDDL("n long, total double, max_value double"))
+    )
     if not events.isStreaming:
         return events.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("n"),
@@ -159,7 +167,7 @@ def stateful_running_totals(
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=out_fields,
+            outputStructType=out_schema,
             stateStructType="n long, total double, max_value double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

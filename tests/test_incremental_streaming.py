@@ -293,6 +293,45 @@ def test_stateful_running_totals_applyinpandas_with_state(spark, tmp_path):
     assert batch_got == final
 
 
+def test_stateful_running_totals_string_key(spark, tmp_path):
+    """The output schema's key field must carry the INPUT's key type —
+    a string-keyed stream previously hit a hardcoded 'long' field and
+    failed/mis-cast at runtime."""
+    from lcr_etl_upgrade_spark.streaming import stateful_running_totals
+
+    src_dir = tmp_path / "state_src_str"
+    src_dir.mkdir()
+    schema = "user_id string, value double"
+    batch = spark.createDataFrame([("a", 10.0), ("a", 20.0), ("b", 5.0)], schema)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_str")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n, r.total, r.max_value)
+            for r in spark.sql("SELECT * FROM running_totals_str").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"a": (2, 30.0, 20.0), "b": (1, 5.0, 5.0)}
+    batch_got = {
+        r.user_id: (r.n, r.total, r.max_value)
+        for r in stateful_running_totals(batch).collect()
+    }
+    assert batch_got == got
+
+
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed aggregation with a watermark: a window is
     finalized once the watermark passes its end, and an event arriving
