@@ -400,9 +400,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation-pair trade volume (TPC-H Q7 shape): two fact-fact joins plus
-    four broadcast dims, a disjunctive nation-pair filter, and a
-    year-bucketed aggregate. The nation dim joins twice under different
-    aliases — the self-alias pattern."""
+    broadcast dims, a disjunctive nation-pair filter, and a year-bucketed
+    aggregate. The nation dim joins twice under different aliases — the
+    self-alias pattern.
+
+    The OR-of-ANDs pair predicate implies ``supp_nation IN (N1,N2) AND
+    cust_nation IN (N1,N2)`` — a derivation Catalyst does NOT make from
+    the disjunction — so each nation alias is filtered to the two-nation
+    set explicitly and supplier/customer are shrunk THROUGH those
+    filtered dims (inner joins) before ever touching the fact side: the
+    broadcast hash tables carry only the ~2/|nation| slice of each dim,
+    and non-pair rows drop at the first dim probe instead of after five
+    joins. Only the cross-pair exclusion (N1-N1, N2-N2) remains as a
+    residual filter."""
+    nations = ["NATION_1", "NATION_2"]
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
@@ -411,18 +422,22 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sn = nation.select(
+    sn = nation.filter(F.col("n_name").isin(nations)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = nation.select(
+    cn = nation.filter(F.col("n_name").isin(nations)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp2 = supp.join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key")).select(
+        "c_custkey", "cust_nation"
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(cust2), orders.o_custkey == cust2.c_custkey)
+        .join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
