@@ -505,12 +505,15 @@ def _recall_vs_exact(
 
 @query("embedding_lsh_recall")
 def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH top-k recall@10 vs exact, floor 0.5 per query.
+    """Hyperplane-LSH top-k recall@10 vs exact, floor 0.6 per query.
 
     16 tables x 4 bits (OR-amplification): each table shrinks candidates
-    16x, a neighbor is kept if ANY table buckets it with the query —
-    measured min recall 0.6-0.7, avg ~0.9 on this corpus. Every result
-    row must report meets_floor=true."""
+    16x, a neighbor is kept if ANY table buckets it with the query.
+    The planes are fully deterministic (xxhash64 of table/bit/coord — no
+    seed dimension), so the measured per-query minimum on this corpus is
+    a constant: 0.7, avg ~0.9. Floor 0.6 sits one neighbor-at-k=10 below
+    that measured min — any regression in the bucketing shows up as a
+    meets_floor=false row. Every result row must report meets_floor=true."""
     from lcr_etl_upgrade_spark.operators.similarity import cosine_topk_lsh
 
     return _recall_vs_exact(
@@ -520,21 +523,30 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, q, k=k, query_id="query_id", bits=4, tables=16
         ),
         k=10,
-        floor=0.5,
+        floor=0.6,
     )
 
 
 @query("embedding_ivf_recall")
 def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (8 cells, 3 probes) top-k recall@10 vs exact, floor 0.5 per
-    query — probing 3/8 cells must keep at least half the true neighbors."""
+    """IVF (8 cells, 4 probes) top-k recall@10 vs exact, floor 0.5 per
+    query.
+
+    KMeans is seeded, so the floor must hold across seeds, not just the
+    pinned one: measured per-query min recall across seeds {1,7,42} is
+    0.5 (avg 0.76-0.81) at n_probe=4 — the floor IS the cross-seed
+    measured minimum. (At n_probe=3 the pinned seed passes 0.5 but seeds
+    1/7 dip to 0.4 — a lucky-seed contract, so probes were raised
+    instead of the floor lowered.) The 4/8 probe fraction is
+    fixture-scaled: at corpus scale n_centroids grows ~sqrt(n) and the
+    probed fraction shrinks toward n_probe/n_centroids ~ 1%."""
     from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
 
     return _recall_vs_exact(
         spark,
         sf_dir,
         lambda emb, q, k: ivf_topk(
-            emb, q, k=k, n_centroids=8, n_probe=3, query_id="query_id"
+            emb, q, k=k, n_centroids=8, n_probe=4, query_id="query_id"
         ),
         k=10,
         floor=0.5,

@@ -218,3 +218,31 @@ def test_cosine_topk_vectorized_matches_exact(spark):
     vec = {(r.query_id, r.rank): (r.vec_id, round(r.cosine, 9)) for r in
            cosine_topk_vectorized(emb, queries, k=3, query_id="query_id").collect()}
     assert exact == vec
+
+
+def test_recall_contracts_hold_at_floor_across_seeds(spark):
+    """The registered ANN recall contracts (plans/llm.py) must hold at
+    their floors — LSH 0.6 (deterministic planes, one config), IVF 0.5
+    across KMeans seeds, not just the pinned one. Uses the real
+    embeddings fixture (500 rows at every SF)."""
+    from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
+    from lcr_etl_upgrade_spark.plans.llm import (
+        _recall_vs_exact,
+        embedding_lsh_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lsh = embedding_lsh_recall(spark, sf)
+    assert lsh.filter(~F.col("meets_floor")).count() == 0
+    for seed in (1, 7, 42):
+        ivf = _recall_vs_exact(
+            spark,
+            sf,
+            lambda emb, q, k, s=seed: ivf_topk(
+                emb, q, k=k, n_centroids=8, n_probe=4, query_id="query_id", seed=s
+            ),
+            k=10,
+            floor=0.5,
+        )
+        bad = ivf.filter(~F.col("meets_floor")).count()
+        assert bad == 0, f"seed {seed}: {bad} queries under floor"
