@@ -103,3 +103,108 @@ def test_binary_file_source(spark, tmp_path):
     rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
     assert set(rows) == {"a.bin", "b.bin"}
     assert rows["a.bin"] == b"\x00\x01payload-a"
+
+
+# --------------------------------------------------------------------------
+# Real dependency-free codecs (PPM / WAV) — roundtrip + malformed goldens
+# --------------------------------------------------------------------------
+
+
+def test_ppm_codec_roundtrip():
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    px = bytes(range(2 * 2 * 3))
+    img = decode_ppm(encode_ppm(2, 2, px))
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == px
+    # comments in the header are part of the P6 grammar
+    with_comment = b"P6\n# a comment\n2 2\n255\n" + px
+    assert decode_ppm(with_comment)["pixels"] == px
+
+
+def test_wav_codec_roundtrip():
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    wav = decode_wav(encode_wav_pcm16(44100, samples))
+    assert wav["sample_rate"] == 44100
+    assert wav["n_channels"] == 1
+    assert list(wav["samples"]) == samples
+    # unknown chunks before fmt/data are skipped (word-aligned walk)
+    raw = encode_wav_pcm16(8000, [7, -7])
+    extra = b"RIFF" + raw[4:8] + b"WAVE" + b"LIST\x03\x00\x00\x00abc\x00" + raw[12:]
+    assert list(decode_wav(extra)["samples"]) == [7, -7]
+
+
+def test_malformed_payload_goldens():
+    """Every malformation class raises ValueError from the parsers and
+    becomes an all-NULL feature row (never a task failure) through
+    _media_features_one."""
+    import pytest
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    good_ppm = encode_ppm(2, 2, bytes(12))
+    good_wav = encode_wav_pcm16(8000, [1, 2, 3])
+    bad = {
+        "wrong_magic": b"JUNK" + good_ppm[2:],
+        "truncated_ppm_header": b"P6\n2 ",
+        "ppm_maxval_overflow": b"P6\n2 2\n65535\n" + bytes(24),
+        "ppm_short_raster": good_ppm[:-3],
+        "wav_bad_preamble": b"RIFF\x00\x00\x00\x00WAVX" + good_wav[12:],
+        "wav_truncated_chunk": good_wav[:-2],
+        "wav_missing_data": good_wav[: 12 + 8 + 16],
+    }
+    for name, payload in bad.items():
+        with pytest.raises(ValueError):
+            if name.startswith("wav"):
+                decode_wav(payload)
+            else:
+                decode_ppm(payload)
+        feats = _media_features_one(payload)
+        assert feats["kind"] is None, name
+        assert all(v is None for v in feats.values()), name
+    # non-PCM compression code is rejected too
+    import struct as _struct
+
+    non_pcm = bytearray(good_wav)
+    non_pcm[20:22] = _struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(bytes(non_pcm))
+
+
+def test_extract_media_features_mixed_batch(spark):
+    """The mapInPandas path decodes a mixed image/audio/malformed batch
+    into typed rows; malformed -> NULL kind."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, encode_ppm(2, 1, bytes([10, 20, 30, 40, 50, 60]))),
+        (2, encode_wav_pcm16(16000, [100, -100, 300, -300])),
+        (3, b"not media at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_media_features(df).collect()}
+    img = got[1]
+    assert (img.kind, img.width, img.height) == ("image", 2, 1)
+    assert (img.mean_c0, img.mean_c1, img.mean_c2) == (25.0, 35.0, 45.0)
+    assert (img.vmin, img.vmax) == (10, 60)
+    aud = got[2]
+    assert (aud.kind, aud.sample_rate, aud.n_samples) == ("audio", 16000, 4)
+    assert (aud.vmin, aud.vmax) == (-300, 300)
+    assert abs(aud.rms - (100**2 * 2 + 300**2 * 2) ** 0.5 / 2) < 1e-9
+    assert got[3].kind is None and got[4].kind is None
