@@ -47,6 +47,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+    # Machine-contention guard: a loaded box inflates single-shot times up
+    # to ~8x on identical plans (BENCH_r02 recorded ~15% total noise from
+    # being launched 90s after a correctness pass). If the 1-min load
+    # average says the machine is busy, WAIT for it to decay — bounded, so
+    # a number is always produced — and annotate the JSON with the load
+    # context either way so readers can discount what remains.
+    busy_bar = 0.5 * (os.cpu_count() or 8)
+    waited = 0
+    while (
+        os.getloadavg()[0] > busy_bar
+        and waited < int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "150"))
+    ):
+        time.sleep(10)
+        waited += 10
+    load_avg_start = round(os.getloadavg()[0], 2)
+
     from lcr_etl_upgrade_spark.plans import QUERIES
     from lcr_etl_upgrade_spark.session import get_session
 
@@ -89,6 +105,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg_start": load_avg_start,
+                "load_avg_end": round(os.getloadavg()[0], 2),
+                "busy_waited_sec": waited,
+                "cpu_count": os.cpu_count(),
+                "bench_runs": runs,
             }
         )
     )

@@ -62,6 +62,20 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs to the session's parallelism before the
+    CPU-heavy tokenize/hash step: a small-file scan (1-2 splits) would
+    otherwise shingle every document on one core (measured 2.9s -> 0.65s
+    on the 500-doc fixture). No-op when the scan already carries >=
+    defaultParallelism splits — the 100 TB case, where inputs arrive
+    with thousands of splits and a repartition would be a pointless
+    full-corpus shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_tokens(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
@@ -77,7 +91,7 @@ def shingle_tokens(
     """
     from pyspark.sql import Window as W
 
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
             "__pos", "__tok"
@@ -101,37 +115,37 @@ def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """Like shingle_tokens, but emits a 64-bit shingle HASH instead of the
-    shingle string: tokens are hashed once, the n-gram identity is
-    xxhash64 over the n consecutive token hashes (window lead).
+    shingle string: per-token xxhash64 over the tokenized array, then
+    shingle i = xxhash64 of the n consecutive token hashes — ALL
+    MAP-SIDE (array transform over sequence indices; no window, no
+    shuffle). The windowed formulation this replaces shuffled every
+    token row of the corpus by document id just to line up the leads —
+    at 100 TB that's a full-corpus token shuffle spent on something a
+    row-local array expression computes for free.
 
-    For MinHash/LSH/Jaccard-counting purposes hash identity is
-    equivalent to string identity up to 64-bit collisions (~n²/2⁶⁵ —
-    irrelevant against MinHash's own error), and every downstream persist
-    / shuffle / join carries one long instead of a text column. This is
-    the near-dup pipeline's fast path; use shingle_tokens when the actual
-    shingle strings are needed.
+    Hash values are identical to the windowed form (same
+    xxhash64(token) -> xxhash64(h_i..h_{i+n-1}) composition). For
+    MinHash/LSH/Jaccard-counting purposes hash identity is equivalent
+    to string identity up to 64-bit collisions (~n²/2⁶⁵ — irrelevant
+    against MinHash's own error), and every downstream persist /
+    shuffle / join carries one long instead of a text column. This is
+    the near-dup pipeline's fast path; use shingle_tokens when the
+    actual shingle strings are needed.
     """
-    from pyspark.sql import Window as W
-
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
-                "__pos", "__tok"
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), "")
+    hashed = _fan_out(df).select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__h")
+    )
+    shingles = F.when(
+        F.size("__h") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__h") - n),
+            lambda i: F.xxhash64(
+                *[F.element_at("__h", i + j + 1) for j in range(n)]
             ),
-        )
-        .filter(F.col("__tok") != "")
-        .select(F.col(id_col), "__pos", F.xxhash64("__tok").alias("__h"))
-    )
-    w = W.partitionBy(id_col).orderBy("__pos")
-    leads = [F.lead("__h", i).over(w).alias(f"__h{i}") for i in range(1, n)]
-    labeled = toks.select(F.col(id_col), F.col("__h").alias("__h0"), *leads)
-    if n > 1:
-        labeled = labeled.filter(F.col(f"__h{n-1}").isNotNull())
-    return labeled.select(
-        F.col(id_col),
-        F.xxhash64(*[F.col(f"__h{i}") for i in range(n)]).alias("shingle"),
-    )
+        ),
+    )  # NULL (-> explode drops the doc) when fewer than n tokens
+    return hashed.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def dedup_shingles(st: DataFrame, id_col: str) -> DataFrame:
@@ -326,43 +340,42 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
 def _jaccard_from_tokens(
     st: DataFrame, candidates: DataFrame, id_col: str
 ) -> DataFrame:
-    """Jaccard for candidate pairs from an (id, shingle) relation:
-    |A∩B| via equi-join on (pair, shingle); |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = st.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = st.select(
-        F.col(id_col).alias("__doc_b"), F.col("shingle").alias("__shingle_b")
-    )
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(
-            b,
-            (F.col("doc_b") == F.col("__doc_b"))
-            & (F.col("shingle") == F.col("__shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-    )
+    """Jaccard for candidate pairs from an (id, shingle) relation
+    (multiset fine — set semantics come from collect_set).
+
+    ONE shuffle: groupBy(id).collect_set builds the per-candidate-doc
+    shingle sets; the two pair joins probe that small relation (bounded
+    by 2x|candidate pairs| docs — AQE broadcasts it at runtime) and
+    |A∩B| is a row-local array_intersect (JVM hash-set, O(|A|+|B|)).
+    The pairwise (pair, shingle) equi-join formulation this replaces
+    shuffled the candidate shingle relation three times (intersection
+    join + two size joins).
+
+    Assumes a single document's shingle set fits in a row (~1.6 MB of
+    longs for a 1 MB document) — the bounded-document contract every
+    collect-per-doc operator here shares; for unbounded blobs fall back
+    to a pairwise equi-join on (pair, shingle).
+    """
+    sets = st.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     return (
-        candidates.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")),
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")),
             "doc_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("__n_int"),
+            F.size("__sh_a").alias("__sz_a"),
+            F.size("__sh_b").alias("__sz_b"),
         )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.coalesce(F.col("n_int"), F.lit(0)).cast("double")
+                F.col("__n_int").cast("double")
                 / F.greatest(
-                    F.col("sz_a")
-                    + F.col("sz_b")
-                    - F.coalesce(F.col("n_int"), F.lit(0)),
-                    F.lit(1),
+                    F.col("__sz_a") + F.col("__sz_b") - F.col("__n_int"), F.lit(1)
                 )
             ).alias("jaccard"),
         )
@@ -388,11 +401,8 @@ def jaccard_pairs(
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    st = dedup_shingles(
-        shingle_tokens(
-            df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
-        ),
-        id_col,
+    st = shingle_tokens(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
     )
     return _jaccard_from_tokens(st, candidates, id_col)
 
@@ -426,11 +436,9 @@ def near_dup_pairs(
         .distinct()
     )
     # Jaccard verification touches only candidate documents' shingles
-    # (broadcast semi-join against the tiny candidate set), deduped to set
-    # semantics without an extra shuffle.
-    st_cand = dedup_shingles(
-        st.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col
-    )
+    # (broadcast semi-join against the tiny candidate set); set semantics
+    # and sizes both come from _jaccard_from_tokens' one collect_set pass.
+    st_cand = st.join(F.broadcast(cand_ids), id_col, "left_semi")
     return _jaccard_from_tokens(st_cand, candidates, id_col).filter(
         F.col("jaccard") >= threshold
     )

@@ -58,6 +58,24 @@ def main() -> None:
         n = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
         print(f"scaled lineitem rows: {n}")
 
+        def strategies(name: str, sf_dir: str) -> str:
+            """Run the query under a neutral count-agg cap (join planning
+            below it is unchanged) and histogram the FINAL adaptive
+            plan's join/skew nodes — what AQE actually chose at runtime."""
+            agg = QUERIES[name](spark, sf_dir).groupBy().agg(F.count(F.lit(1)))
+            agg.collect()
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            counts = {
+                label: plan.count(token)
+                for label, token in [
+                    ("BHJ", "BroadcastHashJoin"),
+                    ("SMJ", "SortMergeJoin"),
+                    ("SHJ", "ShuffledHashJoin"),
+                    ("skew", "skew=true"),
+                ]
+            }
+            return " ".join(f"{k}={v}" for k, v in counts.items() if v)
+
         for name in [
             "q1_pricing_summary",
             "q3_shipping_priority",
@@ -70,11 +88,21 @@ def main() -> None:
             "embedding_cosine_topk",
             "q18_large_orders",
         ]:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, out_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            print(f"{name}: {time.perf_counter() - t0:.2f}s")
+            times = {}
+            for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times[label] = time.perf_counter() - t0
+                spark.catalog.clearCache()
+            ratio = times[f"{factor}x"] / max(times["1x"], 1e-9)
+            print(
+                f"{name}: 1x={times['1x']:.2f}s {factor}x={times[f'{factor}x']:.2f}s "
+                f"ratio={ratio:.1f} | plan@1x [{strategies(name, BASE)}] "
+                f"plan@{factor}x [{strategies(name, out_dir)}]"
+            )
+            spark.catalog.clearCache()
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
