@@ -82,22 +82,34 @@ def test_asof_join_equals_reference_semantics(spark, lefts, rights):
     """asof_join_backward == 'latest right with ts <= left ts per key',
     computed independently in Python, on arbitrary key/ts multisets
     (duplicate timestamps included — ties resolve to max value, matching
-    the operator's (ts, value) ordering)."""
+    the operator's (ts, value) ordering). A second value column is NULL
+    for a deterministic subset of right rows, so the property also pins
+    the atomic-row carry: the matched row's NULL must come through, not
+    a non-NULL from an older row."""
     from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    def rval2(k: int, t: int) -> float | None:
+        return None if (k + t) % 3 == 0 else float(t)
 
     left = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(lefts)], "pid long, k long, lts long"
     )
-    r_schema = "k long, rts long, rval double"
-    r_rows = [(k, t, float(t * 10 + k)) for k, t in rights]
+    r_schema = "k long, rts long, rval double, rval2 double"
+    r_rows = [(k, t, float(t * 10 + k), rval2(k, t)) for k, t in rights]
     right = spark.createDataFrame(r_rows, r_schema)
     got = {
-        r.pid: (r.rts, r.rval)
-        for r in asof_join_backward(left, right, "k", "lts", "rts", ["rval"]).collect()
+        r.pid: (r.rts, r.rval, r.rval2)
+        for r in asof_join_backward(
+            left, right, "k", "lts", "rts", ["rval", "rval2"]
+        ).collect()
     }
     for i, (k, t) in enumerate(lefts):
         eligible = [(rt, float(rt * 10 + rk)) for rk, rt in rights if rk == k and rt <= t]
-        expect = max(eligible) if eligible else (None, None)
+        if eligible:
+            mrt, mrv = max(eligible)
+            expect = (mrt, mrv, rval2(k, mrt))
+        else:
+            expect = (None, None, None)
         assert got[i] == expect, (i, k, t, got[i], expect)
 
 
@@ -120,3 +132,69 @@ def test_conform_schema_invariant(spark, n_cols, n_missing):
     row = out.collect()[0]
     assert all(row[f"T{i}"] == "x" for i in range(n_cols))
     assert all(row[f"T{i}"] is None for i in range(n_cols, n_cols + n_missing))
+
+
+# --------------------------------------------------------------------------
+# Codec properties: encode->decode is the identity; arbitrary bytes either
+# decode or raise ValueError — never any other exception (driver-side pure
+# functions, no Spark job needed).
+# --------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    data=st.data(),
+)
+@SETTINGS
+def test_ppm_roundtrip_property(w, h, data):
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    img = decode_ppm(encode_ppm(w, h, px))
+    assert (img["width"], img["height"], img["pixels"]) == (w, h, px)
+
+
+@given(
+    rate=st.integers(1, 192_000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+)
+@SETTINGS
+def test_wav_roundtrip_property(rate, samples):
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    wav = decode_wav(encode_wav_pcm16(rate, samples))
+    assert wav["sample_rate"] == rate
+    assert list(wav["samples"]) == samples
+
+
+@given(payload=st.binary(max_size=200))
+@SETTINGS
+def test_decoders_total_over_junk(payload):
+    """Random bytes (including ones that start with valid magics) must
+    either decode or raise ValueError — any other exception would become
+    a task failure in the mapInPandas path."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+        decode_ppm,
+        decode_wav,
+    )
+
+    for dec, prefix in ((decode_ppm, b"P6"), (decode_wav, b"RIFF")):
+        for p in (payload, prefix + payload):
+            try:
+                dec(p)
+            except ValueError:
+                pass
+    # and the feature extractor is total outright
+    feats = _media_features_one(payload)
+    assert set(feats) >= {"kind", "vmin", "vmax", "rms"}
