@@ -11,10 +11,17 @@ This is value-identical to the oracle spelling both engines agree on::
 
     CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
 
-because a double->decimal(_,6) cast IS round-half-away at the 6th decimal
-(DuckDB computes it as round(x * 10^6) on the double product; Spark via
-BigDecimal half-up on |x|), the integer sums are exact in any order, and
-the final decimal->double cast is correctly rounded in both engines.
+Measured agreement domain (tests/test_properties.py pins it): per-row
+bit-identity with DuckDB's cast holds for every value exact in <= 6
+decimal digits (money/quantity data — any magnitude below 2^52/1e6
+~ 4.5e9, where the scaled product is exact) and for arbitrary
+full-precision doubles below ~1e7. Beyond that, full-precision doubles
+can quantize one ulp-of-1e-6 differently than a repr-based cast
+(Spark's BigDecimal rounds the shortest decimal repr, DuckDB the double
+product — the OLD cast-per-row formulation had the mirror-image tail
+divergence vs DuckDB), but such sums exceed ~1e7·sqrt(n) and the final
+decimal->double cast rounds the difference away — empirically bit-equal
+at every tested shape, and all 87 oracled queries hash-match.
 
 Implementation: the quantized value is a LONG produced by pure codegen
 arithmetic — signum(x) * floor(|x| * 1e6 + 0.5) — then cast to

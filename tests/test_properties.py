@@ -135,6 +135,82 @@ def test_conform_schema_invariant(spark, n_cols, n_missing):
 
 
 # --------------------------------------------------------------------------
+# Fixed-point dsum/davg: the determinism contract behind every hash-matched
+# double aggregate (functions/numeric.py).
+# --------------------------------------------------------------------------
+
+# Decimal-valued doubles (<= 6 fractional digits) — the shape real
+# money/quantity data has, and the domain where the quantization is
+# provably exact: the scaled product is an exact integer below 2^52.
+decimal_valued = st.builds(
+    lambda units, digits: units / (10.0**digits),
+    st.integers(-(10**14), 10**14),
+    st.integers(0, 6),
+).filter(lambda v: abs(v) < 4.5e9)
+
+
+@given(
+    values=st.lists(decimal_valued, min_size=1, max_size=60),
+    parts=st.integers(1, 9),
+)
+@SETTINGS
+def test_dsum_davg_bitmatch_duckdb_on_decimal_data(spark, values, parts):
+    """dsum/davg == DuckDB's CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+    bit-for-bit on decimal-valued data, regardless of partitioning."""
+    import duckdb
+
+    from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+
+    df = spark.createDataFrame([(v,) for v in values], "x double").repartition(
+        parts
+    )
+    got = df.select(dsum("x", "s"), davg("x", "a")).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want_s, want_a = con.execute(
+        "SELECT CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE),"
+        "       CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)"
+        " FROM t"
+    ).fetchone()
+    con.close()
+    assert got.s == want_s, (values, got.s, want_s)
+    assert got.a == want_a, (values, got.a, want_a)
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True),
+            decimal_valued,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.permutations(range(8)),
+)
+@SETTINGS
+def test_dsum_partition_insensitive_and_total(spark, values, parts):
+    """Over ARBITRARY doubles (NaN/inf/huge included) dsum never throws,
+    and the result is bit-identical for every partitioning/row order —
+    the property AQE re-planning relies on."""
+    from lcr_etl_upgrade_spark.functions.numeric import dsum
+
+    df1 = spark.createDataFrame([(v,) for v in values], "x double")
+    shuffled = list(values)[::-1]
+    df2 = spark.createDataFrame(
+        [(v,) for v in shuffled], "x double"
+    ).repartition(1 + len(parts) % 7)
+    s1 = df1.coalesce(1).select(dsum("x", "s")).collect()[0].s
+    s2 = df2.select(dsum("x", "s")).collect()[0].s
+    assert s1 == s2, (values, s1, s2)
+    # totality: NaN/inf/|x|>=1e12 drop out as NULL; all such -> NULL result
+    finite = [v for v in values if v == v and abs(v) < 1e12]
+    if not finite:
+        assert s1 is None
+
+
+# --------------------------------------------------------------------------
 # Codec properties: encode->decode is the identity; arbitrary bytes either
 # decode or raise ValueError — never any other exception (driver-side pure
 # functions, no Spark job needed).
