@@ -7,7 +7,7 @@ quantize each double to its 6-decimal fixed-point value and sum exactly:
     quantize(x) = round-half-away-from-zero(x * 1e6) as int
     SUM(quantize(x)) exactly -> / 1e6 -> double
 
-This is value-identical to the oracle spelling both engines agree on::
+This matches what the oracle engine computes for the oracle spelling::
 
     CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
 
@@ -15,13 +15,19 @@ Measured agreement domain (tests/test_properties.py pins it): per-row
 bit-identity with DuckDB's cast holds for every value exact in <= 6
 decimal digits (money/quantity data — any magnitude below 2^52/1e6
 ~ 4.5e9, where the scaled product is exact) and for arbitrary
-full-precision doubles below ~1e7. Beyond that, full-precision doubles
-can quantize one ulp-of-1e-6 differently than a repr-based cast
-(Spark's BigDecimal rounds the shortest decimal repr, DuckDB the double
-product — the OLD cast-per-row formulation had the mirror-image tail
-divergence vs DuckDB), but such sums exceed ~1e7·sqrt(n) and the final
-decimal->double cast rounds the difference away — empirically bit-equal
-at every tested shape, and all 87 oracled queries hash-match.
+full-precision doubles below ~1e7. Above ~4.5e9 the scaled product
+exceeds 2^52 and BOTH engines' double arithmetic loses sub-ulp
+information — and they lose the SAME information, because DuckDB's
+double->decimal cast is also product-based: for cancelling pairs at the
+1e12 domain edge (999999999999.0001 with -999999999999.0, where the
+products collapse to the same double) DuckDB and this quantization both
+return exactly 0.0, while Spark's repr-based BigDecimal cast — the OLD
+per-row formulation — returns 0.1 and an infinite-precision decimal
+would return ~0.122 (regression-tested). No cast-based formulation can
+match more than one of those three semantics at once; this one follows
+the oracle engine's. Every double column in every testdata table is
+orders of magnitude below the 4.5e9 exact bound, and all 87 oracled
+queries hash-match.
 
 Implementation: the quantized value is a LONG produced by pure codegen
 arithmetic — signum(x) * floor(|x| * 1e6 + 0.5) — then cast to

@@ -69,7 +69,15 @@ def _fan_out(df: DataFrame) -> DataFrame:
     on the 500-doc fixture). No-op when the scan already carries >=
     defaultParallelism splits — the 100 TB case, where inputs arrive
     with thousands of splits and a repartition would be a pointless
-    full-corpus shuffle."""
+    full-corpus shuffle.
+
+    Only call this on SCAN-shaped inputs: the ``.rdd`` partition-count
+    probe is free on a leaf scan, but under AQE it must EXECUTE any
+    upstream exchange stages to finalize the plan — probing a post-join
+    DataFrame would run (and then discard) the join's shuffles just to
+    read a number. Callers whose input is already behind a shuffle pass
+    ``widen=False`` instead: shuffle output arrives at
+    spark.sql.shuffle.partitions-way parallelism by construction."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -77,7 +85,7 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def shingle_tokens(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, widen: bool = True
 ) -> DataFrame:
     """Exploded word n-gram shingles: one (id, shingle) row per occurrence
     — a MULTISET (duplicates kept; min-hash is duplicate-invariant, and set
@@ -91,7 +99,7 @@ def shingle_tokens(
     """
     from pyspark.sql import Window as W
 
-    toks = _fan_out(df).select(
+    toks = (_fan_out(df) if widen else df).select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias(
             "__pos", "__tok"
@@ -112,7 +120,7 @@ def shingle_tokens(
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, widen: bool = True
 ) -> DataFrame:
     """Like shingle_tokens, but emits a 64-bit shingle HASH instead of the
     shingle string: per-token xxhash64 over the tokenized array, then
@@ -133,7 +141,7 @@ def shingle_hashes(
     actual shingle strings are needed.
     """
     toks = F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), "")
-    hashed = _fan_out(df).select(
+    hashed = (_fan_out(df) if widen else df).select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__h")
     )
     shingles = F.when(
@@ -393,8 +401,13 @@ def jaccard_pairs(
 
     Computed on the exploded (id, shingle) relation restricted to candidate
     documents (semi-join first — shingling the full corpus to verify a few
-    pairs is the 100 TB anti-pattern). Everything stays codegen'd; no array
-    intersect/union on wide arrays.
+    pairs is the 100 TB anti-pattern), then set-collected per doc and
+    intersected row-locally; see ``_jaccard_from_tokens`` for the
+    bounded-document contract that per-doc collect implies.
+
+    ``widen=False``: the semi-join's shuffle already distributed the
+    candidate docs; probing partition counts on a post-join plan would
+    execute the join twice (AQE materializes upstream stages for .rdd).
     """
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
@@ -402,7 +415,11 @@ def jaccard_pairs(
         .distinct()
     )
     st = shingle_tokens(
-        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
+        df.join(cand_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+        widen=False,
     )
     return _jaccard_from_tokens(st, candidates, id_col)
 

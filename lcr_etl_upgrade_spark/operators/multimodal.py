@@ -217,6 +217,11 @@ def decode_wav(payload: bytes) -> dict:
     (bits,) = struct.unpack("<H", fmt_body[14:16])
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM-16 supported, got fmt={audio_fmt} bits={bits}")
+    if n_channels == 0:
+        # would divide by zero below; and any raised non-ValueError would
+        # escape _media_features_one's malformed-payload handler and kill
+        # the executor task
+        raise ValueError("fmt chunk declares zero channels")
     n_frames = len(data_body) // (2 * n_channels)
     samples = struct.unpack(
         f"<{n_frames * n_channels}h", data_body[: n_frames * n_channels * 2]
@@ -273,14 +278,20 @@ def _media_features_one(payload: bytes | None) -> dict:
         elif payload.startswith(b"RIFF"):
             wav = decode_wav(payload)
             s = wav["samples"]
+            # a zero-sample WAV is structurally VALID — classify it as
+            # audio with n_samples=0 (extrema/rms stay NULL) rather than
+            # letting min()'s ValueError route it to the malformed branch
             out.update(
                 kind="audio",
                 sample_rate=wav["sample_rate"],
                 n_samples=len(s) // wav["n_channels"],
-                vmin=min(s),
-                vmax=max(s),
-                rms=math.sqrt(sum(float(v) * v for v in s) / len(s)),
             )
+            if s:
+                out.update(
+                    vmin=min(s),
+                    vmax=max(s),
+                    rms=math.sqrt(sum(float(v) * v for v in s) / len(s)),
+                )
     except ValueError:
         pass  # malformed container -> all-NULL feature row
     return out

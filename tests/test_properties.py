@@ -178,6 +178,31 @@ def test_dsum_davg_bitmatch_duckdb_on_decimal_data(spark, values, parts):
     assert got.a == want_a, (values, got.a, want_a)
 
 
+def test_dsum_large_magnitude_cancellation_matches_duckdb(spark):
+    """Above 2^52/1e6 the scaled product loses sub-ulp information — in
+    BOTH engines, identically, because DuckDB's double->decimal cast is
+    product-based too. The adversarial cancelling pair at the 1e12 edge
+    (products collapse to the same double) must yield what DuckDB
+    actually computes (0.0) — NOT the 0.1 of Spark's repr-based decimal
+    cast, nor the ~0.122 of infinite-precision decimal arithmetic."""
+    import duckdb
+
+    from lcr_etl_upgrade_spark.functions.numeric import dsum
+
+    values = [999999999999.0001, -999999999999.0] * 1000
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = df.repartition(9).select(dsum("x", "s")).collect()[0].s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = con.execute(
+        "SELECT CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) FROM t"
+    ).fetchone()[0]
+    con.close()
+    assert want == 0.0  # pin the oracle engine's product-based semantics
+    assert got == want
+
+
 @given(
     values=st.lists(
         st.one_of(

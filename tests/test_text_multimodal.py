@@ -181,6 +181,31 @@ def test_malformed_payload_goldens():
     with pytest.raises(ValueError, match="PCM-16"):
         decode_wav(bytes(non_pcm))
 
+    # zero-channel fmt chunk must raise ValueError, not ZeroDivisionError
+    # (anything but ValueError would escape _media_features_one and kill
+    # the executor task)
+    zero_chan = bytearray(good_wav)
+    zero_chan[22:24] = _struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(zero_chan))
+    assert _media_features_one(bytes(zero_chan))["kind"] is None
+
+
+def test_zero_sample_wav_is_valid_audio():
+    """A structurally valid WAV with an empty data chunk classifies as
+    audio with n_samples=0 (extrema/rms NULL) — not as malformed."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+        encode_wav_pcm16,
+    )
+
+    feats = _media_features_one(encode_wav_pcm16(8000, []))
+    assert feats["kind"] == "audio"
+    assert feats["sample_rate"] == 8000
+    assert feats["n_samples"] == 0
+    assert feats["vmin"] is None and feats["vmax"] is None
+    assert feats["rms"] is None
+
 
 def test_extract_media_features_mixed_batch(spark):
     """The mapInPandas path decodes a mixed image/audio/malformed batch

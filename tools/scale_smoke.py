@@ -58,13 +58,26 @@ def main() -> None:
         n = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
         print(f"scaled lineitem rows: {n}")
 
-        def strategies(name: str, sf_dir: str) -> str:
-            """Run the query under a neutral count-agg cap (join planning
-            below it is unchanged) and histogram the FINAL adaptive
-            plan's join/skew nodes — what AQE actually chose at runtime."""
-            agg = QUERIES[name](spark, sf_dir).groupBy().agg(F.count(F.lit(1)))
-            agg.collect()
-            plan = agg._jdf.queryExecution().executedPlan().toString()
+        def last_executed_plan() -> str:
+            """Final adaptive plan of the MOST RECENT SQL execution, read
+            from the SQL status store (AQE rewrites the stored description
+            as it re-plans) — the plan of the exact run that was timed,
+            with no re-execution and no count()-wrapper whose column
+            pruning could shift AQE's join strategy choices."""
+            try:
+                execs = (
+                    spark._jsparkSession.sharedState().statusStore().executionsList()
+                )
+                if execs.isEmpty():
+                    return ""
+                desc = execs.last().physicalPlanDescription()
+                # AQE descriptions carry "== Final Plan ==" followed by
+                # "== Initial Plan ==" — keep only what actually ran
+                return desc.split("== Initial Plan ==")[0]
+            except Exception:
+                return ""
+
+        def histogram(plan: str) -> str:
             counts = {
                 label: plan.count(token)
                 for label, token in [
@@ -88,21 +101,21 @@ def main() -> None:
             "embedding_cosine_topk",
             "q18_large_orders",
         ]:
-            times = {}
+            times, plans = {}, {}
             for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 times[label] = time.perf_counter() - t0
+                plans[label] = histogram(last_executed_plan())
                 spark.catalog.clearCache()
             ratio = times[f"{factor}x"] / max(times["1x"], 1e-9)
             print(
                 f"{name}: 1x={times['1x']:.2f}s {factor}x={times[f'{factor}x']:.2f}s "
-                f"ratio={ratio:.1f} | plan@1x [{strategies(name, BASE)}] "
-                f"plan@{factor}x [{strategies(name, out_dir)}]"
+                f"ratio={ratio:.1f} | plan@1x [{plans['1x']}] "
+                f"plan@{factor}x [{plans[f'{factor}x']}]"
             )
-            spark.catalog.clearCache()
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
