@@ -14,7 +14,9 @@ oracle-expressible; the pandas-UDF fuzzy path has its own unit goldens.
 
 Scale shape: the whole pipeline is two projections + one final select —
 no shuffle at all until a sink demands one; at 100 TB this is a pure
-map-side job that AQE can size freely.
+map-side job that AQE can size freely. (The registered queries' final
+ORDER BY is declared output semantics, not part of the pipeline — its
+range-partition exchange is the only one in their executed plans.)
 """
 
 from __future__ import annotations

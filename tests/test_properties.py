@@ -135,6 +135,75 @@ def test_conform_schema_invariant(spark, n_cols, n_missing):
 
 
 # --------------------------------------------------------------------------
+# Differential scrub fuzz: the lifecycle oracle queries restate the F3
+# scrub + native timestamp parse (fuzzy=False) in DuckDB SQL
+# (plans/lifecycle.py _PARSE_SQL). That restatement must agree with the
+# Spark expression over the WHOLE grammar of dirty strings the queries
+# draw from — not just the handful of fixed tokens they happen to emit.
+# --------------------------------------------------------------------------
+
+_iso_date = st.builds(
+    lambda y, m, d: f"{y:04d}-{m:02d}-{d:02d}",
+    st.integers(1970, 2199),
+    st.integers(1, 12),
+    st.integers(1, 28),
+)
+_iso_ts = st.builds(
+    lambda date, h, mi, s: f"{date} {h:02d}:{mi:02d}:{s:02d}",
+    _iso_date,
+    st.integers(0, 23),
+    st.integers(0, 59),
+    st.integers(0, 59),
+)
+_garbage_alpha = st.text(
+    alphabet="abcdefghijXYZ", min_size=1, max_size=3
+)  # ^[A-Za-z]{1,3}$ branch
+_garbage_short = st.text(max_size=3)  # LENGTH <= 3 branch
+_garbage_digitless = st.text(
+    alphabet="garbage-/:. N", min_size=4, max_size=12
+)  # no-digit branch
+_dirty = st.one_of(
+    st.none(),
+    _iso_date,
+    _iso_ts,
+    _garbage_alpha,
+    _garbage_short,
+    _garbage_digitless,
+)
+
+
+@given(values=st.lists(_dirty, min_size=1, max_size=50))
+@SETTINGS
+def test_scrub_parse_matches_duckdb_restatement(spark, values):
+    """Spark scrub+try_to_timestamp == DuckDB's _PARSE_SQL over the dirty
+    grammar (valid ISO date/ts + every garbage branch + NULL)."""
+    import duckdb
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        r.out
+        for r in df.select(
+            timestamp_expr(F.col("v"), fuzzy=False).cast("string").alias("out")
+        ).collect()
+    ]
+    from lcr_etl_upgrade_spark.plans.lifecycle import _SCRUB_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, v VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(values))
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_SCRUB_SQL.format(v='v')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want, list(zip(values, got, want))
+
+
+# --------------------------------------------------------------------------
 # Fixed-point dsum/davg: the determinism contract behind every hash-matched
 # double aggregate (functions/numeric.py).
 # --------------------------------------------------------------------------

@@ -103,13 +103,18 @@ def main() -> None:
         ]:
             times, plans = {}, {}
             for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                times[label] = time.perf_counter() - t0
-                plans[label] = histogram(last_executed_plan())
-                spark.catalog.clearCache()
+                # best-of-2: a single sample right after the big replica
+                # write is GC/page-cache polluted enough to invert ratios
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                    plans[label] = histogram(last_executed_plan())
+                    spark.catalog.clearCache()
+                times[label] = best
             ratio = times[f"{factor}x"] / max(times["1x"], 1e-9)
             print(
                 f"{name}: 1x={times['1x']:.2f}s {factor}x={times[f'{factor}x']:.2f}s "
