@@ -172,6 +172,94 @@ _dirty = st.one_of(
 )
 
 
+_token_casings = st.builds(
+    lambda tok, ups: "".join(
+        c.upper() if i in ups else c for i, c in enumerate(tok)
+    ),
+    st.sampled_from(
+        ["true", "false", "1", "0", "yes", "no", "t", "f", "maybe", "weird", "x"]
+    ),
+    st.sets(st.integers(0, 4)),
+)
+_boolish = st.one_of(
+    st.none(), _token_casings, st.text(alphabet=" truefalse01xy", max_size=6)
+)
+
+
+@given(values=st.lists(_boolish, min_size=1, max_size=60))
+@SETTINGS
+def test_boolean_coercions_match_duckdb_restatement(spark, values):
+    """boolean_expr / boolean_string_expr == the oracle queries' CASE
+    restatements over arbitrary casings/paddings of the token grammar."""
+    import duckdb
+
+    from lcr_etl_upgrade_spark.functions.cleansing import (
+        boolean_expr,
+        boolean_string_expr,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        (r.b, r.s)
+        for r in df.select(
+            boolean_expr(F.col("v")).alias("b"),
+            boolean_string_expr(F.col("v")).alias("s"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values)))
+    want = con.execute(
+        """
+        SELECT CASE WHEN LOWER(v) IN ('true','1','yes','t') THEN TRUE
+                    WHEN LOWER(v) IN ('false','0','no','f') THEN FALSE
+                    ELSE NULL END,
+               CASE WHEN v IS NULL THEN NULL
+                    WHEN LOWER(v) IN ('true','1','yes','t') THEN 'TRUE'
+                    WHEN LOWER(v) IN ('false','0','no','f') THEN 'FALSE'
+                    ELSE v END
+        FROM t ORDER BY i
+        """
+    ).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want], list(zip(values, got, want))
+
+
+_numeric_ish = st.one_of(
+    st.none(),
+    st.builds(
+        lambda units, digits: str(units / (10**digits)),
+        st.integers(-(10**9), 10**9),
+        st.integers(0, 6),
+    ),
+    st.sampled_from(["NaNope", "garbage", "--", "", "12.34.56", "1 2"]),
+)
+
+
+@given(values=st.lists(_numeric_ish, min_size=1, max_size=60))
+@SETTINGS
+def test_double_coercion_matches_duckdb_restatement(spark, values):
+    """try_cast-to-double (C5) == DuckDB TRY_CAST(v AS DOUBLE) over plain
+    decimal strings and the garbage classes the queries synthesize."""
+    import duckdb
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        r.d for r in df.select(F.col("v").try_cast("double").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values)))
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT TRY_CAST(v AS DOUBLE) FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want, list(zip(values, got, want))
+
+
 @given(values=st.lists(_dirty, min_size=1, max_size=50))
 @SETTINGS
 def test_scrub_parse_matches_duckdb_restatement(spark, values):
