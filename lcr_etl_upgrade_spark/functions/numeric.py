@@ -4,45 +4,48 @@ Floating-point SUM/AVG depend on accumulation order, which differs between
 engines (and between runs under AQE). For oracle-comparable results we
 quantize each double to its 6-decimal fixed-point value and sum exactly:
 
-    quantize(x) = round-half-away-from-zero(x * 1e6) as int
+    quantize(x) = rint(x * 1e6)  (IEEE round-to-nearest-even) as long
     SUM(quantize(x)) exactly -> / 1e6 -> double
 
 This matches what the oracle engine computes for the oracle spelling::
 
     CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
 
-Measured agreement domain (tests/test_properties.py pins it): per-row
-bit-identity with DuckDB's cast holds for every value exact in <= 6
-decimal digits (money/quantity data — any magnitude below 2^52/1e6
-~ 4.5e9, where the scaled product is exact) and for arbitrary
-full-precision doubles below ~1e7. Above ~4.5e9 the scaled product
-exceeds 2^52 and BOTH engines' double arithmetic loses sub-ulp
-information — and they lose the SAME information, because DuckDB's
-double->decimal cast is also product-based: for cancelling pairs at the
-1e12 domain edge (999999999999.0001 with -999999999999.0, where the
-products collapse to the same double) DuckDB and this quantization both
-return exactly 0.0, while Spark's repr-based BigDecimal cast — the OLD
-per-row formulation — returns 0.1 and an infinite-precision decimal
-would return ~0.122 (regression-tested). No cast-based formulation can
-match more than one of those three semantics at once; this one follows
-the oracle engine's. Every double column in every testdata table is
-orders of magnitude below the 4.5e9 exact bound, and all 87 oracled
-queries hash-match.
+because DuckDB's double->decimal cast rounds the double product
+x * 10^scale under the default FP rounding mode (nearest-even) — exactly
+what ``Math.rint`` computes. Measured agreement (the sweep lives in git
+history and tests/test_properties.py pins the fixtures): 0/20000 per-row
+divergence vs DuckDB on uniform doubles at every magnitude (1e2, 1e8,
+1e10, 9.9e11) AND on <=6-decimal-digit data across its whole domain.
+Two formulations this replaced were both measurably worse:
+``floor(|x|*1e6+0.5)`` (round-half-away on the product) diverged on
+ties the product grid creates — 107/20000 on 6-decimal data near 4.4e9,
+the whole odd-integer-product band [2^52, 2^53) — and Spark's own
+BigDecimal cast (the original per-row formulation) rounds the SHORTEST
+DECIMAL REPR instead of the product, diverging in yet other tails (and
+costing 3.3x in allocation).
 
-Implementation: the quantized value is a LONG produced by pure codegen
-arithmetic — signum(x) * floor(|x| * 1e6 + 0.5) — then cast to
-decimal(18,0) (compact, long-backed; no per-row BigDecimal allocation)
-for a decimal(28,0) SUM accumulator that can absorb ~1e9 rows of 1e12-
-scaled values before even leaving the compact representation, and can
-NEVER overflow (decimal promotes). Measured 2.29s -> 0.70s on the sf0.1
-Q1 aggregate vs the previous cast-to-decimal(18,6)-per-row formulation,
-whose per-row BigDecimal.valueOf(double) allocation dominated.
+Two residual divergence regimes remain, both unreachable by gate data:
+adversarially-engineered doubles whose product lands exactly on a .5
+tie at small magnitude (DuckDB rounds some of those away from zero);
+and group sums beyond |2^53/1e6| ~ 9e9, where the FINAL cast differs —
+Spark correctly-rounds the exact decimal sum while DuckDB converts its
+hugeint accumulator to double and divides, which is not correctly
+rounded (verified: scaled sum -57636154160389900 resolves to different
+doubles). Gate sums at sf0.01 peak near 2.3e9.
 
-Domain: |x| < 1e12 (same bound the previous decimal(18,6) cast imposed);
-NaN, ±inf and out-of-range values quantize to NULL and drop out of the
-sum — identical to a decimal cast overflow under non-ANSI semantics.
-Negative exact-tie values (x*1e6 landing on .5) round away from zero via
-the signum/abs split, matching both engines' decimal casts.
+Implementation details: the quantized long casts to compact decimal(28,0)
+(still long-backed per value — Spark's Decimal stays compact below 1e18
+regardless of declared precision), giving the SUM a decimal(38,0)
+accumulator: overflow (-> NULL under non-ANSI semantics) only beyond a
+~1e32 value-sum, the same headroom as the oracle's DECIMAL(38,6)
+accumulator (which errors there). Measured 2.29s -> 0.66s on the sf0.1
+Q1 aggregate vs the original cast-per-row formulation.
+
+Domain: |x| < 1e12 (the bound the original decimal(18,6) cast imposed);
+NaN, +-inf and out-of-range values quantize to NULL and drop out of both
+the sum and - via the matching count filter in davg - the average's
+denominator, mirroring an AVG(TRY_CAST(..)) oracle.
 """
 
 from __future__ import annotations
@@ -50,40 +53,42 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,6)"
 _SCALE = 1_000_000
 _LIMIT = 1e12  # decimal(18,6) range — values beyond were NULL before too
 
 
-def _quantized_long(c: Column) -> Column:
-    """round-half-away-from-zero(x * 1e6) as a long; NULL outside the
-    domain (NaN/±inf/|x| >= 1e12)."""
+def _quantized(c: Column) -> Column:
+    """rint(x * 1e6) as a compact decimal(28,0); NULL outside the domain
+    (NaN/±inf/|x| >= 1e12)."""
     guarded = F.when((~F.isnan(c)) & (F.abs(c) < F.lit(_LIMIT)), c)
     return (
-        F.signum(guarded)
-        * F.floor(F.abs(guarded) * F.lit(float(_SCALE)) + F.lit(0.5))
-    ).cast("long")
+        F.rint(guarded * F.lit(float(_SCALE)))
+        .cast("long")
+        .cast("decimal(28,0)")
+    )
 
 
 def _exact_sum(c: Column) -> Column:
     """Exact fixed-point SUM as decimal(38,6), NULL for all-NULL groups."""
-    return F.sum(_quantized_long(c).cast("decimal(18,0)")).cast(
-        "decimal(38,6)"
-    ) / F.lit(_SCALE).cast("decimal(18,0)")
+    return F.sum(_quantized(c)).cast("decimal(38,6)") / F.lit(_SCALE).cast(
+        "decimal(18,0)"
+    )
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-insensitive exact SUM of a double column, returned as double."""
+    """Order-insensitive exact SUM of a double column, returned as double
+    (the exact decimal sum, correctly rounded)."""
     c = F.col(col) if isinstance(col, str) else col
     out = _exact_sum(c).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Deterministic AVG: exact fixed-point sum, one double division at
-    the end (matches CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)/COUNT(x))."""
+    """Deterministic AVG: exact fixed-point sum over the count of
+    QUANTIZABLE rows (NaN/inf/out-of-range drop from both numerator and
+    denominator — a bare count(c) would silently deflate the average)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = _exact_sum(c).cast("double") / F.count(c)
+    out = _exact_sum(c).cast("double") / F.count(_quantized(c))
     return out.alias(alias) if alias else out
 
 

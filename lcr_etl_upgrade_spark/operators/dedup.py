@@ -405,9 +405,15 @@ def jaccard_pairs(
     intersected row-locally; see ``_jaccard_from_tokens`` for the
     bounded-document contract that per-doc collect implies.
 
-    ``widen=False``: the semi-join's shuffle already distributed the
-    candidate docs; probing partition counts on a post-join plan would
-    execute the join twice (AQE materializes upstream stages for .rdd).
+    ``widen=False``: probing partition counts on a post-join plan would
+    execute the join twice (AQE materializes upstream stages for .rdd),
+    and the probe buys little here — the verify workload is bounded by
+    the candidate set, small relative to the corpus by construction
+    (measured: widen=False is net faster at the 500-doc fixture, 1.8s vs
+    3.6s cold / 1.75s vs 1.90s warm). Note the semi-join typically
+    BROADCASTS the tiny candidate-id side, so shingling inherits the
+    scan's partitioning — at cluster scale that's thousands of splits;
+    only a narrow local scan serializes it, and there the work is small.
     """
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))

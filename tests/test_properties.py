@@ -297,13 +297,19 @@ def test_scrub_parse_matches_duckdb_restatement(spark, values):
 # --------------------------------------------------------------------------
 
 # Decimal-valued doubles (<= 6 fractional digits) — the shape real
-# money/quantity data has, and the domain where the quantization is
-# provably exact: the scaled product is an exact integer below 2^52.
-decimal_valued = st.builds(
-    lambda units, digits: units / (10.0**digits),
-    st.integers(-(10**14), 10**14),
-    st.integers(0, 6),
-).filter(lambda v: abs(v) < 4.5e9)
+# money/quantity data has. The rint-based quantization agrees with
+# DuckDB's cast PER-ROW across the whole |x| < 1e12 domain (both round
+# the double product nearest-even; swept 0/20000 in every band), but
+# the FINAL decimal->double cast diverges once the scaled SUM exceeds
+# 2^53 (DuckDB's hugeint->double conversion is not correctly rounded) —
+# so the bit-match strategy bounds values to 1e8 and the list to 60
+# rows, keeping every reachable sum inside the provable zone. Gate data
+# (sf0.01) peaks near 2.3e9 total, an order of magnitude inside it.
+decimal_valued = st.integers(0, 6).flatmap(
+    lambda d: st.integers(-(10 ** (8 + d)), 10 ** (8 + d)).map(
+        lambda u, d=d: u / (10.0**d)
+    )
+)
 
 
 @given(
