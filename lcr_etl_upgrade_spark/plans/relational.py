@@ -6,7 +6,11 @@ the decimal-routed double aggregation from ``functions.numeric`` so results
 are bit-identical across engines and partitionings.
 
 Scale notes baked into each plan:
-- dimension joins (region/nation/supplier/part) broadcast explicitly;
+- only FIXED-size dims (region: 5 rows, nation: 25) and one-row
+  aggregates carry explicit broadcast hints; customer/supplier/part
+  -derived sides scale with SF, so they take no hint — AQE broadcasts
+  them while they fit the threshold and switches to a shuffled join
+  beyond (observed flipping in SCALE.md's 30x run);
 - fact-fact joins are plain equi-joins so AQE can pick SMJ/shuffled-hash
   and split skewed partitions;
 - filters sit directly on the scan so parquet pushdown/pruning applies;
@@ -102,7 +106,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                # customer-derived (scales with SF): no forced broadcast —
+                # AQE broadcasts while under threshold, shuffles beyond
+                cust.select("c_custkey"),
                 orders.o_custkey == F.col("c_custkey"),
             ),
             li.l_orderkey == orders.o_orderkey,
@@ -158,9 +164,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "n_name")
     )
+    # dims is CUSTOMER-sized (grows with SF) — no broadcast hint: AQE
+    # broadcasts it while it fits the threshold and shuffles beyond,
+    # unlike the tiny nation x region side which is always-broadcast.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -380,7 +389,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(part),
+            part,  # scales with SF: AQE decides (equi key keeps SMJ viable)
             (li.l_partkey == part.p_partkey)
             & (li.l_extendedprice > 2.0 * part.p_retailprice),
         )

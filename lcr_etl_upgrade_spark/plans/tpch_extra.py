@@ -139,7 +139,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part scales: AQE decides
         .agg(
             (100.0 * dsum(promo) / dsum(disc)).cast("double").alias(
                 "promo_revenue_pct"
@@ -182,7 +182,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(cust, orders.o_custkey == F.col("c_custkey"))  # scales: AQE decides
         .select(
             "c_name",
             "o_orderkey",
@@ -254,7 +254,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_size"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)  # part scales: AQE decides
     q = F.col("l_quantity")
     cond = (
         (
@@ -370,7 +370,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF; the max-filtered left side is ~1 row and
+        # AQE broadcasts THAT at runtime — no forced hint on the big side
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -436,8 +438,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust2), orders.o_custkey == cust2.c_custkey)
-        .join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+        # cust2/supp2 are customer/supplier-derived (scale with SF): the
+        # forced broadcasts stay on the nation-filtered sn/cn dims above;
+        # AQE decides here
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
+        .join(supp2, li.l_suppkey == supp2.s_suppkey)
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
