@@ -458,10 +458,13 @@ def near_dup_pairs(
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # Jaccard verification touches only candidate documents' shingles
-    # (broadcast semi-join against the tiny candidate set); set semantics
-    # and sizes both come from _jaccard_from_tokens' one collect_set pass.
-    st_cand = st.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # Jaccard verification touches only candidate documents' shingles.
+    # The candidate-id set scales with the corpus duplicate rate, so it
+    # takes NO forced broadcast: AQE broadcasts the semi-join side while
+    # it fits the threshold and falls back to a shuffled semi-join when a
+    # duplicate-heavy corpus makes it large. Set semantics and sizes both
+    # come from _jaccard_from_tokens' one collect_set pass.
+    st_cand = st.join(cand_ids, id_col, "left_semi")
     return _jaccard_from_tokens(st_cand, candidates, id_col).filter(
         F.col("jaccard") >= threshold
     )
