@@ -462,3 +462,161 @@ def test_decoders_total_over_junk(payload):
     # and the feature extractor is total outright
     feats = _media_features_one(payload)
     assert set(feats) >= {"kind", "vmin", "vmax", "rms"}
+
+
+# --------------------------------------------------------------------------
+# C3 date coercion: date_expr == an independent Python restatement of the
+# branch order (scrub -> Spark-native cast -> strict dateutil fallback with
+# future->NULL) over a structured grammar crossing the as_of boundary.
+# Native-branch parses keep futures (the asymmetry the reference bakes in:
+# its future->NULL lives only in the UDF fallback, ingest.py:437-441).
+# --------------------------------------------------------------------------
+_DATE_AS_OF = "2026-08-13"
+
+
+def _model_date_expr(v, as_of):
+    """Pure-Python restatement of date_expr(fuzzy=True, as_of=...)."""
+    import datetime as dt
+    import re
+
+    import dateutil.parser as du
+
+    if v is None:
+        return None
+    # scrub_expr: invalid-timestamp predicate nulls the value outright
+    if re.fullmatch(r"[A-Za-z]{1,3}", v) or len(v) <= 3 or not re.search(r"\d", v):
+        return None
+    fmt, y, m, d = v.__grammar__  # attached by the strategy wrapper below
+    if fmt in ("iso", "iso_pad", "iso_ts", "year"):  # Spark-native formats
+        return dt.date(y, 1, 1) if fmt == "year" else dt.date(y, m, d)
+    if fmt == "garbage":
+        return None
+    # fuzzy branch: strict dateutil parse, future -> NULL
+    try:
+        parsed = du.parse(v, fuzzy=False).date()
+    except (ValueError, OverflowError, TypeError):
+        return None
+    if parsed > dt.date.fromisoformat(as_of):
+        return None
+    return parsed
+
+
+class _GStr(str):
+    """str carrying its generation recipe for the model."""
+
+
+def _make_date_str(fmt, y, m, d):
+    s = {
+        "iso": f"{y:04d}-{m:02d}-{d:02d}",
+        "iso_pad": f" {y:04d}-{m:02d}-{d:02d} ",
+        "iso_ts": f"{y:04d}-{m:02d}-{d:02d} 07:05:06",
+        "year": f"{y:04d}",
+        "slash_us": f"{m:02d}/{d:02d}/{y:04d}",
+        "slash_iso": f"{y:04d}/{m:02d}/{d:02d}",
+        "month_name": f"{['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][m-1]} {d:02d}, {y:04d}",
+        "garbage": "12ab34xz",
+    }[fmt]
+    out = _GStr(s)
+    out.__grammar__ = (fmt, y, m, d)
+    return out
+
+
+_date_strs = st.builds(
+    _make_date_str,
+    st.sampled_from(
+        ["iso", "iso_pad", "iso_ts", "year", "slash_us", "slash_iso", "month_name", "garbage"]
+    ),
+    st.integers(1900, 2199),  # crosses the 2026 as_of boundary both ways
+    st.integers(1, 12),
+    st.integers(1, 28),
+)
+
+
+@given(values=st.lists(st.one_of(st.none(), _date_strs), min_size=1, max_size=40))
+@SETTINGS
+def test_date_expr_matches_python_restatement(spark, values):
+    from lcr_etl_upgrade_spark.operators.cleanse import date_expr
+
+    df = spark.createDataFrame([(str(v) if v is not None else None,) for v in values], "v string")
+    got = [
+        r.d
+        for r in df.select(
+            date_expr(F.col("v"), fuzzy=True, as_of=_DATE_AS_OF).alias("d")
+        ).collect()
+    ]
+    want = [_model_date_expr(v, _DATE_AS_OF) for v in values]
+    assert got == want, list(zip(values, got, want))
+
+
+# --------------------------------------------------------------------------
+# §2.10 incremental cycle: exactly-once append under adversarial boundary
+# ties and NULL-key rows. Rows arrive in watermark order (ties allowed to
+# SPAN batch boundaries — the boundary-key seam), some with NULL
+# MODIFY_DATE (C10 backfill from CREATE_DATE), some with a NULL merge key
+# (the advisor-flagged three-valued-logic seam: such rows must re-select,
+# never drop).
+# --------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 7),  # timestamp grid index
+            st.booleans(),      # NULL MODIFY_DATE -> backfill from CREATE_DATE
+            st.booleans(),      # NULL merge key
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_batches=st.integers(1, 4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_cycles_exactly_once_append(spark, rows, n_batches, tmp_path_factory):
+    import datetime as dt
+
+    from lcr_etl_upgrade_spark.operators.incremental import (
+        WatermarkStore,
+        run_incremental,
+    )
+
+    grid = [dt.datetime(2024, 6, 1) + dt.timedelta(hours=i) for i in range(8)]
+    # arrival in watermark order; ties may span batch boundaries
+    ordered = sorted(enumerate(rows), key=lambda kv: kv[1][0])
+    data = [
+        (
+            rid,
+            None if null_key else str(rid),
+            None if null_mod else grid[ts],
+            grid[ts],  # CREATE_DATE == the effective instant (backfill target)
+        )
+        for rid, (ts, null_mod, null_key) in ordered
+    ]
+    chunk = max(1, -(-len(data) // n_batches))
+    store = WatermarkStore(str(tmp_path_factory.mktemp("wm")))
+    written: list = []
+    sink = lambda d: written.extend(d.collect())  # noqa: E731
+
+    seen = 0
+    while seen < len(data):
+        seen = min(len(data), seen + chunk)
+        src = spark.createDataFrame(
+            data[:seen],
+            "rid long, k string, MODIFY_DATE timestamp_ntz, CREATE_DATE timestamp_ntz",
+        )
+        run_incremental(spark, src, "t", store, sink, key_col="k")
+
+    got = sorted(r.rid for r in written)
+    all_ids = sorted(d[0] for d in data)
+    # nothing lost — a NULL-key row dropped by three-valued logic fails here
+    assert set(got) == set(all_ids)
+    # duplicates can only be NULL-key rows re-selected at a watermark instant
+    from collections import Counter
+
+    dup_ids = [rid for rid, n in Counter(got).items() if n > 1]
+    keyed = {d[0] for d in data if d[1] is not None}
+    assert not (set(dup_ids) & keyed), (dup_ids, data)
+    # and with every key present, the cycle is exactly-once end to end
+    if not dup_ids and all(d[1] is not None for d in data):
+        assert got == all_ids
