@@ -58,7 +58,17 @@ def timestamp_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) ->
 
 def date_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Column:
     """C3: to_date with fuzzy fallback (ingest.py:572-582); try-semantics
-    via try_cast for ANSI-mode null-on-failure."""
+    via try_cast for ANSI-mode null-on-failure.
+
+    Representability note: the native branch is Spark's own date cast, which
+    accepts years beyond 9999 ('99999-01-01' parses to a year-99999 date).
+    That matches the reference (its native branch is Spark's to_date,
+    ingest.py:572), but such dates exceed ``datetime.date``'s range and fail
+    Python-side row conversion at collect/Arrow time. The fuzzy fallback is
+    immune (dateutil rejects 5-digit years); callers collecting native-parsed
+    columns to Python should bound years upstream if their source can
+    produce them. Deliberately NOT clamped here — fidelity over totality.
+    """
     cleaned = scrub_expr(col.cast("string"))
     native = cleaned.try_cast("date")
     if not fuzzy:
