@@ -47,6 +47,14 @@ def _plausible(value: object) -> bool:
 
 
 def _parse_one_timestamp(s: str, as_of: dt.datetime | None) -> dt.datetime | None:
+    # Determinism note: dateutil anchors fields missing from the input to
+    # datetime.now() — under fuzzy=True, digit-bearing junk like '12ab34xz'
+    # parses as day-12 of the CURRENT month, so reruns on different days
+    # differ. Inherited dateutil behavior (the reference's fallback shares
+    # it); the scrub upstream already nulls the worst of it (digit-free or
+    # <=3-char strings) and as_of caps how far forward the anchor can land.
+    # Property-tested in
+    # tests/test_properties.py::test_timestamp_expr_matches_python_restatement.
     if not _HAVE_DATEUTIL or not _plausible(s):
         return None
     for fuzzy in (False, True):

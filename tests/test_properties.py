@@ -620,3 +620,95 @@ def test_incremental_cycles_exactly_once_append(spark, rows, n_batches, tmp_path
     # and with every key present, the cycle is exactly-once end to end
     if not dup_ids and all(d[1] is not None for d in data):
         assert got == all_ids
+
+
+# --------------------------------------------------------------------------
+# C2 timestamp coercion: timestamp_expr == an independent Python
+# restatement of the branch order (scrub -> try_to_timestamp -> dateutil
+# strict-then-fuzzy with NY localization + future clamp) over a grammar
+# whose native-vs-fuzzy branch is unambiguous. Natively-parsed futures
+# stay unclamped (the C2/F5 split); fuzzy parses clamp to as_of — the
+# asymmetry is asserted end to end, not just in goldens.
+# --------------------------------------------------------------------------
+_TS_AS_OF = "2026-08-13T00:00:00"
+
+
+def _model_timestamp_expr(v, as_of_iso):
+    """Pure-Python restatement of timestamp_expr(fuzzy=True, as_of=...)."""
+    import datetime as dt
+    import re
+    from zoneinfo import ZoneInfo
+
+    import dateutil.parser as du
+
+    if v is None:
+        return None
+    if re.fullmatch(r"[A-Za-z]{1,3}", v) or len(v) <= 3 or not re.search(r"\d", v):
+        return None  # scrub_expr
+    fmt, y, m, d, hh, mm, ss = v.__grammar__
+    if fmt in ("iso_ts", "iso_t"):  # Spark-native; NO clamp (C2/F5 split)
+        return dt.datetime(y, m, d, hh, mm, ss)
+    if fmt == "iso_date":
+        return dt.datetime(y, m, d)
+    # fuzzy branch: strict then fuzzy, NY-localize naive, UTC, clamp.
+    # Garbage falls through too: dateutil's fuzzy retry day-extracts
+    # digit-bearing junk ('12ab34xz' -> today's date with day=12), so the
+    # model must run the same branch, not assume NULL.
+    for fz in (False, True):
+        try:
+            parsed = du.parse(v, fuzzy=fz)
+        except (ValueError, OverflowError, TypeError):
+            continue
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=ZoneInfo("America/New_York"))
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        as_of = dt.datetime.fromisoformat(as_of_iso)
+        return min(parsed, as_of)
+    return None
+
+
+def _make_ts_str(fmt, y, m, d, hh, mm, ss):
+    iso = f"{y:04d}-{m:02d}-{d:02d}"
+    s = {
+        "iso_ts": f"{iso} {hh:02d}:{mm:02d}:{ss:02d}",
+        "iso_t": f"{iso}T{hh:02d}:{mm:02d}:{ss:02d}",
+        "iso_date": iso,
+        "slash_us": f"{m:02d}/{d:02d}/{y:04d} {hh:02d}:{mm:02d}:{ss:02d}",
+        "month_name": f"{['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][m-1]} {d:02d}, {y:04d} {hh:02d}:{mm:02d}:{ss:02d}",
+        "fuzzy_only": f"seen {iso} {hh:02d}:{mm:02d}:{ss:02d} ok",
+        "garbage": "12ab34xz",  # fuzzy-extractable: day=12 anchored to today
+        "garbage_hard": "9x9x9x9x",  # fails strict AND fuzzy -> NULL
+    }[fmt]
+    out = _GStr(s)
+    out.__grammar__ = (fmt, y, m, d, hh, mm, ss)
+    return out
+
+
+_ts_strs = st.builds(
+    _make_ts_str,
+    st.sampled_from(
+        ["iso_ts", "iso_t", "iso_date", "slash_us", "month_name", "fuzzy_only", "garbage", "garbage_hard"]
+    ),
+    st.integers(1900, 2199),  # crosses the 2026 as_of boundary both ways
+    st.integers(1, 12),
+    st.integers(1, 28),
+    st.integers(0, 23),  # includes NY DST spring-forward gap hours
+    st.integers(0, 59),
+    st.integers(0, 59),
+)
+
+
+@given(values=st.lists(st.one_of(st.none(), _ts_strs), min_size=1, max_size=40))
+@SETTINGS
+def test_timestamp_expr_matches_python_restatement(spark, values):
+    df = spark.createDataFrame(
+        [(str(v) if v is not None else None,) for v in values], "v string"
+    )
+    got = [
+        r.t
+        for r in df.select(
+            timestamp_expr(F.col("v"), fuzzy=True, as_of=_TS_AS_OF).alias("t")
+        ).collect()
+    ]
+    want = [_model_timestamp_expr(v, _TS_AS_OF) for v in values]
+    assert got == want, list(zip(values, got, want))
