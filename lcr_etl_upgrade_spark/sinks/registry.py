@@ -78,6 +78,38 @@ def _json(**options) -> Sink:
     return Sink("json", options.pop("mode", "overwrite"), options)
 
 
+@register("orc_append")
+def _orc_append(**options) -> Sink:
+    return Sink("orc", "append", options)
+
+
+@register("orc_overwrite")
+def _orc_overwrite(**options) -> Sink:
+    """K1 semantics over ORC (built-in columnar format, zlib default)."""
+    return Sink("orc", "overwrite", options)
+
+
+@register("avro_overwrite")
+def _avro_overwrite(**options) -> Sink:
+    """Avro write — needs the external spark-avro module (see
+    sources.read_avro). The classpath failure surfaces at write time as
+    an AnalysisException; _AvroSink rewraps it as the documented seam."""
+    return _AvroSink("avro", "overwrite", options)
+
+
+class _AvroSink(Sink):
+    def __call__(self, df: DataFrame, path: str | None = None) -> None:
+        try:
+            super().__call__(df, path)
+        except Exception as exc:
+            if "avro" in str(exc).lower() and "find" in str(exc).lower():
+                raise NotImplementedError(
+                    "spark-avro is not on the classpath; add "
+                    "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+                ) from exc
+            raise
+
+
 @register("noop")
 def _noop(**options) -> Sink:
     """Benchmark sink: full materialization, no output."""

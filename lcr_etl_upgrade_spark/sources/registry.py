@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -150,6 +151,60 @@ def read_json(
             with_corrupt_capture(schema) if capture_corrupt else schema
         )
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S8: ORC scan (built-in columnar format — vectorized reader,
+    predicate pushdown and column pruning, same as parquet). Schema
+    declared, never inferred, matching the registry's contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S8: Avro scan — requires the external spark-avro datasource module
+    (org.apache.spark:spark-avro; NOT bundled with pyspark, unlike ORC).
+    Raises NotImplementedError with the remedy when the module is absent
+    so callers see a documented seam, not a raw classpath error."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find data source
+        if "avro" in str(exc).lower() and "find" in str(exc).lower():
+            raise NotImplementedError(
+                "spark-avro is not on the classpath; add "
+                "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+            ) from exc
+        raise
+
+
+def read_text_documents(
+    spark: SparkSession, path: str, whole_file: bool = True
+) -> DataFrame:
+    """LLM-corpus text ingestion: ``whole_file=True`` reads ONE ROW PER
+    FILE (wholetext — a document corpus laid out as one file per doc),
+    else one row per line. Adds the source path as ``doc_path`` so
+    documents stay identifiable after unions/repartitions.
+
+    At 100 TB the one-row-per-file shape is driven by file count, not
+    bytes: each file must fit in one task's memory (the same bounded-
+    document contract the dedup operators state); shard oversized docs
+    upstream."""
+    return (
+        spark.read.text(path, wholetext=whole_file)
+        .select(
+            F.input_file_name().alias("doc_path"),
+            F.col("value").alias("text"),
+        )
+    )
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:

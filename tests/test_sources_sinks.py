@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 import pytest
 from pyspark.sql import types as T
 
@@ -110,3 +112,79 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     assert sorted(r.id for r in df.filter(df._corrupt_record.isNull()).collect()) == [1, 3]
     assert df.filter(df._corrupt_record.isNotNull()).count() == 1
     df.unpersist()
+
+
+def test_orc_roundtrip_with_declared_schema(spark, tmp_path):
+    from lcr_etl_upgrade_spark.sources.registry import read_orc
+
+    path = str(tmp_path / "o")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DecimalType(38, 0)),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, Decimal(10), True), (2, None, False)], schema
+    )
+    write(df, "orc_overwrite", path)
+    back = read_orc(spark, path, schema)
+    assert back.schema == schema  # declared, not inferred
+    assert {r.id: (r.amount, r.flag) for r in back.collect()} == {
+        1: (Decimal(10), True),
+        2: (None, False),
+    }
+    write(df, "orc_append", path)
+    assert read_orc(spark, path).count() == 4
+
+
+def test_orc_predicate_pushdown_reaches_scan(spark, tmp_path):
+    from lcr_etl_upgrade_spark.sources.registry import read_orc
+
+    path = str(tmp_path / "op")
+    spark.range(100).selectExpr("id", "id % 7 as k").write.mode("overwrite").orc(path)
+    plan = (
+        read_orc(spark, path)
+        .filter("id > 90")
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan
+
+
+def test_avro_gated_or_working(spark, tmp_path):
+    """spark-avro is an external module; if absent both directions raise
+    the documented NotImplementedError, if present they roundtrip."""
+    from lcr_etl_upgrade_spark.sources.registry import read_avro
+
+    path = str(tmp_path / "a")
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    try:
+        write(df, "avro_overwrite", path)
+    except NotImplementedError as exc:
+        assert "spark-avro" in str(exc)
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "missing"))
+        return
+    assert read_avro(spark, path).collect() == df.collect()
+
+
+def test_text_documents_whole_file_and_lines(spark, tmp_path):
+    from lcr_etl_upgrade_spark.sources.registry import read_text_documents
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "doc1.txt").write_text("alpha beta\ngamma")
+    (corpus / "doc2.txt").write_text("delta")
+    whole = read_text_documents(spark, str(corpus), whole_file=True)
+    by_path = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in whole.collect()}
+    assert by_path == {"doc1.txt": "alpha beta\ngamma", "doc2.txt": "delta"}
+    lines = read_text_documents(spark, str(corpus), whole_file=False)
+    assert sorted(r.text for r in lines.collect()) == [
+        "alpha beta",
+        "delta",
+        "gamma",
+    ]
