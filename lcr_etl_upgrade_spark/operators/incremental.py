@@ -160,6 +160,7 @@ def run_incremental(
         result = obs.get
         new_wm = result["max_modify"]
         if new_wm is not None:
+            new_wm_str = str(new_wm)
             new_boundary: list[str] = []
             if key_col is not None:
                 boundary_rows = (
@@ -173,7 +174,17 @@ def run_incremental(
                 )
                 if len(boundary_rows) <= MAX_BOUNDARY_KEYS:
                     new_boundary = [r[0] for r in boundary_rows]
-            store.write_state(table, str(new_wm), new_boundary)
+                    if new_wm_str == watermark:
+                        # Watermark stood still: this batch's boundary rows
+                        # were written IN ADDITION to the ones recorded at
+                        # this instant by prior runs (which the filter just
+                        # excluded, so they can't be in boundary_rows).
+                        # Overwriting would re-admit those prior keys next
+                        # run and duplicate them — union instead.
+                        new_boundary = list(dict.fromkeys(boundary + new_boundary))
+                        if len(new_boundary) > MAX_BOUNDARY_KEYS:
+                            new_boundary = []
+            store.write_state(table, new_wm_str, new_boundary)
         return int(result["n"])
     finally:
         if persist_batch:

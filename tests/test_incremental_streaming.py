@@ -93,6 +93,13 @@ def test_run_incremental_boundary_idempotent_with_key(spark, tmp_path):
     assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 1
     assert spark.read.parquet(out).count() == 4
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]
+    # the standing watermark UNIONs boundary keys (an overwrite here would
+    # keep only "4", re-admitting 2 and 3 next run as duplicates)
+    wm2, boundary2 = store.read_state("t")
+    assert wm2 == "2024-06-05 00:00:00"
+    assert sorted(boundary2) == ["2", "3", "4"]
+    assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 0
+    assert spark.read.parquet(out).count() == 4
 
 
 def test_run_incremental_null_key_never_silently_dropped(spark, tmp_path):
