@@ -172,7 +172,12 @@ def dedup_shingles(st: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """One min-hash per seed over the shingle set (array<bigint> signature).
 
@@ -185,9 +190,15 @@ def minhash_signatures(
 
     Shingle identity is the 64-bit token-hash n-gram (shingle_hashes), so
     the shuffle carries longs only.
+
+    Pass ``widen=False`` when ``df`` sits behind a shuffle (join/agg
+    output): the _fan_out partition probe would execute those exchanges
+    once just to read a count (see _fan_out's docstring).
     """
     return minhash_from_tokens(
-        shingle_hashes(df, text_col, id_col, shingle_n), id_col, num_hashes
+        shingle_hashes(df, text_col, id_col, shingle_n, widen=widen),
+        id_col,
+        num_hashes,
     )
 
 
@@ -439,6 +450,7 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    widen: bool = True,
 ) -> DataFrame:
     """Composite L2 pipeline: shingle once -> MinHash -> LSH candidates ->
     exact-Jaccard verify -> threshold.
@@ -447,8 +459,12 @@ def near_dup_pairs(
     consumers share one computation instead of re-deriving the whole
     lineage per branch. MEMORY_AND_DISK, so at cluster scale this spills
     rather than OOMs; unpersist is the caller's choice.
+
+    Pass ``widen=False`` when ``df`` sits behind a shuffle (join/agg
+    output): the _fan_out partition probe would execute those exchanges
+    once just to read a count (see _fan_out's docstring).
     """
-    st = shingle_hashes(df, text_col, id_col, shingle_n).persist()
+    st = shingle_hashes(df, text_col, id_col, shingle_n, widen=widen).persist()
     sigs = minhash_from_tokens(st, id_col, num_hashes)
     candidates = minhash_lsh_candidates(
         sigs, id_col, bands=bands, num_hashes=num_hashes

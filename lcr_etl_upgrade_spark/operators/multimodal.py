@@ -157,6 +157,9 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = fields
     if width <= 0 or height <= 0 or not 0 < maxval < 256:
         raise ValueError(f"bad PPM dimensions/maxval {fields}")
+    if width >= 2**31 or height >= 2**31:
+        # header ints are unbounded ASCII; the feature schema is int32
+        raise ValueError(f"implausible PPM dimensions {width}x{height}")
     need = width * height * 3
     pixels = payload[idx : idx + need]
     if len(pixels) < need:
@@ -222,6 +225,11 @@ def decode_wav(payload: bytes) -> dict:
         # escape _media_features_one's malformed-payload handler and kill
         # the executor task
         raise ValueError("fmt chunk declares zero channels")
+    if sample_rate >= 2**31:
+        # '<I' is unsigned but MEDIA_FEATURE_SCHEMA declares int32; a
+        # declared rate past int32 is garbage anyway — classify it as
+        # malformation here rather than dying in Arrow conversion
+        raise ValueError(f"implausible sample rate {sample_rate}")
     n_frames = len(data_body) // (2 * n_channels)
     samples = struct.unpack(
         f"<{n_frames * n_channels}h", data_body[: n_frames * n_channels * 2]

@@ -99,14 +99,12 @@ def _avro_overwrite(**options) -> Sink:
 
 class _AvroSink(Sink):
     def __call__(self, df: DataFrame, path: str | None = None) -> None:
+        from lcr_etl_upgrade_spark.sources.registry import raise_if_missing_avro
+
         try:
             super().__call__(df, path)
         except Exception as exc:
-            if "avro" in str(exc).lower() and "find" in str(exc).lower():
-                raise NotImplementedError(
-                    "spark-avro is not on the classpath; add "
-                    "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
-                ) from exc
+            raise_if_missing_avro(exc)
             raise
 
 

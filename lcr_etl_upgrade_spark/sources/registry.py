@@ -165,11 +165,23 @@ def read_orc(
     return reader.orc(path)
 
 
+def raise_if_missing_avro(exc: Exception) -> None:
+    """spark-avro is an external module (NOT bundled with pyspark, unlike
+    ORC); its absence surfaces as an AnalysisException naming the missing
+    datasource. Rewrap that one failure as the documented
+    NotImplementedError seam — shared by read_avro and the avro sink so
+    the match and the remedy text can't drift apart."""
+    if "avro" in str(exc).lower() and "find" in str(exc).lower():
+        raise NotImplementedError(
+            "spark-avro is not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+        ) from exc
+
+
 def read_avro(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """S8: Avro scan — requires the external spark-avro datasource module
-    (org.apache.spark:spark-avro; NOT bundled with pyspark, unlike ORC).
+    """S8: Avro scan — requires the external spark-avro datasource module.
     Raises NotImplementedError with the remedy when the module is absent
     so callers see a documented seam, not a raw classpath error."""
     reader = spark.read
@@ -178,11 +190,7 @@ def read_avro(
     try:
         return reader.format("avro").load(path)
     except Exception as exc:  # AnalysisException: failed to find data source
-        if "avro" in str(exc).lower() and "find" in str(exc).lower():
-            raise NotImplementedError(
-                "spark-avro is not on the classpath; add "
-                "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
-            ) from exc
+        raise_if_missing_avro(exc)
         raise
 
 
@@ -191,8 +199,13 @@ def read_text_documents(
 ) -> DataFrame:
     """LLM-corpus text ingestion: ``whole_file=True`` reads ONE ROW PER
     FILE (wholetext — a document corpus laid out as one file per doc),
-    else one row per line. Adds the source path as ``doc_path`` so
-    documents stay identifiable after unions/repartitions.
+    else one row per line. Adds the source file URI as ``doc_path`` so
+    documents stay identifiable after unions/repartitions. NOTE:
+    input_file_name() yields a scheme-prefixed, percent-encoded URI
+    (``file:/.../my%20doc.txt``) — stable as a grouping/join key within
+    the corpus, but unquote it before handing it to filesystem APIs or
+    joining against raw-path manifests (url_decode's form-encoding
+    semantics would corrupt literal ``+``; use urllib.parse.unquote).
 
     At 100 TB the one-row-per-file shape is driven by file count, not
     bytes: each file must fit in one task's memory (the same bounded-

@@ -375,7 +375,7 @@ def test_dsum_large_magnitude_cancellation_matches_duckdb(spark):
         min_size=1,
         max_size=60,
     ),
-    parts=st.permutations(range(8)),
+    parts=st.integers(1, 8),
 )
 @SETTINGS
 def test_dsum_partition_insensitive_and_total(spark, values, parts):
@@ -388,7 +388,7 @@ def test_dsum_partition_insensitive_and_total(spark, values, parts):
     shuffled = list(values)[::-1]
     df2 = spark.createDataFrame(
         [(v,) for v in shuffled], "x double"
-    ).repartition(1 + len(parts) % 7)
+    ).repartition(parts)
     s1 = df1.coalesce(1).select(dsum("x", "s")).collect()[0].s
     s2 = df2.select(dsum("x", "s")).collect()[0].s
     assert s1 == s2, (values, s1, s2)

@@ -190,6 +190,21 @@ def test_malformed_payload_goldens():
         decode_wav(bytes(zero_chan))
     assert _media_features_one(bytes(zero_chan))["kind"] is None
 
+    # '<I' sample rate past int32: the feature schema declares int32, so
+    # a structurally valid WAV with rate 0xFFFFFFFF must classify as
+    # malformed here, not blow up later in Arrow conversion
+    huge_rate = bytearray(good_wav)
+    huge_rate[24:28] = _struct.pack("<I", 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible sample rate"):
+        decode_wav(bytes(huge_rate))
+    assert _media_features_one(bytes(huge_rate))["kind"] is None
+
+    # same for PPM header ints (unbounded ASCII) vs the int32 schema
+    wide = b"P6\n2147483648 1\n255\n" + bytes(12)
+    with pytest.raises(ValueError, match="implausible PPM dimensions"):
+        decode_ppm(wide)
+    assert _media_features_one(wide)["kind"] is None
+
 
 def test_zero_sample_wav_is_valid_audio():
     """A structurally valid WAV with an empty data chunk classifies as
