@@ -712,3 +712,121 @@ def test_timestamp_expr_matches_python_restatement(spark, values):
     ]
     want = [_model_timestamp_expr(v, _TS_AS_OF) for v in values]
     assert got == want, list(zip(values, got, want))
+
+
+# --------------------------------------------------------------------------
+# L2 exact Jaccard: jaccard_pairs over the hashed-shingle fast path equals
+# brute-force Python shingle-set Jaccard on arbitrary tiny corpora.
+# Adversarial coverage for the map-side array-expression shingling:
+# boundary cases are docs with < n tokens (no shingles -> pair dropped),
+# identical docs (jaccard 1.0), and duplicate shingles (multiset -> set).
+# --------------------------------------------------------------------------
+_JWORDS = ["aa", "bb", "cc", "dd"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_JWORDS), max_size=8), min_size=2, max_size=5
+    )
+)
+@SETTINGS
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    from lcr_etl_upgrade_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(len(docs)) for b in range(a + 1, len(docs))],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", cand, shingle_n=2).collect()
+    }
+    sets = {
+        i: {tuple(ws[j : j + 2]) for j in range(len(ws) - 1)}
+        for i, ws in enumerate(docs)
+    }
+    want = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        for a in range(len(docs))
+        for b in range(a + 1, len(docs))
+        if sets[a] and sets[b]  # shingle-less docs drop out of the inner join
+    }
+    assert got == want, docs
+
+
+# --------------------------------------------------------------------------
+# Merge composition over ARBITRARY batch sequences — the single-shot oracle
+# queries can't see multi-application invariants (exactly the class the
+# incremental-cycle property caught a real bug in).
+# --------------------------------------------------------------------------
+_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=4
+    ).map(lambda kvs: list({k: (k, v) for k, v in kvs}.values())),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=_batches)
+@SETTINGS
+def test_upsert_composition_is_last_write_wins(spark, batches):
+    from lcr_etl_upgrade_spark.operators.merge import upsert
+
+    cur = spark.createDataFrame([], "k long, v long")
+    model: dict[int, int] = {}
+    for batch in batches:
+        if not batch:
+            continue
+        cur = upsert(cur, spark.createDataFrame(batch, "k long, v long"), ["k"])
+        model.update(dict(batch))
+    assert {(r.k, r.v) for r in cur.collect()} == set(model.items())
+
+
+@given(batches=_batches)
+@SETTINGS
+def test_scd2_multi_batch_invariants(spark, batches):
+    """After any sequence of (key-deduped) update batches: one current
+    open-ended version per live key, validity intervals chain exactly
+    (VALID_TO[i] == VALID_FROM[i+1]), version counts equal per-key batch
+    appearances, and the current value is the latest batch's."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from lcr_etl_upgrade_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [],
+        "k long, v long, VALID_FROM timestamp_ntz, "
+        "VALID_TO timestamp_ntz, IS_CURRENT boolean",
+    )
+    instants = []
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        as_of = f"2024-01-{i + 1:02d} 00:00:00"
+        instants.append((dt.datetime(2024, 1, i + 1), batch))
+        dim = scd2_apply(
+            dim, spark.createDataFrame(batch, "k long, v long"), ["k"], as_of
+        )
+
+    by_key = defaultdict(list)
+    for r in dim.collect():
+        by_key[r.k].append(r)
+    want_versions: dict[int, list] = defaultdict(list)
+    for ts, batch in instants:
+        for k, v in batch:
+            want_versions[k].append((ts, v))
+
+    assert set(by_key) == set(want_versions)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.VALID_FROM)
+        assert [(r.VALID_FROM, r.v) for r in rows] == want_versions[k]
+        *closed, current = rows
+        assert current.IS_CURRENT and current.VALID_TO is None
+        for prev, nxt in zip(rows, rows[1:]):
+            assert not prev.IS_CURRENT
+            assert prev.VALID_TO == nxt.VALID_FROM
