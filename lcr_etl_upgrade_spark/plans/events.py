@@ -132,50 +132,26 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Sessionization: gap > 30 min starts a new session (lag + cumulative sum)
-# --------------------------------------------------------------------------
-@query(
-    "events_sessionization",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
-                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM marked
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           COUNT(*) AS n_events,
-           CAST(MIN(ts) AS VARCHAR) AS session_start,
-           CAST(MAX(ts) AS VARCHAR) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
-    """,
-)
-def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Batch lag/cumsum sessionization over (user_id, event_id, ts, value):
+    a session breaks where the gap to the previous event (per user, in
+    (ts, event_id) order) exceeds ``gap_us``. One shuffle on user_id;
+    both windows share it. The running sum carries the same event_id
+    tiebreaker as the marking window: with ORDER BY ts alone, duplicate
+    (user_id, ts) rows take an engine/partitioning-dependent ROWS-frame
+    order and the tied rows' session_id flips."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts",
         "value",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (
-                _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
-                > SESSION_GAP_US
-            ),
+            | (_epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w)) > gap_us),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -192,6 +168,38 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + cumulative sum)
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) AS VARCHAR) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------

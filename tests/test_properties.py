@@ -830,3 +830,68 @@ def test_scd2_multi_batch_invariants(spark, batches):
         for prev, nxt in zip(rows, rows[1:]):
             assert not prev.IS_CURRENT
             assert prev.VALID_TO == nxt.VALID_FROM
+
+
+# --------------------------------------------------------------------------
+# Sessionization vs an independent Python fold, on arbitrary event sets
+# INCLUDING duplicate (user, ts) rows — the tie class whose session
+# assignment silently depended on frame order before the event_id
+# tiebreaker was added to the running-sum window.
+# --------------------------------------------------------------------------
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 120),  # minutes offset (gap = 30 min)
+            st.integers(0, 50),  # integer-valued amount (exact as double)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_sessionize_matches_python_fold(spark, events):
+    import datetime as dt
+    from collections import defaultdict
+
+    from lcr_etl_upgrade_spark.plans.events import sessionize
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), float(v))
+        for i, (u, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.session_value,
+        )
+        for r in sessionize(df).collect()
+    }
+
+    per_user = defaultdict(list)
+    for eid, u, ts, v in rows:
+        per_user[u].append((ts, eid, v))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        sessions = defaultdict(list)
+        for ts, _eid, v in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sid += 1
+            prev = ts
+            sessions[sid].append((ts, v))
+        for sid, members in sessions.items():
+            want[(u, sid)] = (
+                len(members),
+                str(min(t for t, _ in members)),
+                str(max(t for t, _ in members)),
+                sum(v for _, v in members),
+            )
+    assert got == want, (events, got, want)
