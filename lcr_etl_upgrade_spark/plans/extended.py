@@ -480,13 +480,13 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dynamic_session_gap",
     oracle="""
     WITH typed AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN event_type = 'purchase' THEN 60 ELSE 20 END AS gap_min
       FROM events WHERE user_id < 50
     ), ordered AS (
       SELECT *,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-             LAG(gap_min) OVER (PARTITION BY user_id ORDER BY ts) AS prev_gap
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             LAG(gap_min) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_gap
       FROM typed
     ), marked AS (
       SELECT *,
@@ -496,7 +496,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sessions AS (
       SELECT *,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -516,15 +516,20 @@ def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     typed = ev.select(
         "user_id",
+        "event_id",
         "ts",
         "value",
         F.when(F.col("event_type") == "purchase", 60)
         .otherwise(20)
         .alias("gap_min"),
     )
-    w = W.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreaker: with ORDER BY ts alone, duplicate (user, ts)
+    # rows make both the lag marking and the running sum frame-order
+    # dependent (see plans.events.sessionize)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = typed.select(
         "user_id",
+        "event_id",
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
