@@ -235,6 +235,16 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window as W
 
+    # totality at the edges: KMeans.fit throws on an empty corpus, and an
+    # empty query side would pay the fit for nothing — both yield the
+    # empty result a filter-to-nothing pipeline stage expects
+    if corpus.isEmpty() or queries.isEmpty():
+        q_t = queries.schema[query_id].dataType.simpleString()
+        c_t = corpus.schema[corpus_id].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double, rank int"
+        )
+
     train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
 
@@ -299,6 +309,12 @@ def cosine_topk_vectorized(
     from pyspark.sql import Window as W
 
     q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        # an empty query matrix has no axis-1 to norm over; return the
+        # empty result rather than an executor-side numpy shape error
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -246,3 +246,28 @@ def test_recall_contracts_hold_at_floor_across_seeds(spark):
         )
         bad = ivf.filter(~F.col("meets_floor")).count()
         assert bad == 0, f"seed {seed}: {bad} queries under floor"
+
+
+def test_similarity_operators_total_on_empty_inputs(spark):
+    """A filter-to-nothing stage is routine at scale: empty corpus or
+    empty queries must yield an empty typed result, not a KMeans fit
+    error or a numpy shape error in the task."""
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    qschema = "query_id long, embedding array<float>"
+    empty_c = spark.createDataFrame([], schema)
+    empty_q = spark.createDataFrame([], qschema)
+    some_c = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    some_q = spark.createDataFrame([(9, [1.0, 0.0])], qschema)
+
+    for corpus, queries in [(empty_c, empty_q), (empty_c, some_q), (some_c, empty_q)]:
+        got = ivf_topk(corpus, queries, k=2, n_centroids=2, query_id="query_id")
+        assert got.columns == ["query_id", "vec_id", "cosine", "rank"]
+        assert got.count() == 0
+        got_v = cosine_topk_vectorized(corpus, queries, k=2, query_id="query_id")
+        assert got_v.columns == ["query_id", "vec_id", "cosine", "rank"]
+        assert got_v.count() == 0
