@@ -235,6 +235,11 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window as W
 
+    # a NULL vector can be neither indexed nor scored: drop such rows
+    # up front (KMeans.fit dies on null features), then handle the
+    # now-possibly-empty sides below
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # totality at the edges: KMeans.fit throws on an empty corpus, and an
     # empty query side would pay the fit for nothing — both yield the
     # empty result a filter-to-nothing pipeline stage expects
@@ -308,7 +313,13 @@ def cosine_topk_vectorized(
     import pandas as pd
     from pyspark.sql import Window as W
 
-    q_rows = queries.select(query_id, vec_col).collect()
+    # NULL vectors are unscorable and would turn the numpy matrices into
+    # ragged object arrays — drop them on both sides (same contract as
+    # ivf_topk)
+    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(
+        query_id, vec_col
+    ).collect()
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if not q_rows:
         # an empty query matrix has no axis-1 to norm over; return the
         # empty result rather than an executor-side numpy shape error

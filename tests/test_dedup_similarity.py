@@ -271,3 +271,34 @@ def test_similarity_operators_total_on_empty_inputs(spark):
         got_v = cosine_topk_vectorized(corpus, queries, k=2, query_id="query_id")
         assert got_v.columns == ["query_id", "vec_id", "cosine", "rank"]
         assert got_v.count() == 0
+
+
+def test_ivf_topk_skips_null_embeddings(spark):
+    """Rows with NULL vectors can be neither indexed nor scored — they
+    are dropped, and an all-NULL corpus degrades to the empty result
+    instead of a KMeans fit error."""
+    from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])], schema
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (10, None)], "query_id long, embedding array<float>"
+    )
+    got = ivf_topk(corpus, queries, k=3, n_centroids=2, n_probe=2, query_id="query_id")
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {9}
+    assert all(r.vec_id in (1, 3) for r in rows)
+
+    all_null = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert ivf_topk(all_null, queries, k=2, n_centroids=2, query_id="query_id").count() == 0
+
+    # same contract on the vectorized brute-force path (NULLs would turn
+    # the numpy matrices into ragged object arrays)
+    from lcr_etl_upgrade_spark.operators.similarity import cosine_topk_vectorized
+
+    got_v = cosine_topk_vectorized(corpus, queries, k=3, query_id="query_id").collect()
+    assert {r.query_id for r in got_v} == {9}
+    assert all(r.vec_id in (1, 3) for r in got_v)
+    assert cosine_topk_vectorized(all_null, queries, k=2, query_id="query_id").count() == 0
