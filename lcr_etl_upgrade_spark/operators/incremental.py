@@ -45,21 +45,36 @@ class WatermarkStore:
     def read_state(self, table: str) -> tuple[str, list[str]]:
         """(watermark, boundary_keys): the keys of rows written AT the
         watermark instant last run — excluded on re-filter so a plain
-        append sink stays idempotent with >= semantics."""
+        append sink stays idempotent with >= semantics.
+
+        Line 1 is the plain watermark (the reference's whole format,
+        ingest.py:481-483); line 2, when present, is the boundary-key
+        list as ONE JSON array — newline-separated keys would let a key
+        containing a newline shear into two phantom keys on reread."""
+        import json
+
         try:
             with open(self._path(table)) as fh:
-                lines = [ln.rstrip("\n") for ln in fh]
+                lines = fh.read().split("\n", 1)
         except OSError:
             return DEFAULT_WATERMARK, []
         if not lines or not lines[0].strip():
             return DEFAULT_WATERMARK, []
-        return lines[0].strip(), [ln for ln in lines[1:] if ln]
+        keys: list[str] = []
+        if len(lines) > 1 and lines[1].strip():
+            try:
+                keys = [str(k) for k in json.loads(lines[1])]
+            except ValueError:
+                keys = []  # unreadable state -> plain >= re-select semantics
+        return lines[0].strip(), keys
 
     def write_state(self, table: str, value: str, boundary_keys: list[str]) -> None:
+        import json
+
         with open(self._path(table), "w") as fh:
             fh.write(value)
-            for key in boundary_keys:
-                fh.write("\n" + key)
+            if boundary_keys:
+                fh.write("\n" + json.dumps(boundary_keys))
 
 
 def incremental_filter(

@@ -501,3 +501,19 @@ def test_stateful_operator_on_rocksdb_state_store(spark, tmp_path):
         assert final == {1: (2, 15.0), 2: (1, 2.0)}
     finally:
         spark.conf.set(key, prev)
+
+
+def test_watermark_store_boundary_keys_roundtrip_hostile_strings(tmp_path):
+    """Boundary keys are arbitrary cast-to-string business keys; a key
+    containing a newline (or an empty string) must survive persistence —
+    the JSON line format exists exactly for this."""
+    store = WatermarkStore(str(tmp_path))
+    keys = ["plain", "two\nlines", "tab\tkey", "", "unicode-é中"]
+    store.write_state("t", "2024-06-05 00:00:00", keys)
+    wm, got = store.read_state("t")
+    assert wm == "2024-06-05 00:00:00"
+    assert got == keys
+    # corrupt key line degrades to plain >= semantics, never a crash
+    with open(store._path("t"), "w") as fh:
+        fh.write("2024-06-05 00:00:00\nnot-json[")
+    assert store.read_state("t") == ("2024-06-05 00:00:00", [])
