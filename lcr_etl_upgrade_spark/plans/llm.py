@@ -85,11 +85,14 @@ def doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_dedup_exact",
     oracle="""
-    SELECT md5(text) AS content_md5,
+    -- COALESCE restates exact_dedup's NULL sentinel ('\\x00' || 'N'):
+    -- md5(NULL) is NULL here, but the operator keys NULL text
+    -- deterministically so NULL-text rows form one dup group
+    SELECT md5(COALESCE(text, chr(0) || 'N')) AS content_md5,
            MIN(doc_id) AS doc_id,
            COUNT(*) AS dup_count
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY 1
     ORDER BY doc_id
     """,
 )
@@ -112,7 +115,9 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS content_md5,
-           SUBSTRING(md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')), 1, 16)
+           -- TRIM(x, ' ') pins DuckDB to Spark's ASCII-space-only trim
+           -- (DuckDB's default set strips unicode spaces like NBSP)
+           SUBSTRING(md5(regexp_replace(LOWER(TRIM(text, ' ')), '\\s+', ' ', 'g')), 1, 16)
              AS normalized_fp
     FROM documents
     ORDER BY doc_id
@@ -134,8 +139,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_language_id",
     oracle="""
     WITH toks AS (
+      -- COALESCE: NULL text scores zero stopword hits -> 'und' (the
+      -- operator's behavior); without it the NULL scores fall through
+      -- every CASE arm to the 'zh' ELSE
       SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\\s+') AS t
+             string_split_regex(trim(lower(COALESCE(text, '')), ' '), '\\s+') AS t
       FROM documents
     ), scores AS (
       SELECT doc_id, lang,
@@ -196,8 +204,8 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              list_distinct(
                list_transform(
-                 range(1, GREATEST(LEN(string_split(LOWER(TRIM(text)), ' ')) - 2, 0) + 1),
-                 i -> array_to_string(string_split(LOWER(TRIM(text)), ' ')[i:i+2], ' ')
+                 range(1, GREATEST(LEN(string_split(LOWER(TRIM(text, ' ')), ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(LOWER(TRIM(text, ' ')), ' ')[i:i+2], ' ')
                )
              ) AS shingle_set
       FROM documents

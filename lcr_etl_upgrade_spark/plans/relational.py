@@ -601,7 +601,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            LOWER(o_orderstatus) AS status_lower,
            SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
            CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
-           TRIM(o_orderpriority) AS prio_trim,
+           TRIM(o_orderpriority, ' ') AS prio_trim,  -- ' ': Spark trims ASCII space only
            LENGTH(o_orderpriority) AS prio_len,
            REPLACE(o_orderpriority, '-', '_') AS prio_repl,
            (o_orderpriority LIKE '%URGENT%') AS is_urgent,
