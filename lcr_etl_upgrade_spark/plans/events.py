@@ -37,7 +37,8 @@ def _epoch_us(col):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(TRY_CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY event_type
@@ -46,8 +47,11 @@ def _epoch_us(col):
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # try_cast: under ANSI mode a plain cast THROWS on an out-of-range or
+    # non-numeric prop value — one bad row would kill a 100 TB job where
+    # NULL-and-continue is the right semantics
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        ev.withColumn("k", F.get_json_object("props", "$.k").try_cast("int"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -21,25 +21,43 @@ from lcr_etl_upgrade_spark.sources.testdata import load_table
 @query(
     "events_json_advanced",
     oracle="""
+    -- json_valid/OBJECT guards: DuckDB json functions ERROR on
+    -- malformed JSON and json_keys needs an object, where Spark's
+    -- from_json yields a NULL map
+    WITH checked AS (
+      SELECT event_id,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND json_type(props) = 'OBJECT'
+                  THEN props END AS p
+      FROM events
+      WHERE event_id <= 2000
+    )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           json_keys(props)[1] AS first_key,
-           (CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS k_above_50
-    FROM events
-    WHERE event_id <= 2000
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k_value,
+           json_keys(p)[1] AS first_key,
+           (TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) > 50) AS k_above_50
+    FROM checked
     ORDER BY event_id
     """,
 )
 def events_json_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totality at the edges (hostile-props battery): the map parses as
+    string so a >int32 or quoted value doesn't null the whole map,
+    k_value try_casts to int (NULL on overflow/non-numeric, same as the
+    oracle's TRY_CAST), first_key uses F.get — getItem(0) THROWS on an
+    empty '{}' map under ANSI mode — and the >50 test runs on the
+    try_cast value so both engines see NULL for overflow. Duplicate JSON
+    keys are outside the stated domain (Spark's map keeps the last
+    occurrence, DuckDB's $.k path reads the first)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
     parsed = ev.withColumn(
-        "m", F.from_json("props", "map<string,int>")
-    )
+        "m", F.from_json("props", "map<string,string>")
+    ).withColumn("k_value", F.element_at("m", "k").try_cast("int"))
     return parsed.select(
         "event_id",
-        F.element_at("m", "k").alias("k_value"),
-        F.map_keys("m").getItem(0).alias("first_key"),
-        (F.element_at("m", "k") > 50).alias("k_above_50"),
+        "k_value",
+        F.get(F.map_keys("m"), 0).alias("first_key"),
+        (F.col("k_value") > 50).alias("k_above_50"),
     ).orderBy("event_id")
 
 
@@ -49,9 +67,18 @@ def events_json_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_roundtrip",
     oracle="""
+    -- json_valid guards: DuckDB's json functions ERROR on malformed
+    -- JSON where Spark's json_tuple/from_json yield NULL. The
+    -- whitespace-strip reserialization restates Spark's compact
+    -- to_json for the props grammar (flat object, int values, no
+    -- duplicate keys); the OBJECT type guard NULLs non-objects the
+    -- same way from_json(map) does.
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           REPLACE(props, ' ', '') AS reserialized
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                     AND json_type(props) = 'OBJECT'
+                THEN REPLACE(props, ' ', '') END AS reserialized
     FROM events
     WHERE event_id <= 1000
     ORDER BY event_id
