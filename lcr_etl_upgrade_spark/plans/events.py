@@ -143,7 +143,12 @@ def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     both windows share it. The running sum carries the same event_id
     tiebreaker as the marking window: with ORDER BY ts alone, duplicate
     (user_id, ts) rows take an engine/partitioning-dependent ROWS-frame
-    order and the tied rows' session_id flips."""
+    order and the tied rows' session_id flips.
+
+    NULL-ts events are dropped explicitly: they cannot be sessionized,
+    and leaving them to window NULL ordering diverges across engines
+    (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST)."""
+    ev = ev.filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -185,6 +190,7 @@ def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL  -- unsessionizable; NULL window ordering also differs across engines
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, value,

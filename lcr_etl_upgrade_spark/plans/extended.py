@@ -510,6 +510,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              CASE WHEN event_type = 'purchase' THEN 60 ELSE 20 END AS gap_min
       FROM events WHERE user_id < 50
+        AND ts IS NOT NULL  -- unsessionizable; NULL window ordering differs across engines
     ), ordered AS (
       SELECT *,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
@@ -540,7 +541,9 @@ def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation as the oracle; F.session_window(ts, gap_col) gives the
     identical streaming-native semantics (the session extends by the gap
     of the PREVIOUS event)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50) & F.col("ts").isNotNull()
+    )
     typed = ev.select(
         "user_id",
         "event_id",

@@ -116,3 +116,74 @@ def test_json_query_matches_oracle_on_hostile_props(
     d_norm, d_cols = frame_to_rows(drows, dcols)
     assert s_cols == d_cols
     assert s_norm == d_norm
+
+
+# --------------------------------------------------------------------------
+# NULL-timestamp battery: Spark windows sort NULLS FIRST ascending where
+# DuckDB sorts NULLS LAST, so any window query over a NULLable order key
+# silently diverges. The sessionization queries drop NULL-ts events
+# explicitly (unsessionizable) on both sides; this pins that, plus the
+# non-window events queries' NULL-ts behavior.
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def null_ts_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_ts_events")
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            None if i % 7 == 0 else base + dt.timedelta(minutes=11 * (i % 13)),
+            i % 4,
+            ["click", "view", "purchase"][i % 3],
+            float(i) / 2,
+            '{"k": %d}' % i,
+        )
+        for i in range(40)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_sessionization",
+        "events_dynamic_session_gap",
+        "events_tumbling_window",
+        "events_sliding_window",
+        "events_asof_join",
+        "events_incremental_filter",
+    ],
+)
+def test_events_query_matches_oracle_on_null_ts(spark, null_ts_events_dir, name):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_oracle import frame_to_rows
+
+    sdf = entry.queries()[name](spark, null_ts_events_dir)
+    s_norm, s_cols = frame_to_rows([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{null_ts_events_dir}/events.parquet'"
+    )
+    res = con.execute(entry.oracle_sql()[name])
+    d_norm, d_cols = frame_to_rows(res.fetchall(), [d[0] for d in res.description])
+    con.close()
+
+    assert s_cols == d_cols
+    assert s_norm == d_norm
