@@ -45,14 +45,18 @@ def cosine_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k per query (exact)."""
+    """Brute-force cosine top-k per query (exact). NULL vectors are
+    unscorable and excluded on both sides (the shared ANN contract —
+    see ivf_topk / cosine_topk_vectorized)."""
     from pyspark.sql import Window as W
 
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
     )
-    scored = corpus.select(F.col(corpus_id), F.col(vec_col)).crossJoin(
-        F.broadcast(q)
+    scored = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(corpus_id), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
     )
     scored = scored.withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
@@ -132,6 +136,8 @@ def cosine_topk_lsh(
     candidate dedup and the final per-query top-k window."""
     from pyspark.sql import Window as W
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     bucket_arr = F.array(
         *[_bucket_expr(vec_col, bits, dim, t) for t in range(tables)]
     )

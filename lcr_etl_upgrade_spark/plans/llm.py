@@ -250,13 +250,18 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_cosine_topk",
     oracle="""
+    -- IS NOT NULL restates the shared ANN contract (NULL vectors are
+    -- unscorable and excluded); list_cosine_similarity also ERRORS on
+    -- NULL where Spark's expression would yield NULL
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 3 AND embedding IS NOT NULL
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                     CAST(q.qvec AS DOUBLE[])) AS cosine
       FROM embeddings e CROSS JOIN q
+      WHERE e.embedding IS NOT NULL
     ), ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id

@@ -1,4 +1,6 @@
-"""Differential check of the JSON-extraction queries on hostile props:
+"""Differential batteries for the events and embeddings tables.
+
+JSON-extraction queries on hostile props:
 NULL, malformed, truncated, non-object, empty object, unicode keys,
 null values, out-of-int32 values, string-valued and duplicate keys.
 
@@ -187,3 +189,60 @@ def test_events_query_matches_oracle_on_null_ts(spark, null_ts_events_dir, name)
 
     assert s_cols == d_cols
     assert s_norm == d_norm
+
+
+# --------------------------------------------------------------------------
+# NULL-embedding battery: NULL vectors are unscorable — every ANN path
+# (exact, LSH, vectorized, IVF) excludes them by contract, and DuckDB's
+# list_cosine_similarity ERRORS on NULL where Spark yields NULL.
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def null_embeddings_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_embeddings")
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, None if i % 9 == 0 else [float(x) for x in rng.randn(16)])
+        for i in range(60)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_cosine_topk", "embedding_cosine_near_dup"]
+)
+def test_embedding_query_matches_oracle_on_null_vectors(
+    spark, null_embeddings_dir, name
+):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_oracle import frame_to_rows
+
+    sdf = entry.queries()[name](spark, null_embeddings_dir)
+    s_norm, s_cols = frame_to_rows([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{null_embeddings_dir}/embeddings.parquet'"
+    )
+    res = con.execute(entry.oracle_sql()[name])
+    d_norm, d_cols = frame_to_rows(res.fetchall(), [d[0] for d in res.description])
+    con.close()
+
+    assert s_cols == d_cols
+    assert s_norm == d_norm
+    assert s_norm, "battery must not trivially pass on zero rows"
