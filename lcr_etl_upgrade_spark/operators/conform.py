@@ -40,16 +40,35 @@ def conform_columns(
     dropped; target columns with no source arrive as typed nulls
     (ingest.py:664-668).
     """
-    lower_to_actual = {c.lower(): c for c in df.columns}
+    lower_to_actuals: dict[str, list[str]] = {}
+    for c in df.columns:
+        lower_to_actuals.setdefault(c.lower(), []).append(c)
+
+    def resolve(name_lower: str) -> str | None:
+        """Case-insensitive lookup; a REFERENCED collision ('Id' and 'ID'
+        both present, e.g. from JSON ingestion) raises a precise error
+        here instead of an opaque ambiguous-reference AnalysisException
+        at select time. Unreferenced collisions stay harmless — those
+        columns are dropped by the projection anyway."""
+        actuals = lower_to_actuals.get(name_lower, [])
+        if len(actuals) > 1:
+            raise ValueError(
+                f"cannot conform case-insensitively: source columns "
+                f"{actuals} collide on {name_lower!r}"
+            )
+        return actuals[0] if actuals else None
+
     target_to_source: dict[str, str] = {}
     for src_lower, tgt in mapping.items():
-        actual = lower_to_actual.get(src_lower.lower())
+        actual = resolve(src_lower.lower())
         if actual is not None:
             target_to_source[tgt] = actual
     # Unmapped source columns that already carry a target name pass through.
     for name, _ in target:
-        if name not in target_to_source and name.lower() in lower_to_actual:
-            target_to_source[name] = lower_to_actual[name.lower()]
+        if name not in target_to_source:
+            actual = resolve(name.lower())
+            if actual is not None:
+                target_to_source[name] = actual
 
     cols: list[Column] = []
     for name, dtype in target:

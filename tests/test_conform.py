@@ -70,3 +70,22 @@ def test_validate_schema_missing_column(spark):
     target = T.StructType([T.StructField("NOPE", T.StringType(), True)])
     with pytest.raises(ValueError, match="missing column: NOPE"):
         validate_schema(df, target)
+
+
+def test_conform_referenced_case_collision_raises_precisely(spark):
+    """'Id' and 'ID' both present (routine after permissive JSON reads):
+    resolving either must raise a clear ValueError naming the columns,
+    not an ambiguous-reference AnalysisException at select time; a
+    collision in a column nothing references stays harmless."""
+    import pytest
+
+    from lcr_etl_upgrade_spark.operators.conform import conform_columns
+
+    df = spark.createDataFrame([(1, 2, "x")], ["Id", "ID", "name"])
+    with pytest.raises(ValueError, match="collide on 'id'"):
+        conform_columns(df, {"id": "T_ID"}, [("T_ID", "long")])
+
+    # unreferenced collision: Id/ID dropped, name conforms fine
+    out = conform_columns(df, {"name": "T_NAME"}, [("T_NAME", "string")])
+    assert out.columns == ["T_NAME"]
+    assert out.collect()[0].T_NAME == "x"
