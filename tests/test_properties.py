@@ -895,3 +895,46 @@ def test_sessionize_matches_python_fold(spark, events):
                 sum(v for _, v in members),
             )
     assert got == want, (events, got, want)
+
+
+# --------------------------------------------------------------------------
+# Two INDEPENDENT sessionization formulations — F.session_window (the
+# streaming-unified operator) and the lag/cumsum batch plan — must carve
+# identical sessions on arbitrary event sets (duplicate timestamps and
+# exact 30-minute boundary gaps included).
+# --------------------------------------------------------------------------
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 120),  # minutes offset
+            st.integers(0, 50),  # integer-valued amount
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_session_window_equals_lag_cumsum_formulation(spark, events):
+    import datetime as dt
+
+    from lcr_etl_upgrade_spark.plans.events import sessionize
+    from lcr_etl_upgrade_spark.streaming.windows import sessionized_stream
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), float(v))
+        for i, (u, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    via_window = {
+        (r.user_id, str(r.session_start), r.n_events, r.session_value)
+        for r in sessionized_stream(df, gap="30 minutes").collect()
+    }
+    via_cumsum = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in sessionize(df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))).collect()
+    }
+    assert via_window == via_cumsum, events
