@@ -63,9 +63,15 @@ class WatermarkStore:
         keys: list[str] = []
         if len(lines) > 1 and lines[1].strip():
             try:
-                keys = [str(k) for k in json.loads(lines[1])]
+                parsed = json.loads(lines[1])
             except ValueError:
-                keys = []  # unreadable state -> plain >= re-select semantics
+                parsed = None  # unreadable state -> plain >= re-select semantics
+            # Only a JSON *array* is the boundary-key format. A scalar second
+            # line (legacy single-key formats: a bare number raised TypeError
+            # on iteration; a quoted string sheared into per-character phantom
+            # keys that could wrongly exclude live rows) degrades to plain >=.
+            if isinstance(parsed, list):
+                keys = [str(k) for k in parsed]
         return lines[0].strip(), keys
 
     def write_state(self, table: str, value: str, boundary_keys: list[str]) -> None:
@@ -198,7 +204,24 @@ def run_incremental(
                         # run and duplicate them — union instead.
                         new_boundary = list(dict.fromkeys(boundary + new_boundary))
                         if len(new_boundary) > MAX_BOUNDARY_KEYS:
-                            new_boundary = []
+                            # Truncate, never clear: every key here WAS written,
+                            # so keeping any subset only prevents duplicates —
+                            # clearing would re-admit ALL watermark-instant rows
+                            # next run (the exact hazard the union exists for).
+                            # The dropped tail re-selects next run: duplicates
+                            # possible for those keys only, never data loss.
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "boundary keys for %s exceed MAX_BOUNDARY_KEYS "
+                                "(%d > %d) with a standing watermark; truncating"
+                                " — append idempotence is partial for this "
+                                "table until the watermark advances",
+                                table,
+                                len(new_boundary),
+                                MAX_BOUNDARY_KEYS,
+                            )
+                            new_boundary = new_boundary[:MAX_BOUNDARY_KEYS]
             store.write_state(table, new_wm_str, new_boundary)
         return int(result["n"])
     finally:

@@ -292,6 +292,9 @@ def ivf_topk(
     )
 
 
+MAX_QUERY_ROWS = 65_536
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -299,6 +302,7 @@ def cosine_topk_vectorized(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Brute-force cosine top-k via an Arrow-batched numpy matmul
     (mapInPandas): the vectorized alternative to the expression-based
@@ -312,6 +316,14 @@ def cosine_topk_vectorized(
     expressions; numpy's SIMD/pairwise summation makes results differ from
     sequential accumulation in the last ulp, so this variant is rows-only
     for the oracle (the expression form is the hash-checked baseline).
+
+    SIZE CONTRACT (same model as MAX_BOUNDARY_KEYS in incremental.py):
+    the query side is driver-collected, so it must be broadcast-sized.
+    More than ``max_queries`` (default 65,536 ≈ 34 MB of 64-dim float64
+    plus ids) raises ValueError with a remedy instead of OOMing the
+    driver or shipping a multi-GB closure to every task. For a large
+    query side, use cosine_topk_lsh / ivf_topk (both keep the query side
+    distributed), or chunk the queries and union the results.
     """
     from collections.abc import Iterator
 
@@ -319,18 +331,31 @@ def cosine_topk_vectorized(
     import pandas as pd
     from pyspark.sql import Window as W
 
+    q_t = queries.schema[query_id].dataType.simpleString()
+    c_t = corpus.schema[corpus_id].dataType.simpleString()
     # NULL vectors are unscorable and would turn the numpy matrices into
     # ragged object arrays — drop them on both sides (same contract as
     # ivf_topk)
-    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(
-        query_id, vec_col
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(query_id, vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_vectorized collects the query side to the driver; "
+            f"got more than max_queries={max_queries} rows. Use "
+            f"cosine_topk_lsh or ivf_topk for a distributed query side, "
+            f"chunk the queries and union the results, or raise max_queries "
+            f"explicitly if the driver can hold the matrix."
+        )
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     if not q_rows:
         # an empty query matrix has no axis-1 to norm over; return the
         # empty result rather than an executor-side numpy shape error
         return corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+            [], f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double, rank int"
         )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -353,7 +378,7 @@ def cosine_topk_vectorized(
             )
 
     scored = corpus.select(corpus_id, vec_col).mapInPandas(
-        score, f"{query_id} long, {corpus_id} long, cosine double"
+        score, f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double"
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (

@@ -170,8 +170,31 @@ def raise_if_missing_avro(exc: Exception) -> None:
     ORC); its absence surfaces as an AnalysisException naming the missing
     datasource. Rewrap that one failure as the documented
     NotImplementedError seam — shared by read_avro and the avro sink so
-    the match and the remedy text can't drift apart."""
-    if "avro" in str(exc).lower() and "find" in str(exc).lower():
+    the match and the remedy text can't drift apart.
+
+    The match is the SPECIFIC missing-datasource condition — the
+    DATA_SOURCE_NOT_FOUND error class when the exception carries one,
+    else Spark's exact "Failed to find the data source: avro" message —
+    never a loose substring test, so an unrelated Avro failure whose text
+    happens to contain 'find' is re-raised untouched instead of being
+    masked with a misleading classpath remedy."""
+    condition = None
+    for probe in ("getCondition", "getErrorClass"):
+        getter = getattr(exc, probe, None)
+        if callable(getter):
+            try:
+                condition = getter()
+            except Exception:
+                condition = None
+            if condition:
+                break
+    msg = str(exc).lower()
+    is_missing_datasource = (
+        condition == "DATA_SOURCE_NOT_FOUND"
+        or "failed to find the data source: avro" in msg
+        or "failed to find data source: avro" in msg  # pre-3.5 wording
+    )
+    if is_missing_datasource and "avro" in msg:
         raise NotImplementedError(
             "spark-avro is not on the classpath; add "
             "org.apache.spark:spark-avro_2.13 via spark.jars.packages"

@@ -302,3 +302,59 @@ def test_ivf_topk_skips_null_embeddings(spark):
     assert {r.query_id for r in got_v} == {9}
     assert all(r.vec_id in (1, 3) for r in got_v)
     assert cosine_topk_vectorized(all_null, queries, k=2, query_id="query_id").count() == 0
+
+
+def test_vectorized_scorer_query_side_bound(spark):
+    """The vectorized scorer driver-collects the query side; more than
+    max_queries rows must fail fast with a remedy, not OOM the driver
+    (the MAX_BOUNDARY_KEYS-style size contract)."""
+    import pytest
+
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    queries = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_vectorized(
+            corpus, queries, k=1, query_id="query_id", max_queries=4
+        )
+    # at the bound it works
+    got = cosine_topk_vectorized(
+        corpus, queries, k=1, query_id="query_id", max_queries=5
+    )
+    assert got.count() == 5
+
+
+def test_vectorized_scorer_string_ids_schema_derived(spark):
+    """String-keyed callers: both the empty-query branch and the
+    mapInPandas output schema must carry the INPUT id types (they were
+    hardcoded 'long', so string ids produced a schema mismatch)."""
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", [1.0, 0.0]), ("c2", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("qa", [1.0, 0.0])], "query_id string, embedding array<float>"
+    )
+    got = cosine_topk_vectorized(corpus, queries, k=1, query_id="query_id")
+    assert dict(got.dtypes)["query_id"] == "string"
+    assert dict(got.dtypes)["vec_id"] == "string"
+    rows = got.collect()
+    assert [(r.query_id, r.vec_id) for r in rows] == [("qa", "c1")]
+    # empty-query branch: same derived schema
+    empty_q = queries.filter(F.lit(False))
+    got_e = cosine_topk_vectorized(corpus, empty_q, k=1, query_id="query_id")
+    # nullability legitimately differs (row_number is non-null); names and
+    # types must not
+    assert got_e.dtypes == got.dtypes
+    assert got_e.count() == 0

@@ -517,3 +517,51 @@ def test_watermark_store_boundary_keys_roundtrip_hostile_strings(tmp_path):
     with open(store._path("t"), "w") as fh:
         fh.write("2024-06-05 00:00:00\nnot-json[")
     assert store.read_state("t") == ("2024-06-05 00:00:00", [])
+
+
+def test_watermark_store_legacy_scalar_state_degrades(tmp_path):
+    """A second line holding a JSON *scalar* (legacy single-key formats)
+    must degrade to plain >= semantics — a bare number used to raise
+    TypeError on iteration, and a quoted string sheared into per-character
+    phantom keys that could wrongly exclude live rows at the watermark."""
+    store = WatermarkStore(str(tmp_path))
+    for scalar in ("12345", '"abc"', "null", "true", '{"k": 1}'):
+        with open(store._path("t"), "w") as fh:
+            fh.write("2024-06-05 00:00:00\n" + scalar)
+        wm, keys = store.read_state("t")
+        assert wm == "2024-06-05 00:00:00"
+        assert keys == []  # never ['a','b','c'], never a crash
+
+
+def test_boundary_key_overflow_truncates_never_clears(
+    spark, tmp_path, monkeypatch
+):
+    """Standing watermark + boundary union over MAX_BOUNDARY_KEYS: the
+    state must keep a truncated subset of WRITTEN keys, never be cleared —
+    clearing would re-admit every watermark-instant row next run as
+    duplicates into a plain append sink. Dropped-tail keys may duplicate
+    (the documented partial-idempotence degrade); re-admitting the whole
+    instant must not happen."""
+    from lcr_etl_upgrade_spark.operators import incremental as inc
+
+    monkeypatch.setattr(inc, "MAX_BOUNDARY_KEYS", 3)
+    store = WatermarkStore(str(tmp_path / "wm"))
+    out = str(tmp_path / "out")
+    sink = lambda d: d.write.mode("append").parquet(out)  # noqa: E731
+    ts = dt.datetime(2024, 6, 5)
+    old = dt.datetime(2024, 1, 1)
+    df = _frame(spark, [(1, ts, old), (2, ts, old)])
+    assert run_incremental(spark, df, "t", store, sink, key_col="id") == 2
+    wm, b1 = store.read_state("t")
+    assert wm == "2024-06-05 00:00:00" and sorted(b1) == ["1", "2"]
+    # two NEW rows at the standing watermark instant: union = 4 keys > cap 3
+    df2 = df.union(_frame(spark, [(3, ts, old), (4, ts, old)]))
+    assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 2
+    _, b2 = store.read_state("t")
+    assert len(b2) == 3  # truncated, NOT cleared
+    assert set(b2) <= {"1", "2", "3", "4"}  # every kept key was written
+    assert set(b1) <= set(b2)  # prior keys survive (union order)
+    # third run re-admits ONLY the one dropped-tail key (a duplicate, not
+    # data loss) — with the old clearing behavior this would be 4
+    assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 1
+    assert spark.read.parquet(out).count() == 5

@@ -188,3 +188,31 @@ def test_text_documents_whole_file_and_lines(spark, tmp_path):
         "delta",
         "gamma",
     ]
+
+
+def test_avro_gate_matches_only_missing_datasource():
+    """raise_if_missing_avro must rewrap ONLY the missing-datasource
+    condition; an unrelated Avro failure whose text contains 'find'
+    passes through untouched (no misleading classpath remedy)."""
+    from lcr_etl_upgrade_spark.sources.registry import raise_if_missing_avro
+
+    # unrelated error mentioning both words: NOT rewrapped
+    raise_if_missing_avro(
+        Exception("could not find field 'x' in avro record schema")
+    )
+
+    # the real condition by message (both historical wordings)
+    for msg in (
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro.",
+        "Failed to find data source: avro. Please find packages at ...",
+    ):
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            raise_if_missing_avro(Exception(msg))
+
+    # the real condition by error class, terse message
+    class _CondExc(Exception):
+        def getCondition(self):
+            return "DATA_SOURCE_NOT_FOUND"
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        raise_if_missing_avro(_CondExc("avro"))
