@@ -62,6 +62,52 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     )
 
 
+# Analyzed-plan node heads that are provably NARROW (no exchange when the
+# plan is finalized): probing .rdd under such a plan never executes a
+# shuffle stage. A WHITELIST, not a blacklist — any node not listed
+# (Join, Aggregate, Window, Sort, set-ops, shuffling Repartition, and
+# anything future Spark versions add) means "can't prove the probe is
+# free", which only skips the widening optimization, never executes
+# anything.
+_SCAN_SAFE_NODE_HEADS = frozenset(
+    {
+        "Relation",  # file/datasource scan
+        "LogicalRDD",  # createDataFrame
+        "LocalRelation",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "Generate",  # explode/posexplode — narrow
+        "View",
+    }
+)
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when every node of the analyzed logical plan is provably
+    narrow — i.e. probing ``df.rdd`` is free (a leaf scan / pure
+    projection+filter lineage). Inspecting the ANALYZED plan triggers
+    analysis only, never execution. ``Repartition ..., false`` (coalesce)
+    is narrow and accepted; ``Repartition ..., true`` shuffles and is
+    not."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False  # can't prove it's a scan -> don't probe
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-|")
+        if not stripped:
+            continue
+        head = stripped.split(" ", 1)[0].rstrip(",")
+        if head == "Repartition":
+            if stripped.rstrip().endswith("false"):  # coalesce: narrow
+                continue
+            return False
+        if head not in _SCAN_SAFE_NODE_HEADS:
+            return False
+    return True
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Widen narrow inputs to the session's parallelism before the
     CPU-heavy tokenize/hash step: a small-file scan (1-2 splits) would
@@ -71,13 +117,19 @@ def _fan_out(df: DataFrame) -> DataFrame:
     with thousands of splits and a repartition would be a pointless
     full-corpus shuffle.
 
-    Only call this on SCAN-shaped inputs: the ``.rdd`` partition-count
-    probe is free on a leaf scan, but under AQE it must EXECUTE any
-    upstream exchange stages to finalize the plan — probing a post-join
-    DataFrame would run (and then discard) the join's shuffles just to
-    read a number. Callers whose input is already behind a shuffle pass
-    ``widen=False`` instead: shuffle output arrives at
-    spark.sql.shuffle.partitions-way parallelism by construction."""
+    The ``.rdd`` partition-count probe is free on a leaf scan, but under
+    AQE it must EXECUTE any upstream exchange stages to finalize the
+    plan — probing a post-join DataFrame would run (and then discard)
+    the join's shuffles just to read a number. That hazard is closed
+    STRUCTURALLY here: the analyzed logical plan is walked first
+    (analysis-only, no execution) and any shuffle-inducing node —
+    join/aggregate/window/sort/repartition/set-op — disables the probe
+    entirely, because shuffle output already arrives at
+    spark.sql.shuffle.partitions-way parallelism by construction. The
+    ``widen=False`` flag on callers remains as an explicit opt-out, but
+    a caller that forgets it can no longer trigger exchange execution."""
+    if not _is_scan_shaped(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -358,3 +358,43 @@ def test_vectorized_scorer_string_ids_schema_derived(spark):
     # types must not
     assert got_e.dtypes == got.dtypes
     assert got_e.count() == 0
+
+
+def test_fan_out_never_probes_post_shuffle_plans(spark):
+    """The _fan_out partition probe must be structurally disabled on any
+    plan behind a shuffle: under AQE, .rdd on a post-join DataFrame
+    EXECUTES the join's exchanges just to read a partition count. A
+    post-join/post-agg input must come back untouched (identity) with
+    zero Spark jobs run; a narrow scan-shaped input must still widen."""
+    from lcr_etl_upgrade_spark.operators.dedup import _fan_out, _is_scan_shaped
+
+    sc = spark.sparkContext
+    narrow = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "id long, text string"
+    ).coalesce(1)
+    assert _is_scan_shaped(narrow.select("id", "text"))
+    assert _is_scan_shaped(narrow.filter(F.col("id") > 2))
+
+    joined = narrow.alias("a").join(narrow.alias("b"), "id")
+    agged = narrow.groupBy("text").count()
+    assert not _is_scan_shaped(joined)
+    assert not _is_scan_shaped(agged)
+    assert not _is_scan_shaped(narrow.repartition(4))
+
+    sc.setJobGroup("fanout_probe_guard", "must run nothing")
+    try:
+        out_j = _fan_out(joined)
+        out_a = _fan_out(agged)
+        assert out_j is joined  # identity: no probe, no repartition
+        assert out_a is agged
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("fanout_probe_guard"))
+            == []
+        ), "probing a post-shuffle plan executed Spark jobs"
+    finally:
+        sc.setJobGroup("default", "")
+
+    # scan-shaped narrow input still widens to defaultParallelism
+    widened = _fan_out(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == sc.defaultParallelism
