@@ -6,7 +6,13 @@ as views), and compares row count, column names/kinds, and values
 (column-name-sorted, row-sorted, exact — floats must match to the last
 digit of a repr round-trip, which is stricter than any sane hasher).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-query artifact in the driver's
+CORRECTNESS_r{N}.json shape (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) so every registered query carries a
+durable green row each round (committed as ORACLE_FULL_r{N}.json), not
+just the driver-pinned subset.
 """
 
 from __future__ import annotations
@@ -45,9 +51,27 @@ def frame_to_rows(rows, columns):
     return out, [columns[i] for i in order]
 
 
+def _row(rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from lcr_etl_upgrade_spark.session import get_session
@@ -72,10 +96,12 @@ def main() -> int:
             scols = sdf.columns
         except Exception as exc:
             failures.append(name)
+            report[name] = _row(None, None, None, None, None, f"spark error: {exc}")
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = _row(None, None, None, len(srows), None, "no_oracle")
             if len(srows) == 0:
                 print(f"      WARNING: zero rows")
             continue
@@ -85,6 +111,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            report[name] = _row(None, None, None, len(srows), None, f"duckdb error: {exc}")
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -103,11 +130,26 @@ def main() -> int:
                     print(f"      spark: {a}")
                     print(f"      duck : {b}")
                     break
+        report[name] = _row(
+            len(s_norm) == len(d_norm),
+            s_cols == d_cols,
+            s_norm == d_norm,
+            len(s_norm),
+            len(d_norm),
+            "; ".join(status) or None,
+        )
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
             print(f"PASS  {name} ({len(s_norm)} rows, {time.time()-t0:.1f}s)")
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"\nwrote {json_out} ({len(report)} queries)")
 
     print()
     if failures:
