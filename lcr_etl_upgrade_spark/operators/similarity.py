@@ -7,11 +7,21 @@
   probe only their bucket — the 100 TB scale path (candidates shrink by
   ~2^bits) with identical scoring afterwards.
 
-No UDFs anywhere: zip_with/aggregate compile to Catalyst expressions.
+Engine split (deliberate): relational structure — filters, joins,
+windows, dedup — is Catalyst expressions; DENSE LINEAR ALGEBRA — the
+hyperplane projections (_buckets_udf) and the vectorized scorer
+(cosine_topk_vectorized) — is Arrow-batched numpy, because interpreted
+higher-order array functions evaluate multiply-adds ~3 orders of
+magnitude slower than a BLAS matmul (measured round 4: 4s vs <0.1s for
+32 planes x 2000 rows) and unrolled expression trees are no better.
+Scoring in the oracled exact paths stays expression-based
+(zip_with/aggregate) so DuckDB hash-parity is bit-exact.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,7 +44,50 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """Precondition: both vectors have positive norm. Under ANSI mode
+    (Spark 4 default) a zero-norm operand is not a NaN, it is a
+    DIVIDE_BY_ZERO *error* (found by the vectorized/exact rank-set
+    property test, round 4) — hot paths score with safe_cosine_expr
+    (NULL on zero norm, no extra pass); paths that must guarantee
+    positive norms up front filter via scorable()."""
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def safe_cosine_expr(a: Column, b: Column) -> Column:
+    """cosine_expr made total: try_divide yields NULL where either norm
+    is zero (and NaN where a coordinate is NaN). Callers filter
+    ``isNotNull & !isnan`` on the RESULT — the zero-norm exclusion
+    contract at zero additional passes, since the norms are computed for
+    the division anyway. (A standalone pre-filter on dot(v,v) > 0
+    measured +0.5s per side at sf0.1: interpreted higher-order dot, paid
+    per row per relation on the bench-headline exact paths.)"""
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def _drop_unscorable(scored: DataFrame) -> DataFrame:
+    """Filter applied AFTER safe_cosine_expr scoring: NULL cosine = a
+    zero-norm side (no direction), NaN = a NaN coordinate. Both are
+    unscorable by the shared ANN contract."""
+    c = F.col("cosine")
+    return scored.filter(c.isNotNull() & ~F.isnan(c))
+
+
+def sc_parallelism(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def scorable(df: DataFrame, vec_col: str) -> DataFrame:
+    """The shared ANN scorability contract: NULL vectors and zero-norm
+    vectors are unscorable under cosine (no direction) and are excluded
+    on both sides of every similarity operator. Zero-norm additionally
+    matters for totality: ANSI division makes 0/0 an error, not NaN.
+
+    This standalone filter costs an interpreted dot product per row —
+    use it only where positive norms must hold BEFORE scoring (ivf_topk
+    normalizes vectors for training/assignment); scoring paths get the
+    same exclusion for free via safe_cosine_expr + _drop_unscorable."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (dot_expr(c, c) > 0))
 
 
 def cosine_topk(
@@ -45,9 +98,9 @@ def cosine_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k per query (exact). NULL vectors are
-    unscorable and excluded on both sides (the shared ANN contract —
-    see ivf_topk / cosine_topk_vectorized)."""
+    """Brute-force cosine top-k per query (exact). NULL and zero-norm
+    vectors are unscorable and excluded on both sides (the shared ANN
+    contract — fused into scoring, see safe_cosine_expr)."""
     from pyspark.sql import Window as W
 
     q = queries.filter(F.col(vec_col).isNotNull()).select(
@@ -58,8 +111,10 @@ def cosine_topk(
         .select(F.col(corpus_id), F.col(vec_col))
         .crossJoin(F.broadcast(q))
     )
-    scored = scored.withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
+    scored = _drop_unscorable(
+        scored.withColumn(
+            "cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec"))
+        )
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (
@@ -69,48 +124,94 @@ def cosine_topk(
     )
 
 
-def _bucket_expr(vec_col: str, bits: int, dim: int, table: int = 0) -> Column:
-    """One hyperplane-LSH bucket id: sign pattern against ``bits`` fixed
-    pseudo-random hyperplanes. Plane coefficients derive from
-    xxhash64(table*bits + bit, coordinate) — deterministic, reproducible,
-    no driver-side state; distinct ``table`` values give independent
-    plane sets (the multi-table OR-amplification lever)."""
-    v = _to_double(F.col(vec_col))
+def _plane_lits(bits: int, dim: int, table: int) -> list[list[float]]:
+    """Plane coefficients for one table: ``bits`` rows of ``dim`` uniform
+    [-1, 1) floats from a Mersenne-Twister stream seeded by (table, bit)
+    — deterministic across runs, machines and Python versions (the MT
+    algorithm is specified), no driver-side state to ship. Distinct
+    ``table`` values give independent plane sets (the multi-table
+    OR-amplification lever).
 
-    def plane_for(b: int) -> Column:
-        # Factory closure (not a `b=b` default arg — that changes the lambda
-        # arity and PySpark binds the 2-arg (element, index) form instead).
-        # Coefficients pseudo-random in [-1, 1), reproducible from (b, i).
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                (F.xxhash64(F.lit(table * bits + b), i) % F.lit(10_000)).cast(
-                    "double"
-                )
-                / F.lit(5_000.0)
-            ),
-        )
+    Computed in PYTHON and embedded as literals: the previous
+    formulation derived each coefficient per row with
+    sequence->transform->xxhash64 — row-independent constants that
+    Catalyst does not constant-fold through a higher-order function, so
+    every row re-built every plane array interpreted (measured 5.4s for
+    the 8-table registered top-k at sf0.1; literal planes cut the
+    per-row work to just the multiply-adds)."""
+    import random
 
-    bucket = F.lit(0).cast("long")
+    planes = []
     for b in range(bits):
-        proj = F.aggregate(
-            F.zip_with(v, plane_for(b), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return bucket
+        rng = random.Random(table * 1_000_003 + b)  # one stream per plane
+        planes.append([rng.uniform(-1.0, 1.0) for _ in range(dim)])
+    return planes
+
+
+def _buckets_udf(bits: int, dim: int, tables: int, probes: int):
+    """Arrow-vectorized hyperplane bucketing: a pandas UDF mapping an
+    embedding to its ``tables x probes`` bucket ids (flattened
+    table-major: element ``t*probes + p`` is table t's p-th probe; probe
+    0 is the base bucket).
+
+    WHY A UDF when the rest of this module brags about expressions: the
+    projection V @ P.T is dense linear algebra — tables*bits*dim
+    multiply-adds PER ROW. Spark's higher-order array functions evaluate
+    it interpreted (~4s for 32 planes over 2000 rows at sf0.1), and an
+    unrolled element_at expression tree (4K nodes) measured no better
+    cold or warm. One numpy matmul per Arrow batch does the same work in
+    microseconds and is exactly the cosine_topk_vectorized precedent:
+    Python in the plan, but Arrow-batched and BLAS-backed, never
+    per-row. The bucketing stays map-side (no shuffle, no state); only
+    the relational steps around it are expressions.
+
+    Multi-probe (probes > 1): each extra probe is the base bucket with
+    one of the ``probes - 1`` LOWEST-|projection| bits flipped — the
+    planes the vector sits closest to, exactly the sign flips a true
+    near-neighbor is most likely to differ by (Lv et al.'s multi-probe
+    LSH insight). Probing 3-4 buckets per table buys roughly the recall
+    of 3-4x the tables at ~1x the projection cost, because the
+    projections are shared by every variant. Bit ties on |proj| break by
+    bit index ascending (stable argsort) — deterministic.
+
+    NULL embeddings map to NULL (callers exclude them via scorable();
+    the guard keeps the UDF total anyway)."""
+    mat = np.array(
+        [p for t in range(tables) for p in _plane_lits(bits, dim, t)],
+        dtype=np.float64,
+    )  # (tables*bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
+        v = np.array(list(vecs[mask]), dtype=np.float64)  # (m, dim)
+        proj = v @ mat.T  # (m, tables*bits)
+        sgn = (proj >= 0).reshape(-1, tables, bits)
+        base = (sgn * weights).sum(axis=2, dtype=np.int64)  # (m, tables)
+        if probes <= 1:
+            res = base[:, :, None]
+        else:
+            absr = np.abs(proj).reshape(-1, tables, bits)
+            order = np.argsort(absr, axis=2, kind="stable")[:, :, : probes - 1]
+            flips = base[:, :, None] ^ weights[order]  # (m, tables, probes-1)
+            res = np.concatenate([base[:, :, None], flips], axis=2)
+        rows = iter(r.tolist() for r in res.reshape(len(v), tables * probes))
+        data = [next(rows) if ok else None for ok in mask.tolist()]
+        return pd.Series(data, index=vecs.index, dtype=object)
+
+    return _udf
 
 
 def hyperplane_signature(
     df: DataFrame, vec_col: str = "embedding", bits: int = 8, dim: int = 64
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id (single table; see _bucket_expr)."""
-    return df.withColumn("lsh_bucket", _bucket_expr(vec_col, bits, dim))
+    """Random-hyperplane LSH bucket id (single table; see _buckets_udf)."""
+    return df.withColumn(
+        "lsh_bucket", F.element_at(_buckets_udf(bits, dim, 1, 1)(F.col(vec_col)), 1)
+    )
 
 
 def cosine_topk_lsh(
@@ -123,38 +224,61 @@ def cosine_topk_lsh(
     bits: int = 8,
     dim: int = 64,
     tables: int = 1,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing a hyperplane
     bucket with the query in at least one of ``tables`` independent
     tables. Recall < 1.0 by construction; the scale path.
 
-    Multi-table is the recall lever (OR-amplification): each table
-    shrinks candidates ~2^bits-fold, and a true neighbor is found if ANY
-    table buckets it with the query. Candidates duplicated across tables
-    are deduped before ranking. Per-table buckets are computed in ONE
-    projection each side (no shuffle); the only shuffles are the
+    Two recall levers, both shuffle-free map-side work:
+    - ``tables`` (OR-amplification): each table shrinks candidates
+      ~2^bits-fold; a true neighbor is found if ANY table buckets it
+      with the query. Costs ``tables x bits`` projections PER ROW on
+      BOTH sides.
+    - ``probes`` (multi-probe, query side only): each query additionally
+      probes the Hamming-1 buckets of its ``probes - 1``
+      lowest-|projection| bits. Near-free (projections are shared), and
+      only the tiny query side fans out — the corpus index stays one
+      entry per table. Measured round 4 (tools/ann_sweep.py): 8 tables x
+      3 probes beats 16 single-probe tables on recall at roughly half
+      the projection cost.
+
+    Candidates duplicated across tables/probes are deduped before
+    ranking. Per-table buckets are computed in ONE Arrow-batched matmul
+    each side (no shuffle; see _buckets_udf); the only shuffles are the
     candidate dedup and the final per-query top-k window."""
     from pyspark.sql import Window as W
 
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    bucket_arr = F.array(
-        *[_bucket_expr(vec_col, bits, dim, t) for t in range(tables)]
-    )
+    # NULL vectors need no explicit filter: _buckets_udf maps them to a
+    # NULL bucket array and posexplode emits no rows for it. Zero-norm /
+    # NaN vectors get buckets but their candidate pairs score NULL/NaN
+    # under safe_cosine_expr and are dropped there — exclusion fused
+    # into scoring instead of a per-row interpreted-dot pre-filter.
+    # corpus: one bucket per table -> posexplode position IS the table id
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col),
-        F.posexplode(bucket_arr).alias("__t", "__bucket"),
+        F.posexplode(_buckets_udf(bits, dim, tables, 1)(F.col(vec_col))).alias(
+            "__t", "__bucket"
+        ),
     )
+    # queries: tables*probes buckets, table-major -> table id = pos / probes
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qvec"),
-        F.posexplode(bucket_arr).alias("__t", "__bucket"),
+        F.posexplode(
+            _buckets_udf(bits, dim, tables, probes)(F.col(vec_col))
+        ).alias("__pos", "__bucket"),
+    ).select(
+        query_id,
+        "__qvec",
+        F.floor(F.col("__pos") / probes).cast("int").alias("__t"),
+        "__bucket",
     )
-    scored = (
+    scored = _drop_unscorable(
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .dropDuplicates([query_id, corpus_id])
-        .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("__qvec")))
+        .withColumn("cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec")))
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (
@@ -180,10 +304,16 @@ def cosine_near_dup_pairs(
     vectors land in the same bucket with high probability; recall < 1).
 
     Norms are computed once per row before pairing so the pair join does a
-    dot product only, not three.
+    dot product only, not three — and double as the scorability filter:
+    a zero-norm or NaN-coordinate vector fails ``__norm > 0`` (NaN
+    compares false) at no extra pass, so the ANSI pair division below is
+    safe without try_divide.
     """
-    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__norm", norm_expr(F.col(vec_col))
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .withColumn("__norm", norm_expr(F.col(vec_col)))
+        .filter(F.col("__norm") > 0)
     )
     if bits > 0:
         base = hyperplane_signature(base, vec_col, bits, dim)
@@ -217,6 +347,66 @@ def cosine_near_dup_pairs(
     )
 
 
+def _spherical_kmeans(
+    v: np.ndarray, k: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Seeded spherical k-means on unit-normalized rows: k-means++
+    seeding over cosine distance, then Lloyd's with mean-renormalized
+    centroids. Deterministic per (v, seed) — numpy's Generator stream is
+    specified. iters=8: an inverted-list index needs rough cells, not
+    converged ones; the sweep re-verifies recall floors. Empty clusters
+    keep their previous centroid; k is capped at len(v). Returned rows
+    are unit-norm (or the seed vector if a mean degenerated to zero)."""
+    n = len(v)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(n))]
+    d = np.full(n, np.inf)
+    for _ in range(1, k):
+        d = np.minimum(d, np.clip(1.0 - v @ v[idx[-1]], 0.0, None))
+        tot = d.sum()
+        if tot <= 0:
+            idx.append(int(rng.integers(n)))
+        else:
+            idx.append(int(rng.choice(n, p=d / tot)))
+    c = v[idx].copy()
+    for _ in range(iters):
+        assign = (v @ c.T).argmax(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                mean = v[m].mean(axis=0)
+                nm = np.linalg.norm(mean)
+                if nm > 0:
+                    c[j] = mean / nm
+    return c
+
+
+def _top_cells_udf(cents: np.ndarray, n: int):
+    """Arrow-vectorized cell chooser: embedding -> its ``n`` nearest
+    centroid ids by cosine, descending (ties by cell id ascending —
+    stable argsort on the negated sims). Centroid rows are unit-norm, so
+    cosine ranking needs only the dot products (the row's own norm is a
+    positive constant factor). Same engine rationale as _buckets_udf.
+    NULL embeddings map to NULL."""
+    cmat = cents.astype(np.float64)
+    n = min(n, len(cmat))
+
+    @F.pandas_udf("array<int>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
+        v = np.array(list(vecs[mask]), dtype=np.float64)
+        sims = v @ cmat.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        rows = iter(r.tolist() for r in top.astype(np.int32))
+        data = [next(rows) if ok else None for ok in mask.tolist()]
+        return pd.Series(data, index=vecs.index, dtype=object)
+
+    return _udf
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,61 +417,97 @@ def ivf_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_assign: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans (Spark ML) partitions the corpus
-    into inverted lists; each query scores only the n_probe nearest lists.
+    """IVF-style approximate top-k: seeded spherical k-means (trained
+    driver-side on a bounded sample — see _spherical_kmeans and the
+    comments below) partitions the corpus into inverted lists; each
+    query scores only the n_probe nearest lists.
 
-    The scale shape: centroids are tiny (driver-side model broadcast by
-    Spark ML), assignment is one map pass, and the probe join fans each
-    query out to n_probe cells — candidate count drops by
-    ~n_centroids/n_probe versus brute force, with the same exact scoring
-    afterwards.
+    The scale shape: centroids are tiny closure state, assignment is one
+    Arrow-batched map pass, and the probe join fans each query out to
+    n_probe cells — candidate count drops by ~n_centroids/n_probe versus
+    brute force, with the same exact scoring afterwards.
+
+    Metric coherence (round 4): training, assignment and probing all use
+    COSINE against unit-normalized vectors/centroids — the same metric
+    the scorer uses. Euclidean assignment on raw vectors put long
+    vectors in cells their direction never probes.
+
+    ``n_assign`` > 1 is redundant assignment: each corpus row is indexed
+    into its n_assign nearest cells. The index grows n_assign-fold (the
+    classic space-for-recall trade; a neighbor is found if ANY of its
+    cells is probed) while queries still probe n_probe cells. Measured
+    round 4 (tools/ann_sweep.py): n_assign=2 lifts cross-seed min
+    recall@10 well above what doubling n_probe buys at equal candidate
+    volume, because assignment redundancy helps exactly the
+    boundary-straddling rows that probing misses.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window as W
 
-    # a NULL vector can be neither indexed nor scored: drop such rows
-    # up front (KMeans.fit dies on null features), then handle the
-    # now-possibly-empty sides below
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    # totality at the edges: KMeans.fit throws on an empty corpus, and an
-    # empty query side would pay the fit for nothing — both yield the
-    # empty result a filter-to-nothing pipeline stage expects
-    if corpus.isEmpty() or queries.isEmpty():
+    # a NULL or zero-norm vector can be neither indexed nor scored: drop
+    # such rows up front, then handle the now-possibly-empty sides below
+    corpus = scorable(corpus, vec_col)
+    queries = scorable(queries, vec_col)
+    # totality at the edges: an empty corpus cannot train centroids, and
+    # an empty query side would pay the training for nothing — both
+    # yield the empty result a filter-to-nothing pipeline stage expects
+    # (the count doubles as the sampling denominator below)
+    n_corpus = corpus.count()
+    if n_corpus == 0 or queries.isEmpty():
         q_t = queries.schema[query_id].dataType.simpleString()
         c_t = corpus.schema[corpus_id].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double, rank int"
         )
 
-    train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-
-    assigned = model.transform(
-        corpus.withColumn("features", array_to_vector(_to_double(F.col(vec_col))))
-    ).select(F.col(corpus_id), F.col(vec_col), F.col("prediction").alias("cell"))
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        centroids, f"cell int, centroid array<double>"
+    # Centroid TRAINING is deliberately a driver-scale problem, not a
+    # Spark job: the fit sees a bounded SAMPLE (~256 rows per centroid,
+    # the standard IVF training heuristic — k-means on the full corpus
+    # is the 100 TB anti-pattern; cell quality saturates long before
+    # that, and recall is governed by n_probe/n_assign anyway), which at
+    # 256*k*dim*8 bytes is broadcast-sized state exactly like
+    # cosine_topk_vectorized's query matrix. Training in numpy on that
+    # sample replaces a Spark ML KMeans fit whose ~10 driver-coordinated
+    # jobs (k-means|| init + one job per iteration) cost 4-8s of pure
+    # scheduling at small SF — FAISS draws the same line: train
+    # in-process, index distributed. Seeded + Lloyd's on unit vectors
+    # (spherical k-means) = deterministic per (sample, seed).
+    n_train_target = 256 * n_centroids
+    frac = min(1.0, n_train_target / n_corpus)
+    train_src = (
+        corpus.sample(withReplacement=False, fraction=frac, seed=seed)
+        if frac < 1.0
+        else corpus
     )
-
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
-    # each query x centroid -> keep n_probe nearest cells
-    probe_w = W.partitionBy(query_id).orderBy(F.desc("cent_sim"), F.col("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("cent_sim", cosine_expr(F.col("__qvec"), F.col("centroid")))
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= n_probe)
-        .select(query_id, "cell", "__qvec")
+    sample = np.array(
+        [r[0] for r in train_src.select(vec_col).collect()], dtype=np.float64
     )
-    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)  # scorable: >0
+    cents = _spherical_kmeans(sample, n_centroids, seed)
+
+    # ASSIGNMENT and PROBING are one Arrow-batched numpy pass each side
+    # (the centroid matrix rides in the task closure): no crossJoin, no
+    # window, no shuffle — a corpus row maps to its n_assign nearest
+    # cells, a query to its n_probe nearest, by cosine against the SAME
+    # centroids (metric coherence: Euclidean assignment on raw vectors
+    # put long vectors in cells their direction never probes).
+    assigned = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        F.explode(_top_cells_udf(cents, n_assign)(F.col(vec_col))).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_top_cells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = assigned.join(F.broadcast(probes), "cell")
+    if n_assign > 1:
+        # a corpus row indexed into several probed cells would otherwise
+        # occupy several top-k ranks with the same cosine
+        scored = scored.dropDuplicates([query_id, corpus_id])
+    scored = scored.withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
@@ -334,8 +560,10 @@ def cosine_topk_vectorized(
     q_t = queries.schema[query_id].dataType.simpleString()
     c_t = corpus.schema[corpus_id].dataType.simpleString()
     # NULL vectors are unscorable and would turn the numpy matrices into
-    # ragged object arrays — drop them on both sides (same contract as
-    # ivf_topk)
+    # ragged object arrays — drop them on both sides; zero-norm / NaN
+    # rows are masked in numpy where the norms are computed anyway (a
+    # JVM-side interpreted-dot pre-filter measured +0.5s per relation
+    # at sf0.1)
     q_rows = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(query_id, vec_col)
@@ -351,15 +579,19 @@ def cosine_topk_vectorized(
             f"explicitly if the driver can hold the matrix."
         )
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    if not q_rows:
-        # an empty query matrix has no axis-1 to norm over; return the
-        # empty result rather than an executor-side numpy shape error
+    q_ids_all = np.array([r[0] for r in q_rows])
+    q_mat_all = np.array(
+        [r[1] for r in q_rows], dtype=np.float64
+    ) if q_rows else np.zeros((0, 1))
+    q_norm_all = np.linalg.norm(q_mat_all, axis=1) if q_rows else np.zeros(0)
+    q_ok = np.isfinite(q_norm_all) & (q_norm_all > 0)
+    if not q_ok.any():
+        # no scorable query: empty typed result rather than an
+        # executor-side numpy shape error on a zero-row matrix
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double, rank int"
         )
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_ids, q_mat, q_norm = q_ids_all[q_ok], q_mat_all[q_ok], q_norm_all[q_ok]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -367,12 +599,17 @@ def cosine_topk_vectorized(
                 continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_ok = np.isfinite(c_norm) & (c_norm > 0)
+            if not c_ok.any():
+                continue
+            c_mat, c_norm = c_mat[c_ok], c_norm[c_ok]
+            c_ids = pdf[corpus_id].to_numpy()[c_ok]
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             n_c, n_q = sims.shape
             yield pd.DataFrame(
                 {
                     query_id: np.repeat(q_ids, n_c),
-                    corpus_id: np.tile(pdf[corpus_id].to_numpy(), n_q),
+                    corpus_id: np.tile(c_ids, n_q),
                     "cosine": sims.T.ravel(),
                 }
             )

@@ -20,9 +20,11 @@ from lcr_etl_upgrade_spark.operators.similarity import cosine_topk, cosine_topk_
 
 
 def test_lsh_multi_table_recall_contract(spark):
-    """Multi-table LSH (16x4-bit) must keep >= 50% of the true top-10 per
-    query on the embeddings testdata — the declared recall floor of the
-    scale path (plans/llm.py:embedding_lsh_recall)."""
+    """Multi-probe LSH (8 tables x 4 bits x 4 probes — the registered
+    config) must keep >= 80% of the true top-10 per query on the
+    embeddings testdata — the declared recall floor of the scale path
+    (plans/llm.py:embedding_lsh_recall; round-4 sweep measured min 1.00
+    on this 500-row fixture)."""
     from pyspark.sql import functions as F2
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -36,7 +38,7 @@ def test_lsh_multi_table_recall_contract(spark):
     approx = {
         (r.query_id, r.vec_id)
         for r in cosine_topk_lsh(
-            emb, qs, k=10, query_id="query_id", bits=4, tables=16
+            emb, qs, k=10, query_id="query_id", bits=4, tables=8, probes=4
         ).collect()
     }
     per_q: dict[int, list[int]] = {}
@@ -44,7 +46,7 @@ def test_lsh_multi_table_recall_contract(spark):
         per_q.setdefault(q, [0, 0])[0] += 1
     for q, _ in exact & approx:
         per_q[q][1] += 1
-    assert all(h / t >= 0.5 for t, h in per_q.values()), per_q
+    assert all(h / t >= 0.8 for t, h in per_q.values()), per_q
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
@@ -222,7 +224,8 @@ def test_cosine_topk_vectorized_matches_exact(spark):
 
 def test_recall_contracts_hold_at_floor_across_seeds(spark):
     """The registered ANN recall contracts (plans/llm.py) must hold at
-    their floors — LSH 0.6 (deterministic planes, one config), IVF 0.5
+    their round-4 floors — LSH 0.8 (deterministic planes, 8 tables x 4
+    bits x 4 multi-probes), IVF 0.7 (16 cells x 8 probes x n_assign=2)
     across KMeans seeds, not just the pinned one. Uses the real
     embeddings fixture (500 rows at every SF)."""
     from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
@@ -239,10 +242,17 @@ def test_recall_contracts_hold_at_floor_across_seeds(spark):
             spark,
             sf,
             lambda emb, q, k, s=seed: ivf_topk(
-                emb, q, k=k, n_centroids=8, n_probe=4, query_id="query_id", seed=s
+                emb,
+                q,
+                k=k,
+                n_centroids=16,
+                n_probe=8,
+                n_assign=2,
+                query_id="query_id",
+                seed=s,
             ),
             k=10,
-            floor=0.5,
+            floor=0.7,
         )
         bad = ivf.filter(~F.col("meets_floor")).count()
         assert bad == 0, f"seed {seed}: {bad} queries under floor"
@@ -398,3 +408,90 @@ def test_fan_out_never_probes_post_shuffle_plans(spark):
     widened = _fan_out(narrow)
     assert widened is not narrow
     assert widened.rdd.getNumPartitions() == sc.defaultParallelism
+
+
+# --------------------------------------------------------------------------
+# Property: vectorized (numpy matmul) and expression (sequential aggregate)
+# scorers return the SAME ranked set, across hostile shapes.
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Integer-valued components make every dot product exactly representable
+# in float64 (partial sums stay integral, well under 2^53), so numpy's
+# SIMD/pairwise summation and the expression path's sequential fold
+# compute the SAME exact value; sqrt/mul/div are correctly rounded IEEE
+# ops on identical inputs. Under this generator the rank SETS (and the
+# corpus_id tie-break order) must therefore agree EXACTLY — any
+# divergence is a real bug, not summation noise. Float-valued vectors
+# would reintroduce last-ulp reorderings; that documented tie hazard is
+# precisely what this generator excludes to keep the property sharp.
+_component = st.integers(min_value=-4, max_value=4)
+
+
+@st.composite
+def _corpus_and_queries(draw):
+    dim = draw(st.integers(min_value=1, max_value=8))
+    n_corpus = draw(st.integers(min_value=1, max_value=24))
+    vecs = draw(
+        st.lists(
+            st.lists(_component, min_size=dim, max_size=dim),
+            min_size=n_corpus,
+            max_size=n_corpus,
+        )
+    )
+    # force hostile shapes in every example: a zero vector (NaN cosine)
+    # and a duplicated vector (guaranteed score ties)
+    vecs.append([0] * dim)
+    vecs.append(list(vecs[0]))
+    n_queries = draw(st.integers(min_value=1, max_value=4))
+    q_idx = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=len(vecs) - 1),
+            min_size=n_queries,
+            max_size=n_queries,
+            unique=True,
+        )
+    )
+    return vecs, q_idx
+
+
+@given(data=_corpus_and_queries())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_vectorized_exact_rank_set_equivalence(spark, data):
+    """cosine_topk and cosine_topk_vectorized agree on the full ranked
+    result — (query_id, rank) -> vec_id — for integer-valued vectors
+    (exact float64 arithmetic on both paths), including zero-norm rows
+    (excluded by scorable() on both paths; first caught here as an ANSI
+    DIVIDE_BY_ZERO crash in the expression path) and exact-duplicate
+    vectors (ties broken by corpus_id ascending on both)."""
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+
+    vecs, q_idx = data
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in q_idx],
+        "query_id long, embedding array<double>",
+    )
+    k = min(5, len(vecs))
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk(corpus, queries, k=k, query_id="query_id").collect()
+    }
+    vect = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk_vectorized(
+            corpus, queries, k=k, query_id="query_id"
+        ).collect()
+    }
+    assert exact == vect
