@@ -274,23 +274,25 @@ def minhash_from_tokens(
     )
 
 
-def minhash_lsh_candidates(
+def _lsh_buckets(
     sigs: DataFrame,
     id_col: str,
     bands: int = 4,
     num_hashes: int = 16,
     max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Classic LSH candidate generation: band the signature, bucket on
-    (band, hash(band slice)), emit all in-bucket pairs (a < b).
+    """LSH bucket relation: one row per (band, bucket) holding the sorted
+    doc-id array of its members — the shared upstream of both the
+    candidate-pair expansion and the candidate-id set (near_dup_pairs
+    persists THIS relation: one row per bucket, instead of the pair
+    relation that is quadratic in bucket size).
 
-    Shape chosen for scale: ONE shuffle (groupBy band/bucket with
-    collect_list of ids), then pair expansion with higher-order array
-    functions — no self-join, so the signature pipeline is computed once
-    and the shuffle carries only (band, bucket, id). Buckets larger than
-    ``max_bucket`` are dropped (a degenerate bucket of size B would emit
-    B²/2 pairs — at 100 TB that's the skew guard; near-identical floods
-    should be caught by exact dedup first).
+    ONE shuffle (groupBy band/bucket with collect_list of ids); the
+    signature pipeline is computed once and the shuffle carries only
+    (band, bucket, id). Buckets larger than ``max_bucket`` are dropped
+    (a degenerate bucket of size B would emit B²/2 pairs — at 100 TB
+    that's the skew guard; near-identical floods should be caught by
+    exact dedup first) and singleton buckets pair with nothing.
     """
     rows_per_band = max(1, num_hashes // bands)
     band_structs = F.array(
@@ -315,12 +317,18 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
-    buckets = (
+    return (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )
-    # for each i: pair docs[i] with every later element (a < b by sort)
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """In-bucket pair expansion over a ``_lsh_buckets`` relation: for each
+    i, pair docs[i] with every later element (a < b by the bucket sort) —
+    row-local higher-order array functions, no self-join; then one
+    distinct to dedupe pairs co-bucketed in several bands."""
     pairs = F.flatten(
         F.transform(
             F.col("docs"),
@@ -338,6 +346,22 @@ def minhash_lsh_candidates(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    num_hashes: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Classic LSH candidate generation: band the signature, bucket on
+    (band, hash(band slice)), emit all in-bucket pairs (a < b). See
+    ``_lsh_buckets`` (the one shuffle + skew guard) and ``_bucket_pairs``
+    (row-local pair expansion)."""
+    return _bucket_pairs(
+        _lsh_buckets(sigs, id_col, bands, num_hashes, max_bucket)
     )
 
 
@@ -518,14 +542,20 @@ def near_dup_pairs(
     """
     st = shingle_hashes(df, text_col, id_col, shingle_n, widen=widen).persist()
     sigs = minhash_from_tokens(st, id_col, num_hashes)
-    candidates = minhash_lsh_candidates(
+    # Persist the BUCKET relation (one row per bucket), not the pair
+    # relation: pairs are quadratic in bucket size, and both consumers —
+    # the pair expansion and the candidate-id set — are row-local
+    # transforms of the buckets. Deriving cand_ids by exploding bucket
+    # members also keeps the distinct's input at O(bucket entries) where
+    # the old union(pairs.doc_a, pairs.doc_b) formulation fed it
+    # O(pairs) = O(B²) rows per bucket.
+    buckets = _lsh_buckets(
         sigs, id_col, bands=bands, num_hashes=num_hashes
     ).persist()
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    candidates = _bucket_pairs(buckets)
+    cand_ids = buckets.select(
+        F.explode("docs").alias(id_col)
+    ).distinct()
     # Jaccard verification touches only candidate documents' shingles.
     # The candidate-id set scales with the corpus duplicate rate, so it
     # takes NO forced broadcast: AQE broadcasts the semi-join side while
