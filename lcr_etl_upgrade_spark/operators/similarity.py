@@ -175,7 +175,13 @@ def _buckets_udf(bits: int, dim: int, tables: int, probes: int):
     bit index ascending (stable argsort) — deterministic.
 
     NULL embeddings map to NULL (callers exclude them via scorable();
-    the guard keeps the UDF total anyway)."""
+    the guard keeps the UDF total anyway).
+
+    ``probes`` is clamped to ``bits + 1`` (the base bucket plus one
+    Hamming-1 flip per plane — there are no further distinct single-bit
+    variants to probe); callers deriving a table id from a flattened
+    position must apply the same clamp (see cosine_topk_lsh)."""
+    probes = min(probes, bits + 1)
     mat = np.array(
         [p for t in range(tables) for p in _plane_lits(bits, dim, t)],
         dtype=np.float64,
@@ -263,6 +269,10 @@ def cosine_topk_lsh(
         ),
     )
     # queries: tables*probes buckets, table-major -> table id = pos / probes
+    # (same clamp as _buckets_udf: the flattened array really is
+    # tables*min(probes, bits+1) wide, and the position->table division
+    # must use that width or every table id past the first would be off)
+    probes = min(probes, bits + 1)
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qvec"),
@@ -480,9 +490,13 @@ def ivf_topk(
         if frac < 1.0
         else corpus
     )
-    sample = np.array(
-        [r[0] for r in train_src.select(vec_col).collect()], dtype=np.float64
-    )
+    rows = train_src.select(vec_col).collect()
+    if not rows:
+        # Bernoulli sampling CAN return zero rows (P ~ e^-4096, but a
+        # crash path is a crash path); fall back to an arbitrary bounded
+        # prefix — seeding quality is irrelevant in a regime this small
+        rows = corpus.select(vec_col).limit(n_train_target).collect()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)  # scorable: >0
     cents = _spherical_kmeans(sample, n_centroids, seed)
 

@@ -495,3 +495,20 @@ def test_vectorized_exact_rank_set_equivalence(spark, data):
         ).collect()
     }
     assert exact == vect
+
+
+def test_lsh_overprobing_clamps_to_bits_plus_one(spark):
+    """probes > bits+1 asks for more Hamming-1 variants than planes
+    exist; both _buckets_udf's flattened width and cosine_topk_lsh's
+    position->table arithmetic clamp to bits+1 (un-clamped, the UDF's
+    reshape crashed and the table ids drifted). Over-probing must be
+    byte-identical to the bits+1 config, not an executor error."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, query_id="query_id", bits=2, tables=2)
+    over = cosine_topk_lsh(emb, qs, probes=9, **kw).collect()
+    capped = cosine_topk_lsh(emb, qs, probes=3, **kw).collect()
+    assert sorted(map(tuple, over)) == sorted(map(tuple, capped))
+    assert len(capped) > 0
