@@ -190,7 +190,10 @@ def _buckets_udf(bits: int, dim: int, tables: int, probes: int):
 
     @F.pandas_udf("array<bigint>")
     def _udf(vecs: pd.Series) -> pd.Series:
-        mask = vecs.notna()
+        # wrong-dimension vectors are unscorable like NULLs: they would
+        # turn the batch matrix into a ragged object array (matmul
+        # crash), where the expression paths degrade them to NULL cosine
+        mask = vecs.map(lambda x: x is not None and len(x) == dim)
         if not mask.any():
             return pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
         v = np.array(list(vecs[mask]), dtype=np.float64)  # (m, dim)
@@ -398,13 +401,15 @@ def _top_cells_udf(cents: np.ndarray, n: int):
     stable argsort on the negated sims). Centroid rows are unit-norm, so
     cosine ranking needs only the dot products (the row's own norm is a
     positive constant factor). Same engine rationale as _buckets_udf.
-    NULL embeddings map to NULL."""
+    NULL and wrong-dimension embeddings map to NULL (the latter would
+    make the batch matrix ragged; same contract as _buckets_udf)."""
     cmat = cents.astype(np.float64)
     n = min(n, len(cmat))
+    dim = cmat.shape[1]
 
     @F.pandas_udf("array<int>")
     def _udf(vecs: pd.Series) -> pd.Series:
-        mask = vecs.notna()
+        mask = vecs.map(lambda x: x is not None and len(x) == dim)
         if not mask.any():
             return pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
         v = np.array(list(vecs[mask]), dtype=np.float64)
@@ -496,7 +501,14 @@ def ivf_topk(
         # crash path is a crash path); fall back to an arbitrary bounded
         # prefix — seeding quality is irrelevant in a regime this small
         rows = corpus.select(vec_col).limit(n_train_target).collect()
-    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    # the index dimension is the first sampled row's; rows of any other
+    # length would make the training matrix ragged — they are excluded
+    # from training and masked to NULL cells by _top_cells_udf, the same
+    # unscorable contract as NULL vectors
+    index_dim = len(rows[0][0])
+    sample = np.array(
+        [r[0] for r in rows if len(r[0]) == index_dim], dtype=np.float64
+    )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)  # scorable: >0
     cents = _spherical_kmeans(sample, n_centroids, seed)
 
@@ -593,6 +605,12 @@ def cosine_topk_vectorized(
             f"explicitly if the driver can hold the matrix."
         )
     corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # scoring dimension = the first query row's; any other length on
+    # either side would make its matrix ragged (object-dtype, matmul
+    # crash) — such rows are unscorable, the same contract under which
+    # the expression paths NULL their cosine
+    dim = len(q_rows[0][1]) if q_rows else 0
+    q_rows = [r for r in q_rows if len(r[1]) == dim]
     q_ids_all = np.array([r[0] for r in q_rows])
     q_mat_all = np.array(
         [r[1] for r in q_rows], dtype=np.float64
@@ -609,6 +627,8 @@ def cosine_topk_vectorized(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf):
+                pdf = pdf[pdf[vec_col].map(len) == dim]
             if not len(pdf):
                 continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)

@@ -512,3 +512,44 @@ def test_lsh_overprobing_clamps_to_bits_plus_one(spark):
     capped = cosine_topk_lsh(emb, qs, probes=3, **kw).collect()
     assert sorted(map(tuple, over)) == sorted(map(tuple, capped))
     assert len(capped) > 0
+
+
+def test_ragged_vectors_unscorable_on_every_path(spark):
+    """A wrong-dimension vector is unscorable on EVERY path — the
+    expression scorers already NULL its cosine (zip_with pads with
+    nulls), and the numpy paths (LSH bucketing, IVF training/assignment,
+    vectorized scorer) must mask it rather than crash on a ragged
+    object-dtype matrix. The ragged row must simply never appear in any
+    result; well-formed rows still rank."""
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    base = [
+        (i, [float(i == j) + 0.1 * j for j in range(8)]) for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        base + [(99, [1.0, 2.0])],  # ragged: dim 2, not 8
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, base[0][1]), (77, [3.0])],  # one good query, one ragged
+        "query_id long, embedding array<double>",
+    )
+    for fn in (
+        lambda: cosine_topk(corpus, queries, k=3, query_id="query_id"),
+        lambda: cosine_topk_lsh(
+            corpus, queries, k=3, query_id="query_id", bits=2, dim=8, tables=2
+        ),
+        lambda: ivf_topk(
+            corpus, queries, k=3, n_centroids=2, n_probe=2, query_id="query_id"
+        ),
+        lambda: cosine_topk_vectorized(corpus, queries, k=3, query_id="query_id"),
+    ):
+        rows = fn().collect()
+        assert rows, "well-formed query lost its results"
+        assert all(r.query_id == 0 for r in rows)
+        assert all(r.vec_id != 99 for r in rows)
