@@ -367,8 +367,8 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# L3: IVF-style ANN (KMeans inverted lists + n_probe — rows-only; the
-# KMeans cell assignment is engine-specific)
+# L3: IVF-style ANN (spherical-k-means inverted lists + n_probe — rows-only;
+# the cell assignment is engine-specific)
 # --------------------------------------------------------------------------
 @query("embedding_ivf_topk")
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,9 +547,10 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered embedding_cosine_topk_lsh config (8 tables x 4 bits
     x 4 multi-probes).
 
-    The planes are fully deterministic (xxhash64 of table/bit/coord — no
-    seed dimension), so the measured per-query minimum on this corpus is
-    a constant: round-4 sweep (tools/ann_sweep.py) measured min 1.00 at
+    The planes are fully deterministic (Mersenne-Twister literals seeded
+    by (table, bit) — no seed dimension), so the measured per-query
+    minimum on this corpus is a constant: round-4 sweep
+    (tools/ann_sweep.py) measured min 1.00 at
     sf0.01 and 0.90 at sf0.1 (avg 1.00/0.99). Floor 0.8 sits one
     neighbor-at-k=10 below the sf0.1 minimum — any regression in
     bucketing or probing shows up as a meets_floor=false row. Every

@@ -226,7 +226,7 @@ def test_recall_contracts_hold_at_floor_across_seeds(spark):
     """The registered ANN recall contracts (plans/llm.py) must hold at
     their round-4 floors — LSH 0.8 (deterministic planes, 8 tables x 4
     bits x 4 multi-probes), IVF 0.7 (16 cells x 8 probes x n_assign=2)
-    across KMeans seeds, not just the pinned one. Uses the real
+    across clustering seeds, not just the pinned one. Uses the real
     embeddings fixture (500 rows at every SF)."""
     from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
     from lcr_etl_upgrade_spark.plans.llm import (
@@ -260,7 +260,7 @@ def test_recall_contracts_hold_at_floor_across_seeds(spark):
 
 def test_similarity_operators_total_on_empty_inputs(spark):
     """A filter-to-nothing stage is routine at scale: empty corpus or
-    empty queries must yield an empty typed result, not a KMeans fit
+    empty queries must yield an empty typed result, not a centroid-training
     error or a numpy shape error in the task."""
     from lcr_etl_upgrade_spark.operators.similarity import (
         cosine_topk_vectorized,
@@ -286,7 +286,7 @@ def test_similarity_operators_total_on_empty_inputs(spark):
 def test_ivf_topk_skips_null_embeddings(spark):
     """Rows with NULL vectors can be neither indexed nor scored — they
     are dropped, and an all-NULL corpus degrades to the empty result
-    instead of a KMeans fit error."""
+    instead of a centroid-training error."""
     from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
 
     schema = "vec_id long, embedding array<float>"
