@@ -72,10 +72,6 @@ def _drop_unscorable(scored: DataFrame) -> DataFrame:
     return scored.filter(c.isNotNull() & ~F.isnan(c))
 
 
-def sc_parallelism(df: DataFrame) -> int:
-    return df.sparkSession.sparkContext.defaultParallelism
-
-
 def scorable(df: DataFrame, vec_col: str) -> DataFrame:
     """The shared ANN scorability contract: NULL vectors and zero-norm
     vectors are unscorable under cosine (no direction) and are excluded
