@@ -553,3 +553,50 @@ def test_ragged_vectors_unscorable_on_every_path(spark):
         assert rows, "well-formed query lost its results"
         assert all(r.query_id == 0 for r in rows)
         assert all(r.vec_id != 99 for r in rows)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(lambda ts: " ".join(ts)),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_candidates_equal_bruteforce_band_collisions(spark, docs):
+    """minhash_lsh_candidates must emit EXACTLY the pairs whose
+    signatures agree on at least one full band (the LSH definition) —
+    pinned against an O(n²) restatement over the collected signatures.
+    Small token alphabet forces both dense collisions (many shared
+    shingles) and none; the refactor into _lsh_buckets/_bucket_pairs
+    (round 4) must not change the candidate set by a single pair."""
+    from itertools import combinations
+
+    from lcr_etl_upgrade_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=8)
+    sig_map = {r.doc_id: list(r.minhash_sig) for r in sigs.collect()}
+    expected = set()
+    for a, b in combinations(sorted(sig_map), 2):
+        if any(
+            sig_map[a][band * 2 : band * 2 + 2]
+            == sig_map[b][band * 2 : band * 2 + 2]
+            for band in range(4)
+        ):
+            expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(
+            sigs, "doc_id", bands=4, num_hashes=8
+        ).collect()
+    }
+    assert got == expected
