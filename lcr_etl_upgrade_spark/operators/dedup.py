@@ -502,10 +502,10 @@ def jaccard_pairs(
     scan's partitioning — at cluster scale that's thousands of splits;
     only a narrow local scan serializes it, and there the work is small.
     """
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # Duplicate ids in the probe side are fine (semi join is
+    # duplicate-invariant); skipping the distinct saves a shuffle stage.
+    cand_ids = candidates.select(F.col("doc_a").alias(id_col)).union(
+        candidates.select(F.col("doc_b").alias(id_col))
     )
     st = shingle_tokens(
         df.join(cand_ids, id_col, "left_semi"),
@@ -553,9 +553,11 @@ def near_dup_pairs(
         sigs, id_col, bands=bands, num_hashes=num_hashes
     ).persist()
     candidates = _bucket_pairs(buckets)
-    cand_ids = buckets.select(
-        F.explode("docs").alias(id_col)
-    ).distinct()
+    # No distinct on the candidate-id probe side: a left-semi join is
+    # duplicate-invariant, so deduping here would spend a whole shuffle
+    # stage to shrink a relation that is at most ``bands``× its set size
+    # (measured 1.54s -> 1.25s on the sf0.1 headline query).
+    cand_ids = buckets.select(F.explode("docs").alias(id_col))
     # Jaccard verification touches only candidate documents' shingles.
     # The candidate-id set scales with the corpus duplicate rate, so it
     # takes NO forced broadcast: AQE broadcasts the semi-join side while
