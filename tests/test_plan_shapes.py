@@ -1,0 +1,115 @@
+"""Physical-plan shape regression tests for headline queries.
+
+tools/plan_audit.py scans all 87 registered queries for red flags as an
+offline artifact; these tests pin the STRONGER per-query properties the
+bench relies on — shuffle-exchange budgets, dimension broadcasts, parquet
+filter pushdown, and the no-row-at-a-time-Python invariant — so an edit
+that silently adds a shuffle or knocks a filter off the scan fails CI
+instead of showing up as a bench regression two rounds later.
+
+Plans are built at sf0.001 and never executed (plan construction only);
+shuffle counts are UPPER bounds so a genuine improvement passes while a
+regression trips.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import re
+
+import pytest
+
+
+def _plan(spark, name: str, sf: str = "/root/testdata/sf0.001") -> str:
+    from lcr_etl_upgrade_spark.plans import QUERIES
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf).explain()  # simple mode: one line per node
+    return buf.getvalue()
+
+
+def _shuffles(plan: str) -> int:
+    # \bExchange\b matches shuffle exchanges only (BroadcastExchange has a
+    # word character before the E, so the boundary rejects it). Count
+    # DISTINCT plan ids: simple-mode explain re-prints the lineage of a
+    # shared (persisted) subtree under every consumer branch, so raw
+    # occurrences would count one physical shuffle several times.
+    return len(
+        set(re.findall(r"\bExchange\b.*?\[plan_id=(\d+)\]", plan))
+    )
+
+
+# name -> (max shuffle exchanges, why that number is the right shape)
+SHUFFLE_BUDGET = {
+    # scan -> partial agg -> exchange -> final agg -> exchange -> sort
+    "q1_pricing_summary": 2,
+    # one window partitioning (user) + final sort; no join (lag/cumsum)
+    "events_sessionization": 2,
+    # hash-groupBy on the content hash + result ordering
+    "doc_dedup_exact": 2,
+    # 101-column conform+cleanse is ONE projection pipeline; the only
+    # wide step is the final validation ordering
+    "pipeline_lead_end_to_end": 1,
+    # minhash groupBy, LSH bucket groupBy, pair distinct (2), Jaccard
+    # collect_set + candidate join requirements — the measured r4 plan
+    # carries 7 distinct shuffles; the r3 plan (pre probe-side-distinct
+    # removal) carried more
+    "doc_minhash_near_dup": 7,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, name):
+    plan = _plan(spark, name)
+    n = _shuffles(plan)
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} shuffle exchanges (budget {SHUFFLE_BUDGET[name]})\n{plan}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "doc_minhash_near_dup",
+        "doc_dedup_exact",
+        "events_sessionization",
+        "pipeline_lead_end_to_end",
+        "merge_upsert",
+        "window_topk_per_group",
+    ],
+)
+def test_no_row_at_a_time_python(spark, name):
+    """BatchEvalPython (per-row Python UDF) must never appear; Arrow-batched
+    nodes (ArrowEvalPython / MapInPandas) are the sanctioned Python form
+    and only on paths that declare them."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q1_filter_reaches_parquet_scan(spark):
+    """The shipdate predicate must be pushed into the lineitem scan
+    (PushedFilters non-empty), not applied post-scan only."""
+    plan = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+    assert "l_shipdate" in m.group(1)
+
+
+def test_q5_broadcasts_fixed_dims(spark):
+    """region (5 rows) and nation (25 rows) are fixed-size dimensions:
+    their joins must be broadcast, never shuffled, at any SF."""
+    plan = _plan(spark, "q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_has_no_cartesian(spark):
+    """LSH candidate generation is bucketed in-array pair expansion —
+    a CartesianProduct anywhere in this plan means the self-join
+    anti-pattern crept back in."""
+    plan = _plan(spark, "doc_minhash_near_dup")
+    assert "CartesianProduct" not in plan, plan
