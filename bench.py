@@ -83,8 +83,11 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     # best-of-N: container load makes single-shot times vary up to ~8x on
-    # identical plans; the minimum is the reproducible engine cost.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # identical plans; the minimum is the reproducible engine cost. N=3:
+    # at N=2 the second run is still JIT-warming the target-SF AQE plan
+    # shapes (minhash measured 2.03s best-of-2 vs 1.78s steady-state);
+    # the cache is cleared between runs so every run is end-to-end.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
