@@ -1,0 +1,389 @@
+"""Minimal Delta Lake table support from the PUBLIC transaction-log
+protocol — no ``delta-spark`` dependency.
+
+The reference reads and writes Delta everywhere (its sync stage lands
+JDBC extracts as Delta RAW, ``/root/reference/sync.py:112-114``, and the
+ingest stage reads them back, ``/root/reference/ingest.py:644-650``).
+The ``delta-spark`` package cannot be installed in this container (no
+package index — recorded in COVERAGE.md), but the Delta transaction log
+is an open, documented format (delta.io PROTOCOL.md): a ``_delta_log/``
+directory of ordered JSON commits (plus optional parquet checkpoints)
+whose ``add``/``remove`` actions name the active parquet data files.
+
+So this module implements the protocol directly, Spark-first:
+
+- READ = log replay (driver-side, small) + one plain ``spark.read
+  .parquet`` over the active file set with the schema from ``metaData``.
+  Partitioned tables read per partition-value group with the partition
+  columns injected as typed literals; a filter on a partition column
+  then constant-folds to ``false`` on non-matching branches and Catalyst
+  prunes their scans entirely (PropagateEmptyRelation) — partition
+  pruning without a catalog. Time travel = replay to ``version``.
+- WRITE = stage parquet files, move them into the table, append one
+  atomically-created JSON commit (``open(..., "x")`` — a concurrent
+  writer loses with a clear error instead of corrupting the log).
+  Tables written here are valid protocol v1 tables (reader 1 / writer 2)
+  readable by any real Delta reader.
+
+Deliberate limits (clear errors, not wrong answers):
+- protocol ``minReaderVersion`` > 1 (column mapping, deletion vectors,
+  v2 checkpoints…) raises NotImplementedError naming the feature gap;
+- multi-part checkpoints are unsupported (single-part checkpoints work);
+- the writer is single-writer (no optimistic-concurrency retry loop) and
+  local-filesystem only — the semantics the local pipeline needs.
+
+When ``delta-spark`` IS importable, ``sources.read_delta`` and the
+``delta_overwrite`` sink use it instead; this module is the fallback
+that keeps Delta semantics runnable (and tested) here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_SINGLE = "{v:020d}.checkpoint.parquet"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+@dataclass
+class TableState:
+    """Replayed log state: the active file set and table metadata."""
+
+    version: int = -1  # last applied commit version; -1 = no table
+    # relative (decoded) file path -> partitionValues map from its add
+    files: dict[str, dict[str, str | None]] = field(default_factory=dict)
+    metadata: dict | None = None
+    protocol: dict | None = None
+
+    @property
+    def schema(self) -> T.StructType:
+        assert self.metadata is not None
+        return T.StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        assert self.metadata is not None
+        return list(self.metadata.get("partitionColumns") or [])
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(_local(path), "_delta_log")
+
+
+def _local(path: str) -> str:
+    """file: URIs -> plain paths (this module is local-fs by contract)."""
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+def _check_protocol(protocol: dict | None) -> None:
+    if protocol and int(protocol.get("minReaderVersion", 1)) > 1:
+        raise NotImplementedError(
+            "delta_lite implements protocol reader version 1; this table "
+            f"requires minReaderVersion={protocol['minReaderVersion']} "
+            f"(readerFeatures={protocol.get('readerFeatures')}). Install "
+            "delta-spark to read tables using column mapping / deletion "
+            "vectors / v2 checkpoints."
+        )
+
+
+def _apply_action(state: TableState, action: dict) -> None:
+    if "add" in action:
+        a = action["add"]
+        state.files[urllib.parse.unquote(a["path"])] = a.get(
+            "partitionValues", {}
+        )
+    elif "remove" in action:
+        state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+    elif "metaData" in action:
+        state.metadata = action["metaData"]
+    elif "protocol" in action:
+        state.protocol = action["protocol"]
+        _check_protocol(state.protocol)
+    # commitInfo / txn / cdc / domainMetadata: no effect on scan state
+
+
+def _read_checkpoint(
+    spark: SparkSession, log_dir: str, version: int
+) -> list[dict]:
+    """Single-part checkpoint -> action dicts (one non-null struct per row)."""
+    cp = os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))
+    if not os.path.exists(cp):
+        raise NotImplementedError(
+            f"checkpoint for version {version} is not a single-part "
+            f"checkpoint ({cp} missing); multi-part/v2 checkpoints need "
+            "delta-spark"
+        )
+    actions: list[dict] = []
+    for row in spark.read.parquet(cp).collect():
+        d = row.asDict(recursive=True)
+        for key in ("add", "remove", "metaData", "protocol"):
+            if d.get(key) is not None:
+                actions.append({key: d[key]})
+    return actions
+
+
+def replay_log(
+    spark: SparkSession, path: str, version: int | None = None
+) -> TableState:
+    """Reconstruct table state at ``version`` (default: latest) by replaying
+    the newest eligible checkpoint plus subsequent JSON commits in order."""
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    commits = sorted(
+        (int(m.group(1)), os.path.join(log_dir, f))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    if version is not None:
+        commits = [(v, p) for v, p in commits if v <= version]
+        if not commits or commits[-1][0] != version:
+            have = [v for v, _ in commits]
+            raise ValueError(
+                f"version {version} not found in {log_dir} "
+                f"(latest eligible: {have[-1] if have else 'none'})"
+            )
+    state = TableState()
+    start = 0
+    last_cp = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp_version = int(json.load(fh)["version"])
+        if version is None or cp_version <= version:
+            for action in _read_checkpoint(spark, log_dir, cp_version):
+                _apply_action(state, action)
+            state.version = cp_version
+            start = cp_version + 1
+    for v, commit_path in commits:
+        if v < start:
+            continue
+        with open(commit_path) as fh:
+            for line in fh:
+                if line.strip():
+                    _apply_action(state, json.loads(line))
+        state.version = v
+    if state.version < 0:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    if state.metadata is None:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    _check_protocol(state.protocol)
+    return state
+
+
+def _typed_partition_lit(value: str | None, dtype: T.DataType):
+    if value is None or value == HIVE_NULL:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def read_delta_lite(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan a Delta table via log replay (time travel via ``version``).
+
+    Partitioned tables: the active files are grouped by their
+    ``partitionValues`` and each group is read with its partition columns
+    injected as typed literals, then unioned. A later filter on a
+    partition column constant-folds per branch and Catalyst replaces
+    non-matching branches' scans with empty relations — partition
+    pruning at plan time (pinned by test_delta_lite_partition_pruning).
+    The plan grows with the number of ACTIVE partition-value groups;
+    bounded in practice by the table's partition granularity.
+    """
+    base = _local(path)
+    state = replay_log(spark, path, version)
+    schema = state.schema
+    part_cols = state.partition_columns
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    if not state.files:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        files = [os.path.join(base, p) for p in state.files]
+        return spark.read.schema(schema).parquet(*files)
+
+    by_group: dict[tuple, list[str]] = {}
+    for rel, pvals in state.files.items():
+        key = tuple(pvals.get(c) for c in part_cols)
+        by_group.setdefault(key, []).append(os.path.join(base, rel))
+    types = {f.name: f.dataType for f in schema.fields}
+    branches = []
+    for key, files in sorted(by_group.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, _typed_partition_lit(v, types[c]))
+        branches.append(df.select(*[f.name for f in schema.fields]))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _stage_and_move(
+    df: DataFrame, base: str, partition_by: tuple[str, ...]
+) -> list[tuple[str, int]]:
+    """Write ``df`` as parquet into a staging dir under the table root and
+    move the data files into place, returning [(relative path, size)].
+    Part-file names carry the job UUID, so moves cannot collide with
+    existing table files."""
+    staging = os.path.join(base, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    moved: list[tuple[str, int]] = []
+    try:
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS, .crc, ...
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(base, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                size = os.path.getsize(src)
+                shutil.move(src, dst)
+                moved.append((rel, size))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
+def _partition_values_from_rel(
+    rel: str, part_cols: list[str]
+) -> dict[str, str | None]:
+    """Recover partitionValues from the hive-style path the parquet writer
+    produced (``k=v/.../part-*.parquet``); values are dir-escaped the same
+    way URIs are (``%3A`` etc.), so unquote restores them."""
+    values: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        k, _, v = seg.partition("=")
+        if k in part_cols:
+            v = urllib.parse.unquote(v)
+            values[k] = None if v == HIVE_NULL else v
+    return {c: values.get(c) for c in part_cols}
+
+
+def write_delta_lite(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Commit ``df`` to a Delta table; returns the committed version.
+
+    overwrite = K1 with overwriteSchema semantics (the reference's write
+    disposition, sync.py:112-114): new files added, every previously
+    active file removed, metaData rewritten from ``df``'s schema.
+    append = K2/K4: files added under the EXISTING table schema; a column
+    -name mismatch raises instead of silently writing an unreadable mix.
+
+    The commit file is created with ``open(.., "x")`` — creation is the
+    commit point, and a concurrent writer gets FileExistsError (single-
+    writer semantics made explicit rather than log corruption).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    base = _local(path)
+    spark = df.sparkSession
+    try:
+        prior = replay_log(spark, path)
+    except FileNotFoundError:
+        prior = None
+
+    if prior is not None and mode == "append":
+        partition_by = tuple(prior.partition_columns)
+        want = [f.name for f in prior.schema.fields]
+        got = df.columns
+        if sorted(want) != sorted(got):
+            raise ValueError(
+                f"append schema mismatch: table has columns {sorted(want)}, "
+                f"DataFrame has {sorted(got)}; use mode='overwrite' to "
+                "replace the schema"
+            )
+        df = df.select(*want)  # name-based mapping, like the K2 sink
+
+    import time
+
+    now_ms = int(time.time() * 1000)
+    os.makedirs(_log_dir(path), exist_ok=True)
+    moved = _stage_and_move(df, base, partition_by)
+    part_cols = list(partition_by)
+
+    actions: list[dict] = []
+    version = 0 if prior is None else prior.version + 1
+    if prior is None:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    if prior is None or mode == "overwrite":
+        meta_id = prior.metadata["id"] if prior else str(uuid.uuid4())
+        actions.append(
+            {
+                "metaData": {
+                    "id": meta_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if prior is not None and mode == "overwrite":
+        for rel in prior.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": urllib.parse.quote(rel, safe="/="),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel, size in moved:
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel, safe="/="),
+                    "partitionValues": _partition_values_from_rel(
+                        rel, part_cols
+                    ),
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+    try:
+        with open(commit_path, "x") as fh:
+            for action in actions:
+                fh.write(json.dumps(action) + "\n")
+    except FileExistsError:
+        # lost the race: clean up our orphaned data files and surface it
+        for rel, _size in moved:
+            try:
+                os.remove(os.path.join(base, rel))
+            except OSError:
+                pass
+        raise FileExistsError(
+            f"concurrent commit to {path!r} at version {version}; "
+            "delta_lite is single-writer — retry after the other commit"
+        )
+    return version

@@ -116,15 +116,39 @@ def _noop(**options) -> Sink:
 
 @register("delta_overwrite")
 def _delta_overwrite(**options) -> Sink:
-    """K1 verbatim — requires delta-spark on the classpath."""
+    """K1 verbatim (overwriteSchema semantics, sync.py:112-114). Uses the
+    delta-spark datasource when importable, else the protocol-native
+    ``delta_lite`` writer (valid reader-v1/writer-v2 tables)."""
     try:
         import delta  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "delta-spark is not installed in this environment; use "
-            "parquet_overwrite for equivalent local semantics"
-        ) from exc
+    except ImportError:
+        return _DeltaLiteSink("overwrite", options)
     return Sink("delta", "overwrite", {"overwriteSchema": "true", **options})
+
+
+@register("delta_append")
+def _delta_append(**options) -> Sink:
+    """K2/K4 semantics on a Delta table (name-mapped append)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return _DeltaLiteSink("append", options)
+    return Sink("delta", "append", options)
+
+
+class _DeltaLiteSink(Sink):
+    def __init__(self, mode: str, options: dict[str, str]):
+        part = tuple(
+            p for p in options.pop("partition_by", "").split(",") if p
+        )
+        super().__init__("delta-lite", mode, options, part)
+
+    def __call__(self, df: DataFrame, path: str | None = None) -> None:
+        from lcr_etl_upgrade_spark.delta_lite import write_delta_lite
+
+        if path is None:
+            raise ValueError("delta-lite sink requires an explicit path")
+        write_delta_lite(df, path, self.mode, self.partition_by)
 
 
 @register("jdbc_append")

@@ -243,15 +243,26 @@ def read_text_documents(
     )
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """S2: Delta scan — needs delta-spark; parquet carries the local tests."""
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """S2: Delta scan (reference reads Delta RAW, ingest.py:644-650).
+
+    Uses the delta-spark datasource when importable; otherwise falls back
+    to the protocol-native log-replay reader (``delta_lite`` — public
+    PROTOCOL.md semantics over plain parquet scans, incl. time travel
+    via ``version``), so the Delta runtime path executes here even
+    though the package cannot be installed in this container."""
     try:
         import delta  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "delta-spark is not installed; read_parquet covers local testing"
-        ) from exc
-    return spark.read.format("delta").option("inferSchema", "false").load(path)
+    except ImportError:
+        from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+        return read_delta_lite(spark, path, version)
+    reader = spark.read.format("delta").option("inferSchema", "false")
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    return reader.load(path)
 
 
 def read_watermark_text(spark: SparkSession, path: str) -> str | None:

@@ -1,0 +1,305 @@
+"""Delta protocol-native reader/writer (delta_lite) — the S2/K-delta
+runtime path executing without delta-spark.
+
+Covers: roundtrip, append vs overwrite semantics, time travel, schema
+enforcement, partitioned tables (typed values, NULL partitions, plan-time
+pruning through the union), externally-authored logs (hand-written JSON,
+remove actions, checkpoint replay), and the documented limits (protocol
+v>1, concurrent commit)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.delta_lite import (
+    read_delta_lite,
+    replay_log,
+    write_delta_lite,
+)
+
+
+def _df(spark, rows, schema="id long, name string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v = write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    assert v == 0
+    got = read_delta_lite(spark, path)
+    assert got.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert sorted((r.id, r.name) for r in got.collect()) == [(1, "a"), (2, "b")]
+    # the log is real protocol v1: one commit with protocol+metaData+adds
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    assert actions[0]["protocol"] == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    assert any("metaData" in a for a in actions)
+    assert all(
+        a["add"]["size"] > 0 for a in actions if "add" in a
+    )
+
+
+def test_append_accumulates_overwrite_replaces(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    v1 = write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    assert v1 == 1
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+    v2 = write_delta_lite(_df(spark, [(9, "z")]), path, mode="overwrite")
+    assert v2 == 2
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
+
+
+def test_time_travel_reads_prior_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="overwrite")
+    assert {r.id for r in read_delta_lite(spark, path, version=0).collect()} == {1}
+    assert {r.id for r in read_delta_lite(spark, path, version=1).collect()} == {2}
+    with pytest.raises(ValueError, match="version 5 not found"):
+        read_delta_lite(spark, path, version=5)
+
+
+def test_append_column_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        write_delta_lite(
+            _df(spark, [(1.0,)], "other double"), path, mode="append"
+        )
+
+
+def test_append_maps_columns_by_name(spark, tmp_path):
+    """K2 semantics: append reorders by name against the table schema."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(
+        _df(spark, [("b", 2)], "name string, id long"), path, mode="append"
+    )
+    got = {(r.id, r.name) for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_partitioned_roundtrip_typed_and_null(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(1, 10, "x"), (2, 20, "y"), (3, None, "z")],
+        "id long, bucket int, payload string",
+    )
+    write_delta_lite(df, path, partition_by=("bucket",))
+    got = read_delta_lite(spark, path)
+    # partition column comes back TYPED (int, not string) and NULLs survive
+    assert dict(got.dtypes)["bucket"] == "int"
+    rows = {(r.id, r.bucket) for r in got.collect()}
+    assert rows == {(1, 10), (2, 20), (3, None)}
+    # appends inherit the table's partitioning without restating it
+    write_delta_lite(
+        _df(spark, [(4, 10, "w")], "id long, bucket int, payload string"),
+        path,
+        mode="append",
+    )
+    st = replay_log(spark, path)
+    assert st.partition_columns == ["bucket"]
+    assert {
+        pv["bucket"] for pv in st.files.values()
+    } == {"10", "20", None}
+
+
+def test_partition_pruning_through_union(spark, tmp_path):
+    """A filter on the partition column must prune non-matching branches at
+    PLAN time: their literal predicate constant-folds to false and the
+    scan disappears — at most one parquet scan survives."""
+    path = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(i, i % 3, "p") for i in range(30)],
+        "id long, part int, payload string",
+    )
+    write_delta_lite(df, path, partition_by=("part",))
+    q = read_delta_lite(spark, path).filter(F.col("part") == 1)
+    assert q.count() == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_externally_authored_log(spark, tmp_path):
+    """A log this writer did not produce (URL-encoded path, explicit
+    remove action, unknown commitInfo action) replays correctly."""
+    path = tmp_path / "ext"
+    (path / "_delta_log").mkdir(parents=True)
+    spark.range(3).select(F.col("id")).write.parquet(str(path / "staging"))
+    parts = [
+        f for f in os.listdir(path / "staging") if f.endswith(".parquet")
+    ]
+    for i, f in enumerate(parts):
+        os.rename(path / "staging" / f, path / f"data-{i}.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}
+        ),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+        for i in range(len(parts)):
+            fh.write(json.dumps(
+                {"add": {"path": f"data-{i}.parquet",
+                         "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True}}) + "\n")
+    # second commit removes every file -> table is empty but typed
+    with open(path / "_delta_log" / f"{1:020d}.json", "w") as fh:
+        for i in range(len(parts)):
+            fh.write(json.dumps(
+                {"remove": {"path": f"data-{i}.parquet",
+                            "deletionTimestamp": 1,
+                            "dataChange": True}}) + "\n")
+    assert read_delta_lite(spark, str(path), version=0).count() == 3
+    empty = read_delta_lite(spark, str(path))
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<id:bigint>"
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """State resumes from a single-part parquet checkpoint: commits before
+    it are not re-read (they are DELETED here to prove it)."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    st = replay_log(spark, path)
+    # author a checkpoint at the current version, delta-protocol shape
+    rows = []
+    for rel, pv in st.files.items():
+        rows.append({"add": {"path": rel, "partitionValues": pv, "size": 1,
+                             "modificationTime": 0, "dataChange": True},
+                     "metaData": None, "protocol": None})
+    rows.append({"add": None, "metaData": st.metadata, "protocol": None})
+    rows.append({"add": None, "metaData": None, "protocol": st.protocol})
+    import pandas as pd
+
+    cp = os.path.join(path, "_delta_log", f"{st.version:020d}.checkpoint.parquet")
+    spark.createDataFrame(pd.DataFrame({"raw": [json.dumps(r) for r in rows]})) \
+        .select(F.from_json(
+            "raw",
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:long,modificationTime:long,dataChange:boolean>,"
+            "metaData struct<id:string,format:struct<provider:string>,"
+            "schemaString:string,partitionColumns:array<string>>,"
+            "protocol struct<minReaderVersion:int,minWriterVersion:int>",
+        ).alias("a")).select("a.*").coalesce(1).write.mode("overwrite") \
+        .parquet(cp + ".d")
+    part = next(f for f in os.listdir(cp + ".d") if f.endswith(".parquet"))
+    os.rename(os.path.join(cp + ".d", part), cp)
+    with open(os.path.join(path, "_delta_log", "_last_checkpoint"), "w") as fh:
+        json.dump({"version": st.version, "size": len(rows)}, fh)
+    # delete the pre-checkpoint commits: replay MUST NOT need them
+    for v in range(st.version + 1):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+    # and a post-checkpoint commit still applies on top
+    write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2, 3}
+
+
+def test_protocol_v2_raises(spark, tmp_path):
+    path = tmp_path / "t"
+    (path / "_delta_log").mkdir(parents=True)
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                          "minWriterVersion": 7,
+                                          "readerFeatures": ["deletionVectors"]
+                                          }}) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
+        read_delta_lite(spark, str(path))
+
+
+def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """Two writers replaying the same snapshot race for the same version
+    file; the open('x') commit point makes the loser fail loudly (and
+    clean up its staged data files) instead of clobbering the log."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    stale = replay_log(spark, path)  # snapshot BEFORE the racer commits
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write("\n")  # the racer wins version 1
+    monkeypatch.setattr(dl, "replay_log", lambda *a, **k: stale)
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    # the loser's data files were rolled back: state is still version 1's
+    monkeypatch.undo()
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_not_a_delta_table(spark, tmp_path):
+    spark.range(2).write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(FileNotFoundError, match="no _delta_log"):
+        read_delta_lite(spark, str(tmp_path / "plain"))
+
+
+def test_registry_paths_use_delta_lite(spark, tmp_path):
+    """Without delta-spark, sources.read_delta and the delta sinks run on
+    the protocol-native path instead of raising (S2 ungated)."""
+    from lcr_etl_upgrade_spark.sinks.registry import write
+    from lcr_etl_upgrade_spark.sources.registry import read_delta
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(1, "a")]), "delta_overwrite", path)
+    write(_df(spark, [(2, "b")]), "delta_append", path)
+    got = read_delta(spark, path)
+    assert {r.id for r in got.collect()} == {1, 2}
+    assert {r.id for r in read_delta(spark, path, version=0).collect()} == {1}
+
+
+def test_reference_flow_sync_to_delta_to_ingest(spark, tmp_path):
+    """The reference's actual storage flow, end to end on delta_lite:
+    source -> sync (audit enrichment + reconciliation) -> Delta RAW
+    (overwriteSchema disposition, sync.py:112-114) -> ingest re-reads the
+    Delta table (ingest.py:644-650). Previously this composition only ran
+    over a parquet twin."""
+    from lcr_etl_upgrade_spark.sinks.registry import write
+    from lcr_etl_upgrade_spark.sources.registry import read_delta
+    from lcr_etl_upgrade_spark.sync import sync_table
+
+    raw = str(tmp_path / "RAW" / "t")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], ["id", "v"]
+    )
+    result = sync_table(
+        src,
+        "t",
+        sink=lambda d: write(d, "delta_overwrite", raw),
+        verify_reader=lambda: read_delta(spark, raw),
+        source_count=8,
+        as_of="2026-01-01 00:00:00",
+    )
+    assert result.reconciled and result.reconciliation == "3-way"
+    back = read_delta(spark, raw)
+    assert back.count() == 8
+    assert "ETL_CREATED_DATE" in back.columns
+    # a second sync run overwrites (not duplicates) — the reference's
+    # full-load disposition; version 0 still holds the first load
+    sync_table(
+        src.limit(3),
+        "t",
+        sink=lambda d: write(d, "delta_overwrite", raw),
+        verify_reader=lambda: read_delta(spark, raw),
+        source_count=3,
+        as_of="2026-01-02 00:00:00",
+    )
+    assert read_delta(spark, raw).count() == 3
+    assert read_delta(spark, raw, version=0).count() == 8

@@ -67,9 +67,14 @@ def test_watermark_text_roundtrip(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*")) == 1  # coalesce(1): single file
 
 
-def test_delta_sink_gated(spark):
-    with pytest.raises((NotImplementedError, Exception)):
-        get_sink("delta_overwrite")
+def test_delta_sink_resolves_without_delta_spark(spark):
+    """delta-spark is not installed here, but the delta sinks no longer
+    gate on it: they resolve to the protocol-native delta_lite writer
+    (roundtrip + semantics covered in tests/test_delta_lite.py)."""
+    from lcr_etl_upgrade_spark.sinks.registry import _DeltaLiteSink
+
+    assert isinstance(get_sink("delta_overwrite"), _DeltaLiteSink)
+    assert isinstance(get_sink("delta_append"), _DeltaLiteSink)
 
 
 def test_csv_corrupt_record_capture(spark, tmp_path):
