@@ -386,4 +386,88 @@ def write_delta_lite(
             f"concurrent commit to {path!r} at version {version}; "
             "delta_lite is single-writer — retry after the other commit"
         )
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        # best-effort (a failed checkpoint never fails the commit — the
+        # JSON log alone is authoritative); bounds replay to at most
+        # CHECKPOINT_INTERVAL commits however long the table lives
+        try:
+            write_checkpoint(spark, path)
+        except Exception:
+            pass
     return version
+
+
+CHECKPOINT_INTERVAL = 10  # delta-spark's default cadence
+
+
+def write_checkpoint(spark: SparkSession, path: str) -> int:
+    """Materialize the current replayed state as a single-part parquet
+    checkpoint + ``_last_checkpoint`` pointer (the protocol's replay
+    shortcut): subsequent reads replay from here instead of from version
+    0, so log-replay cost stays bounded by CHECKPOINT_INTERVAL no matter
+    how many commits the table accumulates. Returns the checkpointed
+    version."""
+    state = replay_log(spark, path)
+    base = _local(path)
+    log_dir = _log_dir(path)
+
+    def _size(rel: str) -> int:
+        try:
+            return os.path.getsize(os.path.join(base, rel))
+        except OSError:
+            return 0
+
+    rows = [
+        {
+            "add": {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "partitionValues": pv,
+                "size": _size(rel),
+                "modificationTime": 0,
+                "dataChange": False,
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for rel, pv in sorted(state.files.items())
+    ]
+    rows.append({"add": None, "metaData": state.metadata, "protocol": None})
+    rows.append(
+        {
+            "add": None,
+            "metaData": None,
+            "protocol": state.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
+    )
+    action_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>,"
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:long>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    staging = os.path.join(log_dir, f"_cp-staging-{uuid.uuid4().hex}")
+    (
+        spark.createDataFrame([(json.dumps(r),) for r in rows], "raw string")
+        .select(F.from_json("raw", action_schema).alias("a"))
+        .select("a.*")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    cp_path = os.path.join(
+        log_dir, _CHECKPOINT_SINGLE.format(v=state.version)
+    )
+    shutil.move(os.path.join(staging, part), cp_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = os.path.join(log_dir, f"_last_checkpoint.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": state.version, "size": len(rows)}, fh)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return state.version

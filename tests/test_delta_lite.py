@@ -303,3 +303,28 @@ def test_reference_flow_sync_to_delta_to_ingest(spark, tmp_path):
     )
     assert read_delta(spark, raw).count() == 3
     assert read_delta(spark, raw, version=0).count() == 8
+
+
+def test_writer_auto_checkpoints_and_bounds_replay(spark, tmp_path):
+    """Version 10 triggers the automatic checkpoint; replay afterwards
+    resumes from it (proved by deleting every pre-checkpoint commit) and
+    the table keeps accepting commits on top."""
+    from lcr_etl_upgrade_spark.delta_lite import CHECKPOINT_INTERVAL
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(0, "r0")]), path)
+    for i in range(1, CHECKPOINT_INTERVAL + 1):
+        write_delta_lite(_df(spark, [(i, f"r{i}")]), path, mode="append")
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == CHECKPOINT_INTERVAL
+    for v in range(CHECKPOINT_INTERVAL):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_lite(spark, path)
+    assert {r.id for r in got.collect()} == set(range(CHECKPOINT_INTERVAL + 1))
+    # checkpoint add.size is the real on-disk size (protocol fidelity)
+    st = replay_log(spark, path)
+    assert st.version == CHECKPOINT_INTERVAL
+    write_delta_lite(_df(spark, [(99, "z")]), path, mode="append")
+    assert 99 in {r.id for r in read_delta_lite(spark, path).collect()}
