@@ -1,0 +1,507 @@
+"""Minimal Avro Object Container File support from the PUBLIC Avro
+specification (avro.apache.org/docs — file container format + binary
+encoding) — no spark-avro jar, no avro/fastavro package.
+
+The spark-avro datasource needs a Maven-resolved jar this container
+cannot fetch (no network; recorded in COVERAGE.md). The format itself is
+open and simple: a header (magic ``Obj\\x01``, metadata map carrying the
+writer schema JSON and codec, 16-byte sync marker) followed by data
+blocks (row count, byte length, binary-encoded rows, sync marker).
+
+Spark-first split, mirroring ``delta_lite``:
+- READ: one driver-side header peek resolves the writer schema to a
+  Spark ``StructType``; the files then stream through ``binaryFile`` +
+  ``mapInPandas``, each task decoding whole container files (bounded-
+  file contract, like ``read_text_documents``). The DECODE loop is
+  per-row Python — correct, but orders slower than the JVM datasource;
+  at cluster scale the spark-avro jar remains the fast path and every
+  error message says so.
+- WRITE: ``df.foreachPartition`` writes one container file per non-empty
+  partition into the target directory (distributed; local-filesystem
+  contract, same as delta_lite) with the schema translated from the
+  DataFrame's.
+
+Supported types (both directions): null, boolean, int, long, float,
+double, bytes, string, record, array, map, union (only ``[null, T]`` —
+the nullable encoding), enum (reads as string), fixed (reads as binary),
+logical date (int days) and timestamp-micros (long). Codecs: ``null``
+and ``deflate`` on read, ``null`` on write. Anything else raises
+NotImplementedError naming the spark-avro remedy.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_REMEDY = "use the spark-avro datasource (spark.jars.packages) for this"
+
+
+# ---------------------------------------------------------------- binary --
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint (the int/long wire format)."""
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        if n & ~0x7F:
+            out.write(bytes([(n & 0x7F) | 0x80]))
+            n >>= 7
+        else:
+            out.write(bytes([n]))
+            return
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+def _write_bytes(out: io.BytesIO, data: bytes) -> None:
+    _write_long(out, len(data))
+    out.write(data)
+
+
+# ---------------------------------------------------------------- schema --
+
+
+def _logical(schema: dict) -> str | None:
+    return schema.get("logicalType") if isinstance(schema, dict) else None
+
+
+def avro_to_spark_type(schema) -> T.DataType:
+    """Avro schema (parsed JSON) -> Spark type. Unions other than
+    ``[null, T]`` have no faithful Spark column type — refused."""
+    if isinstance(schema, str):
+        prim = {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        if schema in prim:
+            return prim[schema]
+        raise NotImplementedError(f"avro type {schema!r}: {_REMEDY}")
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(
+                f"general avro union {schema!r}: {_REMEDY}"
+            )
+        return avro_to_spark_type(non_null[0])
+    t = schema["type"]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], avro_to_spark_type(f["type"]), nullable=True
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]))
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "int" and _logical(schema) == "date":
+        return T.DateType()
+    if t == "long" and _logical(schema) == "timestamp-micros":
+        return T.TimestampType()
+    if isinstance(t, (str, list, dict)):
+        return avro_to_spark_type(t)  # {"type": "string"} wrapper form
+    raise NotImplementedError(f"avro schema {schema!r}: {_REMEDY}")
+
+
+def spark_to_avro_schema(dt: T.DataType, name: str = "row"):
+    prim = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.ShortType(): "int",
+        T.ByteType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.BinaryType(): "bytes",
+        T.StringType(): "string",
+    }
+    if dt in prim:
+        return prim[dt]
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", spark_to_avro_schema(f.dataType, f.name)],
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "array",
+            "items": ["null", spark_to_avro_schema(dt.elementType, name)],
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError(f"avro maps need string keys: {_REMEDY}")
+        return {
+            "type": "map",
+            "values": ["null", spark_to_avro_schema(dt.valueType, name)],
+        }
+    raise NotImplementedError(f"no avro mapping for {dt}: {_REMEDY}")
+
+
+# ---------------------------------------------------------------- decode --
+
+
+def _decoder(schema):
+    """Compile an avro schema into ``f(BytesIO) -> python value``."""
+    if isinstance(schema, str):
+        simple = {
+            "null": lambda b: None,
+            "boolean": lambda b: b.read(1) == b"\x01",
+            "int": _read_long,
+            "long": _read_long,
+            "float": lambda b: struct.unpack("<f", b.read(4))[0],
+            "double": lambda b: struct.unpack("<d", b.read(8))[0],
+            "bytes": _read_bytes,
+            "string": lambda b: _read_bytes(b).decode("utf-8"),
+        }
+        return simple[schema]
+    if isinstance(schema, list):
+        subs = [_decoder(s) for s in schema]
+
+        def union(b):
+            return subs[_read_long(b)](b)
+
+        return union
+    t = schema["type"]
+    if t == "record":
+        fields = [(f["name"], _decoder(f["type"])) for f in schema["fields"]]
+
+        def record(b):
+            return {name: dec(b) for name, dec in fields}
+
+        return record
+    if t == "array":
+        item = _decoder(schema["items"])
+
+        def array(b):
+            out = []
+            while True:
+                n = _read_long(b)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(b)  # block byte size: unused when decoding all
+                out.extend(item(b) for _ in range(n))
+
+        return array
+    if t == "map":
+        val = _decoder(schema["values"])
+
+        def mp(b):
+            out = {}
+            while True:
+                n = _read_long(b)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(b)
+                for _ in range(n):
+                    # key must be read BEFORE the value: in `d[k] = v`
+                    # Python evaluates the RHS first, which would consume
+                    # the value bytes ahead of the key bytes
+                    key = _read_bytes(b).decode("utf-8")
+                    out[key] = val(b)
+            return out
+
+        return mp
+    if t == "enum":
+        symbols = schema["symbols"]
+        return lambda b: symbols[_read_long(b)]
+    if t == "fixed":
+        size = schema["size"]
+        return lambda b: b.read(size)
+    if t == "int" and _logical(schema) == "date":
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        return lambda b: epoch + dt.timedelta(days=_read_long(b))
+    if t == "long" and _logical(schema) == "timestamp-micros":
+        import datetime as dt
+
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return lambda b: (
+            epoch + dt.timedelta(microseconds=_read_long(b))
+        ).replace(tzinfo=None)
+    if isinstance(t, (str, list, dict)):
+        return _decoder(t)
+    raise NotImplementedError(f"avro schema {schema!r}: {_REMEDY}")
+
+
+def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
+    """-> (writer schema (parsed), codec, sync marker)."""
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}: {_REMEDY}")
+    schema = json.loads(meta["avro.schema"])
+    return schema, codec, buf.read(16)
+
+
+def decode_container(data: bytes) -> tuple[dict, list]:
+    """One container file -> (writer schema, decoded rows)."""
+    buf = io.BytesIO(data)
+    schema, codec, sync = _read_header(buf)
+    dec = _decoder(schema)
+    rows = []
+    while buf.tell() < len(data):
+        n_rows = _read_long(buf)
+        block = _read_bytes(buf)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw DEFLATE per spec
+        bb = io.BytesIO(block)
+        rows.extend(dec(bb) for _ in range(n_rows))
+        if buf.read(16) != sync:
+            raise ValueError("avro block sync marker mismatch")
+    return schema, rows
+
+
+# ---------------------------------------------------------------- encode --
+
+
+def _encoder(schema):
+    """Compile an avro schema into ``f(BytesIO, value) -> None``."""
+    if isinstance(schema, str):
+        simple = {
+            "null": lambda o, v: None,
+            "boolean": lambda o, v: o.write(b"\x01" if v else b"\x00"),
+            "int": _write_long,
+            "long": _write_long,
+            "float": lambda o, v: o.write(struct.pack("<f", v)),
+            "double": lambda o, v: o.write(struct.pack("<d", v)),
+            "bytes": lambda o, v: _write_bytes(o, bytes(v)),
+            "string": lambda o, v: _write_bytes(o, v.encode("utf-8")),
+        }
+        return simple[schema]
+    if isinstance(schema, list):  # writer only emits [null, T]
+        enc = _encoder([s for s in schema if s != "null"][0])
+
+        def union(o, v):
+            if v is None:
+                _write_long(o, schema.index("null"))
+            else:
+                _write_long(o, 1 - schema.index("null"))
+                enc(o, v)
+
+        return union
+    t = schema["type"]
+    if t == "record":
+        fields = [(f["name"], _encoder(f["type"])) for f in schema["fields"]]
+
+        def record(o, v):
+            get = v.get if isinstance(v, dict) else lambda k: v[k]
+            for name, enc in fields:
+                enc(o, get(name))
+
+        return record
+    if t == "array":
+        item = _encoder(schema["items"])
+
+        def array(o, v):
+            if v:
+                _write_long(o, len(v))
+                for x in v:
+                    item(o, x)
+            _write_long(o, 0)
+
+        return array
+    if t == "map":
+        val = _encoder(schema["values"])
+
+        def mp(o, v):
+            if v:
+                _write_long(o, len(v))
+                for k, x in v.items():
+                    _write_bytes(o, k.encode("utf-8"))
+                    val(o, x)
+            _write_long(o, 0)
+
+        return mp
+    if t == "int" and _logical(schema) == "date":
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        return lambda o, v: _write_long(o, (v - epoch).days)
+    if t == "long" and _logical(schema) == "timestamp-micros":
+        import datetime as dt
+
+        epoch = dt.datetime(1970, 1, 1)
+
+        def ts(o, v):
+            delta = v.replace(tzinfo=None) - epoch
+            _write_long(o, round(delta.total_seconds() * 1e6))
+
+        return ts
+    raise NotImplementedError(f"avro schema {schema!r}: {_REMEDY}")
+
+
+def encode_container(schema: dict, rows, sync: bytes | None = None) -> bytes:
+    """Rows (dicts for records) -> one null-codec container file."""
+    sync = sync or os.urandom(16)
+    enc = _encoder(schema)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    _write_long(out, 2)
+    _write_bytes(out, b"avro.schema")
+    _write_bytes(out, json.dumps(schema).encode("utf-8"))
+    _write_bytes(out, b"avro.codec")
+    _write_bytes(out, b"null")
+    _write_long(out, 0)
+    out.write(sync)
+    rows = list(rows)
+    if rows:
+        block = io.BytesIO()
+        for r in rows:
+            enc(block, r)
+        _write_long(out, len(rows))
+        _write_bytes(out, block.getvalue())
+        out.write(sync)
+    return out.getvalue()
+
+
+# ----------------------------------------------------------------- spark --
+
+
+def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
+    """S8 Avro scan without the spark-avro jar: driver-side header peek
+    resolves the schema; files then decode distributed (binaryFile +
+    mapInPandas, one task per file batch). Every file must carry a
+    schema whose field NAMES match the first file's (the reader decodes
+    each file with its own writer schema, so physical evolution like
+    added defaults is out of scope — the spark-avro jar covers that)."""
+    import glob as _glob
+
+    local = path[len("file:") :] if path.startswith("file:") else path
+    candidates = (
+        [local]
+        if os.path.isfile(local)
+        else sorted(
+            _glob.glob(os.path.join(local, "*.avro"))
+            or _glob.glob(os.path.join(local, "part-*"))
+        )
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no avro container files under {path!r}")
+    with open(candidates[0], "rb") as fh:
+        schema, _codec, _sync = _read_header(io.BytesIO(fh.read(1 << 20)))
+    spark_schema = avro_to_spark_type(schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise NotImplementedError(
+            f"top-level avro type must be a record, got {schema!r}"
+        )
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                fschema, rows = decode_container(bytes(content))
+                got = [f["name"] for f in fschema["fields"]]
+                if got != names:
+                    raise ValueError(
+                        f"avro file field names {got} != {names}"
+                    )
+                yield pd.DataFrame(
+                    {n: [r[n] for r in rows] for n in names}
+                ) if rows else pd.DataFrame({n: [] for n in names})
+
+    binary = (
+        spark.read.format("binaryFile")
+        .load([f"file:{os.path.abspath(c)}" for c in candidates])
+        .select("content")
+    )
+    return binary.mapInPandas(decode, spark_schema)
+
+
+def write_avro_lite(df: DataFrame, path: str) -> None:
+    """Distributed write: one null-codec container file per non-empty
+    partition (``foreachPartition`` — per-partition imperative file IO is
+    the one place the DataFrame API genuinely hands over). Local
+    filesystem only, same contract as delta_lite."""
+    local = path[len("file:") :] if path.startswith("file:") else path
+    os.makedirs(local, exist_ok=True)
+    schema = spark_to_avro_schema(df.schema, name="spark_row")
+    names = df.columns
+
+    def write_partition(rows) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        import itertools
+
+        data = encode_container(
+            schema,
+            ({n: r[n] for n in names} for r in itertools.chain([first], it)),
+        )
+        target = os.path.join(local, f"part-{uuid.uuid4().hex}.avro")
+        with open(target, "wb") as fh:
+            fh.write(data)
+
+    df.foreachPartition(write_partition)

@@ -15,6 +15,7 @@ the connector-backed sinks behind import-tries:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -91,9 +92,10 @@ def _orc_overwrite(**options) -> Sink:
 
 @register("avro_overwrite")
 def _avro_overwrite(**options) -> Sink:
-    """Avro write — needs the external spark-avro module (see
-    sources.read_avro). The classpath failure surfaces at write time as
-    an AnalysisException; _AvroSink rewraps it as the documented seam."""
+    """Avro write — the spark-avro module when on the classpath, else the
+    container-format-native ``avro_lite`` writer (one container file per
+    non-empty partition via foreachPartition; see sources.read_avro for
+    the matching read path)."""
     return _AvroSink("avro", "overwrite", options)
 
 
@@ -104,7 +106,22 @@ class _AvroSink(Sink):
         try:
             super().__call__(df, path)
         except Exception as exc:
-            raise_if_missing_avro(exc)
+            try:
+                raise_if_missing_avro(exc)
+            except NotImplementedError:
+                from lcr_etl_upgrade_spark.avro_lite import write_avro_lite
+
+                if path is None:
+                    raise ValueError(
+                        "avro-lite sink requires an explicit path"
+                    ) from exc
+                import shutil
+
+                local = path.removeprefix("file:")
+                if self.mode == "overwrite" and os.path.isdir(local):
+                    shutil.rmtree(local)
+                write_avro_lite(df, path)
+                return
             raise
 
 

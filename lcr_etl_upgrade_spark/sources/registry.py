@@ -204,16 +204,31 @@ def raise_if_missing_avro(exc: Exception) -> None:
 def read_avro(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """S8: Avro scan — requires the external spark-avro datasource module.
-    Raises NotImplementedError with the remedy when the module is absent
-    so callers see a documented seam, not a raw classpath error."""
+    """S8: Avro scan. Uses the spark-avro datasource when it is on the
+    classpath; when the specific missing-datasource condition fires, the
+    protocol-native ``avro_lite`` reader (public container-file spec,
+    binaryFile + mapInPandas decode) carries the runtime path — slower
+    per row than the JVM datasource (its error messages say so) but
+    executable and tested here. Any OTHER Avro failure is re-raised
+    untouched. An explicit ``schema`` applies a post-read cast/projection
+    on the lite path (the writer schema still drives the decode)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
     except Exception as exc:  # AnalysisException: failed to find data source
-        raise_if_missing_avro(exc)
+        try:
+            raise_if_missing_avro(exc)
+        except NotImplementedError:
+            from lcr_etl_upgrade_spark.avro_lite import read_avro_lite
+
+            df = read_avro_lite(spark, path)
+            if schema is not None:
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                )
+            return df
         raise
 
 

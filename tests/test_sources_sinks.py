@@ -161,8 +161,11 @@ def test_orc_predicate_pushdown_reaches_scan(spark, tmp_path):
 
 
 def test_avro_gated_or_working(spark, tmp_path):
-    """spark-avro is an external module; if absent both directions raise
-    the documented NotImplementedError, if present they roundtrip."""
+    """Avro roundtrips either way: through the spark-avro datasource when
+    on the classpath, else through the container-native avro_lite
+    fallback (tests/test_avro_lite.py covers that path in depth) — the
+    NotImplementedError branch remains only for environments where the
+    fallback itself is unavailable."""
     from lcr_etl_upgrade_spark.sources.registry import read_avro
 
     path = str(tmp_path / "a")
