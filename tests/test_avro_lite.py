@@ -244,3 +244,80 @@ def test_corrupt_container_fails_loudly():
     bad = good[:-1] + bytes([good[-1] ^ 0xFF])
     with pytest.raises(ValueError, match="sync marker"):
         decode_container(bad)
+
+
+# ----------------------------------------------------------- properties --
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PSETTINGS = settings(max_examples=200, deadline=None)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@_PSETTINGS
+def test_zigzag_varint_roundtrip(n):
+    from lcr_etl_upgrade_spark.avro_lite import _read_long, _write_long
+
+    out = io.BytesIO()
+    _write_long(out, n)
+    assert _read_long(io.BytesIO(out.getvalue())) == n
+
+
+# a recursive strategy pairing a random avro schema with a matching value
+def _schema_and_value(depth=2):
+    base = st.one_of(
+        st.tuples(st.just("long"),
+                  st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        st.tuples(st.just("string"), st.text(max_size=20)),
+        st.tuples(st.just("boolean"), st.booleans()),
+        st.tuples(st.just("double"),
+                  st.floats(allow_nan=False, allow_infinity=False)),
+        st.tuples(st.just("bytes"), st.binary(max_size=20)),
+    )
+    if depth == 0:
+        return base
+    sub = _schema_and_value(depth - 1)
+    nullable = sub.flatmap(
+        lambda sv: st.one_of(
+            st.just((["null", sv[0]], None)),
+            st.just((["null", sv[0]], sv[1])),
+        )
+    )
+    arrays = st.lists(sub, min_size=0, max_size=4).flatmap(
+        lambda svs: st.just(
+            (
+                {"type": "array",
+                 "items": svs[0][0] if svs else "long"},
+                [v for s, v in svs if s == (svs[0][0] if svs else "long")],
+            )
+        )
+    )
+    return st.one_of(base, nullable, arrays)
+
+
+@given(_schema_and_value())
+@_PSETTINGS
+def test_any_schema_value_roundtrips(sv):
+    """encode(decode) identity over randomly-shaped schema/value pairs —
+    the file-level framing (header, block, sync) must be transparent for
+    every supported wire type."""
+    schema_frag, value = sv
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": schema_frag}]}
+    _, rows = decode_container(encode_container(schema, [{"x": value}]))
+    assert rows == [{"x": value}]
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                min_size=0, max_size=50))
+@_PSETTINGS
+def test_row_count_framing(xs):
+    """N rows in -> N rows out regardless of N (incl. the empty file,
+    which has no data block at all)."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "int"}]}
+    _, rows = decode_container(
+        encode_container(schema, [{"x": x} for x in xs])
+    )
+    assert [r["x"] for r in rows] == xs
