@@ -328,3 +328,51 @@ def test_writer_auto_checkpoints_and_bounds_replay(spark, tmp_path):
     assert st.version == CHECKPOINT_INTERVAL
     write_delta_lite(_df(spark, [(99, "z")]), path, mode="append")
     assert 99 in {r.id for r in read_delta_lite(spark, path).collect()}
+
+
+def test_streaming_upsert_into_delta_table(spark, tmp_path):
+    """The stage-then-swap dance the parquet streaming upsert needs
+    (test_incremental_streaming.py) disappears on Delta: foreachBatch
+    reads the current version, merges, and commits a NEW version — the
+    log IS the swap, and every micro-batch stays queryable as history."""
+    import datetime as dt
+
+    from lcr_etl_upgrade_spark.operators.merge import upsert
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "delta_target")
+    schema = "id long, v string, MODIFY_DATE timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "a1", dt.datetime(2024, 6, 1)),
+         (2, "b1", dt.datetime(2024, 6, 1))], schema)
+    b2 = spark.createDataFrame(
+        [(2, "b2", dt.datetime(2024, 6, 2)),
+         (3, "c1", dt.datetime(2024, 6, 2))], schema)
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    def apply_batch(bdf, epoch_id):
+        try:
+            current = read_delta_lite(bdf.sparkSession, out)
+            merged = upsert(current, bdf, ["id"])
+        except FileNotFoundError:  # first batch creates the table
+            merged = bdf
+        write_delta_lite(merged, out, mode="overwrite")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {r.id: r.v for r in read_delta_lite(spark, out).collect()}
+    assert final == {1: "a1", 2: "b2", 3: "c1"}
+    # history: version 0 is the pre-update state (audit for free)
+    v0 = {r.id: r.v for r in read_delta_lite(spark, out, version=0).collect()}
+    assert v0 == {1: "a1", 2: "b1"}
