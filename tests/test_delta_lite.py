@@ -376,3 +376,17 @@ def test_streaming_upsert_into_delta_table(spark, tmp_path):
     # history: version 0 is the pre-update state (audit for free)
     v0 = {r.id: r.v for r in read_delta_lite(spark, out, version=0).collect()}
     assert v0 == {1: "a1", 2: "b1"}
+
+
+def test_delta_read_pushes_filters_to_parquet_scan(spark, tmp_path):
+    """delta_lite reads are plain parquet scans under the hood, so data-
+    column predicates must still reach the scan (PushedFilters) — the
+    log replay adds no layer that would block Catalyst pushdown."""
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        _df(spark, [(i, f"n{i}") for i in range(100)]), path
+    )
+    q = read_delta_lite(spark, path).filter(F.col("id") > 90)
+    assert q.count() == 9
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan, plan
