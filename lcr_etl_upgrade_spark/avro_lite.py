@@ -482,7 +482,13 @@ def write_avro_lite(df: DataFrame, path: str) -> None:
     """Distributed write: one null-codec container file per non-empty
     partition (``foreachPartition`` — per-partition imperative file IO is
     the one place the DataFrame API genuinely hands over). Local
-    filesystem only, same contract as delta_lite."""
+    filesystem only, same contract as delta_lite.
+
+    Timestamp honesty: Spark hands Python naive datetimes in the worker
+    process's local timezone and the encoder treats them as UTC. The
+    read/write pair here is symmetric (this container runs UTC), but on
+    a non-UTC host interchange with other Avro readers would shift by
+    the host offset — the spark-avro jar is the tz-exact path."""
     local = path[len("file:") :] if path.startswith("file:") else path
     os.makedirs(local, exist_ok=True)
     schema = spark_to_avro_schema(df.schema, name="spark_row")

@@ -167,9 +167,21 @@ def replay_log(
                 _apply_action(state, action)
             state.version = cp_version
             start = cp_version + 1
+    expected = start
     for v, commit_path in commits:
         if v < start:
             continue
+        if v != expected:
+            # a GAP means commits were deleted (e.g. log cleanup after a
+            # checkpoint) — replaying a partial log would silently
+            # reconstruct a WRONG file set, so refuse instead
+            raise ValueError(
+                f"cannot reconstruct version "
+                f"{version if version is not None else 'latest'} of "
+                f"{path!r}: commit {expected} is missing (log starts at "
+                f"{v}; earlier commits were removed after a checkpoint?)"
+            )
+        expected = v + 1
         with open(commit_path) as fh:
             for line in fh:
                 if line.strip():

@@ -390,3 +390,20 @@ def test_delta_read_pushes_filters_to_parquet_scan(spark, tmp_path):
     assert q.count() == 9
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan, plan
+
+
+def test_gapped_log_refuses_instead_of_partial_state(spark, tmp_path):
+    """Deleting a pre-checkpoint commit and then time-traveling BELOW the
+    checkpoint must fail loudly — replaying the partial log would
+    silently drop the deleted commit's files from the reconstruction."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(0, "a")]), path)
+    write_delta_lite(_df(spark, [(1, "b")]), path, mode="append")
+    write_delta_lite(_df(spark, [(2, "c")]), path, mode="append")
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="commit 1 is missing"):
+        read_delta_lite(spark, path)
+    with pytest.raises(ValueError, match="commit 1 is missing"):
+        read_delta_lite(spark, path, version=2)
+    # version 0 is still fully reconstructible
+    assert {r.id for r in read_delta_lite(spark, path, version=0).collect()} == {0}
