@@ -11,8 +11,14 @@ UDFs only where built-ins can't express the semantics.
 
 Layout:
     session      — SparkSession factory (AQE, UTC, Arrow on)
-    sources      — readers: parquet/csv/json/jdbc/text + testdata loader
-    sinks        — writers: parquet/csv/json (+ delta/jdbc behind import-try)
+    sources      — readers: parquet/csv/json/jdbc/text/delta/avro +
+                   testdata loader
+    sinks        — writers: parquet/csv/json/delta/avro/jdbc
+    delta_lite   — the public Delta transaction-log protocol (log-replay
+                   reads incl. time travel, atomic v1 commits) backing
+                   the delta paths when delta-spark is absent
+    avro_lite    — the open Avro container format (binary codec both
+                   directions) backing the avro paths without spark-avro
     operators    — conform / cleanse / incremental / dedup / similarity /
                    text / multimodal operator library (DataFrame -> DataFrame)
     functions    — reusable Column-expression helpers
