@@ -57,6 +57,27 @@ SHUFFLE_BUDGET = {
     # carries 7 distinct shuffles; the r3 plan (pre probe-side-distinct
     # removal) carried more
     "doc_minhash_near_dup": 7,
+    # orders/lineitem join under AQE + final agg/sort; customer is not a
+    # fixed-size dim, so its join is AQE's call, not a forced broadcast
+    "q3_shipping_priority": 1,
+    # dims broadcast (see test_q5_broadcasts_fixed_dims); the SF-scaling
+    # customer/orders/lineitem chain carries the shuffles
+    "q5_nation_revenue": 4,
+    "q10_returned_items": 1,
+    # key-grouped anti-join + union replacement: one shuffle
+    "merge_upsert": 1,
+    # SCD2 adds the change-detection window over the key history
+    "merge_scd2": 3,
+    # union + running-last window (no join at all) + result ordering
+    "events_asof_join": 2,
+    # pure per-row expressions: the only shuffle is the result ordering
+    "doc_text_stats": 1,
+    # broadcast-nested-loop scoring (no shuffle) + per-query top-k window
+    "embedding_cosine_topk": 2,
+    "window_topk_per_group": 2,
+    "events_tumbling_window": 2,
+    "agg_rollup": 2,
+    "join_semi": 1,
 }
 
 
