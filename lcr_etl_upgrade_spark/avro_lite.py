@@ -139,6 +139,8 @@ def avro_to_spark_type(schema) -> T.DataType:
         return T.DateType()
     if t == "long" and _logical(schema) == "timestamp-micros":
         return T.TimestampType()
+    if t == "long" and _logical(schema) == "local-timestamp-micros":
+        return T.TimestampNTZType()
     if isinstance(t, (str, list, dict)):
         return avro_to_spark_type(t)  # {"type": "string"} wrapper form
     raise NotImplementedError(f"avro schema {schema!r}: {_REMEDY}")
@@ -162,6 +164,8 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row"):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.StructType):
         return {
             "type": "record",
@@ -268,7 +272,10 @@ def _decoder(schema):
 
         epoch = dt.date(1970, 1, 1)
         return lambda b: epoch + dt.timedelta(days=_read_long(b))
-    if t == "long" and _logical(schema) == "timestamp-micros":
+    if t == "long" and _logical(schema) in (
+        "timestamp-micros",
+        "local-timestamp-micros",
+    ):
         import datetime as dt
 
         epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
@@ -386,7 +393,10 @@ def _encoder(schema):
 
         epoch = dt.date(1970, 1, 1)
         return lambda o, v: _write_long(o, (v - epoch).days)
-    if t == "long" and _logical(schema) == "timestamp-micros":
+    if t == "long" and _logical(schema) in (
+        "timestamp-micros",
+        "local-timestamp-micros",
+    ):
         import datetime as dt
 
         epoch = dt.datetime(1970, 1, 1)

@@ -321,3 +321,17 @@ def test_row_count_framing(xs):
         encode_container(schema, [{"x": x} for x in xs])
     )
     assert [r["x"] for r in rows] == xs
+
+
+def test_timestamp_ntz_roundtrips_as_local_timestamp(spark, tmp_path):
+    """Spark TimestampNTZ maps to Avro's local-timestamp-micros logical
+    type (distinct from timestamp-micros, which is instant-based) and
+    comes back as timestamp_ntz."""
+    path = str(tmp_path / "avro")
+    df = spark.sql(
+        "select 1L as id, timestamp_ntz'2024-06-01 12:00:00.000005' as ts"
+    )
+    write_avro_lite(df, path)
+    got = read_avro_lite(spark, path)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert got.collect()[0].ts == dt.datetime(2024, 6, 1, 12, 0, 0, 5)
