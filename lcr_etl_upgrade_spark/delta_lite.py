@@ -412,6 +412,55 @@ def write_delta_lite(
 CHECKPOINT_INTERVAL = 10  # delta-spark's default cadence
 
 
+def vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Remove ORPHANED files: data files referenced by NO version of the
+    log (a writer that crashed between staging and commit, or a
+    concurrent-commit loser whose rollback was interrupted) plus
+    leftover ``_staging-*`` directories.
+
+    Deliberately more conservative than Delta's retention-based VACUUM:
+    files referenced by any historical version are kept, so time travel
+    to every committed version keeps working. Returns the removed paths
+    (relative to the table root)."""
+    base = _local(path)
+    log_dir = _log_dir(path)
+    replay_log(spark, path)  # validates the table before touching files
+    referenced: set[str] = set()
+    for f in os.listdir(log_dir):
+        if _COMMIT_RE.match(f):
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    a = action.get("add") or action.get("remove")
+                    if a:
+                        referenced.add(urllib.parse.unquote(a["path"]))
+        elif f.endswith(".checkpoint.parquet"):
+            for row in spark.read.parquet(os.path.join(log_dir, f)).collect():
+                d = row.asDict(recursive=True)
+                if d.get("add"):
+                    referenced.add(urllib.parse.unquote(d["add"]["path"]))
+    removed: list[str] = []
+    for entry in os.listdir(base):
+        if entry.startswith("_staging-"):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            removed.append(entry)
+    for root, dirs, names in os.walk(base):
+        dirs[:] = [
+            d for d in dirs
+            if d != "_delta_log" and not d.startswith("_staging-")
+        ]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), base)
+            if rel not in referenced:
+                os.remove(os.path.join(root, name))
+                removed.append(rel)
+    return removed
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
     """Materialize the current replayed state as a single-part parquet
     checkpoint + ``_last_checkpoint`` pointer (the protocol's replay

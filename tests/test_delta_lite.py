@@ -407,3 +407,29 @@ def test_gapped_log_refuses_instead_of_partial_state(spark, tmp_path):
         read_delta_lite(spark, path, version=2)
     # version 0 is still fully reconstructible
     assert {r.id for r in read_delta_lite(spark, path, version=0).collect()} == {0}
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """Orphans from a crashed writer (stray staged dir, moved-but-never-
+    committed parquet) are removed; every file referenced by ANY version
+    survives, so time travel keeps working after the vacuum."""
+    from lcr_etl_upgrade_spark.delta_lite import vacuum
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="overwrite")
+    # simulate a crash: a staging leftover and an uncommitted data file
+    os.makedirs(os.path.join(path, "_staging-deadbeef"))
+    with open(os.path.join(path, "_staging-deadbeef", "x.parquet"), "wb"):
+        pass
+    with open(os.path.join(path, "orphan-file.parquet"), "wb"):
+        pass
+    removed = vacuum(spark, path)
+    assert sorted(removed) == ["_staging-deadbeef", "orphan-file.parquet"]
+    assert not os.path.exists(os.path.join(path, "orphan-file.parquet"))
+    # both versions still reconstruct: v0's files were removed from the
+    # ACTIVE set by the overwrite but stay referenced by the log
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {2}
+    assert {r.id for r in read_delta_lite(spark, path, version=0).collect()} == {1}
+    # idempotent
+    assert vacuum(spark, path) == []
