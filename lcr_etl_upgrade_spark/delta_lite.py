@@ -100,8 +100,10 @@ def _check_protocol(protocol: dict | None) -> None:
 def _apply_action(state: TableState, action: dict) -> None:
     if "add" in action:
         a = action["add"]
-        state.files[urllib.parse.unquote(a["path"])] = a.get(
-            "partitionValues", {}
+        # `or {}`: a checkpoint row's partitionValues struct field can
+        # surface as an explicit null, not just an absent key
+        state.files[urllib.parse.unquote(a["path"])] = (
+            a.get("partitionValues") or {}
         )
     elif "remove" in action:
         state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
@@ -211,7 +213,7 @@ def read_delta_lite(
     injected as typed literals, then unioned. A later filter on a
     partition column constant-folds per branch and Catalyst replaces
     non-matching branches' scans with empty relations — partition
-    pruning at plan time (pinned by test_delta_lite_partition_pruning).
+    pruning at plan time (pinned by test_partition_pruning_through_union).
     The plan grows with the number of ACTIVE partition-value groups;
     bounded in practice by the table's partition granularity.
     """
