@@ -187,6 +187,30 @@ def write(df: DataFrame, name: str, path: str | None = None, **options) -> None:
     get_sink(name, **options)(df, path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: tuple[str, ...] | list[str],
+    sort_cols: tuple[str, ...] | list[str] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write — the storage-side lever for
+    co-located joins at scale: two tables bucketed into the SAME bucket
+    count on their join keys sort-merge-join with NO exchange on either
+    side (pinned by tests/test_scale_layout.py). Spark's bucketBy only
+    works through ``saveAsTable`` (the bucket spec lives in the catalog),
+    hence a table name, not a path. ``sort_cols`` additionally pre-sorts
+    within buckets so the SMJ skips its sort."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_single_text_file(df: DataFrame, path: str) -> None:
     """K5 watermark-file write: one value, one partition, one file
     (sync/ingest write a 1-row text file via coalesce(1), ingest.py:499-502).

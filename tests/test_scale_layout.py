@@ -56,17 +56,11 @@ def test_bucketed_join_runs_without_shuffle(spark, tmp_path):
         [(i % 1000, float(i)) for i in range(5000)],
         "l_orderkey long, amount double",
     )
-    (
-        orders.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_orders")
-    )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_lineitem")
+    from lcr_etl_upgrade_spark.sinks.registry import write_bucketed
+
+    write_bucketed(orders, "b_orders", 8, ["o_orderkey"], ["o_orderkey"])
+    write_bucketed(
+        lineitem, "b_lineitem", 8, ["l_orderkey"], ["l_orderkey"]
     )
     joined = (
         spark.table("b_lineitem")
