@@ -433,3 +433,65 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert {r.id for r in read_delta_lite(spark, path, version=0).collect()} == {1}
     # idempotent
     assert vacuum(spark, path) == []
+
+
+def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
+    """Partition values containing the characters hive-escapes in dir
+    names (colon, space, percent, slash) must survive the dir-name
+    encode/decode roundtrip into partitionValues and back into typed
+    columns."""
+    path = str(tmp_path / "t")
+    vals = ["a:b", "with space", "100%", "a/b", "plain"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, part string"
+    )
+    write_delta_lite(df, path, partition_by=("part",))
+    st = replay_log(spark, path)
+    assert {pv["part"] for pv in st.files.values()} == set(vals)
+    got = {r.id: r.part for r in read_delta_lite(spark, path).collect()}
+    assert got == {i: v for i, v in enumerate(vals)}
+
+
+def test_sink_registry_partitioned_delta_write(spark, tmp_path):
+    """The delta_overwrite sink forwards partition_by (comma list) into
+    the lite writer."""
+    from lcr_etl_upgrade_spark.sinks.registry import write
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, bucket int"
+    )
+    write(df, "delta_overwrite", path, partition_by="bucket")
+    st = replay_log(spark, path)
+    assert st.partition_columns == ["bucket"]
+    got = {r.id: r.bucket for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_random_commit_sequences_match_model(spark, tmp_path):
+    """Model-based check over random overwrite/append commit sequences:
+    after each commit, EVERY historical version must reconstruct exactly
+    the model's row set for that version — the core log-replay
+    invariant. Deterministic seeds; 3 sequences x 6 commits."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        model: list[set[int]] = []  # version -> expected id set
+        next_id = 0
+        for step in range(6):
+            batch = set(range(next_id, next_id + rng.randint(1, 4)))
+            next_id += len(batch)
+            mode = "overwrite" if step == 0 or rng.random() < 0.4 else "append"
+            df = _df(spark, [(i, f"v{i}") for i in sorted(batch)])
+            v = write_delta_lite(df, path, mode=mode)
+            assert v == len(model)
+            prev = model[-1] if (model and mode == "append") else set()
+            model.append(prev | batch)
+        for version, expected in enumerate(model):
+            got = {
+                r.id
+                for r in read_delta_lite(spark, path, version=version).collect()
+            }
+            assert got == expected, (seed, version)
