@@ -322,6 +322,13 @@ def decode_container(data: bytes) -> tuple[dict, list]:
             block = zlib.decompress(block, -15)  # raw DEFLATE per spec
         bb = io.BytesIO(block)
         rows.extend(dec(bb) for _ in range(n_rows))
+        if bb.tell() != len(block):
+            # count/length disagreement = corruption; silently dropping
+            # the excess would decode a truncated row set as success
+            raise ValueError(
+                f"avro block declared {n_rows} rows but carries "
+                f"{len(block) - bb.tell()} undecoded trailing bytes"
+            )
         if buf.read(16) != sync:
             raise ValueError("avro block sync marker mismatch")
     return schema, rows

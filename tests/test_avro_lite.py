@@ -335,3 +335,50 @@ def test_timestamp_ntz_roundtrips_as_local_timestamp(spark, tmp_path):
     got = read_avro_lite(spark, path)
     assert dict(got.dtypes)["ts"] == "timestamp_ntz"
     assert got.collect()[0].ts == dt.datetime(2024, 6, 1, 12, 0, 0, 5)
+
+
+def test_multi_block_container_decodes():
+    """External writers emit many blocks per file; the block loop must
+    decode all of them and verify each sync marker."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "int"}]}
+    sync = bytes(range(16))
+    header = (
+        b"Obj\x01" + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+    )
+    b1 = _zz(1)  # one row: 1
+    b2 = _zz(3) + _zz(5) + _zz(7)  # three rows: 3, 5, 7
+    data = (header
+            + _zz(1) + _zz(len(b1)) + b1 + sync
+            + _zz(3) + _zz(len(b2)) + b2 + sync)
+    _, rows = decode_container(data)
+    assert [r["x"] for r in rows] == [1, 3, 5, 7]
+
+
+def test_truncated_file_fails_loudly():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    good = encode_container(schema, [{"x": 123456789}], sync=bytes(16))
+    with pytest.raises((EOFError, ValueError)):
+        decode_container(good[: len(good) - 10])
+
+
+def test_block_count_length_disagreement_raises():
+    """A block whose byte length exceeds its declared row count is
+    corruption, not rows to drop silently."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "int"}]}
+    sync = bytes(16)
+    payload = _zz(1) + _zz(2)  # two encoded rows...
+    data = (
+        b"Obj\x01" + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(1) + _zz(len(payload)) + payload + sync  # ...declared as one
+    )
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_container(data)

@@ -495,3 +495,14 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                 for r in read_delta_lite(spark, path, version=version).collect()
             }
             assert got == expected, (seed, version)
+
+
+def test_reader_ignores_in_flight_staging(spark, tmp_path):
+    """A reader arriving while another writer is mid-stage must see only
+    the committed state: staging contents are invisible to log replay."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    staging = os.path.join(path, "_staging-inflight")
+    os.makedirs(staging)
+    _df(spark, [(99, "z")]).write.parquet(os.path.join(staging, "data"))
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
