@@ -444,7 +444,9 @@ def _corpus_and_queries(draw):
     # and a duplicated vector (guaranteed score ties)
     vecs.append([0] * dim)
     vecs.append(list(vecs[0]))
-    n_queries = draw(st.integers(min_value=1, max_value=4))
+    # cap by the corpus size: unique indices can't exceed len(vecs)
+    # (n_corpus=1 gives only 3 vectors after the forced hostile rows)
+    n_queries = draw(st.integers(min_value=1, max_value=min(4, len(vecs))))
     q_idx = draw(
         st.lists(
             st.integers(min_value=0, max_value=len(vecs) - 1),
