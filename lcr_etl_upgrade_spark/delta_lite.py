@@ -14,11 +14,13 @@ So this module implements the protocol directly, Spark-first:
 
 - READ = log replay (driver-side, small) + one plain ``spark.read
   .parquet`` over the active file set with the schema from ``metaData``.
-  Partitioned tables read per partition-value group with the partition
-  columns injected as typed literals; a filter on a partition column
-  then constant-folds to ``false`` on non-matching branches and Catalyst
-  prunes their scans entirely (PropagateEmptyRelation) — partition
-  pruning without a catalog. Time travel = replay to ``version``.
+  Partitioned tables whose files are hive-layout (everything this
+  writer produces) read as ONE ``basePath``-discovered relation, so
+  Spark's native partition pruning applies inside a single scan node
+  and the plan does not grow with partition count; non-hive external
+  logs fall back to a per-partition-group union whose branches
+  constant-fold away under partition filters. Time travel = replay to
+  ``version``.
 - WRITE = stage parquet files, move them into the table, append one
   atomically-created JSON commit (``open(..., "x")`` — a concurrent
   writer loses with a clear error instead of corrupting the log).
@@ -29,8 +31,11 @@ Deliberate limits (clear errors, not wrong answers):
 - protocol ``minReaderVersion`` > 1 (column mapping, deletion vectors,
   v2 checkpoints…) raises NotImplementedError naming the feature gap;
 - multi-part checkpoints are unsupported (single-part checkpoints work);
-- the writer is single-writer (no optimistic-concurrency retry loop) and
-  local-filesystem only — the semantics the local pipeline needs.
+- the writer is local-filesystem only; overwrite is single-writer, while
+  append retries a lost version race at the next version (bounded
+  optimistic concurrency — safe because append file sets are disjoint
+  and carry no metadata change, per the public protocol's conflict
+  rules).
 
 When ``delta-spark`` IS importable, ``sources.read_delta`` and the
 ``delta_overwrite`` sink use it instead; this module is the fallback
@@ -203,19 +208,58 @@ def _typed_partition_lit(value: str | None, dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
+def _hive_encoded_values(rel: str, part_cols: list[str]) -> dict[str, str]:
+    """Partition values a hive-layout path segment-encodes, ONLY for keys
+    the path actually carries (unlike ``_partition_values_from_rel``,
+    which fills absent keys with None)."""
+    values: dict[str, str] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        k, eq, v = seg.partition("=")
+        if eq and k in part_cols:
+            values[k] = urllib.parse.unquote(v)
+    return values
+
+
+def _all_files_hive_layout(
+    files: dict[str, dict[str, str | None]], part_cols: list[str]
+) -> bool:
+    """True iff every active file's path encodes EXACTLY the log's
+    partitionValues hive-style (``k=v/part-*.parquet``), so Spark's own
+    partition discovery would reconstruct the same values the log
+    declares. Files our writer stages always satisfy this; externally-
+    authored logs may carry arbitrary paths and must take the union
+    fallback."""
+    for rel, pvals in files.items():
+        enc = _hive_encoded_values(rel, part_cols)
+        if set(enc) != set(part_cols):
+            return False
+        for c in part_cols:
+            v = None if enc[c] == HIVE_NULL else enc[c]
+            if v != pvals.get(c):
+                return False
+    return True
+
+
 def read_delta_lite(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Scan a Delta table via log replay (time travel via ``version``).
 
-    Partitioned tables: the active files are grouped by their
-    ``partitionValues`` and each group is read with its partition columns
-    injected as typed literals, then unioned. A later filter on a
-    partition column constant-folds per branch and Catalyst replaces
-    non-matching branches' scans with empty relations — partition
-    pruning at plan time (pinned by test_partition_pruning_through_union).
-    The plan grows with the number of ACTIVE partition-value groups;
-    bounded in practice by the table's partition granularity.
+    Partitioned tables, fast path: when every active file sits at a
+    hive-layout path matching its logged ``partitionValues`` (always true
+    for tables this writer produced, ``_stage_and_move``), the whole
+    table is ONE ``basePath``-discovered parquet relation — Spark's
+    native partition discovery types the partition columns from the
+    directory names and partition-filter pruning happens inside a single
+    scan node, so the plan does NOT grow with partition count (the
+    reference reads partitioned Delta as a single relation too,
+    /root/reference/ingest.py:644-650 via delta-spark).
+
+    Fallback (externally-authored logs whose ``add.path`` does not encode
+    the partition values): group active files by ``partitionValues`` and
+    read each group with the partition columns injected as typed
+    literals, unioned; a partition-column filter constant-folds per
+    branch and Catalyst prunes non-matching scans at plan time.
     """
     base = _local(path)
     state = replay_log(spark, path, version)
@@ -229,6 +273,15 @@ def read_delta_lite(
     if not part_cols:
         files = [os.path.join(base, p) for p in state.files]
         return spark.read.schema(schema).parquet(*files)
+
+    if _all_files_hive_layout(state.files, part_cols):
+        files = [os.path.join(base, rel) for rel in sorted(state.files)]
+        return (
+            spark.read.option("basePath", base)
+            .schema(schema)
+            .parquet(*files)
+            .select(*[f.name for f in schema.fields])
+        )
 
     by_group: dict[tuple, list[str]] = {}
     for rel, pvals in state.files.items():
@@ -384,22 +437,54 @@ def write_delta_lite(
             }
         )
 
-    commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
-    try:
-        with open(commit_path, "x") as fh:
-            for action in actions:
-                fh.write(json.dumps(action) + "\n")
-    except FileExistsError:
-        # lost the race: clean up our orphaned data files and surface it
+    def _rollback() -> None:
         for rel, _size in moved:
             try:
                 os.remove(os.path.join(base, rel))
             except OSError:
                 pass
-        raise FileExistsError(
-            f"concurrent commit to {path!r} at version {version}; "
-            "delta_lite is single-writer — retry after the other commit"
-        )
+
+    # Append commits carry a disjoint file set (UUID-named parts) and no
+    # metadata change, so losing the version race is not a logical
+    # conflict per the public protocol's optimistic-concurrency rules:
+    # re-replay, confirm schema/partitioning still match, and re-commit
+    # at the next version. Overwrite keeps single-writer semantics (two
+    # concurrent overwrites ARE a logical conflict).
+    for attempt in range(_APPEND_RETRIES + 1):
+        commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+        try:
+            with open(commit_path, "x") as fh:
+                for action in actions:
+                    fh.write(json.dumps(action) + "\n")
+            break
+        except FileExistsError:
+            if mode != "append" or attempt >= _APPEND_RETRIES:
+                _rollback()
+                raise FileExistsError(
+                    f"concurrent commit to {path!r} at version {version}; "
+                    + (
+                        "append retries exhausted — retry after the "
+                        "other commits settle"
+                        if mode == "append"
+                        else "overwrite is single-writer — retry after "
+                        "the other commit"
+                    )
+                )
+            current = replay_log(spark, path)
+            same_schema = sorted(
+                f.name for f in current.schema.fields
+            ) == sorted(df.columns)
+            if not same_schema or current.partition_columns != part_cols:
+                _rollback()
+                raise FileExistsError(
+                    f"concurrent commit to {path!r} changed the table's "
+                    "schema or partitioning; this append no longer "
+                    "applies cleanly — re-read the table and retry"
+                )
+            version = current.version + 1
+            # the table definitely exists now; a retried append is pure
+            # add actions (never protocol/metaData)
+            actions = [a for a in actions if "add" in a]
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         # best-effort (a failed checkpoint never fails the commit — the
         # JSON log alone is authoritative); bounds replay to at most
@@ -412,6 +497,7 @@ def write_delta_lite(
 
 
 CHECKPOINT_INTERVAL = 10  # delta-spark's default cadence
+_APPEND_RETRIES = 10  # bounded optimistic-concurrency retries for append
 
 
 def vacuum(spark: SparkSession, path: str) -> list[str]:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -113,19 +114,82 @@ def test_partitioned_roundtrip_typed_and_null(spark, tmp_path):
     } == {"10", "20", None}
 
 
-def test_partition_pruning_through_union(spark, tmp_path):
-    """A filter on the partition column must prune non-matching branches at
-    PLAN time: their literal predicate constant-folds to false and the
-    scan disappears — at most one parquet scan survives."""
+def test_partitioned_read_is_single_relation_with_native_pruning(
+    spark, tmp_path
+):
+    """Tables this writer produced (hive-layout files) must read as ONE
+    basePath-discovered parquet relation: a single scan node regardless
+    of partition count, with a partition-column filter landing in the
+    scan's native PartitionFilters — the plan no longer grows with the
+    number of active partitions."""
     path = str(tmp_path / "t")
     df = _df(
         spark,
-        [(i, i % 3, "p") for i in range(30)],
+        [(i, i % 25, "p") for i in range(100)],
         "id long, part int, payload string",
     )
     write_delta_lite(df, path, partition_by=("part",))
-    q = read_delta_lite(spark, path).filter(F.col("part") == 1)
-    assert q.count() == 10
+    full = read_delta_lite(spark, path)
+    full_plan = full._jdf.queryExecution().executedPlan().toString()
+    # 25 active partitions, still exactly one scan node (was a 25-branch
+    # union before round 5)
+    assert full_plan.count("Scan parquet") == 1, full_plan
+    q = full.filter(F.col("part") == 1)
+    assert q.count() == 4
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part" in m.group(1), plan
+
+
+def test_external_non_hive_layout_falls_back_to_pruned_union(
+    spark, tmp_path
+):
+    """An externally-authored log whose add.path does NOT encode the
+    partition values (flat data-N.parquet files) must take the union
+    fallback — values injected as typed literals from the log — and a
+    partition filter must still prune non-matching branches at plan
+    time."""
+    path = tmp_path / "extpart"
+    (path / "_delta_log").mkdir(parents=True)
+    # three flat files, one per partition value, paths carry no k=v
+    staged = []
+    for i, part in enumerate([1, 2, 3]):
+        sub = path / f"stage{i}"
+        _df(spark, [(10 * part + j, "p") for j in range(3)],
+            "id long, payload string").coalesce(1).write.parquet(str(sub))
+        f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+        os.rename(sub / f, path / f"data-{i}.parquet")
+        staged.append((f"data-{i}.parquet", str(part)))
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "payload", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "part", "type": "integer", "nullable": True,
+                 "metadata": {}}]}
+        ),
+        "partitionColumns": ["part"], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for rel, pv in staged:
+            fh.write(json.dumps(
+                {"add": {"path": rel, "partitionValues": {"part": pv},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert dict(got.dtypes)["part"] == "int"
+    assert {(r.id, r.part) for r in got.collect()} == {
+        (10 * p + j, p) for p in (1, 2, 3) for j in range(3)
+    }
+    q = read_delta_lite(spark, str(path)).filter(F.col("part") == 2)
+    assert q.count() == 3
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 1, plan
 
@@ -226,10 +290,11 @@ def test_protocol_v2_raises(spark, tmp_path):
         read_delta_lite(spark, str(path))
 
 
-def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
-    """Two writers replaying the same snapshot race for the same version
-    file; the open('x') commit point makes the loser fail loudly (and
-    clean up its staged data files) instead of clobbering the log."""
+def test_concurrent_overwrite_detected(spark, tmp_path, monkeypatch):
+    """Two OVERWRITE writers replaying the same snapshot race for the same
+    version file; overwrite keeps single-writer semantics, so the
+    open('x') commit point makes the loser fail loudly (and clean up its
+    staged data files) instead of clobbering the log."""
     import lcr_etl_upgrade_spark.delta_lite as dl
 
     path = str(tmp_path / "t")
@@ -239,10 +304,80 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
         fh.write("\n")  # the racer wins version 1
     monkeypatch.setattr(dl, "replay_log", lambda *a, **k: stale)
     with pytest.raises(FileExistsError, match="concurrent commit"):
-        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="overwrite")
     # the loser's data files were rolled back: state is still version 1's
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two append writers racing on the same table: appends are
+    logically conflict-free (disjoint UUID-named file sets, no metadata
+    change), so the loser retries at the next version and BOTH commits
+    land — the reference's sync stage landing multiple tables into the
+    same zone concurrently (/root/reference/sync.py:112-114) needs this.
+    """
+    import threading
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(0, "seed")]), path)
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender(i: int) -> None:
+        df = _df(spark, [(i, f"w{i}")])
+        try:
+            barrier.wait()
+            write_delta_lite(df, path, mode="append")
+        except Exception as exc:  # pragma: no cover - failure evidence
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in (1, 2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    state = replay_log(spark, path)
+    assert state.version == 2  # versions 1 and 2 both committed
+    got = read_delta_lite(spark, path)
+    assert {r.id for r in got.collect()} == {0, 1, 2}
+
+
+def test_concurrent_append_schema_change_refused(spark, tmp_path, monkeypatch):
+    """If the racing winner CHANGED the schema (overwrite with new
+    columns), a retried append must refuse instead of landing rows the
+    new schema cannot read."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    stale = replay_log(spark, path)
+
+    real_replay = dl.replay_log
+    calls = {"n": 0}
+
+    def racing_replay(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the appender's initial snapshot is stale; meanwhile the
+            # winner overwrites with a DIFFERENT schema at version 1
+            write_delta_lite(
+                _df(spark, [(9, "x", "extra")],
+                    "id long, value string, extra string"),
+                path,
+                mode="overwrite",
+            )
+            return stale
+        return real_replay(*a, **k)
+
+    monkeypatch.setattr(dl, "replay_log", racing_replay)
+    with pytest.raises(FileExistsError, match="schema or partitioning"):
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    monkeypatch.undo()
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
 
 
 def test_not_a_delta_table(spark, tmp_path):
