@@ -25,8 +25,9 @@ Supported types (both directions): null, boolean, int, long, float,
 double, bytes, string, record, array, map, union (only ``[null, T]`` —
 the nullable encoding), enum (reads as string), fixed (reads as binary),
 logical date (int days) and timestamp-micros (long). Codecs: ``null``
-and ``deflate`` on read, ``null`` on write. Anything else raises
-NotImplementedError naming the spark-avro remedy.
+and ``deflate``, both directions (deflate = raw RFC 1951 block, no
+zlib wrapper, per the spec). Anything else raises NotImplementedError
+naming the spark-avro remedy.
 """
 
 from __future__ import annotations
@@ -410,14 +411,30 @@ def _encoder(schema):
 
         def ts(o, v):
             delta = v.replace(tzinfo=None) - epoch
-            _write_long(o, round(delta.total_seconds() * 1e6))
+            # integer arithmetic: total_seconds() goes through a float
+            # and loses exactness past 2^53 us (~year 2255)
+            _write_long(
+                o,
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds,
+            )
 
         return ts
     raise NotImplementedError(f"avro schema {schema!r}: {_REMEDY}")
 
 
-def encode_container(schema: dict, rows, sync: bytes | None = None) -> bytes:
-    """Rows (dicts for records) -> one null-codec container file."""
+def encode_container(
+    schema: dict,
+    rows,
+    sync: bytes | None = None,
+    codec: str = "null",
+) -> bytes:
+    """Rows (dicts for records) -> one container file (codec: null or
+    deflate — raw RFC 1951 stream per the spec, no zlib header/checksum,
+    matching the read path's ``zlib.decompress(block, -15)``)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro write codec {codec!r}: {_REMEDY}")
     sync = sync or os.urandom(16)
     enc = _encoder(schema)
     out = io.BytesIO()
@@ -426,7 +443,7 @@ def encode_container(schema: dict, rows, sync: bytes | None = None) -> bytes:
     _write_bytes(out, b"avro.schema")
     _write_bytes(out, json.dumps(schema).encode("utf-8"))
     _write_bytes(out, b"avro.codec")
-    _write_bytes(out, b"null")
+    _write_bytes(out, codec.encode("utf-8"))
     _write_long(out, 0)
     out.write(sync)
     rows = list(rows)
@@ -434,8 +451,12 @@ def encode_container(schema: dict, rows, sync: bytes | None = None) -> bytes:
         block = io.BytesIO()
         for r in rows:
             enc(block, r)
+        payload = block.getvalue()
+        if codec == "deflate":
+            z = zlib.compressobj(wbits=-15)
+            payload = z.compress(payload) + z.flush()
         _write_long(out, len(rows))
-        _write_bytes(out, block.getvalue())
+        _write_bytes(out, payload)
         out.write(sync)
     return out.getvalue()
 
@@ -471,6 +492,7 @@ def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
             f"top-level avro type must be a record, got {schema!r}"
         )
     names = [f.name for f in spark_schema.fields]
+    want_types = [f.dataType for f in spark_schema.fields]
 
     def decode(batches):
         import pandas as pd
@@ -482,6 +504,23 @@ def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
                 if got != names:
                     raise ValueError(
                         f"avro file field names {got} != {names}"
+                    )
+                # names alone are not enough: a second file with the same
+                # names but different field TYPES would decode under its
+                # own writer schema and feed mistyped values into the
+                # driver schema — compare the RESOLVED Spark type per
+                # field (nullability aside)
+                resolved = avro_to_spark_type(fschema)
+                got_types = [f.dataType for f in resolved.fields]
+                if got_types != want_types:
+                    mism = [
+                        f"{n}: {g.simpleString()} != {w.simpleString()}"
+                        for n, g, w in zip(names, got_types, want_types)
+                        if g != w
+                    ]
+                    raise ValueError(
+                        "avro file field types differ from the first "
+                        f"file's schema: {'; '.join(mism)}"
                     )
                 yield pd.DataFrame(
                     {n: [r[n] for r in rows] for n in names}
@@ -495,11 +534,12 @@ def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
     return binary.mapInPandas(decode, spark_schema)
 
 
-def write_avro_lite(df: DataFrame, path: str) -> None:
-    """Distributed write: one null-codec container file per non-empty
-    partition (``foreachPartition`` — per-partition imperative file IO is
-    the one place the DataFrame API genuinely hands over). Local
-    filesystem only, same contract as delta_lite.
+def write_avro_lite(df: DataFrame, path: str, codec: str = "null") -> None:
+    """Distributed write: one container file per non-empty partition
+    (``foreachPartition`` — per-partition imperative file IO is the one
+    place the DataFrame API genuinely hands over). ``codec`` may be
+    ``null`` or ``deflate`` (read-path parity). Local filesystem only,
+    same contract as delta_lite.
 
     Timestamp honesty: Spark hands Python naive datetimes in the worker
     process's local timezone and the encoder treats them as UTC. The
@@ -522,6 +562,7 @@ def write_avro_lite(df: DataFrame, path: str) -> None:
         data = encode_container(
             schema,
             ({n: r[n] for n in names} for r in itertools.chain([first], it)),
+            codec=codec,
         )
         target = os.path.join(local, f"part-{uuid.uuid4().hex}.avro")
         with open(target, "wb") as fh:

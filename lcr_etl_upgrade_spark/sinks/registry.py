@@ -131,34 +131,48 @@ def _noop(**options) -> Sink:
     return Sink("noop", "overwrite", options)
 
 
+def _pop_partition_by(options: dict[str, str]) -> tuple[str, ...]:
+    """``partition_by`` is a layout directive, not a datasource option —
+    pop it on BOTH delta paths so delta-spark and delta_lite produce the
+    same table layout from identical sink configs (it used to pass
+    through as an ignored option on the delta-spark path)."""
+    return tuple(p for p in options.pop("partition_by", "").split(",") if p)
+
+
 @register("delta_overwrite")
 def _delta_overwrite(**options) -> Sink:
     """K1 verbatim (overwriteSchema semantics, sync.py:112-114). Uses the
     delta-spark datasource when importable, else the protocol-native
     ``delta_lite`` writer (valid reader-v1/writer-v2 tables)."""
+    part = _pop_partition_by(options)
     try:
         import delta  # noqa: F401
     except ImportError:
-        return _DeltaLiteSink("overwrite", options)
-    return Sink("delta", "overwrite", {"overwriteSchema": "true", **options})
+        return _DeltaLiteSink("overwrite", options, part)
+    return Sink(
+        "delta", "overwrite", {"overwriteSchema": "true", **options}, part
+    )
 
 
 @register("delta_append")
 def _delta_append(**options) -> Sink:
     """K2/K4 semantics on a Delta table (name-mapped append)."""
+    part = _pop_partition_by(options)
     try:
         import delta  # noqa: F401
     except ImportError:
-        return _DeltaLiteSink("append", options)
-    return Sink("delta", "append", options)
+        return _DeltaLiteSink("append", options, part)
+    return Sink("delta", "append", options, part)
 
 
 class _DeltaLiteSink(Sink):
-    def __init__(self, mode: str, options: dict[str, str]):
-        part = tuple(
-            p for p in options.pop("partition_by", "").split(",") if p
-        )
-        super().__init__("delta-lite", mode, options, part)
+    def __init__(
+        self,
+        mode: str,
+        options: dict[str, str],
+        partition_by: tuple[str, ...] = (),
+    ):
+        super().__init__("delta-lite", mode, options, partition_by)
 
     def __call__(self, df: DataFrame, path: str | None = None) -> None:
         from lcr_etl_upgrade_spark.delta_lite import write_delta_lite
