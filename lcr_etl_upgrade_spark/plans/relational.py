@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+from lcr_etl_upgrade_spark.operators.topk import topk_per_group
 from lcr_etl_upgrade_spark.plans.registry import query
 from lcr_etl_upgrade_spark.sources.testdata import load_table
 
@@ -416,18 +417,26 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via operators.topk.topk_per_group.
+
+    strategy="window" (bare ranking window) is the MEASURED local[32]
+    winner at 1x and 100x in both group regimes; the prefilter strategy
+    (mapInArrow partial top-k that cuts exchange input ~30x for large
+    groups) exists for network-shuffle clusters — full experiment in
+    SCALE.md "topk strategy experiment" and operators/topk.py.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        orders.select(
-            F.col("o_custkey").alias("c_custkey"),
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-        .orderBy("c_custkey", "rn")
+    proj = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
     )
+    return topk_per_group(
+        proj,
+        ["c_custkey"],
+        [("o_totalprice", False), ("o_orderkey", True)],
+        k=3,
+        strategy="window",
+        rank_col="rn",
+    ).orderBy("c_custkey", "rn")
 
 
 # --------------------------------------------------------------------------
