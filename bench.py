@@ -89,15 +89,21 @@ def main() -> None:
     # the cache is cleared between runs so every run is end-to-end.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
+        # max-min across the runs: the jitter band for THIS query on THIS
+        # box, so a cross-round delta smaller than the spread is noise,
+        # not a regression (r4->r5 ask: embedding_cosine_topk drifted
+        # +10% with an unchanged pinned plan)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -107,6 +113,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_start": load_avg_start,
                 "load_avg_end": round(os.getloadavg()[0], 2),

@@ -155,6 +155,23 @@ def main() -> None:
             f"guard_trips_at_10k={stats['guard_trips_at_10k']} "
             f"pairs_suppressed_at_10k={int(stats['pairs_suppressed_at_10k'] or 0)}"
         )
+
+        # ANN recall at the SCALED corpus (round-5 verdict ask #3): the
+        # registered recall-contract queries run unchanged against the
+        # replica dir — exact brute-force baseline over the full Nx
+        # corpus vs the registered LSH/IVF configs, same floors.
+        for rq, floor in (
+            ("embedding_lsh_recall", 0.8),
+            ("embedding_ivf_recall", 0.7),
+        ):
+            rows = QUERIES[rq](spark, out_dir).collect()
+            rec = [r.recall_at_k for r in rows]
+            ok = all(r.meets_floor for r in rows)
+            print(
+                f"{rq} @ {factor}x organic: min={min(rec):.2f} "
+                f"avg={sum(rec) / len(rec):.2f} floor={floor} "
+                f"all_meet_floor={ok} queries={len(rec)}"
+            )
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
