@@ -23,7 +23,8 @@ Spark-first split, mirroring ``delta_lite``:
 
 Supported types (both directions): null, boolean, int, long, float,
 double, bytes, string, record, array, map, union (only ``[null, T]`` —
-the nullable encoding), enum (reads as string), fixed (reads as binary),
+the nullable encoding), enum (as string symbols) and fixed (as exact-
+size binary) in both directions,
 logical date (int days) and timestamp-micros (long). Codecs: ``null``
 and ``deflate``, both directions (deflate = raw RFC 1951 block, no
 zlib wrapper, per the spec). Anything else raises NotImplementedError
@@ -396,6 +397,32 @@ def _encoder(schema):
             _write_long(o, 0)
 
         return mp
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+
+        def enum(o, v):
+            try:
+                _write_long(o, index[v])
+            except KeyError:
+                raise ValueError(
+                    f"{v!r} is not a symbol of enum "
+                    f"{schema.get('name')} ({schema['symbols']})"
+                ) from None
+
+        return enum
+    if t == "fixed":
+        size = schema["size"]
+
+        def fixed(o, v):
+            raw = bytes(v)
+            if len(raw) != size:
+                raise ValueError(
+                    f"fixed {schema.get('name')} requires exactly {size} "
+                    f"bytes, got {len(raw)}"
+                )
+            o.write(raw)
+
+        return fixed
     if t == "int" and _logical(schema) == "date":
         import datetime as dt
 

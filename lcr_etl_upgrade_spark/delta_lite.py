@@ -30,7 +30,8 @@ So this module implements the protocol directly, Spark-first:
 Deliberate limits (clear errors, not wrong answers):
 - protocol ``minReaderVersion`` > 1 (column mapping, deletion vectors,
   v2 checkpoints…) raises NotImplementedError naming the feature gap;
-- multi-part checkpoints are unsupported (single-part checkpoints work);
+- v2/UUID-named checkpoints are unsupported (classic single-part AND
+  multi-part checkpoints both read; the writer emits single-part);
 - the writer is local-filesystem only; overwrite is single-writer, while
   append retries a lost version race at the next version (bounded
   optimistic concurrency — safe because append file sets are disjoint
@@ -121,18 +122,33 @@ def _apply_action(state: TableState, action: dict) -> None:
 
 
 def _read_checkpoint(
-    spark: SparkSession, log_dir: str, version: int
+    spark: SparkSession, log_dir: str, version: int, parts: int | None
 ) -> list[dict]:
-    """Single-part checkpoint -> action dicts (one non-null struct per row)."""
-    cp = os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))
-    if not os.path.exists(cp):
+    """Classic checkpoint -> action dicts (one non-null struct per row).
+
+    Single-part (``{v}.checkpoint.parquet``) and multi-part
+    (``{v}.checkpoint.{i}.{n}.parquet``, the ``parts`` field of
+    ``_last_checkpoint`` per the public protocol) both supported; v2
+    (UUID-named / sidecar) checkpoints still need delta-spark."""
+    if parts:
+        files = [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+            for i in range(1, parts + 1)
+        ]
+    else:
+        files = [os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
         raise NotImplementedError(
-            f"checkpoint for version {version} is not a single-part "
-            f"checkpoint ({cp} missing); multi-part/v2 checkpoints need "
-            "delta-spark"
+            f"checkpoint for version {version} is incomplete or uses an "
+            f"unsupported layout ({missing[0]} missing); v2/UUID-named "
+            "checkpoints need delta-spark"
         )
     actions: list[dict] = []
-    for row in spark.read.parquet(cp).collect():
+    for row in spark.read.parquet(*files).collect():
         d = row.asDict(recursive=True)
         for key in ("add", "remove", "metaData", "protocol"):
             if d.get(key) is not None:
@@ -168,9 +184,13 @@ def replay_log(
     last_cp = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_cp):
         with open(last_cp) as fh:
-            cp_version = int(json.load(fh)["version"])
+            cp_meta = json.load(fh)
+        cp_version = int(cp_meta["version"])
+        cp_parts = cp_meta.get("parts")
         if version is None or cp_version <= version:
-            for action in _read_checkpoint(spark, log_dir, cp_version):
+            for action in _read_checkpoint(
+                spark, log_dir, cp_version, cp_parts
+            ):
                 _apply_action(state, action)
             state.version = cp_version
             start = cp_version + 1

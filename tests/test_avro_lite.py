@@ -481,3 +481,29 @@ def test_delta_sink_partition_by_parity(spark, tmp_path):
     sink(df, path)
     parts = {e for e in os.listdir(path) if e.startswith("p=")}
     assert parts == {"p=a", "p=b"}
+
+
+def test_enum_and_fixed_write_roundtrip():
+    """Write parity for enum/fixed: encode under the avro schema, decode
+    back; out-of-vocabulary symbols and wrong-size fixed values fail
+    loudly at encode time (never emit undecodable bytes)."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "color",
+             "type": {"type": "enum", "name": "Color",
+                      "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "digest",
+             "type": {"type": "fixed", "name": "MD5", "size": 4}},
+        ],
+    }
+    rows = [{"color": "GREEN", "digest": b"\x01\x02\x03\x04"},
+            {"color": "BLUE", "digest": b"\xff\x00\xff\x00"}]
+    data = encode_container(schema, rows, sync=bytes(16))
+    got_schema, got = decode_container(data)
+    assert got == rows
+    with pytest.raises(ValueError, match="not a symbol"):
+        encode_container(schema, [{"color": "MAGENTA",
+                                   "digest": b"\x00" * 4}])
+    with pytest.raises(ValueError, match="exactly 4 bytes"):
+        encode_container(schema, [{"color": "RED", "digest": b"\x00" * 3}])

@@ -278,6 +278,69 @@ def test_checkpoint_replay(spark, tmp_path):
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2, 3}
 
 
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """A MULTI-PART classic checkpoint ({v}.checkpoint.{i}.{n}.parquet
+    with a `parts` field in _last_checkpoint — what delta-spark writes
+    for large tables) replays correctly with pre-checkpoint commits
+    deleted; an incomplete part set fails loudly."""
+    import pandas as pd
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    st = replay_log(spark, path)
+    adds = [
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": 0, "dataChange": True},
+         "metaData": None, "protocol": None}
+        for rel, pv in st.files.items()
+    ]
+    meta_rows = [
+        {"add": None, "metaData": st.metadata, "protocol": None},
+        {"add": None, "metaData": None, "protocol": st.protocol},
+    ]
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>,"
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    # part 1 = adds, part 2 = metaData+protocol — two separate files
+    for i, rows in ((1, adds), (2, meta_rows)):
+        d = os.path.join(log_dir, f"cp{i}.d")
+        spark.createDataFrame(
+            pd.DataFrame({"raw": [json.dumps(r) for r in rows]})
+        ).select(F.from_json("raw", schema).alias("a")).select(
+            "a.*"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(d, part),
+            os.path.join(
+                log_dir,
+                f"{st.version:020d}.checkpoint.{i:010d}.{2:010d}.parquet",
+            ),
+        )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump(
+            {"version": st.version, "size": len(adds) + 2, "parts": 2}, fh
+        )
+    for v in range(st.version + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+    # missing part -> loud NotImplementedError, never a partial state
+    os.remove(
+        os.path.join(
+            log_dir,
+            f"{st.version:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+        )
+    )
+    with pytest.raises(NotImplementedError, match="incomplete"):
+        read_delta_lite(spark, path)
+
+
 def test_protocol_v2_raises(spark, tmp_path):
     path = tmp_path / "t"
     (path / "_delta_log").mkdir(parents=True)
