@@ -1,0 +1,238 @@
+"""Training-data curation operators: chunking, PII redaction,
+deterministic sampling, and sequence packing.
+
+These are the steps between "raw corpus" and "training batches" that a
+100 TB pipeline runs after dedup/quality filtering (operators/dedup.py,
+operators/text.py): split documents into model-window-sized chunks,
+scrub obvious PII, downsample strata to a target mix, and pack chunks
+into fixed token budgets. Everything here is built-in Column
+expressions or a single window — no Python in the loop, no collect, no
+extra shuffles beyond the one a packing order inherently needs:
+
+- ``chunk_documents``: split-on-whitespace -> ``sequence`` of chunk
+  starts -> ``transform`` + ``slice`` + ``array_join`` -> ``posexplode``.
+  A pure per-row narrow map (rows fan out, no shuffle); overlap is a
+  slice-window parameter, mirroring the fixed-size-with-overlap
+  chunking every RAG/pretraining pipeline uses.
+- ``redact_pii``: chained ``regexp_replace`` for emails, E.164-ish
+  phone numbers, SSNs, IPv4s and 13-19-digit card numbers — the
+  classic scrub list, JVM-side so it runs at scan speed. Pattern
+  recall/precision is deliberately conservative (documented per
+  pattern); a production system would layer an NER model behind the
+  same column contract.
+- ``sample_deterministic``: keep a row iff
+  ``pmod(xxhash64(key, seed), 1_000_000) < rate * 1_000_000``.
+  Hash-gated sampling is reproducible under retries, cluster resizes
+  and partial re-runs (unlike ``df.sample``, whose per-partition RNG
+  changes with partitioning), supports per-stratum rates, and pushes
+  down as a plain filter.
+- ``pack_sequences``: assign chunks to fixed-token-budget bins by
+  running cumulative token count over a DETERMINISTIC order within
+  each pack group — concat-then-split sequence packing, the standard
+  pretraining batching trick. One window shuffle on the group key;
+  at 100 TB you pack per shard (group key = shard id) so the window
+  partitions stay bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from lcr_etl_upgrade_spark.operators.text import tokens_expr
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_tokens`` with ``overlap_tokens`` shared between neighbors.
+
+    Output: one row per chunk with (id, chunk_id, chunk_text, n_tokens);
+    chunk_id is 0-based in document order. Empty/whitespace-only
+    documents produce zero chunks. Narrow map — no shuffle."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got "
+            f"{overlap_tokens} / {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = tokens_expr(F.col(text_col))
+    # trailing chunk starts at the last multiple of `step` BELOW n, so a
+    # document shorter than chunk_tokens yields exactly one chunk
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(
+            F.slice(toks, s + 1, chunk_tokens), " "
+        ),
+    )
+    out = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.least(
+                F.size("__toks") - F.col("chunk_id") * step,
+                F.lit(chunk_tokens),
+            ).cast("long"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .drop("__toks")
+    )
+    return out
+
+
+# name -> (pattern, replacement): ordered, applied in sequence. Patterns
+# favor precision (anchored with lookarounds / word boundaries) so prose
+# survives; each misses deliberately-obfuscated forms ("j at example").
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # SSN before generic phone: 123-45-6789 would otherwise phone-match
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # 13-19 digit runs with optional space/dash groupings (card-ish)
+    "card": (r"\b(?:\d[ -]?){12,18}\d\b", "<CARD>"),
+    "phone": (
+        r"(?<![\w.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?"
+        r"\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\w.])",
+        "<PHONE>",
+    ),
+    "ipv4": (
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1?\d?\d)\b",
+        "<IP>",
+    ),
+}
+
+
+def redact_pii_expr(
+    col: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)
+) -> Column:
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}"
+        )
+    out = col
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = tuple(PII_PATTERNS),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace PII spans in ``text_col`` with typed placeholder tokens
+    (in place unless ``out_col`` names a new column)."""
+    return df.withColumn(
+        out_col or text_col, redact_pii_expr(F.col(text_col), kinds)
+    )
+
+
+def sample_deterministic(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    seed: int = 0,
+    stratum_col: str | None = None,
+    stratum_rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep each row iff ``hash(key, seed)`` lands under ``rate`` —
+    reproducible regardless of partitioning, retries or cluster size,
+    and expressible as a pushable filter (unlike ``df.sample``).
+
+    Either a global ``rate`` or per-stratum ``stratum_rates`` keyed by
+    the values of ``stratum_col`` (strata absent from the dict are
+    DROPPED — an explicit mix, not a default)."""
+    denom = 1_000_000
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
+    if (rate is None) == (stratum_rates is None):
+        raise ValueError("pass exactly one of rate / stratum_rates")
+    if rate is not None:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {rate}")
+        return df.filter(bucket < int(rate * denom))
+    if stratum_col is None:
+        raise ValueError("stratum_rates requires stratum_col")
+    expr = F.lit(-1)
+    for value, r in stratum_rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {r} for {value!r}")
+        expr = F.when(
+            F.col(stratum_col) == value, F.lit(int(r * denom))
+        ).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    budget: int,
+    group_col: str | None = None,
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Concat-then-split packing: lay the rows out in the deterministic
+    ``order_cols`` order, accumulate ``token_col``, and cut a new bin
+    every ``budget`` tokens. Emits ``bin_col`` (0-based) and
+    ``offset_col`` (the row's start offset within the concatenated
+    stream — ``pmod(. , budget)`` gives the in-bin offset; a row longer
+    than the budget spans bins, exactly like pretraining packing).
+
+    ``group_col`` scopes packing (and the single window shuffle) to a
+    shard; bins are then per-group. Rows with NULL or negative token
+    counts are rejected up front."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    part = [group_col] if group_col else []
+    w = (
+        W.partitionBy(*part).orderBy(*order_cols)
+        if part
+        else W.partitionBy().orderBy(*order_cols)
+    )
+    n = F.col(token_col)
+    # the contract check lives INSIDE the output expression (a pruned
+    # side column carrying assert_true would be optimized away): any
+    # NULL/negative token count raises per-row instead of silently
+    # producing NULL bins downstream
+    checked = F.when(
+        n.isNull() | (n < 0),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: NULL or negative token count: "),
+                F.coalesce(n.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(n)
+    start = F.coalesce(
+        F.sum(n).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    # `checked - n` is 0 on every valid row; adding it forces `checked`
+    # to evaluate for EVERY row (a bad final row would otherwise escape
+    # — the running sum never consumes the partition's last value)
+    offset = start + checked - n
+    return df.withColumns(
+        {
+            bin_col: F.floor(offset / budget).cast("long"),
+            offset_col: offset.cast("long"),
+        }
+    )

@@ -1,0 +1,191 @@
+"""operators.curation — chunking, PII redaction, deterministic sampling,
+sequence packing. Python-restatement oracles for the windowed/packing
+logic; golden strings for the regex scrubs; determinism properties for
+the hash sampler (same rows kept under any repartitioning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.operators.curation import (
+    PII_PATTERNS,
+    chunk_documents,
+    pack_sequences,
+    redact_pii,
+    sample_deterministic,
+)
+
+
+# ------------------------------------------------------------- chunking --
+def test_chunking_matches_python_restatement(spark):
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10))),
+        (2, "single"),
+        (3, " ".join(f"x{i}" for i in range(4))),
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, chunk_tokens=4, overlap_tokens=1
+        ).collect()
+    }
+    want = {}
+    step = 3
+    for doc_id, text in docs:
+        toks = text.split()
+        for cid, s in enumerate(range(0, max(len(toks), 1), step)):
+            chunk = toks[s : s + 4]
+            if chunk:
+                want[(doc_id, cid)] = (" ".join(chunk), len(chunk))
+    assert got == want
+    # overlap: chunk k shares its last token with chunk k+1's first
+    assert got[(1, 0)][0] == "w0 w1 w2 w3"
+    assert got[(1, 1)][0] == "w3 w4 w5 w6"
+
+
+def test_chunking_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_chunking_bad_overlap_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ------------------------------------------------------------ redaction --
+def test_redaction_goldens(spark):
+    cases = [
+        ("contact j.doe+x@example.co.uk now", "contact <EMAIL> now"),
+        ("ssn 123-45-6789 ok", "ssn <SSN> ok"),
+        ("card 4111 1111 1111 1111 charged", "card <CARD> charged"),
+        ("call +1 (555) 867-5309 today", "call <PHONE> today"),
+        ("host 192.168.0.1 up", "host <IP> up"),
+        # non-PII survivors: versions, dates, small numbers, prose dots
+        ("v1.2.3 released 2024-06-01 cost 42", "v1.2.3 released 2024-06-01 cost 42"),
+        ("pi is 3.14159 and e is 2.71828", "pi is 3.14159 and e is 2.71828"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r.id: r.text for r in redact_pii(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_redaction_kind_subset_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co or 123-45-6789")], "id long, text string"
+    )
+    only_email = redact_pii(df, kinds=("email",)).collect()[0].text
+    assert only_email == "<EMAIL> or 123-45-6789"
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(df, kinds=("email", "dna"))
+    assert set(PII_PATTERNS) == {"email", "ssn", "card", "phone", "ipv4"}
+
+
+# ------------------------------------------------------------- sampling --
+def test_sampling_deterministic_under_repartitioning(spark):
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = {r.k for r in sample_deterministic(df, "k", rate=0.25).collect()}
+    b = {
+        r.k
+        for r in sample_deterministic(
+            df.repartition(13), "k", rate=0.25
+        ).collect()
+    }
+    assert a == b  # identical keep-set under any partitioning
+    assert 0.2 < len(a) / 5000 < 0.3  # rate is approximately honored
+    c = {r.k for r in sample_deterministic(df, "k", rate=0.25, seed=9).collect()}
+    assert c != a  # seed changes the keep-set
+
+
+def test_sampling_stratified_rates(spark):
+    df = spark.range(9000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = sample_deterministic(
+        df,
+        "k",
+        stratum_col="lang",
+        stratum_rates={"en": 1.0, "de": 0.2},
+    )
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("en") == 3000  # rate 1.0 keeps everything
+    assert 400 < counts.get("de", 0) < 800  # ~600
+    assert "fr" not in counts  # absent stratum dropped explicitly
+
+
+def test_sampling_argument_contracts(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_deterministic(df, "k")
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_deterministic(df, "k", rate=0.5, stratum_rates={"a": 1.0})
+    with pytest.raises(ValueError, match="rate must be"):
+        sample_deterministic(df, "k", rate=1.5)
+
+
+# -------------------------------------------------------------- packing --
+def test_packing_matches_python_restatement(spark):
+    rows = [(i, f"s{i % 2}", (i * 37) % 90 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, shard string, n long")
+    got = {
+        r.id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences(
+            df, "n", ["id"], budget=256, group_col="shard"
+        ).collect()
+    }
+    want = {}
+    for shard in ("s0", "s1"):
+        acc = 0
+        for i, s, n in sorted(rows):
+            if s != shard:
+                continue
+            want[i] = (acc // 256, acc)
+            acc += n
+    assert got == want
+
+
+def test_packing_row_longer_than_budget_spans_bins(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 50)], "id long, n long"
+    )
+    got = {r.id: r.bin_id for r in pack_sequences(df, "n", ["id"], 256).collect()}
+    # row 2 starts at offset 100 (bin 0) and spills; row 3 starts at
+    # offset 1000 -> bin 3
+    assert got == {1: 0, 2: 0, 3: 3}
+
+
+def test_packing_rejects_null_and_negative_tokens(spark):
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "id long, n long"
+    )
+    with pytest.raises(Exception, match="NULL or negative"):
+        pack_sequences(df, "n", ["id"], 16).collect()
+    df2 = spark.createDataFrame([(1, -5)], "id long, n long")
+    with pytest.raises(Exception, match="NULL or negative"):
+        pack_sequences(df2, "n", ["id"], 16).collect()
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df2, "n", ["id"], 0)
