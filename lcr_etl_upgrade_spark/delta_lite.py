@@ -59,6 +59,10 @@ from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_SINGLE = "{v:020d}.checkpoint.parquet"
+# classic checkpoint data files: single-part and {v}.checkpoint.{i}.{n}
+_CHECKPOINT_FILE_RE = re.compile(
+    r"^\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet$"
+)
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -491,9 +495,13 @@ def write_delta_lite(
                     )
                 )
             current = replay_log(spark, path)
-            same_schema = sorted(
-                f.name for f in current.schema.fields
-            ) == sorted(df.columns)
+            # compare names AND types: a racing overwrite that changed a
+            # column's TYPE must refuse too, or the retried append would
+            # commit parquet files whose physical type contradicts the
+            # table's metaData schema (nullability aside)
+            same_schema = {
+                f.name: f.dataType for f in current.schema.fields
+            } == {f.name: f.dataType for f in df.schema.fields}
             if not same_schema or current.partition_columns != part_cols:
                 _rollback()
                 raise FileExistsError(
@@ -544,7 +552,11 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
                     a = action.get("add") or action.get("remove")
                     if a:
                         referenced.add(urllib.parse.unquote(a["path"]))
-        elif f.endswith(".checkpoint.parquet"):
+        elif _CHECKPOINT_FILE_RE.match(f):
+            # single-part AND multi-part ({v}.checkpoint.{i}.{n}.parquet)
+            # checkpoints: a table whose pre-checkpoint commits were
+            # cleaned up is referenced ONLY here — missing the multi-part
+            # form would delete every active file it names
             for row in spark.read.parquet(os.path.join(log_dir, f)).collect():
                 d = row.asDict(recursive=True)
                 if d.get("add"):

@@ -62,12 +62,20 @@ def chunk_documents(
             f"{overlap_tokens} / {chunk_tokens}"
         )
     step = chunk_tokens - overlap_tokens
-    toks = tokens_expr(F.col(text_col))
-    # trailing chunk starts at the last multiple of `step` BELOW n, so a
-    # document shorter than chunk_tokens yields exactly one chunk
+    # regexp-strip ALL edge whitespace (F.trim strips spaces only — a
+    # "\n\t" document or "\nword" prefix would otherwise yield phantom
+    # "" tokens) before splitting
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(stripped, r"\s+")
+    # last start: the largest multiple of `step` at or below
+    # n - overlap - 1 — a start inside the final overlap window would
+    # emit a chunk consisting ENTIRELY of the previous chunk's tail
+    # (pure duplicated content); this bound still covers every token
+    # (last start >= n - chunk_tokens) and keeps a short document to
+    # exactly one chunk
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.greatest(F.size(toks) - overlap_tokens - 1, F.lit(0)),
         F.lit(step),
     )
     chunks = F.transform(
@@ -77,7 +85,7 @@ def chunk_documents(
         ),
     )
     out = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(stripped) > 0)
         .select(
             F.col(id_col),
             toks.alias("__toks"),

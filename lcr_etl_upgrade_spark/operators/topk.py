@@ -92,15 +92,24 @@ def topk_per_group(
             if n == 0:
                 continue
             idx = pc.sort_indices(b, sort_keys=sort_keys).to_numpy()
+            idx_arr = pa.array(idx)
             new_run = np.zeros(n, dtype=bool)
             new_run[0] = True
-            for g in group_cols:
-                col = b.column(names.index(g)).to_numpy(
-                    zero_copy_only=False
-                )[idx]
-                np.logical_or(
-                    new_run[1:], col[1:] != col[:-1], out=new_run[1:]
-                )
+            if n > 1:
+                for g in group_cols:
+                    # compare adjacent sorted keys ARROW-side: converting
+                    # an int64 column with nulls to numpy coerces to
+                    # float64 and merges distinct keys above 2^53; a
+                    # null-vs-anything comparison (null result) breaks
+                    # the run conservatively
+                    col = b.column(names.index(g)).take(idx_arr)
+                    neq = pc.fill_null(
+                        pc.invert(
+                            pc.equal(col.slice(1), col.slice(0, n - 1))
+                        ),
+                        True,
+                    ).to_numpy(zero_copy_only=False)
+                    np.logical_or(new_run[1:], neq, out=new_run[1:])
             run_start = np.maximum.accumulate(
                 np.where(new_run, np.arange(n), 0)
             )

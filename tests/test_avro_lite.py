@@ -463,47 +463,3 @@ def test_cross_file_type_mismatch_rejected(spark, tmp_path):
         encode_container(s_str, [{"x": "oops"}], sync=bytes(16)))
     with pytest.raises(Exception, match="field types differ"):
         read_avro_lite(spark, str(d)).collect()
-
-
-def test_delta_sink_partition_by_parity(spark, tmp_path):
-    """The `partition_by` sink option must shape the table layout on
-    WHICHEVER delta path is active (delta-spark or delta_lite) — it used
-    to be honored only on the fallback."""
-    from lcr_etl_upgrade_spark.sinks.registry import get_sink
-
-    sink = get_sink("delta_overwrite", partition_by="p")
-    assert sink.partition_by == ("p",)
-    assert "partition_by" not in sink.options
-    path = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(1, "a"), (2, "b"), (3, "a")], "id long, p string"
-    )
-    sink(df, path)
-    parts = {e for e in os.listdir(path) if e.startswith("p=")}
-    assert parts == {"p=a", "p=b"}
-
-
-def test_enum_and_fixed_write_roundtrip():
-    """Write parity for enum/fixed: encode under the avro schema, decode
-    back; out-of-vocabulary symbols and wrong-size fixed values fail
-    loudly at encode time (never emit undecodable bytes)."""
-    schema = {
-        "type": "record", "name": "r",
-        "fields": [
-            {"name": "color",
-             "type": {"type": "enum", "name": "Color",
-                      "symbols": ["RED", "GREEN", "BLUE"]}},
-            {"name": "digest",
-             "type": {"type": "fixed", "name": "MD5", "size": 4}},
-        ],
-    }
-    rows = [{"color": "GREEN", "digest": b"\x01\x02\x03\x04"},
-            {"color": "BLUE", "digest": b"\xff\x00\xff\x00"}]
-    data = encode_container(schema, rows, sync=bytes(16))
-    got_schema, got = decode_container(data)
-    assert got == rows
-    with pytest.raises(ValueError, match="not a symbol"):
-        encode_container(schema, [{"color": "MAGENTA",
-                                   "digest": b"\x00" * 4}])
-    with pytest.raises(ValueError, match="exactly 4 bytes"):
-        encode_container(schema, [{"color": "RED", "digest": b"\x00" * 3}])

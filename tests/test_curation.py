@@ -37,7 +37,9 @@ def test_chunking_matches_python_restatement(spark):
     step = 3
     for doc_id, text in docs:
         toks = text.split()
-        for cid, s in enumerate(range(0, max(len(toks), 1), step)):
+        # starts stop before the final overlap window: a start there
+        # would emit a chunk that is purely the previous chunk's tail
+        for cid, s in enumerate(range(0, max(len(toks) - 1, 1), step)):
             chunk = toks[s : s + 4]
             if chunk:
                 want[(doc_id, cid)] = (" ".join(chunk), len(chunk))
@@ -45,6 +47,24 @@ def test_chunking_matches_python_restatement(spark):
     # overlap: chunk k shares its last token with chunk k+1's first
     assert got[(1, 0)][0] == "w0 w1 w2 w3"
     assert got[(1, 1)][0] == "w3 w4 w5 w6"
+
+
+def test_chunking_non_space_whitespace(spark):
+    """Tab/newline-only docs emit zero chunks; edge newlines never
+    create phantom empty tokens (F.trim strips spaces only — the
+    operator must regexp-strip)."""
+    df = spark.createDataFrame(
+        [(1, "\n\t"), (2, "\nhello world\t"), (3, "a\n\nb")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=8).collect()
+    }
+    assert got == {
+        (2, 0): ("hello world", 2),
+        (3, 0): ("a b", 2),
+    }
 
 
 def test_chunking_no_shuffle(spark):
@@ -189,3 +209,83 @@ def test_packing_rejects_null_and_negative_tokens(spark):
         pack_sequences(df2, "n", ["id"], 16).collect()
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df2, "n", ["id"], 0)
+
+
+# ------------------------------------------------------- property tests --
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_docs = st.lists(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+            min_size=1,
+            max_size=5,
+        ),
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_docs, chunk=st.integers(2, 8), overlap=st.integers(0, 3))
+@_SETTINGS
+def test_chunk_reconstruction_property(spark, docs, chunk, overlap):
+    """Dropping each later chunk's first `overlap` tokens and
+    concatenating in chunk order reconstructs the document's token
+    stream exactly — no token lost, duplicated (beyond the declared
+    overlap) or reordered."""
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, chunk_tokens=chunk, overlap_tokens=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = [t for _, t in sorted(by_doc[i])]
+        rebuilt = chunks[0].split()
+        for c in chunks[1:]:
+            fresh = c.split()[overlap:]
+            # every chunk past the first must contribute NEW tokens — an
+            # all-overlap chunk is pure duplicated content
+            assert fresh, (i, chunks)
+            rebuilt.extend(fresh)
+        assert rebuilt == toks, (i, chunks, toks)
+
+
+@given(
+    ns=st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    budget=st.integers(1, 500),
+)
+@_SETTINGS
+def test_packing_invariants_property(spark, ns, budget):
+    """Offsets are the exclusive prefix sums in order; bin_id is
+    floor(offset/budget); total stream length is preserved."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ns)], "id long, n long"
+    )
+    got = sorted(
+        (r.id, r.bin_id, r.bin_offset)
+        for r in pack_sequences(df, "n", ["id"], budget).collect()
+    )
+    acc = 0
+    for i, n in enumerate(ns):
+        rid, bid, off = got[i]
+        assert (rid, bid, off) == (i, acc // budget, acc)
+        acc += n

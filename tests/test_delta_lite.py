@@ -704,3 +704,113 @@ def test_reader_ignores_in_flight_staging(spark, tmp_path):
     os.makedirs(staging)
     _df(spark, [(99, "z")]).write.parquet(os.path.join(staging, "data"))
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_delta_sink_partition_by_parity(spark, tmp_path):
+    """The `partition_by` sink option must shape the table layout on
+    WHICHEVER delta path is active (delta-spark or delta_lite) — it used
+    to be honored only on the fallback."""
+    from lcr_etl_upgrade_spark.sinks.registry import get_sink
+
+    sink = get_sink("delta_overwrite", partition_by="p")
+    assert sink.partition_by == ("p",)
+    assert "partition_by" not in sink.options
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, p string"
+    )
+    sink(df, path)
+    parts = {e for e in os.listdir(path) if e.startswith("p=")}
+    assert parts == {"p=a", "p=b"}
+
+
+def test_vacuum_keeps_files_referenced_only_by_multipart_checkpoint(
+    spark, tmp_path
+):
+    """vacuum's referenced-set scan must parse MULTI-part checkpoint
+    files too: on a table whose pre-checkpoint commits were cleaned up,
+    the checkpoint is the ONLY reference to the active data files —
+    missing it would delete live data."""
+    import pandas as pd
+
+    from lcr_etl_upgrade_spark.delta_lite import vacuum
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    st = replay_log(spark, path)
+    adds = [
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": 0, "dataChange": True},
+         "metaData": None, "protocol": None}
+        for rel, pv in st.files.items()
+    ]
+    meta_rows = [
+        {"add": None, "metaData": st.metadata, "protocol": None},
+        {"add": None, "metaData": None, "protocol": st.protocol},
+    ]
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>,"
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    for i, rows in ((1, adds), (2, meta_rows)):
+        d = os.path.join(log_dir, f"cp{i}.d")
+        spark.createDataFrame(
+            pd.DataFrame({"raw": [json.dumps(r) for r in rows]})
+        ).select(F.from_json("raw", schema).alias("a")).select(
+            "a.*"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(d, part),
+            os.path.join(
+                log_dir,
+                f"{st.version:020d}.checkpoint.{i:010d}.{2:010d}.parquet",
+            ),
+        )
+        import shutil as _sh
+        _sh.rmtree(d, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump(
+            {"version": st.version, "size": len(adds) + 2, "parts": 2}, fh
+        )
+    for v in range(st.version + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    removed = vacuum(spark, path)
+    assert removed == []  # every data file is live, nothing to reap
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+
+
+def test_concurrent_append_type_change_refused(spark, tmp_path, monkeypatch):
+    """A racing overwrite that keeps the column NAMES but changes a TYPE
+    must also refuse the retried append — name-equality alone would
+    commit parquet files whose physical type contradicts metaData."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    stale = replay_log(spark, path)
+
+    real_replay = dl.replay_log
+    calls = {"n": 0}
+
+    def racing_replay(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            write_delta_lite(
+                _df(spark, [("9", "x")], "id string, value string"),
+                path,
+                mode="overwrite",
+            )
+            return stale
+        return real_replay(*a, **k)
+
+    monkeypatch.setattr(dl, "replay_log", racing_replay)
+    with pytest.raises(FileExistsError, match="schema or partitioning"):
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    monkeypatch.undo()
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {"9"}

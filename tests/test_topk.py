@@ -158,3 +158,37 @@ def test_bad_strategy_and_missing_columns_raise(spark):
         topk_per_group(
             df, ["g"], [("missing", True)], 1, strategy="prefilter"
         )
+
+
+def test_prefilter_large_int64_groups_with_nulls_exact(spark):
+    """int64 group keys above 2^53 that differ by 1, plus a null-keyed
+    row, in ONE partition: numpy float64 coercion would merge the two
+    groups and prune real winners — the Arrow-side comparison must not."""
+    g1, g2 = 2**53, 2**53 + 1
+    rows = (
+        [(g1, i, float(i)) for i in range(5)]
+        + [(g2, 100 + i, float(i)) for i in range(5)]
+        + [(None, 999, 42.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "g long, id long, score double"
+    ).coalesce(1)
+    spec = dict(
+        group_cols=["g"],
+        order_by=[("score", False), ("id", True)],
+        k=2,
+        rank_col="rn",
+    )
+    a = sorted(
+        map(tuple, topk_per_group(df, strategy="window", **spec).collect()),
+        key=str,
+    )
+    b = sorted(
+        map(tuple, topk_per_group(df, strategy="prefilter", **spec).collect()),
+        key=str,
+    )
+    assert a == b
+    # both groups keep their true top-2 (scores 4.0 and 3.0)
+    kept = {(r[0], r[2]) for r in b}
+    assert (g1, 4.0) in kept and (g2, 4.0) in kept
+    assert (g1, 3.0) in kept and (g2, 3.0) in kept
