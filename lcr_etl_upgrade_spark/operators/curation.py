@@ -40,8 +40,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from lcr_etl_upgrade_spark.operators.text import tokens_expr
-
 
 def chunk_documents(
     df: DataFrame,

@@ -197,8 +197,6 @@ def test_packing_row_longer_than_budget_spans_bins(spark):
 
 
 def test_packing_rejects_null_and_negative_tokens(spark):
-    from py4j.protocol import Py4JJavaError
-
     df = spark.createDataFrame(
         [(1, 10), (2, None)], "id long, n long"
     )
