@@ -19,6 +19,8 @@ key-correlated join needs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,13 @@ def interval_join(
     names so the joined row carries both."""
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"how must be inner|leftOuter, got {how!r}")
+    if not re.fullmatch(r"\d+\s+[A-Za-z]+", upper.strip()):
+        # `upper` is spliced into F.expr — accept only "<n> <unit>" so a
+        # malformed value fails here with a clear message, not inside
+        # the SQL parser (and can never smuggle arbitrary SQL)
+        raise ValueError(
+            f"upper must look like '1 hour' / '30 minutes', got {upper!r}"
+        )
     if left_ts == right_ts:
         raise ValueError(
             "left_ts and right_ts must be distinct column names "
