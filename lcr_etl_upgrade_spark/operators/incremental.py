@@ -76,11 +76,20 @@ class WatermarkStore:
 
     def write_state(self, table: str, value: str, boundary_keys: list[str]) -> None:
         import json
+        import uuid as _uuid
 
-        with open(self._path(table), "w") as fh:
+        # temp + os.replace: an in-place write that crashes after the
+        # watermark line but before the key line would persist a
+        # valid-looking state with NO keys — silently degrading to
+        # duplicate-producing >= semantics; atomic replace makes the
+        # state all-or-nothing
+        path = self._path(table)
+        tmp = f"{path}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(value)
             if boundary_keys:
                 fh.write("\n" + json.dumps(boundary_keys))
+        os.replace(tmp, path)
 
 
 def incremental_filter(
@@ -193,35 +202,42 @@ def run_incremental(
                     .limit(MAX_BOUNDARY_KEYS + 1)
                     .collect()
                 )
-                if len(boundary_rows) <= MAX_BOUNDARY_KEYS:
-                    new_boundary = [r[0] for r in boundary_rows]
-                    if new_wm_str == watermark:
-                        # Watermark stood still: this batch's boundary rows
-                        # were written IN ADDITION to the ones recorded at
-                        # this instant by prior runs (which the filter just
-                        # excluded, so they can't be in boundary_rows).
-                        # Overwriting would re-admit those prior keys next
-                        # run and duplicate them — union instead.
-                        new_boundary = list(dict.fromkeys(boundary + new_boundary))
-                        if len(new_boundary) > MAX_BOUNDARY_KEYS:
-                            # Truncate, never clear: every key here WAS written,
-                            # so keeping any subset only prevents duplicates —
-                            # clearing would re-admit ALL watermark-instant rows
-                            # next run (the exact hazard the union exists for).
-                            # The dropped tail re-selects next run: duplicates
-                            # possible for those keys only, never data loss.
-                            import logging
+                # Truncate, never clear — uniformly: every key kept here
+                # WAS written, so keeping any subset only prevents
+                # duplicates, while clearing would re-admit ALL
+                # watermark-instant rows next run. This applies to the
+                # fetch itself exceeding the cap too (it used to fall
+                # through to an empty list, erasing PRIOR runs' keys
+                # under a standing watermark — the exact hazard).
+                fetched = [
+                    r[0] for r in boundary_rows[:MAX_BOUNDARY_KEYS]
+                ]
+                if new_wm_str == watermark:
+                    # Watermark stood still: this batch's boundary rows
+                    # were written IN ADDITION to the ones recorded at
+                    # this instant by prior runs (which the filter just
+                    # excluded, so they can't be in the fetch) — union,
+                    # prior keys first so they survive truncation.
+                    new_boundary = list(dict.fromkeys(boundary + fetched))
+                else:
+                    new_boundary = fetched
+                if (
+                    len(boundary_rows) > MAX_BOUNDARY_KEYS
+                    or len(new_boundary) > MAX_BOUNDARY_KEYS
+                ):
+                    # The dropped tail re-selects next run: duplicates
+                    # possible for those keys only, never data loss.
+                    import logging
 
-                            logging.getLogger(__name__).warning(
-                                "boundary keys for %s exceed MAX_BOUNDARY_KEYS "
-                                "(%d > %d) with a standing watermark; truncating"
-                                " — append idempotence is partial for this "
-                                "table until the watermark advances",
-                                table,
-                                len(new_boundary),
-                                MAX_BOUNDARY_KEYS,
-                            )
-                            new_boundary = new_boundary[:MAX_BOUNDARY_KEYS]
+                    logging.getLogger(__name__).warning(
+                        "boundary keys for %s exceed MAX_BOUNDARY_KEYS "
+                        "(> %d); truncating — append idempotence is "
+                        "partial for this table until the watermark "
+                        "advances",
+                        table,
+                        MAX_BOUNDARY_KEYS,
+                    )
+                    new_boundary = new_boundary[:MAX_BOUNDARY_KEYS]
             store.write_state(table, new_wm_str, new_boundary)
         return int(result["n"])
     finally:

@@ -72,6 +72,25 @@ def _drop_unscorable(scored: DataFrame) -> DataFrame:
     return scored.filter(c.isNotNull() & ~F.isnan(c))
 
 
+def _rank_topk(
+    scored: DataFrame, query_id: str, corpus_id: str, k: int
+) -> DataFrame:
+    """The shared per-query top-k epilogue over scored (query, corpus,
+    cosine) rows, delegated to operators.topk.topk_per_group (window
+    strategy — the measured local winner; a deployment whose exchange is
+    network-bound can flip the strategy in ONE place now instead of
+    four)."""
+    from lcr_etl_upgrade_spark.operators.topk import topk_per_group
+
+    return topk_per_group(
+        scored,
+        [query_id],
+        [("cosine", False), (corpus_id, True)],
+        k,
+        rank_col="rank",
+    ).select(query_id, corpus_id, "cosine", "rank")
+
+
 def scorable(df: DataFrame, vec_col: str) -> DataFrame:
     """The shared ANN scorability contract: NULL vectors and zero-norm
     vectors are unscorable under cosine (no direction) and are excluded
@@ -97,7 +116,6 @@ def cosine_topk(
     """Brute-force cosine top-k per query (exact). NULL and zero-norm
     vectors are unscorable and excluded on both sides (the shared ANN
     contract — fused into scoring, see safe_cosine_expr)."""
-    from pyspark.sql import Window as W
 
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
@@ -112,12 +130,7 @@ def cosine_topk(
             "cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec"))
         )
     )
-    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def _plane_lits(bits: int, dim: int, table: int) -> list[list[float]]:
@@ -252,7 +265,6 @@ def cosine_topk_lsh(
     ranking. Per-table buckets are computed in ONE Arrow-batched matmul
     each side (no shuffle; see _buckets_udf); the only shuffles are the
     candidate dedup and the final per-query top-k window."""
-    from pyspark.sql import Window as W
 
     # NULL vectors need no explicit filter: _buckets_udf maps them to a
     # NULL bucket array and posexplode emits no rows for it. Zero-norm /
@@ -289,12 +301,7 @@ def cosine_topk_lsh(
         .dropDuplicates([query_id, corpus_id])
         .withColumn("cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec")))
     )
-    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def cosine_near_dup_pairs(
@@ -316,7 +323,10 @@ def cosine_near_dup_pairs(
     dot product only, not three — and double as the scorability filter:
     a zero-norm or NaN-coordinate vector fails ``__norm > 0`` (NaN
     compares false) at no extra pass, so the ANSI pair division below is
-    safe without try_divide.
+    safe without try_divide. INFINITE coordinates pass the norm filter
+    (norm = inf) and surface as NaN pair cosines instead — the threshold
+    filter explicitly drops NaN (Spark orders NaN above every number, so
+    a bare ``>=`` would emit them).
     """
     base = (
         df.filter(F.col(vec_col).isNotNull())
@@ -351,7 +361,11 @@ def cosine_near_dup_pairs(
             dot_expr(F.col("__va"), F.col("__vb"))
             / (F.col("__na") * F.col("__nb")),
         )
-        .filter(F.col("cosine") >= threshold)
+        # ~isnan: an INFINITE coordinate passes __norm > 0 (norm = inf)
+        # and its pair cosine is inf/inf = NaN — which Spark's
+        # NaN-greater-than-everything ordering would pass through
+        # `>= threshold`, emitting the row as a near-dup of EVERYTHING
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -454,23 +468,27 @@ def ivf_topk(
     volume, because assignment redundancy helps exactly the
     boundary-straddling rows that probing misses.
     """
-    from pyspark.sql import Window as W
 
-    # a NULL or zero-norm vector can be neither indexed nor scored: drop
-    # such rows up front, then handle the now-possibly-empty sides below
-    corpus = scorable(corpus, vec_col)
-    queries = scorable(queries, vec_col)
-    # totality at the edges: an empty corpus cannot train centroids, and
-    # an empty query side would pay the training for nothing — both
-    # yield the empty result a filter-to-nothing pipeline stage expects
-    # (the count doubles as the sampling denominator below)
-    n_corpus = corpus.count()
-    if n_corpus == 0 or queries.isEmpty():
+    def _empty() -> DataFrame:
         q_t = queries.schema[query_id].dataType.simpleString()
         c_t = corpus.schema[corpus_id].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double, rank int"
         )
+
+    # totality at the edges: an empty corpus cannot train centroids, and
+    # an empty query side would pay the training for nothing. The count
+    # runs on the RAW corpus — it only feeds the sampling fraction, so
+    # paying the interpreted-dot scorable() filter for an exact filtered
+    # count was a whole wasted corpus pass (the all-unscorable edge is
+    # caught below when the training sample comes back empty).
+    n_corpus = corpus.count()
+    if n_corpus == 0 or queries.isEmpty():
+        return _empty()
+    # a NULL or zero-norm vector can be neither indexed nor scored: drop
+    # such rows before sampling/assignment
+    corpus = scorable(corpus, vec_col)
+    queries = scorable(queries, vec_col)
 
     # Centroid TRAINING is deliberately a driver-scale problem, not a
     # Spark job: the fit sees a bounded SAMPLE (~256 rows per centroid,
@@ -497,6 +515,9 @@ def ivf_topk(
         # crash path is a crash path); fall back to an arbitrary bounded
         # prefix — seeding quality is irrelevant in a regime this small
         rows = corpus.select(vec_col).limit(n_train_target).collect()
+        if not rows:
+            # raw corpus was non-empty but EVERY row is unscorable
+            return _empty()
     # the index dimension is the first sampled row's; rows of any other
     # length would make the training matrix ragged — they are excluded
     # from training and masked to NULL cells by _top_cells_udf, the same
@@ -505,6 +526,13 @@ def ivf_topk(
     sample = np.array(
         [r[0] for r in rows if len(r[0]) == index_dim], dtype=np.float64
     )
+    # scorable() passes INFINITE coordinates (dot(v,v) = inf > 0); their
+    # normalized rows are NaN and poison k-means++ sampling weights —
+    # exclude them from training (assignment/scoring drops them via
+    # _drop_unscorable)
+    sample = sample[np.isfinite(sample).all(axis=1)]
+    if not len(sample):
+        return _empty()
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)  # scorable: >0
     cents = _spherical_kmeans(sample, n_centroids, seed)
 
@@ -529,15 +557,17 @@ def ivf_topk(
         # a corpus row indexed into several probed cells would otherwise
         # occupy several top-k ranks with the same cosine
         scored = scored.dropDuplicates([query_id, corpus_id])
-    scored = scored.withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
+    # _drop_unscorable: scorable() guarantees positive norms (no ANSI
+    # divide-by-zero) but an INFINITE coordinate passes dot(v,v) > 0 and
+    # yields a NaN cosine — which desc-sorts FIRST in Spark and would
+    # displace a true neighbor at rank 1 (every other top-k path already
+    # drops NaN)
+    scored = _drop_unscorable(
+        scored.withColumn(
+            "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
+        )
     )
-    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 MAX_QUERY_ROWS = 65_536
@@ -577,7 +607,6 @@ def cosine_topk_vectorized(
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window as W
 
     q_t = queries.schema[query_id].dataType.simpleString()
     c_t = corpus.schema[corpus_id].dataType.simpleString()
@@ -647,9 +676,4 @@ def cosine_topk_vectorized(
     scored = corpus.select(corpus_id, vec_col).mapInPandas(
         score, f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double"
     )
-    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)

@@ -100,18 +100,32 @@ def sync_tables_parallel(
     jobs: dict[str, tuple[DataFrame, object]],
     max_workers: int = 4,
     as_of: str | None = None,
+    verify_readers: dict[str, object] | None = None,
+    source_counts: dict[str, int] | None = None,
 ) -> dict[str, SyncResult]:
     """Run sync_table for several tables concurrently.
 
     ``jobs`` maps table name -> (source DataFrame, sink callable).
-    Per-table failures are captured in the result (log-and-continue),
-    never raised — matching the reference's orchestration contract.
+    ``verify_readers`` / ``source_counts`` optionally supply the
+    per-table reconciliation inputs sync_table takes — without them the
+    parallel path could only ever report reconciliation='none', forcing
+    callers who want reconciled counts back to sequential sync_table
+    calls. Per-table failures are captured in the result
+    (log-and-continue), never raised — matching the reference's
+    orchestration contract.
     """
 
     def run(item) -> SyncResult:
         name, (df, sink) = item
         try:
-            return sync_table(df, name, sink, as_of=as_of)
+            return sync_table(
+                df,
+                name,
+                sink,
+                verify_reader=(verify_readers or {}).get(name),
+                source_count=(source_counts or {}).get(name),
+                as_of=as_of,
+            )
         except Exception as exc:  # noqa: BLE001 — per-table isolation
             log.exception("sync failed for table %s", name)
             return SyncResult(name, None, -1, None, error=str(exc))

@@ -602,3 +602,39 @@ def test_lsh_candidates_equal_bruteforce_band_collisions(spark, docs):
         ).collect()
     }
     assert got == expected
+
+
+def test_infinite_coordinates_unscorable_on_pair_and_ivf_paths(spark):
+    """An INFINITE coordinate passes norm > 0 (norm = inf) and surfaces
+    as a NaN cosine; Spark orders NaN above every number, so an unguarded
+    `>= threshold` emits the row as a near-dup of everything and an
+    unguarded desc rank puts it at rank 1. Both paths must drop it."""
+    from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        ivf_topk,
+    )
+
+    inf = float("inf")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),
+            (3, [inf, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(emb, threshold=0.9, bits=0).collect()
+    }
+    assert pairs == {(1, 2)}  # the inf row pairs with NOTHING
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(
+        emb, queries, k=3, n_centroids=2, n_probe=2, query_id="query_id"
+    ).collect()
+    ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    assert 3 not in ids  # never ranked, let alone rank 1
+    assert ids[0] == 1  # self-match still wins
+    assert all(not (r.cosine != r.cosine) for r in got)  # no NaN emitted

@@ -565,3 +565,63 @@ def test_boundary_key_overflow_truncates_never_clears(
     # data loss) — with the old clearing behavior this would be 4
     assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 1
     assert spark.read.parquet(out).count() == 5
+
+
+def test_boundary_fetch_overflow_preserves_prior_keys(
+    spark, tmp_path, monkeypatch
+):
+    """The FETCH itself exceeding MAX_BOUNDARY_KEYS (not just the union)
+    under a standing watermark must still preserve prior runs' keys —
+    the old code fell through to an empty list, erasing them and
+    re-admitting run 1's rows as duplicates on run 3."""
+    from lcr_etl_upgrade_spark.operators import incremental as inc
+
+    monkeypatch.setattr(inc, "MAX_BOUNDARY_KEYS", 3)
+    store = WatermarkStore(str(tmp_path / "wm"))
+    out = str(tmp_path / "out")
+    sink = lambda d: d.write.mode("append").parquet(out)  # noqa: E731
+    ts = dt.datetime(2024, 6, 5)
+    old = dt.datetime(2024, 1, 1)
+    df = _frame(spark, [(1, ts, old), (2, ts, old)])
+    assert run_incremental(spark, df, "t", store, sink, key_col="id") == 2
+    _, b1 = store.read_state("t")
+    assert sorted(b1) == ["1", "2"]
+    # FIVE new rows at the same instant: the fetch alone (5) > cap (3)
+    df2 = df.union(
+        _frame(spark, [(i, ts, old) for i in range(3, 8)])
+    )
+    assert run_incremental(spark, df2, "t", store, sink, key_col="id") == 5
+    _, b2 = store.read_state("t")
+    assert len(b2) == 3  # truncated to the cap, NOT cleared
+    assert set(b1) <= set(b2)  # run 1's keys survive (prior-first union)
+    # run 3 re-admits only the dropped-tail keys (7 total - 3 kept = 4),
+    # never run 1's rows
+    n3 = run_incremental(spark, df2, "t", store, sink, key_col="id")
+    assert n3 == 4
+
+
+def test_write_state_is_atomic(tmp_path, monkeypatch):
+    """write_state goes through temp + os.replace: no in-place truncation
+    window where a crash persists the watermark without its keys."""
+    import os as _os
+
+    from lcr_etl_upgrade_spark.operators import incremental as inc
+
+    store = WatermarkStore(str(tmp_path))
+    store.write_state("t", "2024-06-05 00:00:00", ["1", "2"])
+    calls = {}
+    real_replace = _os.replace
+
+    def spy(src, dst):
+        calls["src"], calls["dst"] = src, dst
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(inc.os, "replace", spy)
+    store.write_state("t", "2024-06-06 00:00:00", ["3"])
+    assert calls and calls["dst"] == store._path("t")
+    assert calls["src"] != calls["dst"]  # went through a temp file
+    wm, keys = store.read_state("t")
+    assert wm == "2024-06-06 00:00:00" and keys == ["3"]
+    assert [
+        f for f in _os.listdir(tmp_path) if f.endswith(".tmp")
+    ] == []  # no temp litter

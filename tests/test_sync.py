@@ -99,3 +99,32 @@ def test_sync_tables_parallel_isolates_failures(spark, tmp_path):
     assert "sink exploded" in results["bad"].error
     # the good table's output landed despite the bad one failing
     assert spark.read.parquet(ok_out).count() == 3
+
+
+def test_sync_tables_parallel_with_reconciliation(spark, tmp_path):
+    """The parallel path accepts per-table verify_readers/source_counts,
+    so parallel syncs can report real reconciliation instead of being
+    structurally stuck at 'none'."""
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.sync import sync_tables_parallel
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    df_a = spark.range(5).select(F.col("id"))
+    df_b = spark.range(3).select(F.col("id"))
+    jobs = {
+        "a": (df_a, lambda d: d.write.mode("overwrite").parquet(out_a)),
+        "b": (df_b, lambda d: d.write.mode("overwrite").parquet(out_b)),
+    }
+    results = sync_tables_parallel(
+        jobs,
+        verify_readers={
+            "a": lambda: spark.read.parquet(out_a),
+            "b": lambda: spark.read.parquet(out_b),
+        },
+        source_counts={"a": 5, "b": 3},
+    )
+    assert results["a"].reconciliation == "3-way"
+    assert results["b"].reconciliation == "3-way"
+    assert results["a"].written_count == 5
+    assert results["b"].verified_count == 3
