@@ -35,7 +35,12 @@ def scrub_expr(col: Column) -> Column:
     return F.when(invalid_timestamp_predicate(col.cast("string")), F.lit(None)).otherwise(col)
 
 
-def timestamp_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Column:
+def timestamp_expr(
+    col: Column,
+    fuzzy: bool = True,
+    as_of: str | None = None,
+    ltz_target: bool = False,
+) -> Column:
     """C2: native parse first, Arrow-vectorized fuzzy fallback
     (ingest.py:551-570 orders native-first the same way).
 
@@ -46,14 +51,29 @@ def timestamp_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) ->
     ``as_of`` reaches only the fuzzy path: the reference clamps futures to
     'now' inside its parse UDF (ingest.py:415-418), so natively-parsed
     future values stay untouched — cap_future_timestamps (F5) is the
-    separate explicit cap for the columns the reference lists."""
+    separate explicit cap for the columns the reference lists.
+
+    ``ltz_target``: the fuzzy parser returns TIMESTAMP_NTZ holding a UTC
+    wall time. For an NTZ target the wall value round-trips unchanged
+    through coalesce's type unification under any session zone, but for
+    an LTZ (TimestampType) target a bare coalesce would interpret that
+    wall in the SESSION zone — shifting the stored instant by the
+    session offset on non-UTC sessions (session.py pins UTC, but
+    coerce_expr must hold for externally-built sessions too). Setting
+    ltz_target reinterprets the UTC wall explicitly; exact no-op under a
+    UTC session."""
     cleaned = scrub_expr(col.cast("string"))
     native = F.try_to_timestamp(cleaned)
     if not fuzzy:
         return native
     from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
 
-    return F.coalesce(native, fuzzy_parse_timestamp(cleaned, as_of=as_of))
+    fuzzy_col = fuzzy_parse_timestamp(cleaned, as_of=as_of)
+    if ltz_target:
+        fuzzy_col = F.from_utc_timestamp(
+            fuzzy_col.cast("timestamp"), F.expr("current_timezone()")
+        )
+    return F.coalesce(native, fuzzy_col)
 
 
 def date_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Column:
@@ -105,7 +125,13 @@ def coerce_expr(
     if boolean_string:
         return boolean_string_expr(col)
     if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
-        return timestamp_expr(col, fuzzy=fuzzy, as_of=as_of)
+        return timestamp_expr(
+            col,
+            fuzzy=fuzzy,
+            as_of=as_of,
+            ltz_target=isinstance(dtype, T.TimestampType)
+            and not isinstance(dtype, T.TimestampNTZType),
+        )
     if isinstance(dtype, T.DateType):
         return date_expr(col, fuzzy=fuzzy, as_of=as_of)
     if isinstance(dtype, T.DecimalType | T.DoubleType | T.FloatType):
@@ -137,7 +163,15 @@ def cleanse_to_schema(
     cols: list[Column] = []
     for field in target.fields:
         if field.name not in df.columns:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            missing: Column = F.lit(None).cast(field.dataType)
+            if field.name.startswith("ETL_") and isinstance(
+                field.dataType, T.TimestampType | T.TimestampNTZType
+            ):
+                # the documented coalesce-to-as_of fallback applies to an
+                # ABSENT ETL_* timestamp column too — an all-NULL audit
+                # column contradicts ingest.py:529-535's semantics
+                missing = _as_of_col(as_of).cast(field.dataType)
+            cols.append(missing.alias(field.name))
             continue
         expr = coerce_expr(
             F.col(field.name),
@@ -174,9 +208,10 @@ def cap_future_timestamps(
     otherwise it replaces the original.
     """
     ts = _as_of_col(as_of)
+    dtypes = dict(df.dtypes)
     updates = {}
     for name in columns:
-        capped = F.when(F.col(name) > ts, ts.cast(dict(df.dtypes)[name])).otherwise(
+        capped = F.when(F.col(name) > ts, ts.cast(dtypes[name])).otherwise(
             F.col(name)
         )
         updates[name + output_suffix if output_suffix else name] = capped
@@ -204,13 +239,14 @@ def scrub_residual_garbage(
     timestamp characters become NULL; ETL_* columns fall back to as_of
     (reference ingest.py:765-778)."""
     ts = _as_of_col(as_of)
+    dtypes = dict(df.dtypes)
     updates = {}
     for name in columns:
         cleaned = F.when(
             residual_garbage_predicate(F.col(name)), F.lit(None)
         ).otherwise(F.col(name))
         if name.startswith("ETL_"):
-            cleaned = F.coalesce(cleaned, ts.cast(dict(df.dtypes)[name]))
+            cleaned = F.coalesce(cleaned, ts.cast(dtypes[name]))
         updates[name] = cleaned
     return df.withColumns(updates)
 

@@ -294,6 +294,16 @@ def _lsh_buckets(
     that's the skew guard; near-identical floods should be caught by
     exact dedup first) and singleton buckets pair with nothing.
     """
+    if bands > num_hashes:
+        # bands beyond the signature would hash EMPTY slices
+        # (getItem(out-of-range) = NULL, concat_ws skips NULLs -> '') and
+        # put the whole corpus into one bucket per extra band — O(N²)
+        # candidates on small corpora, silently-discarded giant buckets
+        # on large ones; a misconfiguration, not a degrade
+        raise ValueError(
+            f"bands ({bands}) cannot exceed num_hashes ({num_hashes}); "
+            "each band needs at least one signature row"
+        )
     rows_per_band = max(1, num_hashes // bands)
     band_structs = F.array(
         *[
@@ -365,12 +375,23 @@ def minhash_lsh_candidates(
     )
 
 
+def _bit_lit(b: int):
+    """2^b as a Spark long literal. Bit 63 is the SIGN bit: 1 << 63
+    exceeds Long.MAX_VALUE and fails literal construction, so it goes in
+    as its signed two's-complement value (same bit pattern) — making the
+    canonical 64-bit SimHash configuration actually constructible."""
+    v = 1 << b
+    return F.lit(v - (1 << 64) if b == 63 else v).cast("long")
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
     """SimHash as explode(tokens) -> groupBy(id) with one signed-bit SUM per
     bit, folded into a bigint signature. Tokens are hashed once; partial
     aggregation combines map-side; the shuffle carries (id, bits ints)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     exploded = (
         df.select(
             F.col(id_col),
@@ -391,7 +412,7 @@ def simhash(
     ]
     sig = None
     for b in range(bits):
-        contrib = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+        contrib = F.when(F.col(f"__b{b}") > 0, _bit_lit(b)).otherwise(
             F.lit(0).cast("long")
         )
         sig = contrib if sig is None else sig.bitwiseOR(contrib)
@@ -410,6 +431,8 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     Hash the token array ONCE into an array<long> first so the xxhash64
     isn't recomputed per bit.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = F.filter(F.split(F.trim(F.lower(text)), "\\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -422,7 +445,7 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
                 F.lit(-1)
             ),
         )
-        return F.when(count > 0, F.lit(1 << b).cast("long")).otherwise(
+        return F.when(count > 0, _bit_lit(b)).otherwise(
             F.lit(0).cast("long")
         )
 
@@ -454,9 +477,21 @@ def _jaccard_from_tokens(
     sets = st.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    # LEFT joins + empty-set coalesce: a candidate doc with fewer than n
+    # tokens (or NULL text) produces ZERO shingle rows and is absent from
+    # `sets` — an inner join would silently DROP the requested pair,
+    # where the contract (and the doc_ngram_jaccard DuckDB oracle) says
+    # jaccard = 0.0 against an empty shingle set
+    empty = F.array().cast(sets.schema["__sh"].dataType.simpleString())
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
+        candidates.join(a, "doc_a", "left")
+        .join(b, "doc_b", "left")
+        .withColumns(
+            {
+                "__sh_a": F.coalesce("__sh_a", empty),
+                "__sh_b": F.coalesce("__sh_b", empty),
+            }
+        )
         .select(
             "doc_a",
             "doc_b",

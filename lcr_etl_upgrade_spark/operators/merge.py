@@ -44,17 +44,33 @@ def scd2_apply(
 
     ``dim`` must already carry the three SCD columns; ``updates`` carries
     business columns only. Deterministic given a pinned as_of.
+
+    ONE pass over ``dim`` (left join against the distinct update keys
+    with a match marker, then conditional columns): the previous
+    three-branch formulation (semi/anti/semi + union) scanned the full
+    dimension three times AND silently dropped rows whose
+    ``current_flag`` was NULL (they failed both the ``flag`` and
+    ``~flag`` filters). NULL-flag rows now pass through unchanged —
+    they are not current, so an update never closes them, and a merge
+    operator must never lose rows.
     """
     ts = F.lit(as_of).cast("timestamp_ntz")
     upd_keys = updates.select(*keys).distinct()
 
-    closed = (
-        dim.join(upd_keys, keys, "left_semi")
-        .filter(F.col(current_flag))
-        .withColumns({valid_to: ts, current_flag: F.lit(False)})
+    marked = dim.join(
+        upd_keys.withColumn("__upd", F.lit(True)), keys, "left"
     )
-    untouched = dim.join(upd_keys, keys, "left_anti")
-    historical = dim.join(upd_keys, keys, "left_semi").filter(~F.col(current_flag))
+    hit = F.coalesce(F.col("__upd"), F.lit(False)) & F.coalesce(
+        F.col(current_flag), F.lit(False)
+    )
+    adjusted = marked.withColumns(
+        {
+            valid_to: F.when(hit, ts).otherwise(F.col(valid_to)),
+            current_flag: F.when(hit, F.lit(False)).otherwise(
+                F.col(current_flag)
+            ),
+        }
+    ).drop("__upd")
 
     fresh = updates.withColumns(
         {
@@ -63,4 +79,4 @@ def scd2_apply(
             current_flag: F.lit(True),
         }
     )
-    return untouched.unionByName(historical).unionByName(closed).unionByName(fresh)
+    return adjusted.unionByName(fresh)

@@ -32,9 +32,9 @@ from pyspark.sql import types as T
 from lcr_etl_upgrade_spark.operators.cleanse import (
     cap_future_timestamps,
     cleanse_to_schema,
-    scrub_residual_garbage,
 )
 from lcr_etl_upgrade_spark.operators.conform import (
+    AUDIT_COLUMNS,
     add_audit_columns,
     conform_columns,
     select_target,
@@ -77,9 +77,11 @@ def transform_table(
     conformed = conform_columns(
         raw,
         spec.mapping,
-        [(f.name, "string") for f in spec.target_schema.fields if f.name not in
-         ("ETL_CREATED_DATE", "ETL_LAST_UPDATE_DATE", "CREATED_BY", "TO_PROCESS",
-          "EDW_EXTERNAL_SOURCE_SYSTEM")],
+        [
+            (f.name, "string")
+            for f in spec.target_schema.fields
+            if f.name not in AUDIT_COLUMNS
+        ],
     )
     cleansed = cleanse_to_schema(
         conformed,
@@ -87,10 +89,7 @@ def transform_table(
             [
                 f
                 for f in spec.target_schema.fields
-                if f.name not in (
-                    "ETL_CREATED_DATE", "ETL_LAST_UPDATE_DATE", "CREATED_BY",
-                    "TO_PROCESS", "EDW_EXTERNAL_SOURCE_SYSTEM",
-                )
+                if f.name not in AUDIT_COLUMNS
             ]
         ),
         json_columns=spec.json_columns,
@@ -108,17 +107,17 @@ def transform_table(
         {
             f.name: F.col(f.name).cast(f.dataType)
             for f in spec.target_schema.fields
-            if f.name.startswith("ETL_") or f.name in ("CREATED_BY", "TO_PROCESS",
-                                                       "EDW_EXTERNAL_SOURCE_SYSTEM")
+            if f.name in AUDIT_COLUMNS
         }
     )
-    projected = select_target(enriched, spec.target_schema)
-    ts_cols = [
-        f.name
-        for f in spec.target_schema.fields
-        if isinstance(f.dataType, T.TimestampType | T.TimestampNTZType)
-    ]
-    final = scrub_residual_garbage(projected, ts_cols, as_of=as_of)
+    final = select_target(enriched, spec.target_schema)
+    # NOTE: no scrub_residual_garbage stage here — on columns already
+    # CAST to timestamp types its predicate is a provable no-op (a
+    # rendered timestamp contains only the characters the residue regex
+    # strips), so the F4 semantics live where they can fire: scrub_expr
+    # inside timestamp_expr on the raw STRINGS, plus the standalone
+    # scrub_residual_garbage operator for string-typed staging columns
+    # (the reference applied F4 pre-cast, ingest.py:765-778).
     validate_schema(final, spec.target_schema)
     return final
 

@@ -638,3 +638,67 @@ def test_infinite_coordinates_unscorable_on_pair_and_ivf_paths(spark):
     assert 3 not in ids  # never ranked, let alone rank 1
     assert ids[0] == 1  # self-match still wins
     assert all(not (r.cosine != r.cosine) for r in got)  # no NaN emitted
+
+
+def test_simhash_64_bit_and_bounds(spark):
+    """bits=64 (the canonical SimHash width) must construct and run —
+    bit 63 is the sign bit and 1 << 63 overflows a Spark long literal
+    unless encoded as its signed value; out-of-range bits raise."""
+    from lcr_etl_upgrade_spark.operators.dedup import simhash, simhash_expr
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id", bits=64).collect()}
+    assert got[1] == got[2]  # identical docs -> identical 64-bit signature
+    assert got[1] != got[3]
+    expr = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", simhash_expr(F.col("text"), bits=64).alias("s")
+        ).collect()
+    }
+    assert expr[1] == got[1]  # agg and expression formulations agree
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits must be"):
+        simhash(df, "text", "doc_id", bits=65)
+
+
+def test_lsh_bands_exceeding_hashes_rejected(spark):
+    """bands > num_hashes would hash EMPTY band slices and co-bucket the
+    whole corpus — refuse the misconfiguration loudly."""
+    from lcr_etl_upgrade_spark.operators.dedup import (
+        minhash_signatures,
+        _lsh_buckets,
+    )
+
+    sigs = minhash_signatures(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        "text",
+        "doc_id",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot exceed num_hashes"):
+        _lsh_buckets(sigs, "doc_id", bands=32, num_hashes=16)
+
+
+def test_jaccard_pairs_short_doc_emits_zero_not_dropped(spark):
+    """A candidate pair whose doc has fewer tokens than the shingle width
+    (zero shingles) must come back with jaccard 0.0 — the inner-join
+    formulation silently dropped the requested pair (and diverged from
+    the doc_ngram_jaccard oracle, which emits 0.0)."""
+    from lcr_etl_upgrade_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(7, "one two three four five"), (8, "hi there")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    got = jaccard_pairs(df, "doc_id", "text", cands, shingle_n=3).collect()
+    assert len(got) == 1
+    assert got[0].doc_a == 7 and got[0].doc_b == 8
+    assert got[0].jaccard == 0.0

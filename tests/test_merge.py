@@ -62,3 +62,38 @@ def test_scd2_exactly_one_current_per_key(spark):
         .collect()[0]
     )
     assert per_key == (1, 1)
+
+
+def test_scd2_null_current_flag_rows_survive(spark):
+    """A dim row whose IS_CURRENT is NULL (never backfilled) and whose key
+    is touched by an update must pass through unchanged — the old
+    three-branch formulation dropped it (NULL fails both `flag` and
+    `~flag` filters): silent data loss in a merge operator."""
+    from lcr_etl_upgrade_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", "2020-01-01 00:00:00", None, None),  # NULL flag!
+            (1, "cur", "2023-01-01 00:00:00", None, True),
+            (2, "other", "2021-01-01 00:00:00", None, True),
+        ],
+        "k long, v string, VALID_FROM string, VALID_TO string, "
+        "IS_CURRENT boolean",
+    ).withColumns(
+        {
+            "VALID_FROM": F.col("VALID_FROM").cast("timestamp_ntz"),
+            "VALID_TO": F.col("VALID_TO").cast("timestamp_ntz"),
+        }
+    )
+    updates = spark.createDataFrame([(1, "new")], "k long, v string")
+    out = scd2_apply(dim, updates, ["k"], as_of="2024-06-01 00:00:00")
+    rows = {(r.k, r.v): (r.IS_CURRENT, r.VALID_TO) for r in out.collect()}
+    assert set(rows) == {(1, "old"), (1, "cur"), (1, "new"), (2, "other")}
+    # the NULL-flag row survives UNCHANGED
+    assert rows[(1, "old")] == (None, None)
+    # the true current version was closed
+    flag, vto = rows[(1, "cur")]
+    assert flag is False and vto is not None
+    # untouched key untouched, fresh version open
+    assert rows[(2, "other")] == (True, None)
+    assert rows[(1, "new")][0] is True

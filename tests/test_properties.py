@@ -749,10 +749,16 @@ def test_jaccard_pairs_match_bruteforce(spark, docs):
         for i, ws in enumerate(docs)
     }
     want = {
-        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        # shingle-less docs (short/empty text) score 0.0 against
+        # everything — every REQUESTED pair comes back (round-5 fix: the
+        # old inner-join formulation silently dropped such pairs)
+        (a, b): (
+            len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if sets[a] | sets[b]
+            else 0.0
+        )
         for a in range(len(docs))
         for b in range(a + 1, len(docs))
-        if sets[a] and sets[b]  # shingle-less docs drop out of the inner join
     }
     assert got == want, docs
 
