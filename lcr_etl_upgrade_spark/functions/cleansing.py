@@ -22,13 +22,12 @@ def invalid_timestamp_predicate(col: Column) -> Column:
     """True when a raw string can't possibly be a timestamp.
 
     Garbage definition (reference ingest.py:521-527): 1-3 alphabetic chars,
-    or total length <= 3, or contains no digit at all.
+    or total length <= 3, or contains no digit at all. The reference's
+    first clause (``^[A-Za-z]{1,3}$``) is fully subsumed by ``length <=
+    3`` — identical semantics without a per-row regex on the hot
+    cleansing path.
     """
-    return (
-        col.rlike("^[A-Za-z]{1,3}$")
-        | (F.length(col) <= 3)
-        | ~col.rlike(".*\\d+.*")
-    )
+    return (F.length(col) <= 3) | ~col.rlike(".*\\d+.*")
 
 
 def residual_garbage_predicate(col: Column) -> Column:

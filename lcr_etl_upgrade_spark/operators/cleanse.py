@@ -21,13 +21,9 @@ from lcr_etl_upgrade_spark.functions.cleansing import (
     residual_garbage_predicate,
 )
 
-
-def _as_of_col(as_of: str | None) -> Column:
-    return (
-        F.lit(as_of).cast("timestamp_ntz")
-        if as_of is not None
-        else F.current_timestamp()
-    )
+# shared injectable-'now' helper — a second verbatim copy here would
+# drift from conform's (it did, during the round-5 NTZ-consistency fix)
+from lcr_etl_upgrade_spark.operators.conform import _as_of_col
 
 
 def scrub_expr(col: Column) -> Column:

@@ -81,10 +81,17 @@ def conform_columns(
 
 
 def _as_of_col(as_of: str | None) -> Column:
+    """The injectable 'now' as TIMESTAMP_NTZ in BOTH modes: the default
+    used to be current_timestamp() (LTZ), so a replay run (pinned as_of)
+    and a live run wrote DIFFERENT audit-column types to the same sink —
+    appends then failed on schema mismatch and validate_schema's
+    full-type check passed in one mode only. localtimestamp() is the NTZ
+    wall-clock (identical instant under the UTC session session.py
+    pins)."""
     return (
         F.lit(as_of).cast("timestamp_ntz")
         if as_of is not None
-        else F.current_timestamp()
+        else F.localtimestamp()
     )
 
 

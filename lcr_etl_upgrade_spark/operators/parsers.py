@@ -60,11 +60,15 @@ def _parse_one_timestamp(s: str, as_of: dt.datetime | None) -> dt.datetime | Non
     for fuzzy in (False, True):
         try:
             parsed = du_parser.parse(s, fuzzy=fuzzy)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=NY)
+            # astimezone stays INSIDE the try: near datetime.max the
+            # NY->UTC shift overflows (e.g. '12/31/9999 11:00 PM' + ~5h)
+            # — an OverflowError here must be "unparseable", not a task
+            # crash that kills the job on one bad row
+            parsed = parsed.astimezone(UTC).replace(tzinfo=None)
         except (ValueError, OverflowError, TypeError):
             continue
-        if parsed.tzinfo is None:
-            parsed = parsed.replace(tzinfo=NY)
-        parsed = parsed.astimezone(UTC).replace(tzinfo=None)
         if as_of is not None and parsed > as_of:
             parsed = as_of
         return parsed
@@ -91,6 +95,11 @@ def _fuzzy_ts_udf_for(as_of_iso: str | None):
     unreproducible-by-design.
     """
     as_of = dt.datetime.fromisoformat(as_of_iso) if as_of_iso else None
+    if as_of is not None and as_of.tzinfo is not None:
+        # normalize an offset-carrying as_of ('...Z' / '+00:00') to a UTC
+        # wall at BUILD time — a naive-vs-aware `parsed > as_of` inside
+        # the UDF raises TypeError on the first plausible row
+        as_of = as_of.astimezone(UTC).replace(tzinfo=None)
 
     @F.pandas_udf(T.TimestampNTZType())
     def _udf(values: pd.Series) -> pd.Series:

@@ -36,6 +36,16 @@ class JdbcSource:
     num_partitions: int | None = None
 
     def load(self, spark: SparkSession) -> DataFrame:
+        if self.partition_column is not None and (
+            self.lower_bound is None or self.upper_bound is None
+        ):
+            # str(None) would ship the literal string 'None' as the
+            # bound and die in the JVM with a cryptic
+            # NumberFormatException at load time
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                f"(got {self.lower_bound!r}/{self.upper_bound!r})"
+            )
         reader = (
             spark.read.format("jdbc")
             .option("url", self.url)
@@ -124,6 +134,11 @@ def read_csv(
 
     ``capture_corrupt=True`` adds ``_corrupt_record``: malformed lines
     arrive intact there for quarantine instead of vanishing."""
+    if capture_corrupt and schema is None:
+        # PERMISSIVE corrupt capture only exists relative to a DECLARED
+        # schema; silently skipping it would drop the very quarantine the
+        # caller asked for
+        raise ValueError("capture_corrupt=True requires a declared schema")
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(
@@ -143,6 +158,11 @@ def read_json(
     options the reference applies to its JSON-bearing table
     (ingest.py:633-643). ``capture_corrupt`` quarantines malformed
     records into ``_corrupt_record`` (see read_csv)."""
+    if capture_corrupt and schema is None:
+        # PERMISSIVE corrupt capture only exists relative to a DECLARED
+        # schema; silently skipping it would drop the very quarantine the
+        # caller asked for
+        raise ValueError("capture_corrupt=True requires a declared schema")
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "multiLine", str(multi_line).lower()
     )

@@ -24,6 +24,7 @@ def tumbling_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling-window count+sum per key with a late-data watermark."""
     src = events
@@ -31,7 +32,7 @@ def tumbling_counts(
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -48,6 +49,7 @@ def sliding_counts(
     window: str = "1 hour",
     slide: str = "30 minutes",
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Sliding-window aggregate: each event lands in window/slide buckets."""
     src = events
@@ -55,7 +57,7 @@ def sliding_counts(
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -71,6 +73,7 @@ def sessionized_stream(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Session windows with a dynamic gap (F.session_window) — the
     streaming-native equivalent of the batch lag/cumsum sessionization in
@@ -82,7 +85,10 @@ def sessionized_stream(
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col)
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
         .select(
             F.col(key_col),
             F.col("s.start").alias("session_start"),
@@ -149,14 +155,24 @@ def stateful_running_totals(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        import numpy as _np
+
+        n, total, mx = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
-            vals = pdf[value_col].astype("float64")
+            vals = pdf[value_col].astype("float64").to_numpy()
             n += len(pdf)
-            total += float(vals.sum())
-            batch_max = float(vals.max()) if len(vals) else None
-            if batch_max is not None:
-                mx = batch_max if mx is None else max(mx, batch_max)
+            # Spark aggregate parity: sum/max IGNORE missing values and
+            # are NULL when no valid value was ever seen — pandas' skipna
+            # sum() of an all-missing series is 0.0, which silently
+            # diverged from the batch twin. (Arrow hands Python NULL and
+            # NaN indistinguishably as NaN for float columns, so actual
+            # NaN inputs are treated as missing on this path — the one
+            # documented divergence from Spark's NaN-propagating sum.)
+            valid = vals[~_np.isnan(vals)]
+            if len(valid):
+                total = (total or 0.0) + float(valid.sum())
+                vmax = float(valid.max())
+                mx = vmax if mx is None else max(mx, vmax)
         state.update((n, total, mx))
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "total": [total], "max_value": [mx]}

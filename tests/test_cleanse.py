@@ -124,3 +124,34 @@ def test_json_passthrough_never_flattened(spark):
         ).collect()
     ]
     assert got == [payload, None]
+
+
+def test_fuzzy_parser_overflow_near_datetime_max_is_null(spark):
+    """'12/31/9999 11:00 PM' parses, but the NY->UTC shift overflows
+    datetime.max — that must be 'unparseable' (NULL), not an executor
+    task crash on one bad row."""
+    from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
+
+    df = spark.createDataFrame(
+        [("12/31/9999 11:00 PM",), ("2024-06-01 bogus 12:00",)],
+        "s string",
+    )
+    got = df.select(fuzzy_parse_timestamp(F.col("s")).alias("ts")).collect()
+    assert got[0].ts is None  # overflow -> null, no crash
+    assert got[1].ts is not None  # normal fuzzy parse still works
+
+
+def test_fuzzy_parser_accepts_offset_carrying_as_of(spark):
+    """An as_of with an explicit offset ('+00:00') must be normalized at
+    UDF-build time — a naive-vs-aware comparison inside the UDF raised
+    TypeError on the first plausible row."""
+    from lcr_etl_upgrade_spark.operators.parsers import fuzzy_parse_timestamp
+
+    df = spark.createDataFrame([("2099-01-01 12:00:00",)], "s string")
+    got = df.select(
+        fuzzy_parse_timestamp(
+            F.col("s"), as_of="2024-06-01T00:00:00+00:00"
+        ).alias("ts")
+    ).collect()[0].ts
+    # future value clamped to the (normalized) as_of
+    assert str(got) == "2024-06-01 00:00:00"

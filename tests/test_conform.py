@@ -89,3 +89,19 @@ def test_conform_referenced_case_collision_raises_precisely(spark):
     out = conform_columns(df, {"name": "T_NAME"}, [("T_NAME", "string")])
     assert out.columns == ["T_NAME"]
     assert out.collect()[0].T_NAME == "x"
+
+
+def test_audit_columns_ntz_in_both_modes(spark):
+    """add_audit_columns must produce TIMESTAMP_NTZ audit columns whether
+    as_of is pinned or wall-clock — the live mode used to emit LTZ
+    (current_timestamp), so replay and live runs wrote different schemas
+    to the same sink and appends failed on type mismatch."""
+    df = spark.range(1)
+    pinned = add_audit_columns(df, as_of="2024-06-01 00:00:00")
+    live = add_audit_columns(df)
+    for frame in (pinned, live):
+        types = dict(frame.dtypes)
+        assert types["ETL_CREATED_DATE"] == "timestamp_ntz"
+        assert types["ETL_LAST_UPDATE_DATE"] == "timestamp_ntz"
+    # the two modes agree on the FULL audit schema
+    assert dict(pinned.dtypes) == dict(live.dtypes)

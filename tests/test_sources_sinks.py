@@ -224,3 +224,28 @@ def test_avro_gate_matches_only_missing_datasource():
 
     with pytest.raises(NotImplementedError, match="spark-avro"):
         raise_if_missing_avro(_CondExc("avro"))
+
+
+def test_capture_corrupt_requires_schema(spark, tmp_path):
+    """capture_corrupt=True with no declared schema must refuse loudly —
+    it used to be silently ignored, dropping the requested quarantine."""
+    from lcr_etl_upgrade_spark.sources.registry import read_csv, read_json
+
+    p = str(tmp_path / "x.csv")
+    with open(p, "w") as fh:
+        fh.write("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="requires a declared schema"):
+        read_csv(spark, p, capture_corrupt=True)
+    with pytest.raises(ValueError, match="requires a declared schema"):
+        read_json(spark, p, capture_corrupt=True)
+
+
+def test_jdbc_partition_column_requires_bounds():
+    """partition_column without bounds used to ship the literal string
+    'None' to the JVM and die with a NumberFormatException at load."""
+    from lcr_etl_upgrade_spark.sources.registry import JdbcSource
+
+    src = JdbcSource(url="jdbc:derby:memory:x", table="t",
+                     partition_column="id")
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        src.load(None)
