@@ -1,4 +1,4 @@
-from lcr_etl_upgrade_spark.functions.numeric import davg, dmul, dsum
+from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
 from lcr_etl_upgrade_spark.functions.cleansing import (
     boolean_expr,
     boolean_string_expr,
@@ -8,7 +8,6 @@ from lcr_etl_upgrade_spark.functions.cleansing import (
 
 __all__ = [
     "davg",
-    "dmul",
     "dsum",
     "boolean_expr",
     "boolean_string_expr",

@@ -91,7 +91,3 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     out = _exact_sum(c).cast("double") / F.count(_quantized(c))
     return out.alias(alias) if alias else out
 
-
-def dmul(a: Column, b: Column) -> Column:
-    """Double multiply (IEEE — deterministic per-row in any engine)."""
-    return a * b

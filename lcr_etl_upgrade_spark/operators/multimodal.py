@@ -92,6 +92,12 @@ def extract_features(
                            production implementation would call the real
                            decoder here, per batch, vectorized)
     """
+    if decode_stub not in ("fake", "raise"):
+        # a typo at the production seam must not silently return
+        # hash-based stand-in features that look like model output
+        raise ValueError(
+            f"decode_stub must be 'fake' or 'raise', got {decode_stub!r}"
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -351,7 +357,11 @@ def frame_sample_stub(
 ) -> DataFrame:
     """Frame-sampling seam for video payloads: emits (media_id, frame_idx)
     rows for every_n-th frame index derived from metadata; the frame
-    payload decode is the stubbed step."""
+    payload decode is the stubbed step. Rows with NULL meta.n_bytes get
+    a single frame 0 (unknown size, sample something rather than
+    nothing)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     n_frames = F.greatest(
         (F.col("meta.n_bytes") / F.lit(1024)).cast("int"), F.lit(1)
     )

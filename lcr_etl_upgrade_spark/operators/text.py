@@ -23,8 +23,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_expr(col: Column) -> Column:
-    """Whitespace tokenization (split on runs of whitespace)."""
-    return F.split(F.trim(col), "\\s+")
+    """Whitespace tokenization (split on runs of whitespace), EMPTY
+    tokens dropped: ``split('')`` yields ``['']`` and non-space edge
+    whitespace survives ``F.trim`` (spaces only), so without the filter
+    an empty/whitespace-only document counted 1 token and a leading
+    newline produced a phantom token."""
+    return F.filter(
+        F.split(F.trim(col), "\\s+"), lambda t: t != ""
+    )
 
 
 def token_count_expr(col: Column) -> Column:
@@ -55,8 +61,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_measured": F.length(c).cast("long"),
             "n_tokens": n_tokens.cast("long"),
+            # sum of token lengths over the token count — the old
+            # (length - n + 1) / n shortcut is only valid for untrimmed
+            # single-space-separated text and inflated the feature on
+            # edge whitespace / multi-space separators
             "avg_token_len": (
-                (F.length(c) - n_tokens + 1).cast("double")
+                F.aggregate(
+                    F.transform(toks, F.length),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
                 / F.greatest(n_tokens, F.lit(1))
             ),
             "punct_ratio": (

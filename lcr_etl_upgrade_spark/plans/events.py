@@ -231,7 +231,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paired AS (
       SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
              v.ts AS view_ts, v.value AS view_value,
-             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC) AS rn
+             -- v.value DESC tiebreak: duplicate-ts views are in-domain,
+             -- and the Spark side deterministically resolves same-instant
+             -- ties to the greatest (ts, value) struct — an untied
+             -- ROW_NUMBER here would be nondeterministic in DuckDB
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.value DESC) AS rn
       FROM purchases p JOIN views v
         ON v.user_id = p.user_id AND v.ts <= p.ts
     )

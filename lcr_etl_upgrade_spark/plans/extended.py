@@ -414,7 +414,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               -- the SQL spelling of functions.numeric.dsum: quantize
+               -- each product with rint (nearest-even on the PRODUCT,
+               -- matching DuckDB's double->DECIMAL(38,6) cast), sum the
+               -- fixed-point values exactly. Spark's own double->decimal
+               -- cast rounds the shortest decimal repr instead and
+               -- diverges from the oracle in product tails.
+               CAST(CAST(SUM(CAST(CAST(rint(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT) AS DECIMAL(28,0))) AS DECIMAL(38,6)) / CAST(1000000 AS DECIMAL(18,0)) AS DOUBLE) AS revenue,
                n.n_name
         FROM customer_q10 c
         JOIN orders_q10 o ON c.c_custkey = o.o_custkey

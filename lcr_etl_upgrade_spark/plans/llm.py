@@ -21,30 +21,48 @@ from lcr_etl_upgrade_spark.sources.testdata import load_table
 @query(
     "doc_text_stats",
     oracle="""
+    -- tokenization MUST match operators/text.py::tokens_expr: \\s+ split
+    -- with empty tokens dropped (the old space-split restatement kept
+    -- empties and used the length-arithmetic avg shortcut, so the
+    -- REGISTERED query was gating an inline reimplementation instead of
+    -- the operator library)
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(
+               regexp_split_to_array(text, '\\s+'), x -> x <> ''
+             ) AS w
+      FROM documents
+    )
     SELECT doc_id, lang, source,
            LENGTH(text) AS n_chars_measured,
-           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           (LENGTH(text) - LEN(string_split(text, ' ')) + 1.0)
-             / LEN(string_split(text, ' ')) AS avg_token_len
-    FROM documents
+           CAST(LEN(w) AS BIGINT) AS n_tokens,
+           CASE WHEN w IS NULL THEN NULL
+                ELSE CAST(COALESCE(
+                       list_sum(list_transform(w, x -> LENGTH(x))), 0
+                     ) AS DOUBLE) / GREATEST(LEN(w), 1) END AS avg_token_len
+    FROM t
     ORDER BY doc_id
     """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 text stats THROUGH the operator library (text.quality_features)
+    — the oracle now gates the operator's own tokenization, not an
+    inline twin."""
+    from lcr_etl_upgrade_spark.operators.text import quality_features
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    return docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.length("text").alias("n_chars_measured"),
-        n_tokens.cast("long").alias("n_tokens"),
-        (
-            (F.length("text") - n_tokens + 1).cast("double")
-            / n_tokens.cast("double")
-        ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    return (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars_measured",
+            "n_tokens",
+            "avg_token_len",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -56,7 +74,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-           CAST(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(list_filter(
+               regexp_split_to_array(text, '\\s+'), x -> x <> ''
+           ))) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang
@@ -64,15 +84,15 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lcr_etl_upgrade_spark.operators.text import token_count_expr
+
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             davg("n_chars", "avg_chars"),
-            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
-                "total_tokens"
-            ),
+            F.sum(token_count_expr(F.col("text"))).alias("total_tokens"),
             F.countDistinct("source").alias("n_sources"),
         )
         .orderBy("lang")
@@ -200,15 +220,26 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH toks AS (
+      -- \\s+ split with empty tokens dropped: MUST match the Spark
+      -- side's tokenization (shingle_tokens splits on \\s+ and filters
+      -- ''); the old space-only string_split kept empty tokens, so any
+      -- tab/newline/double-space in a paired document produced a
+      -- different shingle set than the engine under test
+      SELECT doc_id, lang,
+             list_filter(
+               regexp_split_to_array(LOWER(text), '\\s+'), t -> t <> ''
+             ) AS w
+      FROM documents
+    ), sh AS (
       SELECT doc_id, lang,
              list_distinct(
                list_transform(
-                 range(1, GREATEST(LEN(string_split(LOWER(TRIM(text, ' ')), ' ')) - 2, 0) + 1),
-                 i -> array_to_string(string_split(LOWER(TRIM(text, ' ')), ' ')[i:i+2], ' ')
+                 range(1, GREATEST(LEN(w) - 2, 0) + 1),
+                 i -> array_to_string(w[i:i+2], ' ')
                )
              ) AS shingle_set
-      FROM documents
+      FROM toks
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.shingle_set AS sa, b.shingle_set AS sb
@@ -447,7 +478,13 @@ def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_scores",
     oracle="""
     WITH t AS (
-      SELECT doc_id, text, string_split(LOWER(text), ' ') AS toks FROM documents
+      -- same tokenization as operators/text.py::tokens_expr (\\s+ split,
+      -- empties dropped) so the oracle gates the operator, not a twin
+      SELECT doc_id, text,
+             list_filter(
+               regexp_split_to_array(LOWER(text), '\\s+'), x -> x <> ''
+             ) AS toks
+      FROM documents
     )
     SELECT doc_id,
            LENGTH(text) AS n_chars_measured,
@@ -461,22 +498,21 @@ def doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 quality scoring THROUGH the operator library."""
+    from lcr_etl_upgrade_spark.operators.text import quality_features
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    stop = ("the", "and", "of", "to", "in", "is", "a")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_measured"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        (
-            F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("double")
-            / F.greatest(F.size(toks), F.lit(1))
-        ).alias("stopword_ratio"),
-        (
-            F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", "")).cast("double")
-            / F.greatest(F.length("text"), F.lit(1))
-        ).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    return (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            "n_chars_measured",
+            "n_tokens",
+            "stopword_ratio",
+            "punct_ratio",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

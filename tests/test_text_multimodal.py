@@ -248,3 +248,43 @@ def test_extract_media_features_mixed_batch(spark):
     assert (aud.vmin, aud.vmax) == (-300, 300)
     assert abs(aud.rms - (100**2 * 2 + 300**2 * 2) ** 0.5 / 2) < 1e-9
     assert got[3].kind is None and got[4].kind is None
+
+
+def test_token_count_empty_and_edge_whitespace(spark):
+    """Empty / whitespace-only text counts 0 tokens (split('') yields
+    ['']); leading newlines never create phantom tokens; avg_token_len
+    is the true mean token length, not the length-arithmetic shortcut
+    that inflated on padded text."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\t"), (4, " a "), (5, "a\t\tb")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_token_len)
+        for r in quality_features(df)
+        .select("doc_id", "n_tokens", "avg_token_len")
+        .collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (1, 1.0)  # was 3.0 under the length shortcut
+    assert got[5] == (2, 1.0)  # was 1.5
+
+
+def test_extract_features_rejects_unknown_stub(spark):
+    """A typo at the decode seam must fail fast, not silently return
+    hash-based fake features that look like model output."""
+    from lcr_etl_upgrade_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="decode_stub"):
+        extract_features(df, decode_stub="real")
+
+
+def test_frame_sample_rejects_nonpositive_step(spark):
+    from lcr_etl_upgrade_spark.operators.multimodal import frame_sample_stub
+
+    df = spark.createDataFrame([(1,)], "media_id long")
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample_stub(df, every_n=0)
