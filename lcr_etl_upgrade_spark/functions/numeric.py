@@ -83,6 +83,45 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def dsum_over(
+    col: Column | str, window, alias: str | None = None
+) -> Column:
+    """dsum's WINDOWED form: exact fixed-point SUM over a window frame,
+    matching the oracle spelling ``CAST(SUM(CAST(x AS DECIMAL(38,6)))
+    OVER w AS DOUBLE)`` (same quantize-vs-decimal-cast equivalence as
+    dsum)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (
+        (
+            F.sum(_quantized(c)).over(window).cast("decimal(38,6)")
+            / F.lit(_SCALE).cast("decimal(18,0)")
+        ).cast("double")
+    )
+    return out.alias(alias) if alias else out
+
+
+def dsum_partial(col: Column | str, alias: str | None = None) -> Column:
+    """Map-side half of a TWO-STAGE dsum (e.g. salted aggregation): the
+    exact quantized partial sum, still in fixed-point. Finalize with
+    ``dsum_final`` over the partial column."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(_quantized(c))
+    return out.alias(alias) if alias else out
+
+
+def dsum_final(col: Column | str, alias: str | None = None) -> Column:
+    """Reduce-side half of a two-stage dsum: sum the partials exactly
+    and descale to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (
+        (
+            F.sum(c).cast("decimal(38,6)")
+            / F.lit(_SCALE).cast("decimal(18,0)")
+        ).cast("double")
+    )
+    return out.alias(alias) if alias else out
+
+
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Deterministic AVG: exact fixed-point sum over the count of
     QUANTIZABLE rows (NaN/inf/out-of-range drop from both numerator and

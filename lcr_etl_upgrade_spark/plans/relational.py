@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+from lcr_etl_upgrade_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_final,
+    dsum_over,
+    dsum_partial,
+)
 from lcr_etl_upgrade_spark.operators.topk import topk_per_group
 from lcr_etl_upgrade_spark.plans.registry import query
 from lcr_etl_upgrade_spark.sources.testdata import load_table
@@ -312,11 +318,12 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), F.lit(0)
-            )
-            .cast("double")
-            .alias("total_spent"),
+            # dsum: quantize-then-exact-sum — Spark's per-row
+            # double->decimal cast rounds the shortest repr and can
+            # diverge from the oracle's decimal cast in value tails
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
         )
         .orderBy("c_custkey")
     )
@@ -471,10 +478,11 @@ def window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.rank().over(wrank).alias("price_rank"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("double")
-        .alias("running_spent"),
+        dsum_over(
+            "o_totalprice",
+            w.rowsBetween(W.unboundedPreceding, W.currentRow),
+            "running_spent",
+        ),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
@@ -511,7 +519,10 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_n = building.intersect(spenders).select(
         F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")
     )
-    except_n = building.exceptAll(spenders).distinct().select(
+    # subtract() IS SQL EXCEPT (set semantics) unconditionally;
+    # exceptAll().distinct() only coincides while the left side happens
+    # to be duplicate-free
+    except_n = building.subtract(spenders).select(
         F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")
     )
     return except_n.union(inter_n).union(union_n).orderBy("op")
@@ -577,15 +588,11 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def status_total(code: str, alias: str):
-        return (
-            F.sum(
-                F.when(
-                    F.col("o_orderstatus") == code,
-                    F.col("o_totalprice").cast("decimal(38,6)"),
-                ).otherwise(F.lit(0).cast("decimal(38,6)"))
-            )
-            .cast("double")
-            .alias(alias)
+        return dsum(
+            F.when(
+                F.col("o_orderstatus") == code, F.col("o_totalprice")
+            ).otherwise(F.lit(0.0)),
+            alias,
         )
 
     return (
@@ -634,7 +641,14 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderpriority").alias("prio_upper"),
         F.lower("o_orderstatus").alias("status_lower"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        # concat (with coalesce-to-'') not concat_ws: DuckDB CONCAT
+        # keeps the '-' literal when an operand is NULL, concat_ws
+        # drops operand AND separator — a latent divergence on NULLs
+        F.concat(
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            F.lit("-"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("")),
+        ).alias("status_prio"),
         F.trim("o_orderpriority").alias("prio_trim"),
         F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
@@ -783,8 +797,8 @@ def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
-    s1 = F.sum(q.cast("decimal(18,6)")).cast("double")
-    s2 = F.sum((q * q).cast("decimal(18,6)")).cast("double")
+    s1 = dsum(q)
+    s2 = dsum(q * q)
     n = F.count(q)
     return (
         li.groupBy("l_returnflag")
@@ -847,11 +861,11 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         aggs=[
             F.count(F.lit(1)).alias("pn"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("ps"),
+            dsum_partial("o_totalprice", "ps"),
         ],
         partial_aggs=[
             F.sum("pn").alias("n"),
-            F.sum("ps").cast("double").alias("total"),
+            dsum_final("ps", "total"),
         ],
         salt=8,
     ).orderBy("o_orderpriority")

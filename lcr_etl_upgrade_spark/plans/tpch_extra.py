@@ -218,8 +218,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate side shrinks to |parts| rows before the join; both sides
     share the l_partkey shuffle key, so the join reuses the aggregation's
     partitioning (one exchange each, no extra)."""
-    from lcr_etl_upgrade_spark.functions.numeric import davg
-
     li = load_table(spark, sf_dir, "lineitem")
     thresholds = li.groupBy("l_partkey").agg(
         (0.5 * davg("l_quantity")).alias("threshold")

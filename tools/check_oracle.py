@@ -31,14 +31,23 @@ TABLES = (
 
 
 def normalize(value):
+    """Typed normalization: NULL, booleans and strings carry a type tag
+    so cross-type collisions are impossible — the untyped version
+    mapped SQL NULL and the literal string 'NULL' (and True vs 'true',
+    5 vs '5') to the same token, letting a real engine divergence
+    report PASS. Numeric/temporal values keep their exact old string
+    forms (repr for floats — a full round-trip repr, stricter than any
+    hasher)."""
     if value is None:
-        return "NULL"
+        return "\x00N"
+    if isinstance(value, bool):
+        return "\x00B:true" if value else "\x00B:false"
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
         return repr(value)
-    if isinstance(value, bool):
-        return "true" if value else "false"
+    if isinstance(value, str):
+        return "\x00S:" + value
     return str(value)
 
 
@@ -67,6 +76,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -75,6 +87,13 @@ def main() -> int:
 
     import __spark_entry__ as e
     from lcr_etl_upgrade_spark.session import get_session
+
+    unknown = only - set(e.queries())
+    if unknown:
+        # a typo'd name used to run ZERO queries and still print
+        # 'all queries match' with exit 0 — a green gate over nothing
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
 
     spark = get_session("check_oracle")
     con = duckdb.connect()
@@ -100,10 +119,39 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            report[name] = _row(None, None, None, len(srows), None, "no_oracle")
+            # rows-only checks are real checks, not free passes:
+            # - zero rows on fixture data means the sketch path broke
+            # - declared in-result CONTRACT columns (recall floors, HLL
+            #   error bounds) must hold on every row — they existed
+            #   precisely to make these queries checkable, so failing to
+            #   check them made the contract decorative
+            problems = []
             if len(srows) == 0:
-                print(f"      WARNING: zero rows")
+                problems.append("zero rows on fixture data")
+            for contract_col in ("meets_floor", "within_bound"):
+                if contract_col in scols:
+                    bad = sum(
+                        1 for r in srows if r[contract_col] is not True
+                    )
+                    if bad:
+                        problems.append(
+                            f"{bad}/{len(srows)} rows violate {contract_col}"
+                        )
+            if problems:
+                failures.append(name)
+                msg = "; ".join(problems)
+                report[name] = _row(
+                    None, None, None, len(srows), None, f"rows-only: {msg}"
+                )
+                print(f"FAIL  {name}: rows-only: {msg}")
+            else:
+                print(
+                    f"ok?   {name}: rows-only ({len(srows)} rows, "
+                    f"{time.time()-t0:.1f}s)"
+                )
+                report[name] = _row(
+                    None, None, None, len(srows), None, "no_oracle"
+                )
             continue
         try:
             res = con.execute(oracles[name])

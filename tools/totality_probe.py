@@ -81,7 +81,10 @@ def main() -> int:
                 fn(spark, sf_dir).collect()
             except Exception as exc:  # noqa: BLE001 — the probe's whole point
                 failures += 1
-                first = str(exc).splitlines()[0][:160]
+                # splitlines() of an EMPTY message is [] — indexing it
+                # would crash the probe mid-sweep instead of recording
+                lines = str(exc).splitlines()
+                first = (lines[0] if lines else type(exc).__name__)[:160]
                 print(f"FAIL [{kind}] {name}: {first}", flush=True)
     print(f"totality: {len(queries)} queries x {len(twins)} twins, "
           f"{failures} failures")
