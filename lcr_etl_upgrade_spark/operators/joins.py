@@ -85,6 +85,18 @@ def asof_join_backward(
     row while ``right_ts`` came from the newer one — a frankenrow no
     as-of join formulation should emit.)
     """
+    carried_names = [right_ts] + value_cols
+    clash = [c for c in carried_names if c in left.columns]
+    if clash:
+        # the output would carry BOTH the left column and the matched
+        # right column under the same name — every downstream reference
+        # then dies with AMBIGUOUS_REFERENCE (and writes fail on
+        # duplicate columns); refuse up front with the remedy
+        raise ValueError(
+            f"right-side columns {clash} collide with left columns; "
+            "rename one side before the as-of join (e.g. "
+            f"right.withColumnRenamed('{clash[0]}', 'r_{clash[0]}'))"
+        )
     # side ordering encodes the <= vs < boundary: with exact match the
     # right event at ts == left_ts must sort BEFORE the left row so the
     # running last() sees it; with strict <, after.

@@ -136,6 +136,34 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_ids(ev: DataFrame, gap_us_expr) -> DataFrame:
+    """Shared lag/cumsum sessionization core (used by the fixed-gap
+    ``sessionize`` and the dynamic-gap query in plans.extended): per
+    user in (ts, event_id) order, a session breaks where the gap to the
+    previous event exceeds the PREVIOUS row's gap allowance
+    (``gap_us_expr``, epoch microseconds — pass a literal for a fixed
+    gap). Interval arithmetic on TIMESTAMP_NTZ is exactly epoch-us
+    arithmetic, so one spelling serves both. The event_id tiebreaker
+    keeps duplicate (user_id, ts) rows deterministic in BOTH the
+    marking and running-sum windows. Returns the input columns plus
+    ``session_id``."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    allowance = F.lag(gap_us_expr).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            prev_ts.isNull()
+            | (_epoch_us(F.col("ts")) - _epoch_us(prev_ts) > allowance),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return marked.withColumn(
+        "session_id", F.sum("is_new").over(wrun).cast("long")
+    ).drop("is_new")
+
+
 def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     """Batch lag/cumsum sessionization over (user_id, event_id, ts, value):
     a session breaks where the gap to the previous event (per user, in
@@ -148,26 +176,11 @@ def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     NULL-ts events are dropped explicitly: they cannot be sessionized,
     and leaving them to window NULL ordering diverges across engines
     (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST)."""
-    ev = ev.filter(F.col("ts").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (_epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w)) > gap_us),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("is_new"),
+    ev = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", "ts", "value"
     )
     return (
-        marked.withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
+        session_ids(ev, F.lit(gap_us))
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from lcr_etl_upgrade_spark.functions.numeric import dsum
+from lcr_etl_upgrade_spark.functions.numeric import dsum_over
 from lcr_etl_upgrade_spark.plans.registry import query
 from lcr_etl_upgrade_spark.sources.testdata import load_table
 
@@ -227,10 +227,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").cast("string").alias("o_orderdate"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_30d_spend"),
+        dsum_over("o_totalprice", w, "trailing_30d_spend"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
@@ -559,29 +556,15 @@ def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(20)
         .alias("gap_min"),
     )
-    # event_id tiebreaker: with ORDER BY ts alone, duplicate (user, ts)
-    # rows make both the lag marking and the running sum frame-order
-    # dependent (see plans.events.sessionize)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = typed.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.col("ts")
-                > F.lag("ts").over(w)
-                + F.lag("gap_min").over(w) * F.expr("INTERVAL 1 MINUTE")
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = marked.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    # one sessionization core for fixed AND dynamic gaps: interval
+    # arithmetic on TIMESTAMP_NTZ is exactly epoch-us arithmetic, so the
+    # shared session_ids spelling (gap allowance in microseconds, lagged
+    # from the PREVIOUS event, event_id tiebreak) is semantics-identical
+    # to the interval formulation it replaces
+    from lcr_etl_upgrade_spark.plans.events import session_ids
+
+    sessions = session_ids(
+        typed, F.col("gap_min").cast("long") * 60_000_000
     )
     return (
         sessions.groupBy("user_id", "session_id")
@@ -645,12 +628,23 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_min_max_by",
     oracle="""
+    -- explicit rank tiebreak: DuckDB max_by cannot order by a struct,
+    -- and bare max_by(key, price) is engine-ARBITRARY on tied prices
+    -- (the corpus DOES contain duplicate o_totalprice values)
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rm
+      FROM orders
+    )
     SELECT o_orderpriority,
-           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS biggest_order,
            MAX(o_totalprice) AS biggest_price,
-           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(CASE WHEN rm = 1 THEN o_orderkey END) AS smallest_order,
            MIN(o_totalprice) AS smallest_price
-    FROM orders
+    FROM ranked
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
@@ -658,15 +652,17 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass arg-extremes per group: the windowless alternative to
     rank-and-filter when only the extreme row's companion value is
-    needed (o_totalprice values are distinct in this corpus, so the
-    arg choice is unambiguous and oracle-stable)."""
+    needed. Ordering by the (price, orderkey) STRUCT makes ties
+    deterministic — bare max_by(key, price) returns an arbitrary key
+    among tied prices, and the corpus does contain duplicates."""
     orders = load_table(spark, sf_dir, "orders")
+    by = F.struct("o_totalprice", "o_orderkey")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.max_by("o_orderkey", by).alias("biggest_order"),
             F.max("o_totalprice").alias("biggest_price"),
-            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.min_by("o_orderkey", by).alias("smallest_order"),
             F.min("o_totalprice").alias("smallest_price"),
         )
         .orderBy("o_orderpriority")

@@ -223,3 +223,25 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_asof_join_column_collision_refused(spark):
+    """Both sides naming their timestamp 'ts' (the most natural call)
+    used to produce a frame with TWO 'ts' columns — every downstream
+    reference then raises AMBIGUOUS_REFERENCE; the operator must refuse
+    up front with the rename remedy."""
+    import pytest as _pytest
+
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 1.0)], "u long, ts long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 2.0)], "u long, ts long, v double"
+    )
+    with _pytest.raises(ValueError, match="collide with left columns"):
+        asof_join_backward(
+            left, right, key="u", left_ts="ts", right_ts="ts",
+            value_cols=["v"],
+        )
