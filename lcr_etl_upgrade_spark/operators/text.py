@@ -41,7 +41,13 @@ def tokens_expr(col: Column) -> Column:
 
 
 def token_count_expr(col: Column) -> Column:
-    return F.size(tokens_expr(col)).cast("long")
+    """Token count WITHOUT materializing the token array: a token is a
+    maximal non-whitespace run, so ``regexp_count(col, '\\S+')`` equals
+    ``size(tokens_expr(col))`` by construction (equivalence pinned by
+    property test in tests/test_text.py). Stays inside whole-stage
+    codegen on the every-document hot path; ``tokens_expr`` remains for
+    consumers that need the array itself (stopword_ratio, language_id)."""
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
 
 
 def bpe_ish_token_count_expr(col: Column) -> Column:
@@ -62,8 +68,12 @@ def stopword_ratio_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality features per document."""
     c = F.col(text_col)
-    toks = tokens_expr(c)
-    n_tokens = F.size(toks)
+    # regexp_count('\S+') == size(tokens_expr(c)) by construction (a token
+    # IS a maximal non-whitespace run) — the count stays in codegen and the
+    # hot path never materializes the token array; only stopword_ratio
+    # (array consumer, pruned away when the caller doesn't select it)
+    # still builds tokens.
+    n_tokens = F.regexp_count(c, F.lit(r"\S+"))
     return df.withColumns(
         {
             "n_chars_measured": F.length(c).cast("long"),

@@ -21,6 +21,28 @@ def test_token_count(spark):
     assert got == [3, 1]
 
 
+def test_token_count_equals_array_size(spark):
+    """regexp_count('\\S+') must equal size(tokens_expr(c)) on hostile
+    edge shapes — pins the r6 no-array-materialization fast path to the
+    array tokenization it replaced (NULL, empty, whitespace-only, edge
+    whitespace, tabs/newlines, unicode, punctuation runs)."""
+    from lcr_etl_upgrade_spark.operators.text import tokens_expr
+
+    cases = [
+        (None,), ("",), ("   ",), ("\t\n ",), ("a",), (" a ",),
+        ("\none\ttwo  three\r\n",), ("a b",), ("a  b",),
+        ("!!! ?? ..",), ("日本語 テスト",), ("mixed nbsp",),
+        ("x " * 500,), (" em-space sep ",),
+    ]
+    df = spark.createDataFrame(cases, "text string")
+    rows = df.select(
+        token_count_expr(F.col("text")).alias("fast"),
+        F.size(tokens_expr(F.col("text"))).cast("long").alias("arr"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.arr, (r.fast, r.arr)
+
+
 def test_quality_features(spark):
     df = spark.createDataFrame([("the cat, the dog!",)], ["text"])
     row = quality_features(df).collect()[0]
