@@ -13,11 +13,16 @@ Codecs come in two tiers:
   alignment) and ``extract_media_features`` runs them inside
   mapInPandas Arrow batches. Malformed payloads decode to NULL feature
   rows, never task failures.
-- STUBBED rich formats (JPEG/MP3/H.264 need codec libraries absent in
-  this container): ``decode_stub='fake'`` produces a deterministic
-  hash-feature vector so downstream operators (dedup, similarity) are
-  exercisable end-to-end, and ``decode_stub='raise'`` marks the
-  production seam with NotImplementedError.
+- REAL metadata-level decode for rich formats: JPEG SOF marker walk
+  (``decode_jpeg_header`` -> width/height/components/precision) and MPEG
+  audio frame-header parse (``decode_mp3_header`` -> bitrate/sample_rate/
+  estimated duration) — both pure ``struct``/bytes header grammars like
+  PPM/WAV; only full pixel/sample decode (DCT, MDCT) remains a seam.
+- STUBBED full decode (JPEG pixels / MP3 samples / H.264 need codec
+  libraries absent in this container): ``decode_stub='fake'`` produces a
+  deterministic hash-feature vector so downstream operators (dedup,
+  similarity) are exercisable end-to-end, and ``decode_stub='raise'``
+  marks the production seam with NotImplementedError.
 """
 
 from __future__ import annotations
@@ -247,6 +252,145 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# ---- JPEG: SOF-marker metadata decode (ISO/IEC 10918-1 segment grammar) --
+
+# SOFn markers that carry frame dimensions. C4 (DHT), C8 (JPG) and CC
+# (DAC) share the Cx range but are NOT frame headers.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# Standalone markers with no length word: TEM, RSTn, SOI.
+_JPEG_STANDALONE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))
+
+
+def decode_jpeg_header(payload: bytes) -> dict:
+    """Metadata-level JPEG decode: walk the marker segments from SOI until
+    the first SOFn frame header and return its geometry — no pixel decode
+    (that stays behind the codec seam). Segment grammar: 0xFF (+ optional
+    0xFF fill bytes), marker byte, then for non-standalone markers a
+    big-endian u16 length that INCLUDES its own two bytes. Raises
+    ValueError on malformation: bad magic, truncated segment, SOS/EOI
+    reached with no SOF, zero dimensions."""
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # 0xFF fill bytes before the marker are legal
+        if pos >= len(payload):
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker in _JPEG_STANDALONE:
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError(f"bad segment length {seg_len} at {pos}")
+        if marker in _JPEG_SOF_MARKERS:
+            body = payload[pos + 2 : pos + seg_len]
+            if len(body) < 6:
+                raise ValueError("short SOF segment")
+            precision = body[0]
+            height, width = struct.unpack(">HH", body[1:5])
+            components = body[5]
+            if width == 0 or height == 0 or components == 0:
+                raise ValueError(
+                    f"bad SOF geometry {width}x{height}x{components}"
+                )
+            return {
+                "width": width,
+                "height": height,
+                "components": components,
+                "precision": precision,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data follows, SOF must precede
+            raise ValueError("reached SOS without a SOF frame header")
+        pos += seg_len
+    raise ValueError("no SOF frame header found")
+
+
+# ---- MP3: MPEG audio frame-header metadata decode (ISO/IEC 11172-3) -----
+
+# Bitrate tables in kbps, indexed 1..14 (0 = free-format, 15 = invalid),
+# keyed by (mpeg_version_is_1, layer).
+_MP3_BITRATES = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_SAMPLE_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """Return the offset past a leading ID3v2 tag (0 if none): 'ID3',
+    version (2B), flags (1B), then a 4-byte SYNCSAFE size (7 bits/byte)
+    that excludes the 10-byte header; flag bit 4 adds a 10-byte footer."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return 0
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("ID3v2 size bytes are not syncsafe")
+    size = (
+        (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    )
+    return 10 + size + (10 if payload[5] & 0x10 else 0)
+
+
+def decode_mp3_header(payload: bytes) -> dict:
+    """Metadata-level MPEG-audio decode: skip any ID3v2 tag, find the
+    first frame sync (11 set bits), and parse the 4-byte frame header
+    into (version, layer, bitrate_kbps, sample_rate, channels). Duration
+    is ESTIMATED as audio_bytes * 8 / bitrate — exact for CBR streams,
+    approximate for VBR (a full decode would walk every frame; that is
+    the codec seam). Raises ValueError on malformation: no sync word,
+    reserved version/layer, free-format or invalid bitrate index,
+    reserved sample-rate index."""
+    start = _skip_id3v2(payload)
+    pos = start
+    while pos + 4 <= len(payload):
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("no MPEG frame sync found")
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = {0: "2.5", 2: "2", 3: "1"}.get((b1 >> 3) & 0x3)
+    if version is None:
+        raise ValueError("reserved MPEG version bits")
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+    if layer is None:
+        raise ValueError("reserved MPEG layer bits")
+    bitrate_idx = (b2 >> 4) & 0xF
+    if bitrate_idx in (0, 15):
+        raise ValueError(f"unsupported bitrate index {bitrate_idx}")
+    sr_idx = (b2 >> 2) & 0x3
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index")
+    bitrate_kbps = _MP3_BITRATES[(version == "1", layer)][bitrate_idx - 1]
+    sample_rate = _MP3_SAMPLE_RATES[version][sr_idx]
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    audio_bytes = len(payload) - pos
+    return {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": bitrate_kbps,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "est_duration_sec": audio_bytes * 8.0 / (bitrate_kbps * 1000.0),
+    }
+
+
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -261,16 +405,25 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("vmin", T.LongType(), True),
         T.StructField("vmax", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
+        # metadata-level fields for the rich formats (JPEG/MP3); NULL for
+        # PPM/WAV rows and for fully-decoded stats the rich paths can't
+        # produce without the codec seam
+        T.StructField("components", T.IntegerType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("est_duration_sec", T.DoubleType(), True),
     ]
 )
 
 
 def _media_features_one(payload: bytes | None) -> dict:
     """Sniff the container magic and decode for real: PPM -> per-channel
-    means + pixel extrema; WAV -> sample extrema + RMS. A payload that is
-    None, has an unknown magic, or fails its container's grammar yields
-    all-NULL features (kind stays NULL) — malformed media must surface as
-    analyzable rows, never task failures."""
+    means + pixel extrema; WAV -> sample extrema + RMS; JPEG -> SOF
+    geometry (metadata-level; pixel stats stay NULL behind the codec
+    seam); MP3 -> bitrate/sample_rate/estimated duration (likewise no
+    sample stats). A payload that is None, has an unknown magic, or fails
+    its container's grammar yields all-NULL features (kind stays NULL) —
+    malformed media must surface as analyzable rows, never task
+    failures."""
     out: dict = {k.name: None for k in MEDIA_FEATURE_SCHEMA if k.name != "media_id"}
     if payload is None:
         return out
@@ -306,6 +459,26 @@ def _media_features_one(payload: bytes | None) -> dict:
                     vmax=max(s),
                     rms=math.sqrt(sum(float(v) * v for v in s) / len(s)),
                 )
+        elif payload.startswith(b"\xff\xd8"):
+            jpg = decode_jpeg_header(payload)
+            out.update(
+                kind="image",
+                width=jpg["width"],
+                height=jpg["height"],
+                components=jpg["components"],
+            )
+        elif payload.startswith(b"ID3") or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            mp3 = decode_mp3_header(payload)
+            out.update(
+                kind="audio",
+                sample_rate=mp3["sample_rate"],
+                bitrate_kbps=mp3["bitrate_kbps"],
+                est_duration_sec=mp3["est_duration_sec"],
+            )
     except ValueError:
         pass  # malformed container -> all-NULL feature row
     return out

@@ -94,6 +94,122 @@ def test_multimodal_feature_extraction(spark):
     assert all(0.0 <= v < 1.0 for v in got[0])
 
 
+def _jpeg_bytes(width: int, height: int, sof_marker: int = 0xC0) -> bytes:
+    """Hand-assembled JPEG prefix: SOI + JFIF APP0 + SOFn with the given
+    geometry (3 components, 8-bit precision). Golden values below are
+    computed from these literal bytes, not from the decoder."""
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_body = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 component specs
+    )
+    sof = bytes([0xFF, sof_marker]) + (len(sof_body) + 2).to_bytes(2, "big") + sof_body
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_jpeg_header_golden():
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_jpeg_header
+
+    got = decode_jpeg_header(_jpeg_bytes(456, 123))
+    assert got == {
+        "width": 456, "height": 123, "components": 3,
+        "precision": 8, "progressive": False,
+    }
+    # progressive (SOF2) and a 0xFF fill byte before the marker
+    prog = _jpeg_bytes(16, 9, sof_marker=0xC2)
+    prog = prog[:2] + b"\xff" + prog[2:]
+    got2 = decode_jpeg_header(prog)
+    assert (got2["width"], got2["height"], got2["progressive"]) == (16, 9, True)
+
+
+def test_jpeg_header_malformed():
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_jpeg_header
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_header(b"PNG...")
+    with pytest.raises(ValueError, match="no SOF|truncated"):
+        decode_jpeg_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")
+    # SOS before any SOF frame header
+    with pytest.raises(ValueError, match="SOS"):
+        decode_jpeg_header(b"\xff\xd8\xff\xda\x00\x04\x00\x00")
+    # truncated SOF segment (declared length runs past the payload)
+    with pytest.raises(ValueError, match="bad segment length"):
+        decode_jpeg_header(_jpeg_bytes(456, 123)[:-5])
+    # DHT (0xC4) shares the Cx range but is NOT a frame header
+    dht_only = b"\xff\xd8\xff\xc4\x00\x04\x00\x00\xff\xd9"
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_jpeg_header(dht_only)
+
+
+def test_mp3_header_golden():
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_mp3_header
+
+    # 0xFF 0xFB 0x90 0x00 = MPEG1 Layer III, bitrate idx 9 -> 128 kbps,
+    # sample-rate idx 0 -> 44100 Hz, stereo; 1000 bytes at 128 kbps
+    # -> 1000*8/128000 = 0.0625 s
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 996
+    got = decode_mp3_header(frame)
+    assert got == {
+        "version": "1", "layer": 3, "bitrate_kbps": 128,
+        "sample_rate": 44100, "channels": 2, "est_duration_sec": 0.0625,
+    }
+    # ID3v2 tag (syncsafe size 257) skipped; 100 audio bytes remain
+    id3 = b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 257
+    got2 = decode_mp3_header(id3 + b"\xff\xfb\x90\x00" + b"\x00" * 96)
+    assert got2["est_duration_sec"] == pytest.approx(100 * 8 / 128000)
+    # MPEG2 Layer III mono: 0xFF 0xF3, bitrate idx 2 -> 16 kbps,
+    # sr idx 1 -> 24000, mode 3 (0xC0) -> mono
+    got3 = decode_mp3_header(b"\xff\xf3\x24\xc0" + b"\x00" * 60)
+    assert (got3["version"], got3["bitrate_kbps"], got3["sample_rate"],
+            got3["channels"]) == ("2", 16, 24000, 1)
+
+
+def test_mp3_header_malformed():
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_mp3_header
+
+    with pytest.raises(ValueError, match="no MPEG frame sync"):
+        decode_mp3_header(b"\x00" * 64)
+    with pytest.raises(ValueError, match="bitrate index"):
+        decode_mp3_header(b"\xff\xfb\xf0\x00")  # idx 15 = invalid
+    with pytest.raises(ValueError, match="bitrate index"):
+        decode_mp3_header(b"\xff\xfb\x00\x00")  # idx 0 = free-format
+    with pytest.raises(ValueError, match="sample-rate"):
+        decode_mp3_header(b"\xff\xfb\x9c\x00")  # sr idx 3 = reserved
+    with pytest.raises(ValueError, match="layer"):
+        decode_mp3_header(b"\xff\xf9\x90\x00")  # layer bits 00 = reserved
+    with pytest.raises(ValueError, match="syncsafe"):
+        decode_mp3_header(b"ID3\x04\x00\x00\xff\xff\xff\xff")
+
+
+def test_media_features_jpeg_mp3_rows(spark):
+    """extract_media_features routes JPEG/MP3 payloads through the
+    metadata decoders inside mapInPandas; malformed rich payloads still
+    yield NULL-kind rows, not task failures."""
+    from lcr_etl_upgrade_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        (0, bytearray(_jpeg_bytes(640, 480))),
+        (1, bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 996)),
+        (2, bytearray(b"\xff\xd8\xff\xda\x00\x04\x00\x00")),  # malformed JPEG
+        (3, bytearray(b"ID3\x04\x00\x00\xff\xff\xff\xff")),   # malformed tag
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert (got[0].kind, got[0].width, got[0].height, got[0].components) == (
+        "image", 640, 480, 3
+    )
+    assert got[0].mean_c0 is None  # pixel stats stay behind the codec seam
+    assert (got[1].kind, got[1].sample_rate, got[1].bitrate_kbps) == (
+        "audio", 44100, 128
+    )
+    assert got[1].est_duration_sec == pytest.approx(0.0625)
+    assert got[1].rms is None  # sample stats stay behind the codec seam
+    assert got[2].kind is None and got[3].kind is None
+
+
 def test_multimodal_raise_stub_marks_codec_seam(spark):
     from lcr_etl_upgrade_spark.operators.multimodal import extract_features
 
