@@ -28,10 +28,13 @@ So this module implements the protocol directly, Spark-first:
   readable by any real Delta reader.
 
 Deliberate limits (clear errors, not wrong answers):
-- protocol ``minReaderVersion`` > 1 (column mapping, deletion vectors,
-  v2 checkpoints…) raises NotImplementedError naming the feature gap;
-- v2/UUID-named checkpoints are unsupported (classic single-part AND
-  multi-part checkpoints both read; the writer emits single-part);
+- protocol ``minReaderVersion`` > 1 raises NotImplementedError naming
+  the feature gap, EXCEPT version 3 whose readerFeatures are all
+  supported (currently ``v2Checkpoint``); column mapping / deletion
+  vectors / timestampNtz still refuse;
+- all three checkpoint layouts read (classic single-part, classic
+  multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
+  writer emits single-part;
 - the writer is local-filesystem only; overwrite is single-writer, while
   append retries a lost version race at the next version (bounded
   optimistic concurrency — safe because append file sets are disjoint
@@ -62,6 +65,10 @@ _CHECKPOINT_SINGLE = "{v:020d}.checkpoint.parquet"
 # classic checkpoint data files: single-part and {v}.checkpoint.{i}.{n}
 _CHECKPOINT_FILE_RE = re.compile(
     r"^\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet$"
+)
+# v2 checkpoints (public protocol "V2 spec"): UUID-named, parquet or json
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
 )
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -96,15 +103,28 @@ def _local(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
 
+# Table features (minReaderVersion=3) this reader actually implements.
+# Per the public protocol, a reader may open a version-3 table iff it
+# supports EVERY listed readerFeature — anything else must refuse.
+_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint"})
+
+
 def _check_protocol(protocol: dict | None) -> None:
-    if protocol and int(protocol.get("minReaderVersion", 1)) > 1:
-        raise NotImplementedError(
-            "delta_lite implements protocol reader version 1; this table "
-            f"requires minReaderVersion={protocol['minReaderVersion']} "
-            f"(readerFeatures={protocol.get('readerFeatures')}). Install "
-            "delta-spark to read tables using column mapping / deletion "
-            "vectors / v2 checkpoints."
-        )
+    if not protocol:
+        return
+    reader = int(protocol.get("minReaderVersion", 1))
+    if reader <= 1:
+        return
+    features = set(protocol.get("readerFeatures") or [])
+    if reader == 3 and features <= _SUPPORTED_READER_FEATURES:
+        return  # e.g. v2Checkpoint: UUID-named checkpoints, read below
+    raise NotImplementedError(
+        "delta_lite implements protocol reader version 1 (plus reader "
+        f"features {sorted(_SUPPORTED_READER_FEATURES)}); this table "
+        f"requires minReaderVersion={reader} with readerFeatures="
+        f"{sorted(features) or None}. Install delta-spark to read tables "
+        "using column mapping / deletion vectors / timestampNtz."
+    )
 
 
 def _apply_action(state: TableState, action: dict) -> None:
@@ -125,15 +145,56 @@ def _apply_action(state: TableState, action: dict) -> None:
     # commitInfo / txn / cdc / domainMetadata: no effect on scan state
 
 
+def _parquet_actions(
+    spark: SparkSession, files: list[str], keys: tuple[str, ...]
+) -> list[dict]:
+    """Checkpoint-parquet rows -> action dicts (one non-null struct per
+    row, restricted to ``keys``)."""
+    actions: list[dict] = []
+    for row in spark.read.parquet(*files).collect():
+        d = row.asDict(recursive=True)
+        for key in keys:
+            if d.get(key) is not None:
+                actions.append({key: d[key]})
+    return actions
+
+
+def _expand_sidecars(
+    spark: SparkSession, log_dir: str, actions: list[dict]
+) -> list[dict]:
+    """Resolve v2-checkpoint ``sidecar`` actions: each names a parquet
+    file of add/remove actions, relative paths under ``_sidecars/`` per
+    the public protocol. Non-sidecar actions pass through in order."""
+    out: list[dict] = []
+    for a in actions:
+        sc = a.get("sidecar")
+        if sc is None:
+            out.append(a)
+            continue
+        p = urllib.parse.unquote(sc["path"])
+        full = p if os.path.isabs(p) else os.path.join(log_dir, "_sidecars", p)
+        if not os.path.exists(full):
+            raise ValueError(
+                f"v2 checkpoint sidecar {sc['path']!r} missing from "
+                f"{log_dir}/_sidecars"
+            )
+        out.extend(_parquet_actions(spark, [full], ("add", "remove")))
+    return out
+
+
 def _read_checkpoint(
     spark: SparkSession, log_dir: str, version: int, parts: int | None
 ) -> list[dict]:
-    """Classic checkpoint -> action dicts (one non-null struct per row).
+    """Checkpoint -> action dicts, all three public layouts:
 
-    Single-part (``{v}.checkpoint.parquet``) and multi-part
-    (``{v}.checkpoint.{i}.{n}.parquet``, the ``parts`` field of
-    ``_last_checkpoint`` per the public protocol) both supported; v2
-    (UUID-named / sidecar) checkpoints still need delta-spark."""
+    - single-part classic (``{v}.checkpoint.parquet``);
+    - multi-part classic (``{v}.checkpoint.{i}.{n}.parquet`` with the
+      ``parts`` field of ``_last_checkpoint``);
+    - v2 UUID-named (``{v}.checkpoint.{uuid}.parquet|json``), whose
+      add/remove content may live inline or in ``sidecar`` parquet files
+      under ``_delta_log/_sidecars/``. Any ONE complete v2 checkpoint
+      for the version is valid; the lexically-last UUID is chosen."""
+    keys = ("add", "remove", "metaData", "protocol")
     if parts:
         files = [
             os.path.join(
@@ -142,22 +203,41 @@ def _read_checkpoint(
             )
             for i in range(1, parts + 1)
         ]
-    else:
-        files = [os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))]
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"multi-part checkpoint for version {version} is "
+                f"incomplete ({missing[0]} missing)"
+            )
+        return _parquet_actions(spark, files, keys)
+    single = os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))
+    if os.path.exists(single):
+        return _parquet_actions(spark, [single], keys)
+    v2 = sorted(
+        f
+        for f in os.listdir(log_dir)
+        if (m := _CHECKPOINT_V2_RE.match(f)) and int(m.group(1)) == version
+    )
+    if not v2:
         raise NotImplementedError(
-            f"checkpoint for version {version} is incomplete or uses an "
-            f"unsupported layout ({missing[0]} missing); v2/UUID-named "
-            "checkpoints need delta-spark"
+            f"no checkpoint file found for version {version} in {log_dir} "
+            "(looked for single-part, multi-part and v2 UUID-named "
+            "layouts); unsupported layouts need delta-spark"
         )
-    actions: list[dict] = []
-    for row in spark.read.parquet(*files).collect():
-        d = row.asDict(recursive=True)
-        for key in ("add", "remove", "metaData", "protocol"):
-            if d.get(key) is not None:
-                actions.append({key: d[key]})
-    return actions
+    chosen = os.path.join(log_dir, v2[-1])
+    if chosen.endswith(".json"):
+        with open(chosen) as fh:
+            actions = [
+                json.loads(line) for line in fh if line.strip()
+            ]
+        actions = [
+            a
+            for a in actions
+            if any(k in a for k in keys) or a.get("sidecar") is not None
+        ]
+    else:
+        actions = _parquet_actions(spark, [chosen], keys + ("sidecar",))
+    return _expand_sidecars(spark, log_dir, actions)
 
 
 def replay_log(
@@ -176,13 +256,10 @@ def replay_log(
         if (m := _COMMIT_RE.match(f))
     )
     if version is not None:
+        # existence is validated AFTER replay (below): the requested
+        # version may be reconstructible from a checkpoint alone when its
+        # JSON commit was cleaned up
         commits = [(v, p) for v, p in commits if v <= version]
-        if not commits or commits[-1][0] != version:
-            have = [v for v, _ in commits]
-            raise ValueError(
-                f"version {version} not found in {log_dir} "
-                f"(latest eligible: {have[-1] if have else 'none'})"
-            )
     state = TableState()
     start = 0
     last_cp = os.path.join(log_dir, "_last_checkpoint")
@@ -218,6 +295,12 @@ def replay_log(
                 if line.strip():
                     _apply_action(state, json.loads(line))
         state.version = v
+    if version is not None and state.version != version:
+        raise ValueError(
+            f"version {version} not found in {log_dir} "
+            f"(latest eligible: "
+            f"{state.version if state.version >= 0 else 'none'})"
+        )
     if state.version < 0:
         raise FileNotFoundError(f"empty _delta_log in {path!r}")
     if state.metadata is None:
@@ -552,15 +635,24 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
                     a = action.get("add") or action.get("remove")
                     if a:
                         referenced.add(urllib.parse.unquote(a["path"]))
-        elif _CHECKPOINT_FILE_RE.match(f):
-            # single-part AND multi-part ({v}.checkpoint.{i}.{n}.parquet)
-            # checkpoints: a table whose pre-checkpoint commits were
-            # cleaned up is referenced ONLY here — missing the multi-part
-            # form would delete every active file it names
-            for row in spark.read.parquet(os.path.join(log_dir, f)).collect():
-                d = row.asDict(recursive=True)
-                if d.get("add"):
-                    referenced.add(urllib.parse.unquote(d["add"]["path"]))
+        elif _CHECKPOINT_FILE_RE.match(f) or _CHECKPOINT_V2_RE.match(f):
+            # every checkpoint layout (single-part, multi-part AND v2
+            # UUID-named incl. sidecars): a table whose pre-checkpoint
+            # commits were cleaned up is referenced ONLY here — missing
+            # any form would delete every active file it names
+            full = os.path.join(log_dir, f)
+            if f.endswith(".json"):
+                with open(full) as fh:
+                    actions = [
+                        json.loads(line) for line in fh if line.strip()
+                    ]
+            else:
+                actions = _parquet_actions(spark, [full], ("add", "sidecar"))
+            for action in _expand_sidecars(spark, log_dir, actions):
+                if action.get("add"):
+                    referenced.add(
+                        urllib.parse.unquote(action["add"]["path"])
+                    )
     removed: list[str] = []
     for entry in os.listdir(base):
         if entry.startswith("_staging-"):

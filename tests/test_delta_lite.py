@@ -330,14 +330,14 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     for v in range(st.version + 1):
         os.remove(os.path.join(log_dir, f"{v:020d}.json"))
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
-    # missing part -> loud NotImplementedError, never a partial state
+    # missing part -> loud error, never a partial state
     os.remove(
         os.path.join(
             log_dir,
             f"{st.version:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
         )
     )
-    with pytest.raises(NotImplementedError, match="incomplete"):
+    with pytest.raises(ValueError, match="incomplete"):
         read_delta_lite(spark, path)
 
 
@@ -814,3 +814,162 @@ def test_concurrent_append_type_change_refused(spark, tmp_path, monkeypatch):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {"9"}
+
+
+# ---- v2 (UUID-named) checkpoints, public protocol "V2 spec" -------------
+
+_V2_UUID = "0f7a3b1c-2d4e-4f60-8a9b-0c1d2e3f4a5b"
+
+
+def _author_v2_checkpoint(spark, path, layout):
+    """Rewrite a delta_lite-written table as if a modern writer had
+    checkpointed it with a v2 UUID-named checkpoint (layout='sidecar':
+    parquet manifest + add actions in _sidecars/ files; layout='json':
+    inline .json checkpoint), deleting the pre-checkpoint commits so the
+    checkpoint is the ONLY route to the state. Returns the table state
+    that was checkpointed."""
+    import pandas as pd
+
+    st = replay_log(spark, path)
+    log_dir = os.path.join(path, "_delta_log")
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    adds = [
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for rel, pv in st.files.items()
+    ]
+    if layout == "json":
+        cp_name = f"{st.version:020d}.checkpoint.{_V2_UUID}.json"
+        with open(os.path.join(log_dir, cp_name), "w") as fh:
+            fh.write(json.dumps({"checkpointMetadata": {"version": st.version}}) + "\n")
+            fh.write(json.dumps({"metaData": st.metadata}) + "\n")
+            fh.write(json.dumps({"protocol": protocol}) + "\n")
+            for a in adds:
+                fh.write(json.dumps(a) + "\n")
+    else:
+        side_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        add_schema = (
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:long,modificationTime:long,dataChange:boolean>"
+        )
+        # split the adds across TWO sidecar files to prove multi-sidecar
+        halves = [adds[: len(adds) // 2], adds[len(adds) // 2 :]]
+        side_names = []
+        for i, half in enumerate(h for h in halves if h):
+            d = os.path.join(log_dir, f"side{i}.d")
+            spark.createDataFrame(
+                pd.DataFrame({"raw": [json.dumps(r) for r in half]})
+            ).select(F.from_json("raw", add_schema).alias("a")).select(
+                "a.*"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+            name = f"{_V2_UUID[:8]}-{i:04d}.parquet"
+            os.rename(os.path.join(d, part), os.path.join(side_dir, name))
+            import shutil as _sh
+
+            _sh.rmtree(d, ignore_errors=True)
+            side_names.append(name)
+        manifest_rows = [
+            {"metaData": st.metadata, "protocol": None, "sidecar": None},
+            {"metaData": None, "protocol": protocol, "sidecar": None},
+        ] + [
+            {"metaData": None, "protocol": None,
+             "sidecar": {"path": n, "sizeInBytes": 1, "modificationTime": 0}}
+            for n in side_names
+        ]
+        man_schema = (
+            "metaData struct<id:string,format:struct<provider:string>,"
+            "schemaString:string,partitionColumns:array<string>>,"
+            "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+            "readerFeatures:array<string>,writerFeatures:array<string>>,"
+            "sidecar struct<path:string,sizeInBytes:long,"
+            "modificationTime:long>"
+        )
+        d = os.path.join(log_dir, "man.d")
+        spark.createDataFrame(
+            pd.DataFrame({"raw": [json.dumps(r) for r in manifest_rows]})
+        ).select(F.from_json("raw", man_schema).alias("a")).select(
+            "a.*"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        cp_name = f"{st.version:020d}.checkpoint.{_V2_UUID}.parquet"
+        os.rename(os.path.join(d, part), os.path.join(log_dir, cp_name))
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": st.version, "size": len(adds) + 2}, fh)
+    for v in range(st.version + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    return st
+
+
+@pytest.mark.parametrize("layout", ["sidecar", "json"])
+def test_v2_checkpoint_replay(spark, tmp_path, layout):
+    """A v2 UUID-named checkpoint (parquet manifest + sidecar add files,
+    or inline .json) whose pre-checkpoint commits were cleaned up
+    replays correctly, including the minReaderVersion=3 +
+    readerFeatures=[v2Checkpoint] protocol gate."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    _author_v2_checkpoint(spark, path, layout)
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2, 3}
+
+
+def test_v2_checkpoint_post_checkpoint_commits_apply(spark, tmp_path):
+    """Commits AFTER the v2 checkpoint still replay on top of it."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    st = _author_v2_checkpoint(spark, path, "sidecar")
+    write_delta_lite(_df(spark, [(4, "d")]), path, mode="append")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 4}
+    # time travel to the checkpointed version still works
+    assert {
+        r.id for r in read_delta_lite(spark, path, version=st.version).collect()
+    } == {1}
+
+
+def test_v2_checkpoint_missing_sidecar_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    _author_v2_checkpoint(spark, path, "sidecar")
+    side_dir = os.path.join(path, "_delta_log", "_sidecars")
+    os.remove(os.path.join(side_dir, sorted(os.listdir(side_dir))[0]))
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta_lite(spark, path)
+
+
+def test_vacuum_keeps_files_referenced_only_by_v2_checkpoint(spark, tmp_path):
+    """vacuum's referenced-set scan must parse v2 checkpoints (manifest
+    AND sidecars): after log cleanup they are the only reference to the
+    active data files — missing them would delete live data."""
+    from lcr_etl_upgrade_spark.delta_lite import vacuum
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    _author_v2_checkpoint(spark, path, "sidecar")
+    removed = vacuum(spark, path)
+    assert removed == []  # every data file is live, nothing to reap
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2, 3}
+
+
+def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
+    """minReaderVersion=3 is only admitted when EVERY readerFeature is
+    supported — v2Checkpoint plus deletionVectors must still refuse."""
+    path = tmp_path / "t"
+    (path / "_delta_log").mkdir(parents=True)
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_lite(spark, str(path))
