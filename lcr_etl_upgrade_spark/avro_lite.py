@@ -22,9 +22,14 @@ Spark-first split, mirroring ``delta_lite``:
   DataFrame's.
 
 Supported types (both directions): null, boolean, int, long, float,
-double, bytes, string, record, array, map, union (only ``[null, T]`` —
-the nullable encoding), enum (as string symbols) and fixed (as exact-
-size binary) in both directions,
+double, bytes, string, record, array, map, enum (as string symbols) and
+fixed (as exact-size binary),
+logical date (int days) and timestamp-micros (long). Unions read on
+all shapes: ``[null, T]`` is nullable T; multi-branch all-numeric
+unions widen along Avro's promotion chain (int->long->float->double);
+any other multi-branch union reads as ``string`` with a documented
+per-branch rendering (verbatim strings, base64 bytes, canonical JSON
+otherwise). The WRITE side emits only ``[null, T]``,
 logical date (int days) and timestamp-micros (long). Codecs: ``null``
 and ``deflate``, both directions (deflate = raw RFC 1951 block, no
 zlib wrapper, per the spec). Anything else raises NotImplementedError
@@ -95,9 +100,41 @@ def _logical(schema: dict) -> str | None:
     return schema.get("logicalType") if isinstance(schema, dict) else None
 
 
+# Avro's own schema-resolution promotion chain (spec "Schema Resolution"):
+# int -> long -> float -> double. A union of numeric branches resolves to
+# the widest member.
+_NUMERIC_WIDENING = ("int", "long", "float", "double")
+_NUMERIC_SPARK = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+}
+
+
+def _union_branches(schema: list) -> list:
+    return [s for s in schema if s != "null"]
+
+
+def _union_numeric_type(schema: list) -> T.DataType | None:
+    """Widest Spark type for an all-numeric multi-branch union, else None."""
+    branches = _union_branches(schema)
+    if all(isinstance(s, str) and s in _NUMERIC_WIDENING for s in branches):
+        widest = max(branches, key=_NUMERIC_WIDENING.index)
+        return _NUMERIC_SPARK[widest]
+    return None
+
+
 def avro_to_spark_type(schema) -> T.DataType:
-    """Avro schema (parsed JSON) -> Spark type. Unions other than
-    ``[null, T]`` have no faithful Spark column type — refused."""
+    """Avro schema (parsed JSON) -> Spark type.
+
+    Unions: ``[null, T]`` maps to nullable T (the common encoding);
+    multi-branch unions have no faithful Spark column type, so they
+    resolve by DOCUMENTED rule — all-numeric branches widen along Avro's
+    own promotion chain (int->long->float->double), anything else
+    becomes ``string`` with per-branch rendering (string branches pass
+    through; bytes/fixed render base64; every other branch renders as
+    canonical JSON — see ``_union_render``)."""
     if isinstance(schema, str):
         prim = {
             "null": T.NullType(),
@@ -113,12 +150,12 @@ def avro_to_spark_type(schema) -> T.DataType:
             return prim[schema]
         raise NotImplementedError(f"avro type {schema!r}: {_REMEDY}")
     if isinstance(schema, list):
-        non_null = [s for s in schema if s != "null"]
-        if len(non_null) != 1:
-            raise NotImplementedError(
-                f"general avro union {schema!r}: {_REMEDY}"
-            )
-        return avro_to_spark_type(non_null[0])
+        non_null = _union_branches(schema)
+        if len(non_null) == 1:
+            return avro_to_spark_type(non_null[0])
+        if not non_null:
+            return T.NullType()
+        return _union_numeric_type(schema) or T.StringType()
     t = schema["type"]
     if t == "record":
         return T.StructType(
@@ -198,6 +235,34 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row"):
 # ---------------------------------------------------------------- decode --
 
 
+def _jsonable(v):
+    """Decoded avro value -> JSON-serializable: bytes to base64, nested
+    containers recursively (record/map keys are already strings)."""
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def _union_render(v):
+    """String-fallback union rendering (documented rule): null stays
+    NULL, string branches pass through verbatim, everything else becomes
+    canonical JSON (sorted keys, no whitespace; bytes as base64) — so
+    ``["int","string"]`` yields '5' for int 5 and 'five' for the string."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode("ascii")
+    return json.dumps(_jsonable(v), separators=(",", ":"), sort_keys=True)
+
+
 def _decoder(schema):
     """Compile an avro schema into ``f(BytesIO) -> python value``."""
     if isinstance(schema, str):
@@ -214,6 +279,14 @@ def _decoder(schema):
         return simple[schema]
     if isinstance(schema, list):
         subs = [_decoder(s) for s in schema]
+        non_null = _union_branches(schema)
+        if len(non_null) > 1 and _union_numeric_type(schema) is None:
+            # string-fallback union: the column type is string, so each
+            # branch value renders per the documented rule
+            def union_str(b):
+                return _union_render(subs[_read_long(b)](b))
+
+            return union_str
 
         def union(b):
             return subs[_read_long(b)](b)

@@ -203,10 +203,103 @@ def test_unsupported_seams_raise_with_remedy():
             + _s("avro.codec") + _s("snappy")
             + _zz(0) + bytes(16)
         )
+
+def test_multi_branch_union_type_resolution():
+    """Multi-branch unions resolve by documented rule: all-numeric widens
+    along Avro's promotion chain, anything else reads as string."""
+    from pyspark.sql import types as T
+
     from lcr_etl_upgrade_spark.avro_lite import avro_to_spark_type
 
-    with pytest.raises(NotImplementedError, match="union"):
-        avro_to_spark_type(["int", "string"])  # general union: no column type
+    assert avro_to_spark_type(["int", "long"]) == T.LongType()
+    assert avro_to_spark_type(["int", "float"]) == T.FloatType()
+    assert avro_to_spark_type(["null", "int", "long", "double"]) == T.DoubleType()
+    assert avro_to_spark_type(["int", "string"]) == T.StringType()
+    assert avro_to_spark_type(["null", "int", "string"]) == T.StringType()
+    assert avro_to_spark_type(["bytes", "string"]) == T.StringType()
+
+
+def test_multi_branch_union_golden_bytes():
+    """Hand-composed container with a ["null","int","string","bytes"]
+    union field: int renders canonical JSON, strings pass through, bytes
+    render base64, null stays NULL (the documented string-fallback rule);
+    and an all-numeric ["int","double"] union decodes to widened
+    numerics."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["null", "int", "string", "bytes"]}],
+    }
+    sync = bytes(range(16))
+    rows_bytes = (
+        _zz(1) + _zz(5)          # branch 1 (int) value 5
+        + _zz(2) + _s("five")    # branch 2 (string) "five"
+        + _zz(3) + _zz(2) + b"\x01\x02"  # branch 3 (bytes) 0x0102
+        + _zz(0)                 # branch 0 (null)
+    )
+    golden = (
+        b"Obj\x01"
+        + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(4) + _zz(len(rows_bytes)) + rows_bytes + sync
+    )
+    _, rows = decode_container(golden)
+    assert rows == [{"v": "5"}, {"v": "five"}, {"v": "AQI="}, {"v": None}]
+
+    num_schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["int", "double"]}],
+    }
+    num_rows = _zz(0) + _zz(7) + _zz(1) + struct.pack("<d", 0.5)
+    num_golden = (
+        b"Obj\x01"
+        + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(num_schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(2) + _zz(len(num_rows)) + num_rows + sync
+    )
+    _, rows = decode_container(num_golden)
+    assert rows == [{"v": 7}, {"v": 0.5}]
+
+
+def test_multi_branch_union_reads_through_spark(spark, tmp_path):
+    """End-to-end: a container with an ["int","string"] union field reads
+    via read_avro_lite as a string column with the rendered values."""
+    from lcr_etl_upgrade_spark.avro_lite import read_avro_lite
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["int", "string"]},
+        ],
+    }
+    sync = bytes(range(16))
+    rows_bytes = (
+        _zz(1) + _zz(0) + _zz(42)
+        + _zz(2) + _zz(1) + _s("forty-two")
+    )
+    data = (
+        b"Obj\x01"
+        + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(2) + _zz(len(rows_bytes)) + rows_bytes + sync
+    )
+    d = tmp_path / "u"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(data)
+    got = read_avro_lite(spark, str(d))
+    assert dict(got.dtypes)["v"] == "string"
+    assert {(r.id, r.v) for r in got.collect()} == {
+        (1, "42"), (2, "forty-two")
+    }
 
 
 def test_registry_fallbacks_roundtrip(spark, tmp_path):
