@@ -14,9 +14,11 @@ extra shuffles beyond the one a packing order inherently needs:
   A pure per-row narrow map (rows fan out, no shuffle); overlap is a
   slice-window parameter, mirroring the fixed-size-with-overlap
   chunking every RAG/pretraining pipeline uses.
-- ``redact_pii``: chained ``regexp_replace`` for emails, E.164-ish
-  phone numbers, SSNs, IPv4s and 13-19-digit card numbers — the
-  classic scrub list, JVM-side so it runs at scan speed. Pattern
+- ``redact_pii``: cheap-gated ``regexp_replace`` chains for emails,
+  E.164-ish phone numbers, SSNs, IPv4s and 13-19-digit card numbers —
+  the classic scrub list, JVM-side so it runs at scan speed (the email
+  scan gated on ``instr('@')``, the digit patterns on one char-class
+  ``rlike`` — measured 43% cut at 100x, SCALE.md). Pattern
   recall/precision is deliberately conservative (documented per
   pattern); a production system would layer an NER model behind the
   same column contract.
@@ -110,7 +112,13 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # SSN before generic phone: 123-45-6789 would otherwise phone-match
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    # 13-19 digit runs with optional space/dash groupings (card-ish)
+    # 13-19 digit runs with optional space/dash groupings (card-ish).
+    # DELIBERATE recall-over-precision: this also swallows non-PII
+    # numeric identifiers of that length (order numbers, tracking IDs,
+    # numeric hashes) — for training-data scrubbing, losing those is
+    # cheaper than leaking a card number. A Luhn post-filter is not
+    # expressible in a JVM regexp; a production system needing precision
+    # layers one behind the same column contract.
     "card": (r"\b(?:\d[ -]?){12,18}\d\b", "<CARD>"),
     "phone": (
         r"(?<![\w.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?"
@@ -128,15 +136,48 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 def redact_pii_expr(
     col: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)
 ) -> Column:
+    """Per-class replacement tokens force one ``regexp_replace`` per
+    class (a single alternation pass cannot emit different tokens per
+    branch in a JVM regexp), so the fusion is CHEAP GATES instead: the
+    email scan — the expensive one, since its pattern can start
+    backtracking at almost every character — runs only on rows that
+    contain ``@`` (an ``instr`` byte scan), and the four digit-based
+    patterns run only on rows containing a digit (one char-class
+    ``rlike``). ``CASE WHEN`` evaluates branches lazily per row.
+    Measured on the 500k-doc 100x corpus (SCALE.md "Curation
+    operators"): 36.4 s -> 20.9 s paired, almost all from skipping the
+    email scan. A fused combined-alternation gate was measured SLOWER
+    than the plain chain (40.6 s vs 36.5 s) — a 5-branch alternation
+    re-tries every branch at every position — and rejected.
+
+    Gates test the ORIGINAL column: replacement tokens never introduce
+    ``@`` or digits, so a row failing a gate on input cannot need that
+    class after earlier replacements. NULL input stays NULL on every
+    path."""
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(
             f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}"
         )
     out = col
-    for kind in kinds:
-        pattern, token = PII_PATTERNS[kind]
-        out = F.regexp_replace(out, pattern, token)
+    i = 0
+    while i < len(kinds):
+        if kinds[i] == "email":
+            out = F.when(
+                F.instr(col, "@") > 0,
+                F.regexp_replace(out, *PII_PATTERNS["email"]),
+            ).otherwise(out)
+            i += 1
+            continue
+        # contiguous run of digit-based classes shares one digit gate,
+        # preserving the caller's application order
+        chain = out
+        j = i
+        while j < len(kinds) and kinds[j] != "email":
+            chain = F.regexp_replace(chain, *PII_PATTERNS[kinds[j]])
+            j += 1
+        out = F.when(col.rlike("[0-9]"), chain).otherwise(out)
+        i = j
     return out
 
 
