@@ -90,9 +90,16 @@ def stream_static_join(
     dim: DataFrame,
     key_cols: list[str],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Enrich a stream with a STATIC dimension (re-read per micro-batch
     by Spark for file-based dims — the public slowly-changing-dim
-    pattern). The dim side is broadcast when small, exactly as in batch;
-    no state store involvement, no watermark needed."""
-    return stream.join(F.broadcast(dim), on=key_cols, how=how)
+    pattern). No state store involvement, no watermark needed.
+
+    ``broadcast=True`` (default) hints the dim side — right for the
+    bounded dimension tables this operator is built for. Pass
+    ``broadcast=False`` for a LARGE dimension: a forced broadcast of an
+    outsized dim risks driver/executor OOM, whereas without the hint
+    Spark's size-based planning (autoBroadcastJoinThreshold) decides."""
+    dim_side = F.broadcast(dim) if broadcast else dim
+    return stream.join(dim_side, on=key_cols, how=how)

@@ -156,3 +156,22 @@ def test_stream_static_join_enriches_with_broadcast(spark, tmp_path):
         (2, "ad_c", "silver"),
         (3, "ad_d", None),
     }
+
+
+def test_stream_static_join_broadcast_opt_out(spark):
+    """broadcast=False must leave the hint off so Spark's size-based
+    planning decides — a forced broadcast of a LARGE dim risks OOM."""
+    from pyspark.sql import functions as F
+
+    stream = spark.createDataFrame([(1, "x")], "user_id long, ad string")
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    hinted = stream_static_join(stream, dim, ["user_id"])
+    unhinted = stream_static_join(stream, dim, ["user_id"], broadcast=False)
+    assert "strategy=broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+    assert "strategy=broadcast" not in (
+        unhinted._jdf.queryExecution().logical().toString()
+    )
+    # result parity regardless of the hint
+    assert hinted.collect() == unhinted.collect()

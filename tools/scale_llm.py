@@ -166,6 +166,15 @@ def main() -> None:
         ):
             rows = QUERIES[rq](spark, out_dir).collect()
             rec = [r.recall_at_k for r in rows]
+            if not rec:
+                # zero result rows at the scaled corpus is exactly the
+                # regression this check exists to catch — report it as a
+                # failure instead of crashing on min()/avg of empty
+                print(
+                    f"{rq} @ {factor}x organic: all_meet_floor=False "
+                    f"queries=0 (EMPTY RESULT — recall contract not met)"
+                )
+                continue
             ok = all(r.meets_floor for r in rows)
             print(
                 f"{rq} @ {factor}x organic: min={min(rec):.2f} "
