@@ -38,6 +38,8 @@ naming the spark-avro remedy.
 
 from __future__ import annotations
 
+import base64
+import datetime
 import io
 import json
 import os
@@ -116,10 +118,21 @@ def _union_branches(schema: list) -> list:
     return [s for s in schema if s != "null"]
 
 
+def _plain_numeric(s) -> str | None:
+    """Branch schema -> primitive numeric name, honoring the spec's
+    ``{"type": "long"}`` wrapper form; logical types (date, timestamps)
+    are NOT plain numerics — they decode to date/datetime objects."""
+    if isinstance(s, dict) and not _logical(s):
+        s = s.get("type")
+    if isinstance(s, str) and s in _NUMERIC_WIDENING:
+        return s
+    return None
+
+
 def _union_numeric_type(schema: list) -> T.DataType | None:
     """Widest Spark type for an all-numeric multi-branch union, else None."""
-    branches = _union_branches(schema)
-    if all(isinstance(s, str) and s in _NUMERIC_WIDENING for s in branches):
+    branches = [_plain_numeric(s) for s in _union_branches(schema)]
+    if all(b is not None for b in branches):
         widest = max(branches, key=_NUMERIC_WIDENING.index)
         return _NUMERIC_SPARK[widest]
     return None
@@ -236,12 +249,13 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "row"):
 
 
 def _jsonable(v):
-    """Decoded avro value -> JSON-serializable: bytes to base64, nested
-    containers recursively (record/map keys are already strings)."""
+    """Decoded avro value -> JSON-serializable: bytes to base64, logical
+    date/timestamp values to ISO-8601, nested containers recursively
+    (record/map keys are already strings)."""
     if isinstance(v, bytes):
-        import base64
-
         return base64.b64encode(v).decode("ascii")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, list):
@@ -251,15 +265,16 @@ def _jsonable(v):
 
 def _union_render(v):
     """String-fallback union rendering (documented rule): null stays
-    NULL, string branches pass through verbatim, everything else becomes
-    canonical JSON (sorted keys, no whitespace; bytes as base64) — so
+    NULL, string branches pass through verbatim, bytes/fixed render
+    base64, logical date/timestamp branches render ISO-8601, everything
+    else becomes canonical JSON (sorted keys, no whitespace) — so
     ``["int","string"]`` yields '5' for int 5 and 'five' for the string."""
     if v is None or isinstance(v, str):
         return v
     if isinstance(v, bytes):
-        import base64
-
         return base64.b64encode(v).decode("ascii")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
     return json.dumps(_jsonable(v), separators=(",", ":"), sort_keys=True)
 
 

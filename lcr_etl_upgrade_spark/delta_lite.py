@@ -479,6 +479,24 @@ def write_delta_lite(
     except FileNotFoundError:
         prior = None
 
+    if prior is not None and prior.protocol:
+        # WRITER compliance is separate from reader compliance: a
+        # v2Checkpoint table is READABLE here (reader feature
+        # implemented) but this writer behaves as protocol writer
+        # version 2 — committing to a table that demands
+        # minWriterVersion > 2 (feature lists, invariants, …) would
+        # violate the protocol's "a writer must support every
+        # writerFeature" rule and produce a log real Delta tooling may
+        # reject.
+        writer_v = int(prior.protocol.get("minWriterVersion", 2))
+        if writer_v > 2:
+            raise NotImplementedError(
+                "delta_lite writes as protocol writer version 2; this "
+                f"table requires minWriterVersion={writer_v} "
+                f"(writerFeatures={prior.protocol.get('writerFeatures')})."
+                " Use delta-spark to write it."
+            )
+
     if prior is not None and mode == "append":
         partition_by = tuple(prior.partition_columns)
         want = [f.name for f in prior.schema.fields]
@@ -679,8 +697,27 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     shortcut): subsequent reads replay from here instead of from version
     0, so log-replay cost stays bounded by CHECKPOINT_INTERVAL no matter
     how many commits the table accumulates. Returns the checkpointed
-    version."""
+    version.
+
+    Only protocol v1/v2 tables are checkpointed: this writer emits the
+    CLASSIC layout, and on a table whose protocol carries feature lists
+    (e.g. v2Checkpoint, which delta_lite can READ) a classic checkpoint
+    would both violate the feature's own write rule and — because the
+    action schema has no feature columns — strip readerFeatures/
+    writerFeatures from the protocol action, silently forgetting what
+    the table requires. Raises NotImplementedError for such tables
+    (callers doing best-effort auto-checkpointing swallow it)."""
     state = replay_log(spark, path)
+    proto = state.protocol or {}
+    if (
+        int(proto.get("minReaderVersion", 1)) > 1
+        or int(proto.get("minWriterVersion", 2)) > 2
+    ):
+        raise NotImplementedError(
+            "write_checkpoint emits classic protocol-v1 checkpoints only; "
+            f"this table's protocol {proto} requires feature-aware "
+            "checkpointing (use delta-spark)"
+        )
     base = _local(path)
     log_dir = _log_dir(path)
 

@@ -556,3 +556,46 @@ def test_cross_file_type_mismatch_rejected(spark, tmp_path):
         encode_container(s_str, [{"x": "oops"}], sync=bytes(16)))
     with pytest.raises(Exception, match="field types differ"):
         read_avro_lite(spark, str(d)).collect()
+
+
+def test_union_wrapper_form_and_logical_branches():
+    """Review findings: wrapper-form numeric branches must widen like
+    their bare-string spelling, and logical date/timestamp branches in a
+    string-fallback union must render ISO-8601 instead of crashing
+    json.dumps."""
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.avro_lite import avro_to_spark_type
+
+    # {"type":"long"} is spelling-equivalent to "long" per the spec
+    assert avro_to_spark_type(["int", {"type": "long"}]) == T.LongType()
+    # logical types are NOT plain numerics: they decode to objects
+    assert (
+        avro_to_spark_type(["int", {"type": "long",
+                                    "logicalType": "timestamp-micros"}])
+        == T.StringType()
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": [
+            "string", {"type": "long", "logicalType": "timestamp-micros"}
+        ]}],
+    }
+    sync = bytes(range(16))
+    # branch 1: timestamp-micros 1_700_000_000_000_000 us
+    rows_bytes = _zz(0) + _s("plain") + _zz(1) + _zz(1_700_000_000_000_000)
+    golden = (
+        b"Obj\x01"
+        + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(2) + _zz(len(rows_bytes)) + rows_bytes + sync
+    )
+    _, rows = decode_container(golden)
+    assert rows == [
+        {"v": "plain"},
+        {"v": "2023-11-14T22:13:20"},  # ISO-8601, not a TypeError
+    ]

@@ -924,11 +924,25 @@ def test_v2_checkpoint_replay(spark, tmp_path, layout):
 
 
 def test_v2_checkpoint_post_checkpoint_commits_apply(spark, tmp_path):
-    """Commits AFTER the v2 checkpoint still replay on top of it."""
+    """Commits AFTER the v2 checkpoint still replay on top of it.
+
+    The commit is authored BY HAND: write_delta_lite itself now refuses
+    minWriterVersion=7 tables (writer-compliance gate), so the
+    post-checkpoint commit comes from a hypothetical compliant writer."""
     path = str(tmp_path / "t")
     write_delta_lite(_df(spark, [(1, "a")]), path)
     st = _author_v2_checkpoint(spark, path, "sidecar")
-    write_delta_lite(_df(spark, [(4, "d")]), path, mode="append")
+    stage = tmp_path / "stage"
+    _df(spark, [(4, "d")]).coalesce(1).write.parquet(str(stage))
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(stage / part, os.path.join(path, "extra-0.parquet"))
+    with open(
+        os.path.join(path, "_delta_log", f"{st.version + 1:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"add": {
+            "path": "extra-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 4}
     # time travel to the checkpointed version still works
     assert {
@@ -973,3 +987,33 @@ def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="deletionVectors"):
         read_delta_lite(spark, str(path))
+
+
+def test_writer_refuses_high_writer_version_table(spark, tmp_path):
+    """Review finding: reading v2Checkpoint tables must NOT have made
+    them writable — this writer is protocol writer-version 2 and a
+    table demanding minWriterVersion=7 with writerFeatures would be
+    corrupted by a non-compliant commit."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    _author_v2_checkpoint(spark, path, "sidecar")
+    with pytest.raises(NotImplementedError, match="minWriterVersion=7"):
+        write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    # still readable
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_checkpoint_writer_refuses_feature_tables(spark, tmp_path):
+    """Review finding: write_checkpoint's classic action schema has no
+    feature columns — checkpointing a minReaderVersion=3 table would
+    strip readerFeatures/writerFeatures from the protocol action and
+    repoint _last_checkpoint at the corrupted copy. It must refuse."""
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    _author_v2_checkpoint(spark, path, "json")
+    with pytest.raises(NotImplementedError, match="feature-aware"):
+        write_checkpoint(spark, path)
+    # the v2 checkpoint pointer is untouched and the table still reads
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
