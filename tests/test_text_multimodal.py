@@ -426,3 +426,61 @@ def test_frame_sample_rejects_nonpositive_step(spark):
     df = spark.createDataFrame([(1,)], "media_id long")
     with pytest.raises(ValueError, match="every_n"):
         frame_sample_stub(df, every_n=0)
+
+
+# ---- decoder totality: only ValueError may escape -----------------------
+# _media_features_one catches ValueError ONLY; any other exception type
+# from a decoder would kill the executor task instead of yielding a
+# NULL-feature row. Fuzz random and mutated-valid payloads through every
+# container decoder.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _decoders():
+    from lcr_etl_upgrade_spark.operators import multimodal as mm
+
+    return [mm.decode_ppm, mm.decode_wav, mm.decode_jpeg_header,
+            mm.decode_mp3_header]
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(payload=st.binary(min_size=0, max_size=400))
+def test_media_decoders_total_on_random_bytes(payload):
+    for dec in _decoders():
+        try:
+            dec(payload)
+        except ValueError:
+            pass  # the one permitted failure mode
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pos=st.integers(min_value=0, max_value=60),
+    byte=st.integers(min_value=0, max_value=255),
+    which=st.integers(min_value=0, max_value=2),
+)
+def test_media_decoders_total_on_mutated_valid(pos, byte, which):
+    """Single-byte mutations of VALID containers (the adversarial corrupt
+    case: right magic, broken interior) must also decode or ValueError."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    base = [
+        _jpeg_bytes(8, 4),
+        b"\xff\xfb\x90\x00" + b"\x00" * 60,
+        encode_ppm(2, 2, bytes(12)) if which == 2 else
+        encode_wav_pcm16(8000, [0, 1, -1]),
+    ][which]
+    mutated = bytearray(base)
+    mutated[pos % len(mutated)] = byte
+    for dec in _decoders():
+        try:
+            dec(bytes(mutated))
+        except ValueError:
+            pass
