@@ -240,6 +240,43 @@ def _read_checkpoint(
     return _expand_sidecars(spark, log_dir, actions)
 
 
+_CHECKPOINT_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+
+def _discover_checkpoint(
+    log_dir: str, max_version: int | None
+) -> tuple[int, int | None] | None:
+    """Newest COMPLETE checkpoint ``(version, parts|None)`` found by
+    listing the log directory — the protocol's fallback when the
+    ``_last_checkpoint`` hint is absent or names a version past the
+    requested one. Multi-part sets count only when every part is
+    present; v2 UUID-named files count like single-part (parts=None)."""
+    singles: set[int] = set()
+    multi: dict[tuple[int, int], set[int]] = {}
+    for f in os.listdir(log_dir):
+        if (m := re.match(r"^(\d{20})\.checkpoint\.parquet$", f)) or (
+            m := _CHECKPOINT_V2_RE.match(f)
+        ):
+            singles.add(int(m.group(1)))
+        elif m := _CHECKPOINT_MULTI_RE.match(f):
+            key = (int(m.group(1)), int(m.group(3)))
+            multi.setdefault(key, set()).add(int(m.group(2)))
+    cands: list[tuple[int, int | None]] = [(v, None) for v in singles]
+    cands += [
+        (v, n)
+        for (v, n), parts in multi.items()
+        if parts == set(range(1, n + 1))
+    ]
+    cands = [c for c in cands if max_version is None or c[0] <= max_version]
+    if not cands:
+        return None
+    # newest version wins; at the same version prefer the single-file
+    # layout (nothing to assemble)
+    return max(cands, key=lambda c: (c[0], c[1] is None))
+
+
 def replay_log(
     spark: SparkSession, path: str, version: int | None = None
 ) -> TableState:
@@ -262,19 +299,26 @@ def replay_log(
         commits = [(v, p) for v, p in commits if v <= version]
     state = TableState()
     start = 0
+    cp: tuple[int, int | None] | None = None
     last_cp = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_cp):
         with open(last_cp) as fh:
             cp_meta = json.load(fh)
-        cp_version = int(cp_meta["version"])
-        cp_parts = cp_meta.get("parts")
-        if version is None or cp_version <= version:
-            for action in _read_checkpoint(
-                spark, log_dir, cp_version, cp_parts
-            ):
-                _apply_action(state, action)
-            state.version = cp_version
-            start = cp_version + 1
+        if version is None or int(cp_meta["version"]) <= version:
+            cp = (int(cp_meta["version"]), cp_meta.get("parts"))
+    if cp is None:
+        # _last_checkpoint is a HINT per the protocol — absent (never
+        # written, or deleted) or pointing past the requested version,
+        # the checkpoint files themselves are still discoverable by
+        # listing; without this, a table whose pre-checkpoint commits
+        # were cleaned up would refuse with a spurious gap error
+        cp = _discover_checkpoint(log_dir, version)
+    if cp is not None:
+        cp_version, cp_parts = cp
+        for action in _read_checkpoint(spark, log_dir, cp_version, cp_parts):
+            _apply_action(state, action)
+        state.version = cp_version
+        start = cp_version + 1
     expected = start
     for v, commit_path in commits:
         if v < start:

@@ -1017,3 +1017,58 @@ def test_checkpoint_writer_refuses_feature_tables(spark, tmp_path):
         write_checkpoint(spark, path)
     # the v2 checkpoint pointer is untouched and the table still reads
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_checkpoint_discovered_without_last_checkpoint(spark, tmp_path):
+    """_last_checkpoint is a protocol HINT: with it deleted (and the
+    pre-checkpoint commits cleaned up) the checkpoint files must still
+    be discovered by listing — classic single-part and v2 UUID-named."""
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    # classic single-part
+    p1 = str(tmp_path / "classic")
+    write_delta_lite(_df(spark, [(1, "a")]), p1)
+    write_delta_lite(_df(spark, [(2, "b")]), p1, mode="append")
+    v = write_checkpoint(spark, p1)
+    log1 = os.path.join(p1, "_delta_log")
+    os.remove(os.path.join(log1, "_last_checkpoint"))
+    for i in range(v + 1):
+        os.remove(os.path.join(log1, f"{i:020d}.json"))
+    assert {r.id for r in read_delta_lite(spark, p1).collect()} == {1, 2}
+
+    # v2 UUID-named
+    p2 = str(tmp_path / "v2")
+    write_delta_lite(_df(spark, [(3, "c"), (4, "d")]), p2)
+    _author_v2_checkpoint(spark, p2, "json")
+    os.remove(os.path.join(p2, "_delta_log", "_last_checkpoint"))
+    assert {r.id for r in read_delta_lite(spark, p2).collect()} == {3, 4}
+
+
+def test_stale_last_checkpoint_hint_falls_back_to_discovery(spark, tmp_path):
+    """Time travel BELOW the hinted checkpoint version discovers an older
+    complete checkpoint instead of demanding the cleaned-up commits."""
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    v0 = write_checkpoint(spark, path)  # checkpoint at version 0
+    write_delta_lite(_df(spark, [(9, "z")]), path, mode="overwrite")
+    v1 = write_checkpoint(spark, path)  # checkpoint at version 1 (hinted)
+    log_dir = os.path.join(path, "_delta_log")
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))  # clean commit 0
+    # latest uses the hint...
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
+    # ...and version 0 comes from the DISCOVERED older checkpoint, even
+    # though its JSON commit is gone and the hint points at version 1
+    assert {
+        r.id for r in read_delta_lite(spark, path, version=v0).collect()
+    } == {1}
+    # an incomplete multi-part set must NOT be selected: fabricate part 1
+    # of a claimed 2-part checkpoint at a bogus newer version
+    open(
+        os.path.join(
+            log_dir, f"{5:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+        "wb",
+    ).close()
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
