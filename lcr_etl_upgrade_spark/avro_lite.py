@@ -118,11 +118,22 @@ def _union_branches(schema: list) -> list:
     return [s for s in schema if s != "null"]
 
 
+# logical types the decoder TRANSFORMS into non-numeric Python objects
+# (date/datetime); every other logicalType is unknown to this reader and
+# — per the spec's "ignore unknown logical types" rule, which _decoder
+# follows — decodes as its underlying primitive
+_TRANSFORMING_LOGICALS = frozenset(
+    {"date", "timestamp-micros", "local-timestamp-micros"}
+)
+
+
 def _plain_numeric(s) -> str | None:
     """Branch schema -> primitive numeric name, honoring the spec's
-    ``{"type": "long"}`` wrapper form; logical types (date, timestamps)
-    are NOT plain numerics — they decode to date/datetime objects."""
-    if isinstance(s, dict) and not _logical(s):
+    ``{"type": "long"}`` wrapper form. Branches whose logicalType the
+    decoder transforms (date, timestamps -> date/datetime objects) are
+    NOT plain numerics; unknown logical types decode as the underlying
+    primitive and therefore widen normally."""
+    if isinstance(s, dict) and _logical(s) not in _TRANSFORMING_LOGICALS:
         s = s.get("type")
     if isinstance(s, str) and s in _NUMERIC_WIDENING:
         return s

@@ -240,9 +240,33 @@ def _read_checkpoint(
     return _expand_sidecars(spark, log_dir, actions)
 
 
+_CHECKPOINT_SINGLE_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_MULTI_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
+
+
+def _checkpoint_present(log_dir: str, version: int, parts: int | None) -> bool:
+    """Do the files of this checkpoint actually exist (every part, for a
+    multi-part set)? The ``_last_checkpoint`` hint may be stale — files
+    deleted after the pointer was written."""
+    if parts:
+        return all(
+            os.path.exists(
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint.{i:010d}.{parts:010d}"
+                    ".parquet",
+                )
+            )
+            for i in range(1, parts + 1)
+        )
+    if os.path.exists(os.path.join(log_dir, _CHECKPOINT_SINGLE.format(v=version))):
+        return True
+    return any(
+        (m := _CHECKPOINT_V2_RE.match(f)) and int(m.group(1)) == version
+        for f in os.listdir(log_dir)
+    )
 
 
 def _discover_checkpoint(
@@ -250,13 +274,14 @@ def _discover_checkpoint(
 ) -> tuple[int, int | None] | None:
     """Newest COMPLETE checkpoint ``(version, parts|None)`` found by
     listing the log directory — the protocol's fallback when the
-    ``_last_checkpoint`` hint is absent or names a version past the
-    requested one. Multi-part sets count only when every part is
-    present; v2 UUID-named files count like single-part (parts=None)."""
+    ``_last_checkpoint`` hint is absent, names a version past the
+    requested one, or points at files that no longer exist. Multi-part
+    sets count only when every part is present; v2 UUID-named files
+    count like single-part (parts=None)."""
     singles: set[int] = set()
     multi: dict[tuple[int, int], set[int]] = {}
     for f in os.listdir(log_dir):
-        if (m := re.match(r"^(\d{20})\.checkpoint\.parquet$", f)) or (
+        if (m := _CHECKPOINT_SINGLE_RE.match(f)) or (
             m := _CHECKPOINT_V2_RE.match(f)
         ):
             singles.add(int(m.group(1)))
@@ -300,25 +325,55 @@ def replay_log(
     state = TableState()
     start = 0
     cp: tuple[int, int | None] | None = None
+    stale_hint: int | None = None
     last_cp = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_cp):
         with open(last_cp) as fh:
             cp_meta = json.load(fh)
-        if version is None or int(cp_meta["version"]) <= version:
-            cp = (int(cp_meta["version"]), cp_meta.get("parts"))
+        hinted = (int(cp_meta["version"]), cp_meta.get("parts"))
+        if version is None or hinted[0] <= version:
+            if _checkpoint_present(log_dir, *hinted):
+                cp = hinted
+            else:
+                stale_hint = hinted[0]
     if cp is None:
         # _last_checkpoint is a HINT per the protocol — absent (never
-        # written, or deleted) or pointing past the requested version,
-        # the checkpoint files themselves are still discoverable by
-        # listing; without this, a table whose pre-checkpoint commits
-        # were cleaned up would refuse with a spurious gap error
+        # written, or deleted), pointing past the requested version, or
+        # pointing at files that were since removed, the checkpoint
+        # files themselves are still discoverable by listing; without
+        # this, a table whose pre-checkpoint commits were cleaned up
+        # would refuse with a spurious gap error
         cp = _discover_checkpoint(log_dir, version)
+        if cp is None and stale_hint is not None and (
+            not commits or commits[0][0] != 0
+        ):
+            # the hint's files are gone/incomplete, nothing else was
+            # discovered, and the JSON chain cannot reconstruct from 0:
+            # name the actual problem instead of a misleading
+            # empty-log/gap error downstream
+            raise ValueError(
+                f"checkpoint for version {stale_hint} in {log_dir} is "
+                "incomplete or its files were removed, and no other "
+                "complete checkpoint or full JSON chain can reconstruct "
+                "the table state"
+            )
+    cp_actions: list[dict] = []
     if cp is not None:
-        cp_version, cp_parts = cp
-        for action in _read_checkpoint(spark, log_dir, cp_version, cp_parts):
+        try:
+            cp_actions = _read_checkpoint(spark, log_dir, cp[0], cp[1])
+        except Exception:
+            if commits and commits[0][0] == 0:
+                # a present-but-unreadable checkpoint (stray/corrupt file
+                # from a crashed external writer) must not break a table
+                # whose intact JSON chain reconstructs the state alone
+                cp = None
+            else:
+                raise
+    if cp is not None:
+        for action in cp_actions:
             _apply_action(state, action)
-        state.version = cp_version
-        start = cp_version + 1
+        state.version = cp[0]
+        start = cp[0] + 1
     expected = start
     for v, commit_path in commits:
         if v < start:
@@ -496,6 +551,28 @@ def _partition_values_from_rel(
     return {c: values.get(c) for c in part_cols}
 
 
+def _check_writer_protocol(protocol: dict | None, path: str) -> None:
+    """WRITER compliance is separate from reader compliance: a
+    v2Checkpoint table is READABLE here (reader feature implemented) but
+    this writer behaves as protocol writer version 2 — committing to a
+    table that demands minWriterVersion > 2 (feature lists, invariants,
+    …) would violate the protocol's "a writer must support every
+    writerFeature" rule and produce a log real Delta tooling may
+    reject. Checked on the initial replay AND on every append retry: a
+    concurrent writer may UPGRADE the protocol between our replay and
+    the commit race."""
+    if not protocol:
+        return
+    writer_v = int(protocol.get("minWriterVersion", 2))
+    if writer_v > 2:
+        raise NotImplementedError(
+            "delta_lite writes as protocol writer version 2; the table "
+            f"at {path!r} requires minWriterVersion={writer_v} "
+            f"(writerFeatures={protocol.get('writerFeatures')}). "
+            "Use delta-spark to write it."
+        )
+
+
 def write_delta_lite(
     df: DataFrame,
     path: str,
@@ -523,23 +600,8 @@ def write_delta_lite(
     except FileNotFoundError:
         prior = None
 
-    if prior is not None and prior.protocol:
-        # WRITER compliance is separate from reader compliance: a
-        # v2Checkpoint table is READABLE here (reader feature
-        # implemented) but this writer behaves as protocol writer
-        # version 2 — committing to a table that demands
-        # minWriterVersion > 2 (feature lists, invariants, …) would
-        # violate the protocol's "a writer must support every
-        # writerFeature" rule and produce a log real Delta tooling may
-        # reject.
-        writer_v = int(prior.protocol.get("minWriterVersion", 2))
-        if writer_v > 2:
-            raise NotImplementedError(
-                "delta_lite writes as protocol writer version 2; this "
-                f"table requires minWriterVersion={writer_v} "
-                f"(writerFeatures={prior.protocol.get('writerFeatures')})."
-                " Use delta-spark to write it."
-            )
+    if prior is not None:
+        _check_writer_protocol(prior.protocol, path)
 
     if prior is not None and mode == "append":
         partition_by = tuple(prior.partition_columns)
@@ -640,6 +702,14 @@ def write_delta_lite(
                     )
                 )
             current = replay_log(spark, path)
+            try:
+                # the racing commit may have UPGRADED the protocol (e.g.
+                # delta-spark enabling writer features): our retried
+                # add-only commit would then be non-compliant
+                _check_writer_protocol(current.protocol, path)
+            except NotImplementedError:
+                _rollback()
+                raise
             # compare names AND types: a racing overwrite that changed a
             # column's TYPE must refuse too, or the retried append would
             # commit parquet files whose physical type contradicts the

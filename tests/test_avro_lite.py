@@ -599,3 +599,23 @@ def test_union_wrapper_form_and_logical_branches():
         {"v": "plain"},
         {"v": "2023-11-14T22:13:20"},  # ISO-8601, not a TypeError
     ]
+
+
+def test_unknown_logical_type_still_widens_numeric_union():
+    """Per the spec, unknown logical types are ignored and the underlying
+    primitive used — the decoder already does this, so the union type
+    resolution must agree: ["int", {"type":"long","logicalType":
+    "counter"}] widens to long, it does not fall back to string."""
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.avro_lite import avro_to_spark_type
+
+    assert (
+        avro_to_spark_type(["int", {"type": "long", "logicalType": "counter"}])
+        == T.LongType()
+    )
+    # known transforming logicals still disqualify numeric widening
+    assert (
+        avro_to_spark_type(["int", {"type": "int", "logicalType": "date"}])
+        == T.StringType()
+    )

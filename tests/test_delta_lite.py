@@ -1072,3 +1072,73 @@ def test_stale_last_checkpoint_hint_falls_back_to_discovery(spark, tmp_path):
         "wb",
     ).close()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
+
+
+def test_stale_hint_with_deleted_files_falls_back(spark, tmp_path):
+    """_last_checkpoint pointing at DELETED checkpoint files must fall
+    back — to an older discovered checkpoint or to the JSON chain —
+    instead of hard-failing on the stale hint."""
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_checkpoint(spark, path)  # checkpoint + hint at version 0
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    v1 = write_checkpoint(spark, path)  # checkpoint + hint at version 1
+    log_dir = os.path.join(path, "_delta_log")
+    os.remove(os.path.join(log_dir, f"{v1:020d}.checkpoint.parquet"))
+    # hint still says v1; its file is gone; v0 checkpoint + commit 1 remain
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+    # with ALL checkpoints gone the JSON chain alone still reconstructs
+    os.remove(os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"))
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+
+
+def test_corrupt_stray_checkpoint_does_not_break_intact_log(spark, tmp_path):
+    """A garbage checkpoint file left by a crashed external writer must
+    not break a table whose full JSON chain is intact (no hint case:
+    discovery would otherwise select it)."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    log_dir = os.path.join(path, "_delta_log")
+    with open(os.path.join(log_dir, f"{1:020d}.checkpoint.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+
+
+def test_append_retry_refuses_concurrent_protocol_upgrade(
+    spark, tmp_path, monkeypatch
+):
+    """A racing commit that UPGRADES the protocol (e.g. delta-spark
+    enabling writer features) must make the retried append refuse —
+    the gate re-checks writer compliance on every retry."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    stale = replay_log(spark, path)
+
+    real_replay = dl.replay_log
+    calls = {"n": 0}
+
+    def racing_replay(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the racing writer lands version 1 — upgrading the protocol
+            # — BEFORE our commit attempt, so our version-1 commit loses
+            # the open('x') race and the retry path re-replays
+            with open(
+                os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+            ) as fh:
+                fh.write(json.dumps({"protocol": {
+                    "minReaderVersion": 1, "minWriterVersion": 7,
+                    "writerFeatures": ["invariants"],
+                }}) + "\n")
+            return stale
+        return real_replay(*a, **k)
+
+    monkeypatch.setattr(dl, "replay_log", racing_replay)
+    with pytest.raises(NotImplementedError, match="minWriterVersion=7"):
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    monkeypatch.undo()

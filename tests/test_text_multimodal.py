@@ -461,11 +461,12 @@ def test_media_decoders_total_on_random_bytes(payload):
 @given(
     pos=st.integers(min_value=0, max_value=60),
     byte=st.integers(min_value=0, max_value=255),
-    which=st.integers(min_value=0, max_value=2),
+    which=st.integers(min_value=0, max_value=3),
 )
 def test_media_decoders_total_on_mutated_valid(pos, byte, which):
     """Single-byte mutations of VALID containers (the adversarial corrupt
-    case: right magic, broken interior) must also decode or ValueError."""
+    case: right magic, broken interior) must also decode or ValueError —
+    all FOUR container formats used as mutation bases."""
     from lcr_etl_upgrade_spark.operators.multimodal import (
         encode_ppm,
         encode_wav_pcm16,
@@ -474,7 +475,7 @@ def test_media_decoders_total_on_mutated_valid(pos, byte, which):
     base = [
         _jpeg_bytes(8, 4),
         b"\xff\xfb\x90\x00" + b"\x00" * 60,
-        encode_ppm(2, 2, bytes(12)) if which == 2 else
+        encode_ppm(2, 2, bytes(12)),
         encode_wav_pcm16(8000, [0, 1, -1]),
     ][which]
     mutated = bytearray(base)
