@@ -28,10 +28,11 @@ So this module implements the protocol directly, Spark-first:
   readable by any real Delta reader.
 
 Deliberate limits (clear errors, not wrong answers):
-- protocol ``minReaderVersion`` > 1 raises NotImplementedError naming
-  the feature gap, EXCEPT version 3 whose readerFeatures are all
-  supported (currently ``v2Checkpoint``); column mapping / deletion
-  vectors / timestampNtz still refuse;
+- protocol reader versions 1 and 2 (column mapping: physical->logical
+  name resolution for modes ``name``/``id``) read natively, as does
+  version 3 when every readerFeature is supported (``v2Checkpoint``,
+  ``columnMapping``, ``timestampNtz``); deletion vectors / type
+  widening and other features refuse with the feature named;
 - all three checkpoint layouts read (classic single-part, classic
   multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
   writer emits single-part;
@@ -106,7 +107,13 @@ def _local(path: str) -> str:
 # Table features (minReaderVersion=3) this reader actually implements.
 # Per the public protocol, a reader may open a version-3 table iff it
 # supports EVERY listed readerFeature — anything else must refuse.
-_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint"})
+# - v2Checkpoint: UUID-named checkpoints (read in _read_checkpoint)
+# - columnMapping: physical->logical name mapping (read_delta_lite)
+# - timestampNtz: TIMESTAMP_NTZ columns — Spark's parquet reader and
+#   StructType.fromJson ('timestamp_ntz') handle the type natively
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"v2Checkpoint", "columnMapping", "timestampNtz"}
+)
 
 
 def _check_protocol(protocol: dict | None) -> None:
@@ -115,15 +122,17 @@ def _check_protocol(protocol: dict | None) -> None:
     reader = int(protocol.get("minReaderVersion", 1))
     if reader <= 1:
         return
+    if reader == 2:
+        return  # protocol v2 = column mapping, implemented in the reader
     features = set(protocol.get("readerFeatures") or [])
     if reader == 3 and features <= _SUPPORTED_READER_FEATURES:
-        return  # e.g. v2Checkpoint: UUID-named checkpoints, read below
+        return
     raise NotImplementedError(
-        "delta_lite implements protocol reader version 1 (plus reader "
+        "delta_lite implements protocol reader versions 1-2 (plus reader "
         f"features {sorted(_SUPPORTED_READER_FEATURES)}); this table "
         f"requires minReaderVersion={reader} with readerFeatures="
         f"{sorted(features) or None}. Install delta-spark to read tables "
-        "using column mapping / deletion vectors / timestampNtz."
+        "using deletion vectors / type widening / other features."
     )
 
 
@@ -408,6 +417,45 @@ def replay_log(
     return state
 
 
+# ---- column mapping (protocol v2 / columnMapping feature) ---------------
+
+
+def _column_mapping_mode(metadata: dict) -> str:
+    return (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def _physicalize(dt: T.DataType) -> T.DataType:
+    """Logical schema -> the PHYSICAL schema the parquet files carry:
+    every struct field renamed to its ``delta.columnMapping.physicalName``
+    (recursively — nested structs, array elements, map values carry
+    mapped names too). Fields without the metadata key keep their name,
+    so mode 'none' schemas pass through unchanged."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physicalize(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physicalize(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physicalize(dt.keyType),
+            _physicalize(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _typed_partition_lit(value: str | None, dtype: T.DataType):
     if value is None or value == HIVE_NULL:
         return F.lit(None).cast(dtype)
@@ -470,40 +518,67 @@ def read_delta_lite(
     base = _local(path)
     state = replay_log(spark, path, version)
     schema = state.schema
-    part_cols = state.partition_columns
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"unknown delta.columnMapping.mode {mapping!r}"
+        )
+    # With column mapping on, the parquet files, the hive path segments
+    # AND the log's partitionValues keys all use PHYSICAL names (the
+    # public protocol's contract; delta-spark writes physicalName
+    # metadata for both 'name' and 'id' modes) — so the whole scan runs
+    # on the physical schema and renames to logical names ONCE at the
+    # end (a positional struct cast, which also renames nested fields).
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_part_cols = [
+        pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name in state.partition_columns
+    ]
+
+    def _logicalize(df: DataFrame) -> DataFrame:
+        if mapping == "none":
+            return df
+        return df.select(
+            *[
+                F.col(pf.name).cast(f.dataType).alias(f.name)
+                for f, pf in zip(schema.fields, phys_schema.fields)
+            ]
+        )
+
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [f for f in phys_schema.fields if f.name not in phys_part_cols]
     )
     if not state.files:
         return spark.createDataFrame([], schema)
-    if not part_cols:
+    if not phys_part_cols:
         files = [os.path.join(base, p) for p in state.files]
-        return spark.read.schema(schema).parquet(*files)
+        return _logicalize(spark.read.schema(phys_schema).parquet(*files))
 
-    if _all_files_hive_layout(state.files, part_cols):
+    if _all_files_hive_layout(state.files, phys_part_cols):
         files = [os.path.join(base, rel) for rel in sorted(state.files)]
-        return (
+        return _logicalize(
             spark.read.option("basePath", base)
-            .schema(schema)
+            .schema(phys_schema)
             .parquet(*files)
-            .select(*[f.name for f in schema.fields])
+            .select(*[f.name for f in phys_schema.fields])
         )
 
     by_group: dict[tuple, list[str]] = {}
     for rel, pvals in state.files.items():
-        key = tuple(pvals.get(c) for c in part_cols)
+        key = tuple(pvals.get(c) for c in phys_part_cols)
         by_group.setdefault(key, []).append(os.path.join(base, rel))
-    types = {f.name: f.dataType for f in schema.fields}
+    types = {f.name: f.dataType for f in phys_schema.fields}
     branches = []
     for key, files in sorted(by_group.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
-        for c, v in zip(part_cols, key):
+        for c, v in zip(phys_part_cols, key):
             df = df.withColumn(c, _typed_partition_lit(v, types[c]))
-        branches.append(df.select(*[f.name for f in schema.fields]))
+        branches.append(df.select(*[f.name for f in phys_schema.fields]))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out
+    return _logicalize(out)
 
 
 def _stage_and_move(

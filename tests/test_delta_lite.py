@@ -1142,3 +1142,167 @@ def test_append_retry_refuses_concurrent_protocol_upgrade(
     with pytest.raises(NotImplementedError, match="minWriterVersion=7"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
+
+
+# ---- column mapping (protocol v2 / columnMapping reader feature) --------
+
+
+def _mapped_meta(part_cols=()):
+    """metaData for a column-mapped table: logical (id, name, info) with
+    physical names col-aaa / col-bbb / col-ccc; info is a struct whose
+    nested field is mapped too."""
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "info", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "score", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-ddd"}}]},
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ]
+    return {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": list(part_cols),
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "4"},
+    }
+
+
+def test_column_mapped_table_reads_logical_names(spark, tmp_path):
+    """An externally-authored column-mapped table (physical parquet
+    names col-aaa/col-bbb, nested col-ddd) reads back with LOGICAL
+    column names and values, including the nested struct field."""
+    path = tmp_path / "mapped"
+    (path / "_delta_log").mkdir(parents=True)
+    phys = spark.createDataFrame(
+        [(1, "a", (0.5,)), (2, "b", (1.5,))],
+        "`col-aaa` long, `col-bbb` string, "
+        "`col-ccc` struct<`col-ddd`:double>",
+    )
+    sub = path / "stage"
+    phys.coalesce(1).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": _mapped_meta()}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert [f.name for f in got.schema.fields] == ["id", "name", "info"]
+    assert got.schema["info"].dataType.fieldNames() == ["score"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].name == "a" and rows[1].info.score == 0.5
+    assert rows[2].info.score == 1.5
+    # writes must refuse: minWriterVersion=5 > this writer's version 2
+    with pytest.raises(NotImplementedError, match="minWriterVersion=5"):
+        write_delta_lite(_df(spark, [(3, "c")]), str(path), mode="append")
+
+
+def test_column_mapped_partitioned_hive_layout(spark, tmp_path):
+    """Partitioned + column-mapped: hive path segments and the log's
+    partitionValues keys use the PHYSICAL name; output is logical."""
+    path = tmp_path / "mappedpart"
+    (path / "_delta_log").mkdir(parents=True)
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "part", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ]}),
+        "partitionColumns": ["part"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }
+    adds = []
+    for pv in (1, 2):
+        sub = path / f"stage{pv}"
+        spark.createDataFrame(
+            [(10 * pv,), (10 * pv + 1,)], "`col-aaa` long"
+        ).coalesce(1).write.parquet(str(sub))
+        f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+        (path / f"col-ppp={pv}").mkdir()
+        rel = f"col-ppp={pv}/part-0.parquet"
+        os.rename(sub / f, path / rel)
+        adds.append((rel, {"col-ppp": str(pv)}))
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for rel, pvals in adds:
+            fh.write(json.dumps({"add": {
+                "path": rel, "partitionValues": pvals, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert dict(got.dtypes) == {"id": "bigint", "part": "int"}
+    assert {(r.id, r.part) for r in got.collect()} == {
+        (10, 1), (11, 1), (20, 2), (21, 2)}
+    # single-relation fast path holds for the mapped hive layout
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_unknown_column_mapping_mode_refuses(spark, tmp_path):
+    path = tmp_path / "m"
+    (path / "_delta_log").mkdir(parents=True)
+    meta = _mapped_meta()
+    meta["configuration"]["delta.columnMapping.mode"] = "weird"
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping.mode"):
+        read_delta_lite(spark, str(path))
+
+
+def test_timestamp_ntz_reader_feature_admitted(spark, tmp_path):
+    """A v3 table whose only readerFeature is timestampNtz reads — the
+    type flows through StructType.fromJson and the parquet reader."""
+    import datetime as dtm
+
+    path = tmp_path / "ntz"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.createDataFrame(
+        [(1, dtm.datetime(2024, 6, 1, 12, 0, 0))],
+        "id long, ts timestamp_ntz",
+    ).coalesce(1).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp_ntz", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert got.collect()[0].ts == dtm.datetime(2024, 6, 1, 12, 0, 0)
