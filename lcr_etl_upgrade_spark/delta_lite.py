@@ -57,7 +57,7 @@ import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -430,21 +430,25 @@ def _physicalize(dt: T.DataType) -> T.DataType:
     """Logical schema -> the PHYSICAL schema the parquet files carry:
     every struct field renamed to its ``delta.columnMapping.physicalName``
     (recursively — nested structs, array elements, map values carry
-    mapped names too). Fields without the metadata key keep their name,
-    so mode 'none' schemas pass through unchanged."""
+    mapped names too). The protocol assigns a physicalName to EVERY
+    field once mapping is enabled, so a field missing the key means a
+    corrupt/hand-edited log — raise instead of silently keeping the
+    logical name, which Spark's schema-by-name parquet read would
+    resolve to all-NULL columns."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
-                T.StructField(
-                    (f.metadata or {}).get(
-                        "delta.columnMapping.physicalName", f.name
-                    ),
-                    _physicalize(f.dataType),
-                    f.nullable,
+        fields = []
+        for f in dt.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if phys is None:
+                raise ValueError(
+                    f"column mapping is enabled but field {f.name!r} has "
+                    "no delta.columnMapping.physicalName metadata — "
+                    "corrupt or hand-edited log"
                 )
-                for f in dt.fields
-            ]
-        )
+            fields.append(
+                T.StructField(phys, _physicalize(f.dataType), f.nullable)
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(_physicalize(dt.elementType), dt.containsNull)
     if isinstance(dt, T.MapType):
@@ -454,6 +458,33 @@ def _physicalize(dt: T.DataType) -> T.DataType:
             dt.valueContainsNull,
         )
     return dt
+
+
+def _quoted(name: str) -> Column:
+    """Column reference by LITERAL name: physical names may contain dots
+    (legal in Delta), which bare F.col would parse as nested access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _verify_physical_names(
+    spark: SparkSession, sample_file: str, expect: list[str]
+) -> None:
+    """One driver-side parquet-footer peek: the expected physical DATA
+    column names must actually appear in the files. delta-spark writes
+    physicalName-named parquet for both 'name' and 'id' modes, but a
+    foreign id-mode writer may store different column names (resolving
+    by parquet field id, which this reader does not implement) — Spark's
+    schema-by-name read would then return silent all-NULL columns, so
+    verify and refuse loudly instead."""
+    actual = set(spark.read.parquet(sample_file).schema.fieldNames())
+    missing = [c for c in expect if c not in actual]
+    if missing:
+        raise NotImplementedError(
+            f"column-mapped table's parquet files do not carry the "
+            f"expected physical column names (missing {missing}, file has "
+            f"{sorted(actual)}); the table likely requires parquet "
+            "field-id resolution — use delta-spark"
+        )
 
 
 def _typed_partition_lit(value: str | None, dtype: T.DataType):
@@ -541,7 +572,7 @@ def read_delta_lite(
             return df
         return df.select(
             *[
-                F.col(pf.name).cast(f.dataType).alias(f.name)
+                _quoted(pf.name).cast(f.dataType).alias(f.name)
                 for f, pf in zip(schema.fields, phys_schema.fields)
             ]
         )
@@ -551,18 +582,31 @@ def read_delta_lite(
     )
     if not state.files:
         return spark.createDataFrame([], schema)
+    if mapping != "none":
+        # one footer peek: refuse (rather than silently NULL) tables
+        # whose files don't carry the physical names — e.g. foreign
+        # id-mode writers that rely on parquet field-id resolution
+        sample = os.path.join(base, next(iter(sorted(state.files))))
+        _verify_physical_names(
+            spark, sample, [f.name for f in data_schema.fields]
+        )
     if not phys_part_cols:
         files = [os.path.join(base, p) for p in state.files]
         return _logicalize(spark.read.schema(phys_schema).parquet(*files))
 
     if _all_files_hive_layout(state.files, phys_part_cols):
         files = [os.path.join(base, rel) for rel in sorted(state.files)]
-        return _logicalize(
+        scan = (
             spark.read.option("basePath", base)
             .schema(phys_schema)
             .parquet(*files)
-            .select(*[f.name for f in phys_schema.fields])
         )
+        if mapping == "none":
+            # restore declared column order (partition discovery appends
+            # partition columns last); under mapping, _logicalize's
+            # projection already orders
+            scan = scan.select(*[_quoted(f.name) for f in phys_schema.fields])
+        return _logicalize(scan)
 
     by_group: dict[tuple, list[str]] = {}
     for rel, pvals in state.files.items():
@@ -574,7 +618,9 @@ def read_delta_lite(
         df = spark.read.schema(data_schema).parquet(*files)
         for c, v in zip(phys_part_cols, key):
             df = df.withColumn(c, _typed_partition_lit(v, types[c]))
-        branches.append(df.select(*[f.name for f in phys_schema.fields]))
+        branches.append(
+            df.select(*[_quoted(f.name) for f in phys_schema.fields])
+        )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

@@ -1306,3 +1306,74 @@ def test_timestamp_ntz_reader_feature_admitted(spark, tmp_path):
     got = read_delta_lite(spark, str(path))
     assert dict(got.dtypes)["ts"] == "timestamp_ntz"
     assert got.collect()[0].ts == dtm.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def test_column_mapping_id_mode_and_physical_name_verification(
+    spark, tmp_path
+):
+    """Mode 'id' reads when the files carry physicalName-named columns
+    (what delta-spark writes); a foreign id-mode table whose parquet
+    names DIFFER from physicalName refuses loudly instead of returning
+    silent all-NULL columns."""
+    def build(table, parquet_cols):
+        path = tmp_path / table
+        (path / "_delta_log").mkdir(parents=True)
+        sub = path / "stage"
+        spark.createDataFrame([(1, "a")], parquet_cols).coalesce(
+            1
+        ).write.parquet(str(sub))
+        f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+        os.rename(sub / f, path / "part-0.parquet")
+        meta = {
+            "id": "0000", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aaa"}},
+                {"name": "name", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bbb"}},
+            ]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }
+        with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        return str(path)
+
+    ok = build("idmode", "`col-aaa` long, `col-bbb` string")
+    got = read_delta_lite(spark, ok)
+    assert {(r.id, r.name) for r in got.collect()} == {(1, "a")}
+
+    foreign = build("idforeign", "`c1` long, `c2` string")
+    with pytest.raises(NotImplementedError, match="field-id"):
+        read_delta_lite(spark, foreign)
+
+
+def test_column_mapping_missing_physical_name_refuses(spark, tmp_path):
+    """Mapping enabled but a field lacks physicalName metadata: raise on
+    the corrupt log instead of reading silent NULLs."""
+    path = tmp_path / "m"
+    (path / "_delta_log").mkdir(parents=True)
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta_lite(spark, str(path))
