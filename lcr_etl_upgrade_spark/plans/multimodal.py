@@ -28,25 +28,53 @@ from lcr_etl_upgrade_spark.sources.testdata import load_table
 # big enough that a raster/chunk off-by-one shifts every statistic
 _IMG_W, _IMG_H = 8, 4  # 96 RGB bytes
 _WAV_RATE, _WAV_N = 8000, 64  # 64 PCM-16 samples
+# MPEG1 Layer III bitrate table (kbps) and MPEG1 sample rates — restated
+# as list literals in the oracle SQL
+_MP3_V1L3 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
 
 
 @F.pandas_udf(T.BinaryType())
 def _synth_media(doc_id: pd.Series) -> pd.Series:
-    """Writer side of the codec round-trip: even ids -> PPM with pixel
-    j = (id*7 + j*13) % 256; odd ids -> WAV with sample
-    i = ((id*31 + i*17) % 65536) - 32768. Real container bytes, formula
-    restatable in SQL."""
+    """Writer side of the codec round-trip, one container per id%4:
+    0 -> PPM with pixel j = (id*7 + j*13) % 256;
+    1 -> WAV with sample i = ((id*31 + i*17) % 65536) - 32768;
+    2 -> JPEG (SOI + SOF0) with width = 100 + id%50, height = 50 + id%30;
+    3 -> MP3 frame header with bitrate idx 1 + id%14, rate idx id%3,
+         stereo, followed by id%100 zero bytes (so est_duration =
+         (4 + id%100)*8 / bitrate).
+    Real container bytes; every expected feature restatable in SQL."""
     from lcr_etl_upgrade_spark.operators.multimodal import (
         encode_ppm,
         encode_wav_pcm16,
     )
 
     def build(d: int) -> bytes:
-        if d % 2 == 0:
+        m = d % 4
+        if m == 0:
             px = bytes((d * 7 + j * 13) % 256 for j in range(_IMG_W * _IMG_H * 3))
             return encode_ppm(_IMG_W, _IMG_H, px)
-        samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(_WAV_N)]
-        return encode_wav_pcm16(_WAV_RATE, samples)
+        if m == 1:
+            samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(_WAV_N)]
+            return encode_wav_pcm16(_WAV_RATE, samples)
+        if m == 2:
+            w, h = 100 + d % 50, 50 + d % 30
+            sof_body = (
+                bytes([8])
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + bytes([3])
+                + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            )
+            return (
+                b"\xff\xd8"
+                + b"\xff\xc0"
+                + (len(sof_body) + 2).to_bytes(2, "big")
+                + sof_body
+            )
+        bidx, sidx = 1 + d % 14, d % 3
+        header = bytes([0xFF, 0xFB, (bidx << 4) | (sidx << 2), 0x00])
+        return header + bytes(d % 100)
 
     return doc_id.map(build)
 
@@ -64,11 +92,14 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
              ROUND(AVG(CASE WHEN s.j % 3 = 1 THEN s.v END), 6) AS mean_c1,
              ROUND(AVG(CASE WHEN s.j % 3 = 2 THEN s.v END), 6) AS mean_c2,
              MIN(s.v) AS vmin, MAX(s.v) AS vmax,
-             CAST(NULL AS DOUBLE) AS rms_r
+             CAST(NULL AS DOUBLE) AS rms_r,
+             CAST(NULL AS INTEGER) AS components,
+             CAST(NULL AS INTEGER) AS bitrate_kbps,
+             CAST(NULL AS DOUBLE) AS est_duration_r
       FROM (SELECT doc_id, CAST(u AS BIGINT) AS j,
                    (doc_id * 7 + CAST(u AS BIGINT) * 13) % 256 AS v
             FROM ids, unnest(range(0, {_IMG_W * _IMG_H * 3})) t(u)
-            WHERE doc_id % 2 = 0) s
+            WHERE doc_id % 4 = 0) s
       GROUP BY s.doc_id
     ),
     aud AS (
@@ -78,23 +109,65 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
              CAST(NULL AS DOUBLE) AS mean_c0, CAST(NULL AS DOUBLE) AS mean_c1,
              CAST(NULL AS DOUBLE) AS mean_c2,
              MIN(q.s) AS vmin, MAX(q.s) AS vmax,
-             ROUND(SQRT(AVG(CAST(q.s AS DOUBLE) * q.s)), 6) AS rms_r
+             ROUND(SQRT(AVG(CAST(q.s AS DOUBLE) * q.s)), 6) AS rms_r,
+             CAST(NULL AS INTEGER) AS components,
+             CAST(NULL AS INTEGER) AS bitrate_kbps,
+             CAST(NULL AS DOUBLE) AS est_duration_r
       FROM (SELECT doc_id,
                    ((doc_id * 31 + CAST(u AS BIGINT) * 17) % 65536) - 32768 AS s
             FROM ids, unnest(range(0, {_WAV_N})) t(u)
-            WHERE doc_id % 2 = 1) q
+            WHERE doc_id % 4 = 1) q
       GROUP BY q.doc_id
+    ),
+    jpg AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(100 + doc_id % 50 AS INTEGER) AS width,
+             CAST(50 + doc_id % 30 AS INTEGER) AS height,
+             CAST(NULL AS INTEGER) AS sample_rate,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS DOUBLE) AS mean_c0, CAST(NULL AS DOUBLE) AS mean_c1,
+             CAST(NULL AS DOUBLE) AS mean_c2,
+             CAST(NULL AS BIGINT) AS vmin, CAST(NULL AS BIGINT) AS vmax,
+             CAST(NULL AS DOUBLE) AS rms_r,
+             3 AS components,
+             CAST(NULL AS INTEGER) AS bitrate_kbps,
+             CAST(NULL AS DOUBLE) AS est_duration_r
+      FROM ids WHERE doc_id % 4 = 2
+    ),
+    mp3 AS (
+      SELECT media_id, 'audio' AS kind,
+             CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+             CAST(list_extract([{", ".join(map(str, _MP3_RATES))}],
+                  CAST(media_id % 3 AS INTEGER) + 1) AS INTEGER)
+               AS sample_rate,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS DOUBLE) AS mean_c0, CAST(NULL AS DOUBLE) AS mean_c1,
+             CAST(NULL AS DOUBLE) AS mean_c2,
+             CAST(NULL AS BIGINT) AS vmin, CAST(NULL AS BIGINT) AS vmax,
+             CAST(NULL AS DOUBLE) AS rms_r,
+             CAST(NULL AS INTEGER) AS components,
+             kbps AS bitrate_kbps,
+             ROUND((4 + media_id % 100) * 8.0 / (kbps * 1000.0), 9)
+               AS est_duration_r
+      FROM (SELECT doc_id AS media_id,
+                   CAST(list_extract([{", ".join(map(str, _MP3_V1L3))}],
+                        CAST(doc_id % 14 AS INTEGER) + 1) AS INTEGER) AS kbps
+            FROM ids WHERE doc_id % 4 = 3) b
     )
-    SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY media_id
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+    UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM mp3
+    ORDER BY media_id
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-codec round-trip: synthesize PPM/WAV container bytes per doc
-    (pandas UDF writer), decode them with the pure-struct parsers inside
-    mapInPandas (header grammar, chunk walk, int16 unpack), and emit
+    """Real-codec round-trip over FOUR container formats: synthesize
+    PPM/WAV/JPEG/MP3 bytes per doc (pandas UDF writer), decode them with
+    the pure-struct parsers inside mapInPandas (header grammar, chunk
+    walk, int16 unpack, SOF marker walk, MPEG frame header), and emit
     typed features. DuckDB recomputes the expected statistics from the
-    pixel/sample formula alone — it never parses the bytes — so the
-    hash-match proves the decoder read the containers correctly."""
+    pixel/sample/geometry/bitrate formulas alone — it never parses the
+    bytes — so the hash-match proves the decoders read the containers
+    correctly."""
     from lcr_etl_upgrade_spark.operators.multimodal import extract_media_features
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -115,6 +188,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
         F.round("rms", 6).alias("rms_r"),
+        "components",
+        "bitrate_kbps",
+        F.round("est_duration_sec", 9).alias("est_duration_r"),
     ).orderBy("media_id")
 
 
