@@ -31,8 +31,11 @@ Deliberate limits (clear errors, not wrong answers):
 - protocol reader versions 1 and 2 (column mapping: physical->logical
   name resolution for modes ``name``/``id``) read natively, as does
   version 3 when every readerFeature is supported (``v2Checkpoint``,
-  ``columnMapping``, ``timestampNtz``); deletion vectors / type
-  widening and other features refuse with the feature named;
+  ``columnMapping``, ``timestampNtz``, ``deletionVectors`` — roaring
+  bitmaps parsed by ``roaring_lite`` and applied as a
+  ``_metadata.row_index`` broadcast anti-join, positions bounded by
+  MAX_DV_POSITIONS driver-side); type widening and other features
+  refuse with the feature named;
 - all three checkpoint layouts read (classic single-part, classic
   multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
   writer emits single-part;
@@ -53,6 +56,7 @@ import json
 import os
 import re
 import shutil
+import struct
 import urllib.parse
 import uuid
 from dataclasses import dataclass, field
@@ -60,6 +64,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.roaring_lite import (
+    parse_roaring_bitmap_array,
+    z85_decode,
+)
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_SINGLE = "{v:020d}.checkpoint.parquet"
@@ -81,6 +90,9 @@ class TableState:
     version: int = -1  # last applied commit version; -1 = no table
     # relative (decoded) file path -> partitionValues map from its add
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
+    # relative file path -> deletionVector descriptor (only for files
+    # whose latest add carries one)
+    dvs: dict[str, dict] = field(default_factory=dict)
     metadata: dict | None = None
     protocol: dict | None = None
 
@@ -111,8 +123,10 @@ def _local(path: str) -> str:
 # - columnMapping: physical->logical name mapping (read_delta_lite)
 # - timestampNtz: TIMESTAMP_NTZ columns — Spark's parquet reader and
 #   StructType.fromJson ('timestamp_ntz') handle the type natively
+# - deletionVectors: roaring-bitmap row masks applied via a
+#   _metadata.row_index broadcast anti-join (roaring_lite.py)
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"v2Checkpoint", "columnMapping", "timestampNtz"}
+    {"v2Checkpoint", "columnMapping", "timestampNtz", "deletionVectors"}
 )
 
 
@@ -132,20 +146,29 @@ def _check_protocol(protocol: dict | None) -> None:
         f"features {sorted(_SUPPORTED_READER_FEATURES)}); this table "
         f"requires minReaderVersion={reader} with readerFeatures="
         f"{sorted(features) or None}. Install delta-spark to read tables "
-        "using deletion vectors / type widening / other features."
+        "using type widening / variant / other features."
     )
 
 
 def _apply_action(state: TableState, action: dict) -> None:
     if "add" in action:
         a = action["add"]
+        rel = urllib.parse.unquote(a["path"])
         # `or {}`: a checkpoint row's partitionValues struct field can
         # surface as an explicit null, not just an absent key
-        state.files[urllib.parse.unquote(a["path"])] = (
-            a.get("partitionValues") or {}
-        )
+        state.files[rel] = a.get("partitionValues") or {}
+        # a re-add REPLACES the file's deletion vector (or clears it):
+        # the protocol's DV updates work by re-adding the same path with
+        # a new descriptor
+        dv = a.get("deletionVector")
+        if dv:
+            state.dvs[rel] = dv
+        else:
+            state.dvs.pop(rel, None)
     elif "remove" in action:
-        state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+        rel = urllib.parse.unquote(action["remove"]["path"])
+        state.files.pop(rel, None)
+        state.dvs.pop(rel, None)
     elif "metaData" in action:
         state.metadata = action["metaData"]
     elif "protocol" in action:
@@ -417,6 +440,139 @@ def replay_log(
     return state
 
 
+# ---- deletion vectors (deletionVectors reader feature) ------------------
+
+# Driver-side guard: DV positions are materialized into a broadcast
+# anti-join side; a table whose total deleted-row count exceeds this is
+# beyond what a fallback reader should buffer on the driver.
+MAX_DV_POSITIONS = 10_000_000
+
+
+def _resolve_dv_blob(base: str, dv: dict) -> bytes:
+    """DeletionVector descriptor -> serialized RoaringBitmapArray bytes,
+    per the public protocol's three storage types: ``i`` inline (Z85 of
+    the bitmap), ``u`` UUID-named file under the table root (optional
+    random prefix + Z85 of the 16-byte UUID), ``p`` absolute path. File
+    storage carries a 1-byte format version, then at ``offset`` a u32
+    big-endian size, the bitmap data, and a u32 big-endian CRC-32 of the
+    data — all verified."""
+    import zlib
+
+    storage = dv["storageType"]
+    size = int(dv["sizeInBytes"])
+    if storage == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        if len(data) < size:
+            raise ValueError(
+                f"inline deletion vector shorter than sizeInBytes "
+                f"({len(data)} < {size})"
+            )
+        return data[:size]  # z85 decodes in 4-byte groups; trim padding
+    if storage == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_z85 = enc[:-20], enc[-20:]
+        uuid_hex = z85_decode(uuid_z85).hex()
+        name = (
+            f"{uuid_hex[0:8]}-{uuid_hex[8:12]}-{uuid_hex[12:16]}-"
+            f"{uuid_hex[16:20]}-{uuid_hex[20:32]}"
+        )
+        path = os.path.join(
+            base, *( [prefix] if prefix else [] ), f"deletion_vector_{name}.bin"
+        )
+    elif storage == "p":
+        path = _local(dv["pathOrInlineDv"])
+    else:
+        raise NotImplementedError(
+            f"unknown deletion-vector storageType {storage!r}"
+        )
+    offset = int(dv.get("offset") or 0)
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if not blob or blob[0] != 1:
+        raise ValueError(
+            f"deletion-vector file {path!r} has unsupported format "
+            f"version {blob[0] if blob else 'EMPTY'}"
+        )
+    if offset + 8 + size > len(blob):
+        raise ValueError(f"deletion vector at {offset} overruns {path!r}")
+    (stored_size,) = struct.unpack_from(">I", blob, offset)
+    if stored_size != size:
+        raise ValueError(
+            f"deletion-vector size mismatch in {path!r}: descriptor says "
+            f"{size}, file says {stored_size}"
+        )
+    data = blob[offset + 4 : offset + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"deletion-vector checksum mismatch in {path!r}")
+    return data
+
+
+def _dv_positions(base: str, dvs: dict[str, dict]) -> dict[str, set[int]]:
+    """Resolve every file's deletion vector to its deleted row indexes,
+    verifying each descriptor's cardinality against the parsed bitmap."""
+    total = sum(int(d.get("cardinality") or 0) for d in dvs.values())
+    if total > MAX_DV_POSITIONS:
+        raise NotImplementedError(
+            f"table carries {total} deleted-row positions across its "
+            f"deletion vectors (> {MAX_DV_POSITIONS}); this fallback "
+            "reader materializes DV positions driver-side — use "
+            "delta-spark for DV-heavy tables"
+        )
+    out: dict[str, set[int]] = {}
+    for rel, dv in dvs.items():
+        positions = parse_roaring_bitmap_array(_resolve_dv_blob(base, dv))
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(positions):
+            raise ValueError(
+                f"deletion vector for {rel!r}: descriptor cardinality "
+                f"{card} != {len(positions)} parsed positions"
+            )
+        out[rel] = positions
+    return out
+
+
+def _apply_dv_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    positions: dict[str, set[int]],
+    files_in_scan: list[str],
+) -> DataFrame:
+    """Drop deleted rows: anti-join (file URI, row index) pairs against
+    ``_metadata`` columns — stays a broadcast anti-join, no shuffle of
+    the fact side."""
+    in_scan = set(files_in_scan)
+    relevant = {
+        rel: ps for rel, ps in positions.items() if rel in in_scan and ps
+    }
+    if not relevant:
+        return df
+    rows = [
+        (os.path.realpath(os.path.join(base, rel)), int(p))
+        for rel, ps in relevant.items()
+        for p in sorted(ps)
+    ]
+    deleted = spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
+    scan = df.select(
+        "*",
+        # Hadoop renders local paths as file:/abs or file:///abs depending
+        # on the path constructor — normalize the scheme away and join on
+        # the plain absolute path
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/+", "/"
+        ).alias("__dv_scan_file"),
+        F.col("_metadata.row_index").alias("__dv_scan_idx"),
+    )
+    joined = scan.join(
+        F.broadcast(deleted),
+        (scan["__dv_scan_file"] == deleted["__dv_file"])
+        & (scan["__dv_scan_idx"] == deleted["__dv_idx"]),
+        "left_anti",
+    )
+    return joined.drop("__dv_scan_file", "__dv_scan_idx")
+
+
 # ---- column mapping (protocol v2 / columnMapping feature) ---------------
 
 
@@ -582,6 +738,7 @@ def read_delta_lite(
     )
     if not state.files:
         return spark.createDataFrame([], schema)
+    dv_pos = _dv_positions(base, state.dvs) if state.dvs else {}
     if mapping != "none":
         # one footer peek: refuse (rather than silently NULL) tables
         # whose files don't carry the physical names — e.g. foreign
@@ -592,7 +749,9 @@ def read_delta_lite(
         )
     if not phys_part_cols:
         files = [os.path.join(base, p) for p in state.files]
-        return _logicalize(spark.read.schema(phys_schema).parquet(*files))
+        df = spark.read.schema(phys_schema).parquet(*files)
+        df = _apply_dv_filter(spark, df, base, dv_pos, list(state.files))
+        return _logicalize(df)
 
     if _all_files_hive_layout(state.files, phys_part_cols):
         files = [os.path.join(base, rel) for rel in sorted(state.files)]
@@ -601,6 +760,7 @@ def read_delta_lite(
             .schema(phys_schema)
             .parquet(*files)
         )
+        scan = _apply_dv_filter(spark, scan, base, dv_pos, list(state.files))
         if mapping == "none":
             # restore declared column order (partition discovery appends
             # partition columns last); under mapping, _logicalize's
@@ -611,11 +771,14 @@ def read_delta_lite(
     by_group: dict[tuple, list[str]] = {}
     for rel, pvals in state.files.items():
         key = tuple(pvals.get(c) for c in phys_part_cols)
-        by_group.setdefault(key, []).append(os.path.join(base, rel))
+        by_group.setdefault(key, []).append(rel)
     types = {f.name: f.dataType for f in phys_schema.fields}
     branches = []
-    for key, files in sorted(by_group.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*files)
+    for key, rels in sorted(by_group.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(base, rel) for rel in rels]
+        )
+        df = _apply_dv_filter(spark, df, base, dv_pos, rels)
         for c, v in zip(phys_part_cols, key):
             df = df.withColumn(c, _typed_partition_lit(v, types[c]))
         branches.append(

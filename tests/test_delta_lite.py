@@ -347,7 +347,7 @@ def test_protocol_v2_raises(spark, tmp_path):
     with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
                                           "minWriterVersion": 7,
-                                          "readerFeatures": ["deletionVectors"]
+                                          "readerFeatures": ["typeWidening"]
                                           }}) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
         read_delta_lite(spark, str(path))
@@ -977,15 +977,15 @@ def test_vacuum_keeps_files_referenced_only_by_v2_checkpoint(spark, tmp_path):
 
 def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
     """minReaderVersion=3 is only admitted when EVERY readerFeature is
-    supported — v2Checkpoint plus deletionVectors must still refuse."""
+    supported — v2Checkpoint plus an unimplemented feature must refuse."""
     path = tmp_path / "t"
     (path / "_delta_log").mkdir(parents=True)
     with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+            "readerFeatures": ["v2Checkpoint", "typeWidening"],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_lite(spark, str(path))
 
 

@@ -1,0 +1,246 @@
+"""roaring_lite (Z85 + RoaringBitmapArray) and delta_lite deletion
+vectors. Golden bytes are composed BY HAND from the public specs
+(rfc.zeromq.org/spec/32, RoaringFormatSpec, delta.io PROTOCOL.md
+"Deletion Vectors"), so decoding correctness is independent of any
+encoder we control."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+
+from lcr_etl_upgrade_spark.roaring_lite import (
+    ROARING_ARRAY_MAGIC,
+    parse_roaring_bitmap_array,
+    z85_decode,
+    z85_encode,
+)
+
+
+# ---- Z85 ----------------------------------------------------------------
+
+
+def test_z85_spec_vector():
+    # the reference test vector from ZeroMQ spec 32
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == (
+        "HelloWorld"
+    )
+
+
+def test_z85_roundtrip_and_errors():
+    for data in (b"", b"\x00\x00\x00\x00", bytes(range(32)), b"\xff" * 8):
+        assert z85_decode(z85_encode(data)) == data
+    with pytest.raises(ValueError, match="multiple of 5"):
+        z85_decode("abc")
+    with pytest.raises(ValueError, match="invalid z85"):
+        z85_decode("abcd\x01")
+    with pytest.raises(ValueError, match="overflow"):
+        z85_decode("#####")  # 84,84,84,84,84 > 2^32-1
+
+
+# ---- roaring bitmap goldens ---------------------------------------------
+
+
+def _bitmap32_array(values16_by_key: dict[int, list[int]]) -> bytes:
+    """Hand-serialize ONE portable 32-bit roaring bitmap whose containers
+    are all ARRAY containers (cookie 12346, offsets included)."""
+    keys = sorted(values16_by_key)
+    out = struct.pack("<II", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(values16_by_key[k]) - 1)
+    # offsets: start of each container's data
+    data_start = len(out) + 4 * len(keys)
+    offsets, containers = [], b""
+    for k in keys:
+        offsets.append(data_start + len(containers))
+        vals = sorted(values16_by_key[k])
+        containers += struct.pack(f"<{len(vals)}H", *vals)
+    for off in offsets:
+        out += struct.pack("<I", off)
+    return out + containers
+
+
+def _rbm_array(bitmaps: list[bytes]) -> bytes:
+    return struct.pack("<iq", ROARING_ARRAY_MAGIC, len(bitmaps)) + b"".join(
+        bitmaps
+    )
+
+
+def test_roaring_array_container_golden():
+    data = _rbm_array([_bitmap32_array({0: [1, 3, 7], 2: [0]})])
+    assert parse_roaring_bitmap_array(data) == {1, 3, 7, (2 << 16) | 0}
+
+
+def test_roaring_two_bucket_64bit_values():
+    # bitmap 0 -> low 32 bits; bitmap 1 -> values with high 32 bits = 1
+    data = _rbm_array(
+        [_bitmap32_array({0: [5]}), _bitmap32_array({0: [9]})]
+    )
+    assert parse_roaring_bitmap_array(data) == {5, (1 << 32) | 9}
+
+
+def test_roaring_run_container_golden():
+    # cookie 12347 with 1 container, run flag set: runs [(10, len 2)]
+    # -> values 10,11,12. Fewer than 4 containers => no offsets.
+    bm = (
+        struct.pack("<I", 12347 | (0 << 16))  # containerCount-1 = 0
+        + b"\x01"  # run-flag bitset: container 0 is a run container
+        + struct.pack("<HH", 0, 2)  # key 0, cardinality-1 = 2
+        + struct.pack("<H", 1)  # 1 run
+        + struct.pack("<HH", 10, 2)  # start 10, length 2 (inclusive)
+    )
+    assert parse_roaring_bitmap_array(_rbm_array([bm])) == {10, 11, 12}
+
+
+def test_roaring_bitset_container_golden():
+    # cardinality > 4096 forces a bitset container: mark values 0..4999
+    words = bytearray(8192)
+    for v in range(5000):
+        words[v // 8] |= 1 << (v % 8)
+    bm = (
+        struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 0, 4999)
+        + struct.pack("<I", 16)  # offset of container data
+        + bytes(words)
+    )
+    assert parse_roaring_bitmap_array(_rbm_array([bm])) == set(range(5000))
+
+
+def test_roaring_malformed():
+    with pytest.raises(ValueError, match="magic"):
+        parse_roaring_bitmap_array(struct.pack("<iq", 1, 0))
+    with pytest.raises(ValueError, match="too short"):
+        parse_roaring_bitmap_array(b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_roaring_bitmap_array(
+            _rbm_array([_bitmap32_array({0: [1, 2, 3]})])[:-2]
+        )
+    with pytest.raises(ValueError, match="trailing"):
+        parse_roaring_bitmap_array(
+            _rbm_array([_bitmap32_array({0: [1]})]) + b"\x00"
+        )
+    with pytest.raises(ValueError, match="cookie"):
+        parse_roaring_bitmap_array(
+            _rbm_array([struct.pack("<I", 9999)])
+        )
+
+
+# ---- deletion vectors end-to-end ----------------------------------------
+
+
+def _dv_file_bytes(bitmap: bytes) -> tuple[bytes, int]:
+    """Serialize one DV into the on-disk file layout (version byte, then
+    size/data/crc at the returned offset)."""
+    offset = 1
+    blob = b"\x01" + struct.pack(">I", len(bitmap)) + bitmap + struct.pack(
+        ">I", zlib.crc32(bitmap) & 0xFFFFFFFF
+    )
+    return blob, offset
+
+
+def _write_dv_table(spark, tmp_path, dv_action_extra, storage="file"):
+    """10-row single-file table whose add carries a DV deleting rows
+    {1, 3, 7}; returns the table path."""
+    path = tmp_path / "dvt"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.range(10).selectExpr("id", "id * 10 as v").coalesce(1).write.parquet(
+        str(sub)
+    )
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    bitmap = _rbm_array([_bitmap32_array({0: [1, 3, 7]})])
+    if storage == "file":
+        import uuid as _uuid
+
+        u = _uuid.uuid4()
+        blob, offset = _dv_file_bytes(bitmap)
+        with open(path / f"deletion_vector_{u}.bin", "wb") as fh:
+            fh.write(blob)
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": offset,
+            "sizeInBytes": len(bitmap),
+            "cardinality": 3,
+        }
+    else:
+        pad = (-len(bitmap)) % 4
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+            "sizeInBytes": len(bitmap),
+            "cardinality": 3,
+        }
+    dv.update(dv_action_extra)
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv}}) + "\n")
+    return str(path)
+
+
+@pytest.mark.parametrize("storage", ["file", "inline"])
+def test_deletion_vector_rows_dropped(spark, tmp_path, storage):
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = _write_dv_table(spark, tmp_path, {}, storage=storage)
+    got = read_delta_lite(spark, path)
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    ids = sorted(r.id for r in got.collect())
+    assert ids == [0, 2, 4, 5, 6, 8, 9]  # 1, 3, 7 deleted
+
+
+def test_deletion_vector_readd_clears_or_replaces(spark, tmp_path):
+    """Re-adding the same file WITHOUT a DV restores all rows (the
+    protocol's DV-update mechanism); time travel sees each state."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = _write_dv_table(spark, tmp_path, {})
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False}}) + "\n")
+    assert read_delta_lite(spark, path).count() == 10
+    assert read_delta_lite(spark, path, version=0).count() == 7
+
+
+def test_deletion_vector_integrity_errors(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    # corrupt CRC
+    p1 = _write_dv_table(spark, tmp_path / "a", {})
+    dv_file = next(
+        f for f in os.listdir(p1) if f.startswith("deletion_vector_")
+    )
+    with open(os.path.join(p1, dv_file), "r+b") as fh:
+        fh.seek(8)
+        fh.write(b"\xff")
+    with pytest.raises(ValueError, match="checksum"):
+        read_delta_lite(spark, p1)
+
+    # descriptor cardinality disagrees with the parsed bitmap
+    p2 = _write_dv_table(spark, tmp_path / "b", {"cardinality": 99})
+    with pytest.raises(ValueError, match="cardinality"):
+        read_delta_lite(spark, p2)
