@@ -150,6 +150,15 @@ def _check_protocol(protocol: dict | None) -> None:
     )
 
 
+def _dv_uid(dv: dict | None) -> str | None:
+    """Identity of a deletionVector descriptor, mirroring delta-spark's
+    uniqueId (storageType + pathOrInlineDv + offset): log reconciliation
+    keys file actions by (path, DV identity), NOT path alone."""
+    if not dv:
+        return None
+    return f"{dv.get('storageType')}:{dv.get('pathOrInlineDv')}@{dv.get('offset') or 0}"
+
+
 def _apply_action(state: TableState, action: dict) -> None:
     if "add" in action:
         a = action["add"]
@@ -166,9 +175,18 @@ def _apply_action(state: TableState, action: dict) -> None:
         else:
             state.dvs.pop(rel, None)
     elif "remove" in action:
-        rel = urllib.parse.unquote(action["remove"]["path"])
-        state.files.pop(rel, None)
-        state.dvs.pop(rel, None)
+        r = action["remove"]
+        rel = urllib.parse.unquote(r["path"])
+        # a DV update commits remove(path, oldDv) + add(path, newDv) for
+        # the SAME path, in UNSPECIFIED order within the commit — so a
+        # remove only retires the file when its DV identity matches the
+        # currently-tracked one (delta-spark's InMemoryLogReplay keys by
+        # the (path, dvUniqueId) tuple for exactly this reason); applied
+        # after the add, a stale-DV remove must NOT erase the re-added
+        # file
+        if _dv_uid(r.get("deletionVector")) == _dv_uid(state.dvs.get(rel)):
+            state.files.pop(rel, None)
+            state.dvs.pop(rel, None)
     elif "metaData" in action:
         state.metadata = action["metaData"]
     elif "protocol" in action:
@@ -447,6 +465,24 @@ def replay_log(
 # beyond what a fallback reader should buffer on the driver.
 MAX_DV_POSITIONS = 10_000_000
 
+# Characters a Java URI keeps RAW in its path component (unreserved +
+# sub-delims + ":@/"); everything else ASCII is percent-encoded
+# uppercase, and non-ASCII is kept raw by Hadoop's Path rendering
+# (verified empirically — see _apply_dv_filter).
+_URI_PATH_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "-_.~!$&'()*+,;=:@/"
+)
+
+
+def _hadoop_path_encode(path: str) -> str:
+    """Encode a local path the way Hadoop renders it in
+    ``_metadata.file_path`` (minus the ``file:`` scheme)."""
+    return "".join(
+        c if (ord(c) > 127 or c in _URI_PATH_SAFE) else f"%{ord(c):02X}"
+        for c in path
+    )
+
 
 def _resolve_dv_blob(base: str, dv: dict) -> bytes:
     """DeletionVector descriptor -> serialized RoaringBitmapArray bytes,
@@ -520,8 +556,15 @@ def _dv_positions(base: str, dvs: dict[str, dict]) -> dict[str, set[int]]:
             "delta-spark for DV-heavy tables"
         )
     out: dict[str, set[int]] = {}
+    seen = 0
     for rel, dv in dvs.items():
-        positions = parse_roaring_bitmap_array(_resolve_dv_blob(base, dv))
+        # the descriptor's cardinality was only a PRE-check — it may lie
+        # (corrupt/adversarial); bound materialization during the parse
+        # so the guard holds before memory is spent, not after
+        positions = parse_roaring_bitmap_array(
+            _resolve_dv_blob(base, dv), max_values=MAX_DV_POSITIONS - seen
+        )
+        seen += len(positions)
         card = dv.get("cardinality")
         if card is not None and int(card) != len(positions):
             raise ValueError(
@@ -549,16 +592,24 @@ def _apply_dv_filter(
     if not relevant:
         return df
     rows = [
-        (os.path.realpath(os.path.join(base, rel)), int(p))
+        # abspath, NOT realpath: Spark qualifies the path it was given
+        # without resolving symlinks, so resolving here would desync the
+        # join key for tables reached through a symlink. The path is then
+        # encoded exactly as Hadoop renders _metadata.file_path (verified
+        # empirically on this Spark: Java-URI path rules — space/%/# etc
+        # percent-encoded uppercase, sub-delims and non-ASCII kept raw).
+        # A failed match here would FAIL OPEN (deleted rows silently
+        # resurrected), so the encoding equivalence is pinned by tests
+        # over hostile partition-dir names.
+        (_hadoop_path_encode(os.path.abspath(os.path.join(base, rel))), int(p))
         for rel, ps in relevant.items()
         for p in sorted(ps)
     ]
     deleted = spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
     scan = df.select(
         "*",
-        # Hadoop renders local paths as file:/abs or file:///abs depending
-        # on the path constructor — normalize the scheme away and join on
-        # the plain absolute path
+        # Hadoop renders local paths as file:/abs or file:///abs
+        # depending on the constructor — normalize the scheme away
         F.regexp_replace(
             F.col("_metadata.file_path"), r"^file:/+", "/"
         ).alias("__dv_scan_file"),

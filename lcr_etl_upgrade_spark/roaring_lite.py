@@ -68,9 +68,14 @@ def z85_encode(data: bytes) -> str:
     return "".join(out)
 
 
-def _parse_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
+def _parse_roaring32(
+    buf: bytes, pos: int, max_values: int | None = None
+) -> tuple[set[int], int]:
     """Parse ONE portable 32-bit roaring bitmap at ``pos``; returns
-    (values, next_pos). Format per the public RoaringFormatSpec."""
+    (values, next_pos). Format per the public RoaringFormatSpec.
+    ``max_values`` bounds materialization DURING the parse (checked per
+    container) so an adversarial bitmap cannot exhaust driver memory
+    before a post-hoc check could run."""
 
     def need(n: int, what: str) -> None:
         if pos + n > len(buf):
@@ -106,6 +111,11 @@ def _parse_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
     values: set[int] = set()
     for i, (key, card_minus_1) in enumerate(headers):
         cardinality = card_minus_1 + 1
+        if max_values is not None and len(values) + cardinality > max_values:
+            raise ValueError(
+                f"roaring bitmap exceeds the {max_values}-value "
+                "materialization bound"
+            )
         base = key << 16
         if run_bitset[i // 8] & (1 << (i % 8)):
             need(2, "run count")
@@ -135,11 +145,15 @@ def _parse_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
     return values, pos
 
 
-def parse_roaring_bitmap_array(data: bytes) -> set[int]:
+def parse_roaring_bitmap_array(
+    data: bytes, max_values: int | None = None
+) -> set[int]:
     """Delta RoaringBitmapArray serialization -> set of 64-bit values.
 
     Layout: i32 LE magic 1681511377, i64 LE bitmap count, then that many
-    portable 32-bit bitmaps; bitmap i contributes ``(i << 32) | v32``."""
+    portable 32-bit bitmaps; bitmap i contributes ``(i << 32) | v32``.
+    ``max_values`` bounds materialization during the parse (ValueError
+    on breach, before memory is spent)."""
     if len(data) < 12:
         raise ValueError(f"deletion-vector bitmap too short ({len(data)} B)")
     magic, count = struct.unpack_from("<iq", data, 0)
@@ -153,7 +167,8 @@ def parse_roaring_bitmap_array(data: bytes) -> set[int]:
     pos = 12
     out: set[int] = set()
     for i in range(count):
-        values, pos = _parse_roaring32(data, pos)
+        budget = None if max_values is None else max_values - len(out)
+        values, pos = _parse_roaring32(data, pos, budget)
         out.update((i << 32) | v for v in values)
     if pos != len(data):
         raise ValueError(

@@ -244,3 +244,118 @@ def test_deletion_vector_integrity_errors(spark, tmp_path):
     p2 = _write_dv_table(spark, tmp_path / "b", {"cardinality": 99})
     with pytest.raises(ValueError, match="cardinality"):
         read_delta_lite(spark, p2)
+
+
+# ---- review-finding regressions -----------------------------------------
+
+
+def test_dv_applies_with_hostile_path_characters(spark, tmp_path):
+    """FAIL-OPEN guard: _metadata.file_path is percent-encoded by Hadoop
+    (space -> %20, %% -> %25) while add.path is decoded — the join key
+    encoding must match or deleted rows silently come back."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    for dirname in ("k=a b", "k=a%b", "k=a+b", "k=aüb"):
+        sub = tmp_path / dirname.replace("=", "_").replace("/", "_")
+        path = sub / "t"
+        (path / "_delta_log").mkdir(parents=True)
+        stage = sub / "stage"
+        spark.range(10).coalesce(1).write.parquet(str(stage))
+        f = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        (path / dirname).mkdir()
+        rel = f"{dirname}/part-0.parquet"
+        os.rename(stage / f, path / rel)
+        bitmap = _rbm_array([_bitmap32_array({0: [0, 9]})])
+        pad = (-len(bitmap)) % 4
+        from lcr_etl_upgrade_spark.roaring_lite import z85_encode as enc
+
+        dv = {"storageType": "i",
+              "pathOrInlineDv": enc(bitmap + b"\x00" * pad),
+              "sizeInBytes": len(bitmap), "cardinality": 2}
+        meta = {
+            "id": "0000", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {},
+        }
+        import urllib.parse as up
+
+        with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": up.quote(rel), "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+                "deletionVector": dv}}) + "\n")
+        got = sorted(r.id for r in read_delta_lite(spark, str(path)).collect())
+        assert got == list(range(1, 9)), (dirname, got)
+
+
+def test_dv_applies_through_symlinked_table_path(spark, tmp_path):
+    """realpath-vs-abspath: Spark does not resolve symlinks when
+    qualifying paths; the build side must not either."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    real = tmp_path / "realdir"
+    real.mkdir()
+    table = _write_dv_table(spark, real, {})
+    link = tmp_path / "linkdir"
+    os.symlink(real, link)
+    linked_table = str(link / os.path.relpath(table, real))
+    ids = sorted(r.id for r in read_delta_lite(spark, linked_table).collect())
+    assert ids == [0, 2, 4, 5, 6, 8, 9]  # DV still applies via the symlink
+
+
+def test_dv_update_commit_order_insensitive(spark, tmp_path):
+    """A DV-update commit carries remove(path, oldDv) + add(path, newDv)
+    in UNSPECIFIED order; with add first, the stale remove must not
+    erase the re-added file (reconciliation keys by (path, dvId))."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = _write_dv_table(spark, tmp_path, {})  # v0: DV deletes {1,3,7}
+    old_dv = json.loads(
+        open(os.path.join(path, "_delta_log", f"{0:020d}.json")).readlines()[2]
+    )["add"]["deletionVector"]
+    bitmap = _rbm_array([_bitmap32_array({0: [1, 3, 5, 7]})])
+    pad = (-len(bitmap)) % 4
+    new_dv = {"storageType": "i",
+              "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+              "sizeInBytes": len(bitmap), "cardinality": 4}
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        # ADD FIRST, stale remove second — the hostile ordering
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False,
+            "deletionVector": new_dv}}) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": "part-0.parquet", "deletionTimestamp": 0,
+            "dataChange": False, "deletionVector": old_dv}}) + "\n")
+    ids = sorted(r.id for r in read_delta_lite(spark, path).collect())
+    assert ids == [0, 2, 4, 6, 8, 9]  # new DV {1,3,5,7} in effect
+    # and the conventional order (remove first) gives the same state
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": "part-0.parquet", "deletionTimestamp": 0,
+            "dataChange": False, "deletionVector": old_dv}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False,
+            "deletionVector": new_dv}}) + "\n")
+    ids = sorted(r.id for r in read_delta_lite(spark, path).collect())
+    assert ids == [0, 2, 4, 6, 8, 9]
+
+
+def test_roaring_parse_bound_enforced_during_parse():
+    """The materialization bound must trip DURING parsing — a lying
+    descriptor cardinality must not let a huge bitmap OOM the driver
+    before a post-hoc check."""
+    from lcr_etl_upgrade_spark.roaring_lite import parse_roaring_bitmap_array
+
+    data = _rbm_array([_bitmap32_array({0: list(range(100))})])
+    with pytest.raises(ValueError, match="materialization bound"):
+        parse_roaring_bitmap_array(data, max_values=50)
+    assert len(parse_roaring_bitmap_array(data, max_values=100)) == 100
