@@ -359,3 +359,99 @@ def test_roaring_parse_bound_enforced_during_parse():
     with pytest.raises(ValueError, match="materialization bound"):
         parse_roaring_bitmap_array(data, max_values=50)
     assert len(parse_roaring_bitmap_array(data, max_values=100)) == 100
+
+
+def test_dv_composes_with_partitioned_hive_layout(spark, tmp_path):
+    """DV filter on the single-relation partitioned fast path: the join
+    key includes the partition directory in the file path."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = tmp_path / "pdv"
+    (path / "_delta_log").mkdir(parents=True)
+    adds = []
+    for pv in (1, 2):
+        stage = path / f"s{pv}"
+        spark.range(5).selectExpr(f"id + {10 * pv} as id").coalesce(
+            1
+        ).write.parquet(str(stage))
+        f = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        (path / f"part={pv}").mkdir()
+        rel = f"part={pv}/part-0.parquet"
+        os.rename(stage / f, path / rel)
+        adds.append((rel, {"part": str(pv)}))
+    # DV on partition 1's file only: delete row indexes {0, 4}
+    bitmap = _rbm_array([_bitmap32_array({0: [0, 4]})])
+    pad = (-len(bitmap)) % 4
+    dv = {"storageType": "i",
+          "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+          "sizeInBytes": len(bitmap), "cardinality": 2}
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "integer", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": ["part"], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for i, (rel, pvals) in enumerate(adds):
+            add = {"path": rel, "partitionValues": pvals, "size": 1,
+                   "modificationTime": 0, "dataChange": True}
+            if i == 0:
+                add["deletionVector"] = dv
+            fh.write(json.dumps({"add": add}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    ids = sorted(r.id for r in got.collect())
+    # partition 1 rows 10..14 lose indexes 0 and 4 (ids 10, 14)
+    assert ids == [11, 12, 13, 20, 21, 22, 23, 24]
+    # AQE prints Final + Initial sections; count scans in the final one
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Scan parquet") == 1, plan  # fast path retained
+
+
+def test_dv_composes_with_column_mapping(spark, tmp_path):
+    """Deletion vectors + column mapping together: the DV filter runs on
+    the physical scan, then the rename projects to logical names."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = tmp_path / "cmdv"
+    (path / "_delta_log").mkdir(parents=True)
+    stage = path / "stage"
+    spark.range(6).selectExpr("id as `col-aaa`").coalesce(1).write.parquet(
+        str(stage)
+    )
+    f = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.rename(stage / f, path / "part-0.parquet")
+    bitmap = _rbm_array([_bitmap32_array({0: [2, 3]})])
+    pad = (-len(bitmap)) % 4
+    dv = {"storageType": "i",
+          "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+          "sizeInBytes": len(bitmap), "cardinality": 2}
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}}]}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "writerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert [fld.name for fld in got.schema.fields] == ["id"]
+    assert sorted(r.id for r in got.collect()) == [0, 1, 4, 5]
