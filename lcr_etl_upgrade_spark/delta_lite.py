@@ -34,8 +34,9 @@ Deliberate limits (clear errors, not wrong answers):
   ``columnMapping``, ``timestampNtz``, ``deletionVectors`` — roaring
   bitmaps parsed by ``roaring_lite`` and applied as a
   ``_metadata.row_index`` broadcast anti-join, positions bounded by
-  MAX_DV_POSITIONS driver-side); type widening and other features
-  refuse with the feature named;
+  MAX_DV_POSITIONS driver-side; ``variantType`` via Spark's native
+  VariantType); type widening and other features refuse with the
+  feature named;
 - all three checkpoint layouts read (classic single-part, classic
   multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
   writer emits single-part;
@@ -125,8 +126,19 @@ def _local(path: str) -> str:
 #   StructType.fromJson ('timestamp_ntz') handle the type natively
 # - deletionVectors: roaring-bitmap row masks applied via a
 #   _metadata.row_index broadcast anti-join (roaring_lite.py)
+# - variantType: Spark 4's native VariantType — StructType.fromJson
+#   parses 'variant' and the parquet reader handles the physical
+#   struct<metadata,value> encoding (verified on this Spark); the
+#   -preview alias is what delta 4.0-preview writers declared
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"v2Checkpoint", "columnMapping", "timestampNtz", "deletionVectors"}
+    {
+        "v2Checkpoint",
+        "columnMapping",
+        "timestampNtz",
+        "deletionVectors",
+        "variantType",
+        "variantType-preview",
+    }
 )
 
 
@@ -146,7 +158,7 @@ def _check_protocol(protocol: dict | None) -> None:
         f"features {sorted(_SUPPORTED_READER_FEATURES)}); this table "
         f"requires minReaderVersion={reader} with readerFeatures="
         f"{sorted(features) or None}. Install delta-spark to read tables "
-        "using type widening / variant / other features."
+        "using type widening / other features."
     )
 
 

@@ -1377,3 +1377,44 @@ def test_column_mapping_missing_physical_name_refuses(spark, tmp_path):
             "modificationTime": 0, "dataChange": True}}) + "\n")
     with pytest.raises(ValueError, match="physicalName"):
         read_delta_lite(spark, str(path))
+
+
+def test_variant_type_reader_feature(spark, tmp_path):
+    """A v3 table whose readerFeature is variantType reads through
+    Spark's native VariantType (schemaString 'variant' -> parquet
+    struct<metadata,value> physical encoding)."""
+    path = tmp_path / "var"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    src = spark.range(3).selectExpr(
+        "id", "parse_json(concat('{\"a\":', id, '}')) as v"
+    )
+    src.coalesce(1).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert dict(got.dtypes)["v"] == "variant"
+    vals = {
+        r.id: r.a
+        for r in got.selectExpr(
+            "id", "try_variant_get(v, '$.a', 'int') as a"
+        ).collect()
+    }
+    assert vals == {0: 0, 1: 1, 2: 2}
