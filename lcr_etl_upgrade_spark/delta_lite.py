@@ -34,9 +34,9 @@ Deliberate limits (clear errors, not wrong answers):
   ``columnMapping``, ``timestampNtz``, ``deletionVectors`` — roaring
   bitmaps parsed by ``roaring_lite`` and applied as a
   ``_metadata.row_index`` broadcast anti-join, positions bounded by
-  MAX_DV_POSITIONS driver-side; ``variantType`` via Spark's native
-  VariantType); type widening and other features refuse with the
-  feature named;
+  MAX_DV_POSITIONS driver-side; ``variantType`` and ``typeWidening``
+  via Spark's native parquet handling — each combination verified);
+  unimplemented features refuse with the feature named;
 - all three checkpoint layouts read (classic single-part, classic
   multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
   writer emits single-part;
@@ -130,6 +130,14 @@ def _local(path: str) -> str:
 #   parses 'variant' and the parquet reader handles the physical
 #   struct<metadata,value> encoding (verified on this Spark); the
 #   -preview alias is what delta 4.0-preview writers declared
+# - typeWidening: metaData declares the WIDE type, old files carry the
+#   narrow physical type; Spark's parquet reader upcasts every widening
+#   the delta spec allows (byte->short->int->long, int->long/double/
+#   decimal, float->double, decimal precision, date->timestampNtz —
+#   each verified empirically on this Spark before admitting)
+# - vacuumProtocolCheck: constrains VACUUM implementations, requires no
+#   reader behavior; delta_lite's own vacuum is orphan-only (strictly
+#   more conservative than any retention rule)
 _SUPPORTED_READER_FEATURES = frozenset(
     {
         "v2Checkpoint",
@@ -138,6 +146,9 @@ _SUPPORTED_READER_FEATURES = frozenset(
         "deletionVectors",
         "variantType",
         "variantType-preview",
+        "typeWidening",
+        "typeWidening-preview",
+        "vacuumProtocolCheck",
     }
 )
 
@@ -158,7 +169,7 @@ def _check_protocol(protocol: dict | None) -> None:
         f"features {sorted(_SUPPORTED_READER_FEATURES)}); this table "
         f"requires minReaderVersion={reader} with readerFeatures="
         f"{sorted(features) or None}. Install delta-spark to read tables "
-        "using type widening / other features."
+        "using those features."
     )
 
 

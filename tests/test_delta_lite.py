@@ -347,7 +347,7 @@ def test_protocol_v2_raises(spark, tmp_path):
     with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
                                           "minWriterVersion": 7,
-                                          "readerFeatures": ["typeWidening"]
+                                          "readerFeatures": ["someFutureFeature"]
                                           }}) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
         read_delta_lite(spark, str(path))
@@ -983,9 +983,9 @@ def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
     with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint", "typeWidening"],
+            "readerFeatures": ["v2Checkpoint", "someFutureFeature"],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="someFutureFeature"):
         read_delta_lite(spark, str(path))
 
 
@@ -1418,3 +1418,51 @@ def test_variant_type_reader_feature(spark, tmp_path):
         ).collect()
     }
     assert vals == {0: 0, 1: 1, 2: 2}
+
+
+def test_type_widening_reader_feature(spark, tmp_path):
+    """typeWidening: old files carry NARROW physical types, metaData
+    declares the widened ones — the plain schema-first read upcasts
+    (int->long, float->double, int->decimal, date->timestamp_ntz)."""
+    path = tmp_path / "tw"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.range(3).selectExpr(
+        "cast(id as int) as a",
+        "cast(id as float) as b",
+        "cast(id as int) as c",
+        "date'2024-06-01' as d",
+    ).coalesce(1).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "a", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "b", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "c", "type": "decimal(10,0)", "nullable": True,
+             "metadata": {}},
+            {"name": "d", "type": "timestamp_ntz", "nullable": True,
+             "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_lite(spark, str(path))
+    assert dict(got.dtypes) == {
+        "a": "bigint", "b": "double", "c": "decimal(10,0)",
+        "d": "timestamp_ntz",
+    }
+    import datetime as dtm
+    import decimal
+
+    row = {r.a: r for r in got.collect()}[2]
+    assert row.b == 2.0 and row.c == decimal.Decimal("2")
+    assert row.d == dtm.datetime(2024, 6, 1, 0, 0)
