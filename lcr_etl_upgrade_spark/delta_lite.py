@@ -614,20 +614,20 @@ def _apply_dv_filter(
     }
     if not relevant:
         return df
-    rows = [
-        # abspath, NOT realpath: Spark qualifies the path it was given
-        # without resolving symlinks, so resolving here would desync the
-        # join key for tables reached through a symlink. The path is then
-        # encoded exactly as Hadoop renders _metadata.file_path (verified
-        # empirically on this Spark: Java-URI path rules — space/%/# etc
-        # percent-encoded uppercase, sub-delims and non-ASCII kept raw).
-        # A failed match here would FAIL OPEN (deleted rows silently
-        # resurrected), so the encoding equivalence is pinned by tests
-        # over hostile partition-dir names.
-        (_hadoop_path_encode(os.path.abspath(os.path.join(base, rel))), int(p))
-        for rel, ps in relevant.items()
-        for p in sorted(ps)
-    ]
+    # abspath, NOT realpath: Spark qualifies the path it was given
+    # without resolving symlinks, so resolving here would desync the
+    # join key for tables reached through a symlink. The path is then
+    # encoded exactly as Hadoop renders _metadata.file_path (verified
+    # empirically on this Spark: Java-URI path rules — space/%/# etc
+    # percent-encoded uppercase, sub-delims and non-ASCII kept raw).
+    # A failed match here would FAIL OPEN (deleted rows silently
+    # resurrected), so the encoding equivalence is pinned by tests
+    # over hostile partition-dir names. Encoded once per FILE — the
+    # position loop can run millions of times per file near the bound.
+    rows = []
+    for rel, ps in relevant.items():
+        key = _hadoop_path_encode(os.path.abspath(os.path.join(base, rel)))
+        rows.extend((key, int(p)) for p in ps)
     deleted = spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
     scan = df.select(
         "*",
