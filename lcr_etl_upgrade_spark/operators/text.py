@@ -140,3 +140,129 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "normalized_fp": F.substring(F.md5(normalized), 1, 16),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition and quality signals (Rae et al. 2021, public) —
+# the standard pretraining-corpus filter rules, as pure Column
+# expressions: every signal is array/regexp algebra inside whole-stage
+# codegen, no explode, no shuffle, no Python.
+# --------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition/structure signals over lines and
+    paragraphs:
+
+    - ``n_lines`` — non-empty line count;
+    - ``dup_line_ratio`` — fraction of non-empty lines that are repeats
+      of an earlier line (``1 - distinct/total``, the Gopher
+      "duplicate line fraction");
+    - ``dup_paragraph_ratio`` — same over blank-line-separated
+      paragraphs;
+    - ``longest_line_frac`` — longest line's share of total characters
+      (boilerplate/table detector);
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — fraction of
+      lines starting with a bullet mark / ending with an ellipsis (the
+      Gopher structural-noise signals).
+
+    NULL text yields NULL features; empty/whitespace-only text yields
+    zero lines and zero ratios."""
+    c = F.col(text_col)
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    def _nonempty(parts: Column) -> Column:
+        return F.filter(parts, lambda s: F.length(F.trim(s)) > 0)
+
+    lines = _nonempty(F.split(stripped, r"\n"))
+    paras = _nonempty(F.split(stripped, r"\n\s*\n"))
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+
+    def _dup_ratio(parts: Column, n: Column) -> Column:
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(parts)) / n.cast("double")
+        )
+
+    line_lens = F.transform(lines, lambda s: F.length(s))
+    total_chars = F.aggregate(
+        line_lens, F.lit(0), lambda acc, x: acc + x
+    )
+    bullet = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"^([-*•▪●]|\d+[.)])\s"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda s: F.rtrim(s).rlike(r"(\.\.\.|…)$"))
+    )
+    return df.withColumns(
+        {
+            "n_lines": n_lines.cast("long"),
+            "dup_line_ratio": _dup_ratio(lines, n_lines),
+            "dup_paragraph_ratio": _dup_ratio(paras, n_paras),
+            "longest_line_frac": F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+                F.array_max(line_lens).cast("double")
+                / F.greatest(total_chars, F.lit(1)).cast("double")
+            ),
+            "bullet_line_ratio": F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+                bullet.cast("double") / n_lines
+            ),
+            "ellipsis_line_ratio": F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+                ellipsis.cast("double") / n_lines
+            ),
+        }
+    )
+
+
+def gopher_quality_flag(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-filter rules as ONE boolean column
+    ``passes_gopher`` (thresholds are the paper's defaults, overridable):
+    token-count bounds, mean-token-length bounds, hash/ellipsis
+    symbol-to-word ratio, bullet/ellipsis line ratios, fraction of
+    words containing an alphabetic character, and a minimum number of
+    distinct-position stopword hits. Composes ``repetition_features``
+    plus token signals — all codegen expressions, so the flag evaluates
+    at scan speed and pushes down as a plain filter when used in
+    ``df.filter``."""
+    c = F.col(text_col)
+    toks = tokens_expr(c)
+    n_tokens = F.regexp_count(c, F.lit(r"\S+"))
+    avg_len = F.length(F.regexp_replace(c, "\\s", "")).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ɏ]"))
+    )
+    stop_hits = F.size(
+        F.filter(
+            tokens_expr(F.lower(c)),
+            lambda t: t.isin(*LANG_STOPWORDS["en"]),
+        )
+    )
+    with_rep = repetition_features(df, text_col)
+    passes = (
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (avg_len >= min_avg_token_len)
+        & (avg_len <= max_avg_token_len)
+        & (symbols.cast("double") / F.greatest(n_tokens, F.lit(1))
+           <= max_symbol_word_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+        & (alpha_words.cast("double") / F.greatest(n_tokens, F.lit(1))
+           >= min_alpha_word_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return with_rep.withColumn("passes_gopher", F.coalesce(passes, F.lit(False)))

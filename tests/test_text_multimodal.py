@@ -485,3 +485,72 @@ def test_media_decoders_total_on_mutated_valid(pos, byte, which):
             dec(bytes(mutated))
         except ValueError:
             pass
+
+
+# ---- Gopher-style repetition / quality filtering -------------------------
+
+
+def test_repetition_features_goldens(spark):
+    from lcr_etl_upgrade_spark.operators.text import repetition_features
+
+    doc = "intro line\n- bullet one\n- bullet one\nmore text...\n\nsecond para"
+    rows = [
+        (0, doc),
+        (1, ""),           # empty -> zero lines, zero ratios
+        (2, None),         # NULL -> NULL features
+        (3, "a\na\na\na"),  # maximal line repetition
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in repetition_features(df).collect()}
+    r0 = got[0]
+    # 5 non-empty lines, one exact repeat -> 1 - 4/5
+    assert r0.n_lines == 5
+    assert r0.dup_line_ratio == pytest.approx(0.2)
+    # paragraphs: the \n\n split yields 2, both distinct
+    assert r0.dup_paragraph_ratio == 0.0
+    assert r0.bullet_line_ratio == pytest.approx(2 / 5)
+    assert r0.ellipsis_line_ratio == pytest.approx(1 / 5)
+    # longest line "- bullet one" = 12 chars of 10+12+12+12+11=57
+    assert r0.longest_line_frac == pytest.approx(12 / 57)
+    assert got[1].n_lines == 0 and got[1].dup_line_ratio == 0.0
+    assert got[2].n_lines is None and got[2].dup_line_ratio is None
+    assert got[3].dup_line_ratio == pytest.approx(0.75)
+
+
+def test_gopher_quality_flag(spark):
+    from lcr_etl_upgrade_spark.operators.text import gopher_quality_flag
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field while the sun is high in the clear sky. "
+    ) * 3  # ~60 tokens of normal English prose
+    rows = [
+        (0, good),
+        (1, "too short"),                          # token-count floor
+        (2, "#### " * 60),                         # symbol ratio + no alpha
+        (3, None),                                 # NULL -> False, not NULL
+        (4, "12 34 56 78 90 " * 20),               # numeric: alpha-ratio fail
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.passes_gopher for r in gopher_quality_flag(df).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
+    # thresholds are overridable: drop the floor and the short doc passes
+    relaxed = {
+        r.id: r.passes_gopher
+        for r in gopher_quality_flag(
+            df, min_tokens=2, min_stopword_hits=0, min_avg_token_len=0.0
+        ).collect()
+    }
+    assert relaxed[1] is True
+
+
+def test_gopher_flag_is_shuffle_free(spark):
+    """The flag must evaluate at scan speed: no exchange, no Python eval
+    in the plan when used as a filter."""
+    from lcr_etl_upgrade_spark.operators.text import gopher_quality_flag
+
+    df = spark.createDataFrame([(0, "text here")], "id long, text string")
+    out = gopher_quality_flag(df).filter(F.col("passes_gopher"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
