@@ -306,16 +306,30 @@ def _decoder(schema):
     if isinstance(schema, list):
         subs = [_decoder(s) for s in schema]
         non_null = _union_branches(schema)
+        n = len(subs)
+
+        # A corrupt zigzag varint can decode to any long; without the
+        # range check a negative index would silently select a branch
+        # via Python negative indexing and misdecode instead of failing
+        # loudly like every other corrupt-container path in this module.
+        def branch(b):
+            i = _read_long(b)
+            if i < 0 or i >= n:
+                raise ValueError(
+                    f"avro union branch index {i} out of range 0..{n - 1}"
+                )
+            return subs[i]
+
         if len(non_null) > 1 and _union_numeric_type(schema) is None:
             # string-fallback union: the column type is string, so each
             # branch value renders per the documented rule
             def union_str(b):
-                return _union_render(subs[_read_long(b)](b))
+                return _union_render(branch(b)(b))
 
             return union_str
 
         def union(b):
-            return subs[_read_long(b)](b)
+            return branch(b)(b)
 
         return union
     t = schema["type"]

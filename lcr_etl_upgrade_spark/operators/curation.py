@@ -132,6 +132,15 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
 }
 
+# Kinds whose every match necessarily contains a digit, and may
+# therefore hide behind the cheap ``rlike('[0-9]')`` row gate in
+# redact_pii_expr. A future letter-based pattern added to PII_PATTERNS
+# but NOT listed here runs ungated (correct, just unoptimized) instead
+# of being silently skipped on digit-free rows (fail-open redaction
+# gap). Membership is asserted against PII_PATTERNS by
+# tests/test_curation.py.
+_DIGIT_KINDS = frozenset({"ssn", "card", "phone", "ipv4"})
+
 
 def redact_pii_expr(
     col: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)
@@ -169,15 +178,21 @@ def redact_pii_expr(
             ).otherwise(out)
             i += 1
             continue
-        # contiguous run of digit-based classes shares one digit gate,
-        # preserving the caller's application order
-        chain = out
-        j = i
-        while j < len(kinds) and kinds[j] != "email":
-            chain = F.regexp_replace(chain, *PII_PATTERNS[kinds[j]])
-            j += 1
-        out = F.when(col.rlike("[0-9]"), chain).otherwise(out)
-        i = j
+        if kinds[i] in _DIGIT_KINDS:
+            # contiguous run of digit-based classes shares one digit
+            # gate, preserving the caller's application order
+            chain = out
+            j = i
+            while j < len(kinds) and kinds[j] in _DIGIT_KINDS:
+                chain = F.regexp_replace(chain, *PII_PATTERNS[kinds[j]])
+                j += 1
+            out = F.when(col.rlike("[0-9]"), chain).otherwise(out)
+            i = j
+            continue
+        # a kind with no declared cheap gate runs ungated — correctness
+        # (never skip a redaction) beats the gate micro-optimization
+        out = F.regexp_replace(out, *PII_PATTERNS[kinds[i]])
+        i += 1
     return out
 
 

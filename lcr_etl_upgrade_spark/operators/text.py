@@ -44,7 +44,8 @@ def token_count_expr(col: Column) -> Column:
     """Token count WITHOUT materializing the token array: a token is a
     maximal non-whitespace run, so ``regexp_count(col, '\\S+')`` equals
     ``size(tokens_expr(col))`` by construction (equivalence pinned by
-    property test in tests/test_text.py). Stays inside whole-stage
+    tests/test_text_multimodal.py::test_token_count_equals_array_size).
+    Stays inside whole-stage
     codegen on the every-document hot path; ``tokens_expr`` remains for
     consumers that need the array itself (stopword_ratio, language_id)."""
     return F.regexp_count(col, F.lit(r"\S+")).cast("long")

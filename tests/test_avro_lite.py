@@ -619,3 +619,27 @@ def test_unknown_logical_type_still_widens_numeric_union():
         avro_to_spark_type(["int", {"type": "int", "logicalType": "date"}])
         == T.StringType()
     )
+
+
+def test_union_branch_index_out_of_range_fails_loudly():
+    """A corrupt zigzag varint decoding to a negative or too-large union
+    branch index must raise, not silently select a branch via Python
+    negative indexing (ADVICE r6)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["null", "int", "string"]}],
+    }
+    sync = bytes(range(16))
+    for bad in (-1, 3, 99):
+        rows_bytes = _zz(bad) + _zz(5)
+        data = (
+            b"Obj\x01"
+            + _zz(2)
+            + _s("avro.schema") + _s(json.dumps(schema))
+            + _s("avro.codec") + _s("null")
+            + _zz(0) + sync
+            + _zz(1) + _zz(len(rows_bytes)) + rows_bytes + sync
+        )
+        with pytest.raises(ValueError, match="union branch index"):
+            decode_container(data)

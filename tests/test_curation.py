@@ -287,3 +287,35 @@ def test_packing_invariants_property(spark, ns, budget):
         rid, bid, off = got[i]
         assert (rid, bid, off) == (i, acc // budget, acc)
         acc += n
+
+
+def test_digit_kinds_declared_for_every_pattern():
+    """Every PII kind is either 'email' (instr('@') gate) or a member of
+    _DIGIT_KINDS (rlike('[0-9]') gate); a new kind outside both still
+    redacts (ungated), but this assertion forces the author to DECLARE
+    the gate so a letter-based pattern is never silently digit-gated."""
+    from lcr_etl_upgrade_spark.operators.curation import (
+        PII_PATTERNS,
+        _DIGIT_KINDS,
+    )
+
+    assert _DIGIT_KINDS <= set(PII_PATTERNS)
+    assert set(PII_PATTERNS) == {"email"} | _DIGIT_KINDS
+
+
+def test_ungated_kind_redacts_on_digit_free_rows(spark, monkeypatch):
+    """A future letter-based pattern (not in _DIGIT_KINDS) must redact on
+    rows with no digits and no '@' — pinning that unknown kinds run
+    ungated instead of hiding behind the digit gate (fail-open gap the
+    r6 ADVICE flagged)."""
+    from lcr_etl_upgrade_spark.operators import curation
+
+    monkeypatch.setitem(
+        curation.PII_PATTERNS, "codeword", (r"\bhunter-two\b", "<CODE>")
+    )
+    df = spark.createDataFrame(
+        [("call me at hunter-two ok",), ("no secrets here",)], ["text"]
+    )
+    out = curation.redact_pii(df, "text", kinds=("codeword",))
+    got = sorted(r.text for r in out.collect())
+    assert got == ["call me at <CODE> ok", "no secrets here"]
