@@ -603,3 +603,210 @@ def near_dup_pairs(
     return _jaccard_from_tokens(st_cand, candidates, id_col).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def _canonical_edges(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Undirected edge set as distinct ``(u, v)`` with ``u > v``
+    (greatest/least), self-loops and null endpoints dropped.
+
+    A null endpoint carries no identity to connect, and every pair
+    producer in this module (near_dup_pairs, cosine_near_dup_pairs)
+    emits non-null ids — dropping is a hygiene rule, not a semantics
+    choice."""
+    u, v = F.col(src_col), F.col(dst_col)
+    return (
+        pairs.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node strictly larger than its neighbor u
+    is re-pointed at ``m = min(N(u) + {u})``.
+
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) — the published alternating algorithm; no reference
+    counterpart (the reference has no dedup at all, /root/reference/
+    ingest.py passim). One undirected edge {a, b} (a < b) is processed
+    exactly once, from its smaller endpoint's neighborhood, emitting
+    (b, m(a)); m <= a < b keeps the output loop-free. min() is map-side
+    combinable, so the giant-star (skewed-degree) node costs one
+    combiner cell per map partition, never a collected neighbor list;
+    the join back onto the symmetric relation is AQE skew-splittable."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint;
+    each node u then re-points ALL its smaller neighbors (and itself) at
+    ``m = min(smaller neighbors)``. Output edges keep u > v."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    j = edges.join(mins, "u")
+    rewired = j.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = mins.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.union(centers).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Resolve a candidate-pair relation into connected components:
+    returns ``(id, component)`` with one row per distinct id appearing in
+    ``pairs``, where ``component`` is the MINIMUM id of the node's
+    component (deterministic canonical label).
+
+    This is the step every published training-data dedup pipeline runs
+    between "candidate pairs" and "deduped corpus" (near-dup relations
+    are transitive in effect: A~B, B~C means two of the three go):
+    alternating large-star / small-star label contraction (Kiveris et
+    al., SoCC'14), which converges in O(log^2 n) rounds on ANY graph —
+    a path graph contracts in ~log rounds where naive neighbor-min
+    propagation needs diameter rounds (iteration counts pinned by
+    tests/test_components.py on a 64-chain).
+
+    Scale shape: each round is two groupBy-min aggregations (map-side
+    combinable — a skewed giant star costs one combiner cell per map
+    partition) plus their joins back, all on the EDGE relation, whose
+    size is bounded by the candidate-pair count and shrinks toward one
+    edge per non-canonical node. Lineage is truncated every round with
+    ``localCheckpoint`` (iterative plans otherwise grow exponentially
+    and re-execute from the source each round); on a cluster that
+    trades executor-loss resilience for speed — acceptable for a
+    bounded-round batch job, and a retry restarts from the pairs
+    relation.
+
+    Convergence is detected by count + order-independent xxhash64-sum
+    fingerprint of the edge set (a fixpoint of small-star . large-star);
+    ``max_iter`` (default 25) is a safety valve far above the log-bound
+    of any feasible graph, raising RuntimeError rather than returning a
+    partially-contracted (WRONG) labeling."""
+    edges = _canonical_edges(pairs, src_col, dst_col).localCheckpoint()
+    # ids come from the RAW relation so a doc appearing only in a
+    # (dropped) self-loop pair still labels as its own singleton
+    ids = (
+        pairs.select(F.col(src_col).alias("u"))
+        .union(pairs.select(F.col(dst_col).alias("u")))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+        .select(F.col("u").alias("id"))
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: a long sum of xxhash64 values overflows
+            # (and under ANSI mode throws) on a handful of rows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(edges)
+    iterations = 0
+    converged = prev[0] == 0
+    while not converged:
+        if iterations >= max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the alternating algorithm needs ~log^2(n) — "
+                "raise max_iter only after checking the pair relation "
+                "for pathological size"
+            )
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        iterations += 1
+        cur = fingerprint(edges)
+        converged = cur == prev
+        prev = cur
+    if _stats is not None:
+        _stats["iterations"] = iterations
+
+    # At the fixpoint every component is a star centered at its minimum:
+    # the edge set is exactly {(member, min) : member != min}, so each
+    # non-canonical id appears as "u" exactly once. The groupBy-min is
+    # belt-and-braces determinism, not a correctness need.
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return ids.join(labels, ids["id"] == labels["u"], "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def drop_near_dups(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    quality_col: str | None = None,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Keep ONE canonical document per near-duplicate component.
+
+    ``pairs`` is any candidate/verified pair relation (near_dup_pairs,
+    cosine_near_dup_pairs, ...); components come from
+    ``connected_components``. Keeper per component: the minimum id
+    (default), or with ``quality_col`` the row with the HIGHEST quality,
+    ties broken by minimum id — both deterministic under repartitioning.
+    Documents in no pair survive untouched; pair ids absent from the
+    corpus select no victim. Rows are preserved verbatim (no projection,
+    no reorder guarantees).
+
+    Scale shape: the label relation is bounded by ids-in-pairs (corpus
+    duplicate rate x corpus), not the corpus; the final exclusion is a
+    left-anti join on the LOSER id set, which AQE broadcasts while small
+    and shuffles when a duplicate-heavy corpus makes it large — the same
+    sizing argument as near_dup_pairs' candidate semi-join."""
+    labels = connected_components(pairs, src_col, dst_col)
+    if quality_col is None:
+        keepers = labels.groupBy("component").agg(F.min("id").alias("__keep"))
+        losers = (
+            labels.join(keepers, "component")
+            .filter(F.col("id") != F.col("__keep"))
+            .select("id")
+        )
+    else:
+        q = corpus.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        )
+        scored = labels.join(q, "id", "left")
+        # max quality then min id: min over (quality DESC, id ASC) via a
+        # struct ordered by (-q, id); nulls_last on quality so an
+        # unscored (corpus-absent or null-quality) member never wins
+        # against a scored one.
+        best = scored.groupBy("component").agg(
+            F.min_by(
+                "id",
+                F.struct(
+                    F.coalesce(
+                        -F.col("__q").cast("double"), F.lit(float("inf"))
+                    ).alias("nq"),
+                    F.col("id").alias("id"),
+                ),
+            ).alias("__keep")
+        )
+        losers = (
+            labels.join(best, "component")
+            .filter(F.col("id") != F.col("__keep"))
+            .select("id")
+        )
+    return corpus.join(
+        losers, corpus[id_col] == losers["id"], "left_anti"
+    )
