@@ -32,9 +32,11 @@ Deliberate limits (clear errors, not wrong answers):
   name resolution for modes ``name``/``id``) read natively, as does
   version 3 when every readerFeature is supported (``v2Checkpoint``,
   ``columnMapping``, ``timestampNtz``, ``deletionVectors`` — roaring
-  bitmaps parsed by ``roaring_lite`` and applied as a
-  ``_metadata.row_index`` broadcast anti-join, positions bounded by
-  MAX_DV_POSITIONS driver-side; ``variantType`` and ``typeWidening``
+  bitmaps integrity-checked driver-side via a streaming count, then
+  expanded EXECUTOR-side (mapInPandas over the descriptors) into a
+  ``_metadata.row_index`` anti-join, broadcast below MAX_DV_POSITIONS
+  total cardinality and shuffled above it — any cardinality reads
+  correctly; ``variantType`` and ``typeWidening``
   via Spark's native parquet handling — each combination verified);
   unimplemented features refuse with the feature named;
 - all three checkpoint layouts read (classic single-part, classic
@@ -67,6 +69,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lcr_etl_upgrade_spark.roaring_lite import (
+    count_roaring_bitmap_array,
     parse_roaring_bitmap_array,
     z85_decode,
 )
@@ -483,9 +486,12 @@ def replay_log(
 
 # ---- deletion vectors (deletionVectors reader feature) ------------------
 
-# Driver-side guard: DV positions are materialized into a broadcast
-# anti-join side; a table whose total deleted-row count exceeds this is
-# beyond what a fallback reader should buffer on the driver.
+# Join-strategy valve, NOT a capability cap: DV positions decode
+# executor-side (one task per deletion vector), so any cardinality
+# reads correctly — but below this total the deleted-row relation is
+# hinted broadcast (the common case: DVs are tiny next to the table),
+# and above it the hint is dropped so the anti-join shuffles instead of
+# forcing a multi-hundred-MB broadcast build side onto every executor.
 MAX_DV_POSITIONS = 10_000_000
 
 # Characters a Java URI keeps RAW in its path component (unreserved +
@@ -567,34 +573,24 @@ def _resolve_dv_blob(base: str, dv: dict) -> bytes:
     return data
 
 
-def _dv_positions(base: str, dvs: dict[str, dict]) -> dict[str, set[int]]:
-    """Resolve every file's deletion vector to its deleted row indexes,
-    verifying each descriptor's cardinality against the parsed bitmap."""
-    total = sum(int(d.get("cardinality") or 0) for d in dvs.values())
-    if total > MAX_DV_POSITIONS:
-        raise NotImplementedError(
-            f"table carries {total} deleted-row positions across its "
-            f"deletion vectors (> {MAX_DV_POSITIONS}); this fallback "
-            "reader materializes DV positions driver-side — use "
-            "delta-spark for DV-heavy tables"
-        )
-    out: dict[str, set[int]] = {}
-    seen = 0
+def _dv_verify(base: str, dvs: dict[str, dict]) -> dict[str, tuple[dict, int]]:
+    """Eager driver-side integrity pass over every file's deletion
+    vector: resolve the blob (format-version / size / CRC checks in
+    ``_resolve_dv_blob``) and verify the descriptor's cardinality with a
+    streaming O(one-container)-memory count — so corrupt tables fail at
+    ``read_delta_lite`` time, loudly, regardless of DV size. Positions
+    are NOT materialized here; expansion happens executor-side in
+    ``_apply_dv_filter``. Returns rel -> (descriptor, cardinality)."""
+    out: dict[str, tuple[dict, int]] = {}
     for rel, dv in dvs.items():
-        # the descriptor's cardinality was only a PRE-check — it may lie
-        # (corrupt/adversarial); bound materialization during the parse
-        # so the guard holds before memory is spent, not after
-        positions = parse_roaring_bitmap_array(
-            _resolve_dv_blob(base, dv), max_values=MAX_DV_POSITIONS - seen
-        )
-        seen += len(positions)
+        n = count_roaring_bitmap_array(_resolve_dv_blob(base, dv))
         card = dv.get("cardinality")
-        if card is not None and int(card) != len(positions):
+        if card is not None and int(card) != n:
             raise ValueError(
                 f"deletion vector for {rel!r}: descriptor cardinality "
-                f"{card} != {len(positions)} parsed positions"
+                f"{card} != {n} parsed positions"
             )
-        out[rel] = positions
+        out[rel] = (dv, n)
     return out
 
 
@@ -602,15 +598,27 @@ def _apply_dv_filter(
     spark: SparkSession,
     df: DataFrame,
     base: str,
-    positions: dict[str, set[int]],
+    verified: dict[str, tuple[dict, int]],
     files_in_scan: list[str],
 ) -> DataFrame:
     """Drop deleted rows: anti-join (file URI, row index) pairs against
-    ``_metadata`` columns — stays a broadcast anti-join, no shuffle of
-    the fact side."""
+    ``_metadata`` columns. The deleted-row relation is built EXECUTOR-
+    side — a tiny descriptor DataFrame (one row per deletion vector,
+    already integrity-verified by ``_dv_verify``) expands to positions
+    inside ``mapInPandas``, one task per DV, so positions of arbitrary
+    cardinality never materialize on the driver. Requires the table
+    root to be reachable from executors — the same shared-storage
+    assumption the whole reader already makes for the parquet files.
+
+    Below MAX_DV_POSITIONS total cardinality the relation is hinted
+    broadcast (no shuffle of the fact side — the common case); above
+    it, no hint, and the anti-join shuffles both sides instead of
+    building an oversized broadcast table."""
     in_scan = set(files_in_scan)
     relevant = {
-        rel: ps for rel, ps in positions.items() if rel in in_scan and ps
+        rel: dv
+        for rel, (dv, n) in verified.items()
+        if rel in in_scan and n > 0
     }
     if not relevant:
         return df
@@ -622,13 +630,54 @@ def _apply_dv_filter(
     # percent-encoded uppercase, sub-delims and non-ASCII kept raw).
     # A failed match here would FAIL OPEN (deleted rows silently
     # resurrected), so the encoding equivalence is pinned by tests
-    # over hostile partition-dir names. Encoded once per FILE — the
-    # position loop can run millions of times per file near the bound.
-    rows = []
-    for rel, ps in relevant.items():
-        key = _hadoop_path_encode(os.path.abspath(os.path.join(base, rel)))
-        rows.extend((key, int(p)) for p in ps)
-    deleted = spark.createDataFrame(rows, "__dv_file string, __dv_idx long")
+    # over hostile partition-dir names. Keys are still computed on the
+    # DRIVER (the executor task only expands positions) so those pins
+    # cover this path unchanged.
+    desc_rows = [
+        (
+            _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))),
+            json.dumps(dv),
+            int(verified[rel][1]),
+        )
+        for rel, dv in sorted(relevant.items())
+    ]
+    total = sum(n for _, _, n in desc_rows)
+    desc = spark.createDataFrame(
+        desc_rows, "__dv_file string, __dv_json string, __dv_card long"
+    )
+
+    def _expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for key, dv_json, card in zip(
+                pdf["__dv_file"], pdf["__dv_json"], pdf["__dv_card"]
+            ):
+                # cardinality was driver-verified against these bytes;
+                # the bound re-guards the (pathological) case of the
+                # blob changing between plan and execution
+                positions = parse_roaring_bitmap_array(
+                    _resolve_dv_blob(base, json.loads(dv_json)),
+                    max_values=int(card),
+                )
+                arr = np.fromiter(
+                    positions, dtype=np.int64, count=len(positions)
+                )
+                # bounded Arrow batches, not one giant frame
+                for i in range(0, len(arr), 1_000_000):
+                    yield pd.DataFrame(
+                        {
+                            "__dv_file": key,
+                            "__dv_idx": arr[i : i + 1_000_000],
+                        }
+                    )
+
+    deleted = desc.repartition(len(desc_rows)).mapInPandas(
+        _expand, "__dv_file string, __dv_idx long"
+    )
+    if total <= MAX_DV_POSITIONS:
+        deleted = F.broadcast(deleted)
     scan = df.select(
         "*",
         # Hadoop renders local paths as file:/abs or file:///abs
@@ -639,7 +688,7 @@ def _apply_dv_filter(
         F.col("_metadata.row_index").alias("__dv_scan_idx"),
     )
     joined = scan.join(
-        F.broadcast(deleted),
+        deleted,
         (scan["__dv_scan_file"] == deleted["__dv_file"])
         & (scan["__dv_scan_idx"] == deleted["__dv_idx"]),
         "left_anti",
@@ -812,7 +861,7 @@ def read_delta_lite(
     )
     if not state.files:
         return spark.createDataFrame([], schema)
-    dv_pos = _dv_positions(base, state.dvs) if state.dvs else {}
+    dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
     if mapping != "none":
         # one footer peek: refuse (rather than silently NULL) tables
         # whose files don't carry the physical names — e.g. foreign
@@ -824,7 +873,7 @@ def read_delta_lite(
     if not phys_part_cols:
         files = [os.path.join(base, p) for p in state.files]
         df = spark.read.schema(phys_schema).parquet(*files)
-        df = _apply_dv_filter(spark, df, base, dv_pos, list(state.files))
+        df = _apply_dv_filter(spark, df, base, dv_ver, list(state.files))
         return _logicalize(df)
 
     if _all_files_hive_layout(state.files, phys_part_cols):
@@ -834,7 +883,7 @@ def read_delta_lite(
             .schema(phys_schema)
             .parquet(*files)
         )
-        scan = _apply_dv_filter(spark, scan, base, dv_pos, list(state.files))
+        scan = _apply_dv_filter(spark, scan, base, dv_ver, list(state.files))
         if mapping == "none":
             # restore declared column order (partition discovery appends
             # partition columns last); under mapping, _logicalize's
@@ -852,7 +901,7 @@ def read_delta_lite(
         df = spark.read.schema(data_schema).parquet(
             *[os.path.join(base, rel) for rel in rels]
         )
-        df = _apply_dv_filter(spark, df, base, dv_pos, rels)
+        df = _apply_dv_filter(spark, df, base, dv_ver, rels)
         for c, v in zip(phys_part_cols, key):
             df = df.withColumn(c, _typed_partition_lit(v, types[c]))
         branches.append(
@@ -1110,7 +1159,14 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     Deliberately more conservative than Delta's retention-based VACUUM:
     files referenced by any historical version are kept, so time travel
     to every committed version keeps working. Returns the removed paths
-    (relative to the table root)."""
+    (relative to the table root).
+
+    Deletion-vector interaction: only ``*.parquet`` files are candidates,
+    so a ``deletion_vector_*.bin`` referenced by the LIVE state can never
+    be deleted here (pinned by test) — but orphaned DV bins are likewise
+    never reclaimed. Conservative-safe by design; if this vacuum ever
+    grows retention semantics, DV files must join the referenced-set
+    accounting first."""
     base = _local(path)
     log_dir = _log_dir(path)
     replay_log(spark, path)  # validates the table before touching files

@@ -68,14 +68,28 @@ def z85_encode(data: bytes) -> str:
     return "".join(out)
 
 
-def _parse_roaring32(
-    buf: bytes, pos: int, max_values: int | None = None
-) -> tuple[set[int], int]:
-    """Parse ONE portable 32-bit roaring bitmap at ``pos``; returns
-    (values, next_pos). Format per the public RoaringFormatSpec.
-    ``max_values`` bounds materialization DURING the parse (checked per
-    container) so an adversarial bitmap cannot exhaust driver memory
-    before a post-hoc check could run."""
+def _walk_roaring32(
+    buf: bytes,
+    pos: int,
+    max_values: int | None = None,
+    out: set[int] | None = None,
+) -> tuple[int, int]:
+    """Walk ONE portable 32-bit roaring bitmap at ``pos``; returns
+    (distinct_value_count, next_pos), collecting the values into ``out``
+    when given. Format per the public RoaringFormatSpec.
+
+    With ``out=None`` this is a COUNT-ONLY pass: memory stays O(one
+    container) — array containers dedup at most 4096 values, bitsets
+    popcount, runs merge as intervals — so a multi-million-row deletion
+    vector can be integrity-verified without materializing positions.
+    Both modes perform the same structural validation and, on valid
+    input, report the same count (container keys are required strictly
+    increasing, as the spec orders them, so no cross-container dedup can
+    make the collected set smaller than the streamed count).
+
+    ``max_values`` bounds materialization DURING the walk (checked per
+    container) so an adversarial bitmap cannot exhaust memory before a
+    post-hoc check could run."""
 
     def need(n: int, what: str) -> None:
         if pos + n > len(buf):
@@ -108,10 +122,20 @@ def _parse_roaring32(
         # offsets enable random access; sequential parse ignores them
         need(4 * n_containers, "offsets")
         pos += 4 * n_containers
-    values: set[int] = set()
+    total = 0
+    prev_key = -1
     for i, (key, card_minus_1) in enumerate(headers):
+        if key <= prev_key:
+            # the spec stores containers sorted by key; accepting a
+            # repeat would let the collected-set and streamed counts
+            # disagree (silent dedup)
+            raise ValueError(
+                f"roaring container keys not strictly increasing "
+                f"({key} after {prev_key})"
+            )
+        prev_key = key
         cardinality = card_minus_1 + 1
-        if max_values is not None and len(values) + cardinality > max_values:
+        if max_values is not None and total + cardinality > max_values:
             raise ValueError(
                 f"roaring bitmap exceeds the {max_values}-value "
                 "materialization bound"
@@ -122,27 +146,57 @@ def _parse_roaring32(
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
             need(4 * n_runs, "runs")
-            for r in range(n_runs):
-                start, length = struct.unpack_from("<HH", buf, pos + 4 * r)
-                values.update(base + v for v in range(start, start + length + 1))
+            # merge as intervals: overlapping/unsorted runs in corrupt
+            # input still count exactly what the collect pass would keep
+            runs = sorted(
+                struct.unpack_from("<HH", buf, pos + 4 * r)
+                for r in range(n_runs)
+            )
+            n_distinct = 0
+            hi = -1
+            for start, length in runs:
+                end = start + length  # inclusive
+                if start > hi:
+                    n_distinct += end - start + 1
+                    hi = end
+                elif end > hi:
+                    n_distinct += end - hi
+                    hi = end
+            total += n_distinct
+            if out is not None:
+                for start, length in runs:
+                    out.update(
+                        base + v for v in range(start, start + length + 1)
+                    )
             pos += 4 * n_runs
         elif cardinality <= 4096:
             need(2 * cardinality, "array container")
-            values.update(
-                base + v
-                for v in struct.unpack_from(f"<{cardinality}H", buf, pos)
-            )
+            vals = struct.unpack_from(f"<{cardinality}H", buf, pos)
+            distinct = set(vals)
+            total += len(distinct)
+            if out is not None:
+                out.update(base + v for v in distinct)
             pos += 2 * cardinality
         else:
             need(8192, "bitset container")
             for word_i in range(1024):
                 (word,) = struct.unpack_from("<Q", buf, pos + 8 * word_i)
-                while word:
-                    low = word & -word
-                    values.add(base + 64 * word_i + low.bit_length() - 1)
-                    word ^= low
+                total += word.bit_count()
+                if out is not None:
+                    while word:
+                        low = word & -word
+                        out.add(base + 64 * word_i + low.bit_length() - 1)
+                        word ^= low
             pos += 8192
-    return values, pos
+        # re-check against ACTUAL content: a run/bitset container whose
+        # descriptive-header cardinality lies low would otherwise slip
+        # past the pre-expansion bound
+        if max_values is not None and total > max_values:
+            raise ValueError(
+                f"roaring bitmap exceeds the {max_values}-value "
+                "materialization bound"
+            )
+    return total, pos
 
 
 def parse_roaring_bitmap_array(
@@ -168,10 +222,40 @@ def parse_roaring_bitmap_array(
     out: set[int] = set()
     for i in range(count):
         budget = None if max_values is None else max_values - len(out)
-        values, pos = _parse_roaring32(data, pos, budget)
+        values: set[int] = set()
+        _, pos = _walk_roaring32(data, pos, budget, values)
         out.update((i << 32) | v for v in values)
     if pos != len(data):
         raise ValueError(
             f"{len(data) - pos} trailing bytes after the last bitmap"
         )
     return out
+
+
+def count_roaring_bitmap_array(data: bytes) -> int:
+    """Exact distinct-value count of a Delta RoaringBitmapArray WITHOUT
+    materializing the values — same structural validation and the same
+    result as ``len(parse_roaring_bitmap_array(data))``, in O(one
+    container) memory. This is the driver-side cardinality-verification
+    path for deletion vectors of arbitrary size (the position expansion
+    itself happens executor-side in delta_lite)."""
+    if len(data) < 12:
+        raise ValueError(f"deletion-vector bitmap too short ({len(data)} B)")
+    magic, count = struct.unpack_from("<iq", data, 0)
+    if magic != ROARING_ARRAY_MAGIC:
+        raise ValueError(
+            f"bad RoaringBitmapArray magic {magic} "
+            f"(expected {ROARING_ARRAY_MAGIC})"
+        )
+    if count < 0:
+        raise ValueError(f"negative bitmap count {count}")
+    pos = 12
+    total = 0
+    for _ in range(count):
+        n, pos = _walk_roaring32(data, pos, None, None)
+        total += n
+    if pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing bytes after the last bitmap"
+        )
+    return total

@@ -455,3 +455,131 @@ def test_dv_composes_with_column_mapping(spark, tmp_path):
     got = read_delta_lite(spark, str(path))
     assert [fld.name for fld in got.schema.fields] == ["id"]
     assert sorted(r.id for r in got.collect()) == [0, 1, 4, 5]
+
+
+# ---- round-7: executor-side DV decode ----------------------------------
+
+
+def _run_bitmap32(runs_by_key: dict[int, list[tuple[int, int]]]) -> bytes:
+    """Hand-serialize ONE 32-bit roaring bitmap whose containers are all
+    RUN containers (cookie 12347; offsets only at >= 4 containers)."""
+    keys = sorted(runs_by_key)
+    n = len(keys)
+    out = struct.pack("<I", 12347 | ((n - 1) << 16))
+    flags = bytearray((n + 7) // 8)
+    for i in range(n):
+        flags[i // 8] |= 1 << (i % 8)
+    out += bytes(flags)
+    containers = b""
+    offsets = []
+    for k in keys:
+        runs = runs_by_key[k]
+        card = sum(length + 1 for _, length in runs)
+        out += struct.pack("<HH", k, card - 1)
+    header_end = len(out) + (4 * n if n >= 4 else 0)
+    for k in keys:
+        runs = runs_by_key[k]
+        offsets.append(header_end + len(containers))
+        containers += struct.pack("<H", len(runs))
+        for start, length in runs:
+            containers += struct.pack("<HH", start, length)
+    if n >= 4:
+        for off in offsets:
+            out += struct.pack("<I", off)
+    return out + containers
+
+
+def test_count_matches_parse_on_goldens():
+    from lcr_etl_upgrade_spark.roaring_lite import count_roaring_bitmap_array
+
+    goldens = [
+        _rbm_array([_bitmap32_array({0: [1, 3, 7], 2: [0]})]),
+        _rbm_array([_bitmap32_array({0: [5]}), _bitmap32_array({0: [9]})]),
+        _rbm_array([_run_bitmap32({0: [(10, 2)]})]),
+        _rbm_array([_run_bitmap32({0: [(0, 100), (50, 100)], 5: [(7, 0)]})]),
+    ]
+    for data in goldens:
+        assert count_roaring_bitmap_array(data) == len(
+            parse_roaring_bitmap_array(data)
+        )
+
+
+def test_count_eleven_million_positions_without_materializing():
+    """A run-encoded DV with >10M positions (above the old driver cap)
+    counts exactly in O(container) memory — the driver-side integrity
+    path for DVs of arbitrary cardinality. 168 full containers of 65536
+    values each + one partial = 11,010,049 values in ~1 KB of bytes."""
+    from lcr_etl_upgrade_spark.roaring_lite import count_roaring_bitmap_array
+
+    full = {k: [(0, 65535)] for k in range(168)}
+    full[168] = [(0, 2048)]
+    data = _rbm_array([_run_bitmap32(full)])
+    assert len(data) < 4096
+    assert count_roaring_bitmap_array(data) == 168 * 65536 + 2049
+
+    # and the parse bound still protects materialization on this blob
+    with pytest.raises(ValueError, match="materialization bound"):
+        parse_roaring_bitmap_array(data, max_values=1000)
+
+
+def test_container_keys_must_strictly_increase():
+    """Duplicate/unsorted container keys would let the streamed count
+    and the collected set disagree (silent dedup) — both walkers refuse."""
+    from lcr_etl_upgrade_spark.roaring_lite import count_roaring_bitmap_array
+
+    # two containers, both key 0 (spec requires sorted unique keys)
+    bad = struct.pack("<II", 12346, 2)
+    bad += struct.pack("<HH", 0, 0) + struct.pack("<HH", 0, 0)
+    data_start = len(bad) + 8
+    bad += struct.pack("<II", data_start, data_start + 2)
+    bad += struct.pack("<H", 1) + struct.pack("<H", 2)
+    blob = _rbm_array([bad])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        parse_roaring_bitmap_array(blob)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        count_roaring_bitmap_array(blob)
+
+
+def test_dv_reads_above_strategy_valve(spark, tmp_path, monkeypatch):
+    """Totals above MAX_DV_POSITIONS no longer refuse: the valve only
+    drops the broadcast hint (shuffled anti-join) and the table still
+    reads correctly — positions decode executor-side either way."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = _write_dv_table(spark, tmp_path, {})
+    monkeypatch.setattr(dl, "MAX_DV_POSITIONS", 2)  # 3 deletions > 2
+    ids = sorted(r.id for r in dl.read_delta_lite(spark, path).collect())
+    assert ids == [0, 2, 4, 5, 6, 8, 9]
+
+
+def test_dv_anti_join_broadcast_below_valve(spark, tmp_path):
+    """The common case (small DVs) keeps the broadcast anti-join plan —
+    no shuffle of the fact side."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    path = _write_dv_table(spark, tmp_path, {})
+    df = read_delta_lite(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert sorted(r.id for r in df.collect()) == [0, 2, 4, 5, 6, 8, 9]
+
+
+def test_vacuum_never_deletes_live_dv_file(spark, tmp_path):
+    """vacuum removes only *.parquet orphans: a deletion-vector bin
+    referenced by the live state survives (and orphaned DV bins are
+    deliberately left in place — conservative-safe, see the docstring)."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite, vacuum
+
+    path = _write_dv_table(spark, tmp_path, {})
+    dv_file = next(
+        f for f in os.listdir(path) if f.startswith("deletion_vector_")
+    )
+    # an orphan parquet that vacuum SHOULD remove, proving it ran
+    with open(os.path.join(path, "orphan.parquet"), "wb") as fh:
+        fh.write(b"PAR1garbagePAR1")
+    removed = vacuum(spark, path)
+    assert "orphan.parquet" in removed
+    assert dv_file in os.listdir(path)
+    assert sorted(r.id for r in read_delta_lite(spark, path).collect()) == [
+        0, 2, 4, 5, 6, 8, 9,
+    ]

@@ -181,6 +181,104 @@ def main() -> None:
                 f"avg={sum(rec) / len(rec):.2f} floor={floor} "
                 f"all_meet_floor={ok} queries={len(rec)}"
             )
+
+        # ---- round-7: scale rows for the r6 operators + cluster
+        # resolution (verdict asks #1/#2) ----
+        from lcr_etl_upgrade_spark.operators.contamination import (
+            contamination_hits,
+            decontaminate,
+        )
+        from lcr_etl_upgrade_spark.operators.dedup import (
+            connected_components,
+            drop_near_dups,
+            near_dup_pairs,
+        )
+        from lcr_etl_upgrade_spark.operators.text import (
+            gopher_quality_flag,
+            repetition_features,
+        )
+
+        def paired(name, build):
+            """best-of-2 noop-write timing at 1x and Nx of a
+            sf_dir -> DataFrame builder."""
+            times = {}
+            for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    build(sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                times[label] = best
+            ratio = times[f"{factor}x"] / max(times["1x"], 1e-9)
+            print(
+                f"{name}: 1x={times['1x']:.2f}s {factor}x="
+                f"{times[f'{factor}x']:.2f}s ratio={ratio:.1f} "
+                f"(data {factor}x)"
+            )
+
+        def docs_of(sf_dir):
+            if sf_dir == BASE:
+                return load_table(spark, sf_dir, "documents")
+            return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        paired("gopher_quality_flag", lambda d: gopher_quality_flag(docs_of(d)))
+        paired("repetition_features", lambda d: repetition_features(docs_of(d)))
+
+        # a ~1k-doc synthetic benchmark drawn from replica 0, so real
+        # 13-gram overlap exists at every scale (replica tokens keep
+        # other replicas clean — the organic regime: contamination RATE
+        # is constant while the corpus grows Nx)
+        bench = (
+            load_table(spark, BASE, "documents")
+            .orderBy("doc_id")
+            .limit(1000)
+            .select("doc_id", "text")
+        )
+        bench.persist().count()
+        n_hits = contamination_hits(
+            docs_of(out_dir), bench, id_col="doc_id"
+        ).count()
+        print(f"contamination_hits @ {factor}x: {n_hits} contaminated docs")
+        paired(
+            "contamination_hits",
+            lambda d: contamination_hits(docs_of(d), bench, id_col="doc_id"),
+        )
+        paired(
+            "decontaminate",
+            lambda d: decontaminate(docs_of(d), bench, id_col="doc_id"),
+        )
+
+        # cluster resolution: materialize the pair relation once per
+        # scale (pair generation is already measured above under
+        # doc_minhash_near_dup), then time components + survivor drop
+        for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
+            near_dup_pairs(docs_of(sf_dir), "text", "doc_id").select(
+                "doc_a", "doc_b"
+            ).write.mode("overwrite").parquet(f"{out_dir}/pairs_{label}.parquet")
+
+        def pairs_of(sf_dir):
+            label = "1x" if sf_dir == BASE else f"{factor}x"
+            return spark.read.parquet(f"{out_dir}/pairs_{label}.parquet")
+
+        stats = {}
+        cc = connected_components(pairs_of(out_dir), _stats=stats)
+        n_ids = cc.count()
+        n_comp = cc.select("component").distinct().count()
+        print(
+            f"connected_components @ {factor}x: ids={n_ids} "
+            f"components={n_comp} iterations={stats['iterations']}"
+        )
+        paired(
+            "connected_components",
+            lambda d: connected_components(pairs_of(d)),
+        )
+        paired(
+            "drop_near_dups",
+            lambda d: drop_near_dups(docs_of(d), pairs_of(d), "doc_id"),
+        )
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
