@@ -299,3 +299,128 @@ def pack_sequences(
             offset_col: offset.cast("long"),
         }
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher: bool = True,
+    gopher_kwargs: dict | None = None,
+    exact: bool = True,
+    near_dup: bool = True,
+    near_dup_kwargs: dict | None = None,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
+    contam_n: int = 13,
+    chunk_tokens: int | None = None,
+    overlap_tokens: int = 0,
+    pack_budget: int | None = None,
+    pack_shards: int | None = None,
+    observations: dict | None = None,
+) -> DataFrame:
+    """The end-to-end published curation recipe as ONE composition:
+
+        gopher-flag filter -> exact dedup -> near-dup drop
+        -> decontaminate -> chunk -> pack
+
+    Every stage is optional (``gopher=False``, ``benchmark=None``,
+    ``chunk_tokens=None``, ... skip it) and the composition is pinned by
+    test to equal applying the stages individually, with NO extra
+    shuffles introduced by the composition itself.
+
+    Execution shape: the lazy stages (gopher filter, decontaminate's
+    emit pass, chunking, packing) fuse into one plan — passing
+    ``observations={}`` attaches a named ``Observation`` per lazy stage
+    boundary (filled into the dict; read ``.get`` after an action) so
+    per-stage surviving-row counts ride the SAME job instead of
+    recounting. The dedup stages necessarily run their own jobs first
+    (exact dedup aggregates; near-dup resolves candidate pairs into
+    connected components — the operators document their shuffle
+    budgets), exactly like the published pipelines they implement.
+
+    Near-dup drop uses ``near_dup_pairs`` -> ``drop_near_dups``
+    (components, not raw pairs — transitively-linked groups keep ONE
+    survivor). ``near_dup_kwargs`` passes through (num_hashes, bands,
+    shingle_n, threshold). ``pack_shards`` hashes documents into that
+    many pack groups so the packing window stays bounded at scale;
+    required when ``pack_budget`` is set."""
+    from pyspark.sql import Observation
+
+    from lcr_etl_upgrade_spark.operators.contamination import decontaminate
+    from lcr_etl_upgrade_spark.operators.dedup import (
+        drop_near_dups,
+        exact_dedup,
+        near_dup_pairs,
+    )
+    from lcr_etl_upgrade_spark.operators.text import gopher_quality_flag
+
+    def _observe(stage: str, d: DataFrame) -> DataFrame:
+        if observations is None:
+            return d
+        obs = Observation()
+        observations[stage] = obs
+        return d.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    out = df
+    if gopher:
+        flagged = gopher_quality_flag(out, text_col, **(gopher_kwargs or {}))
+        # keep the caller's columns: the flag's feature columns are
+        # implementation detail of the filter, not pipeline output
+        out = _observe(
+            "gopher", flagged.filter("passes_gopher").select(*df.columns)
+        )
+    if exact:
+        survivors = exact_dedup(out, [text_col], id_col).select(id_col)
+        out = _observe("exact", out.join(survivors, id_col, "left_semi"))
+    if near_dup:
+        # widen=False: `out` sits behind joins/aggs by now — the
+        # partition probe would execute those exchanges just to read a
+        # count (see _fan_out)
+        pairs = near_dup_pairs(
+            out, text_col, id_col, widen=False, **(near_dup_kwargs or {})
+        )
+        out = _observe("near_dup", drop_near_dups(out, pairs, id_col))
+    if benchmark is not None:
+        out = _observe(
+            "decontaminate",
+            decontaminate(
+                out,
+                benchmark,
+                n=contam_n,
+                text_col=text_col,
+                id_col=id_col,
+                bench_text_col=bench_text_col,
+            ),
+        )
+    if chunk_tokens is not None:
+        out = _observe(
+            "chunk",
+            chunk_documents(
+                out, text_col, id_col, chunk_tokens, overlap_tokens
+            ),
+        )
+    if pack_budget is not None:
+        if chunk_tokens is None:
+            raise ValueError("pack_budget requires chunk_tokens")
+        if pack_shards is None:
+            raise ValueError(
+                "pack_budget requires pack_shards (a global packing "
+                "window would single-thread the corpus; pick shards "
+                "~= corpus tokens / (budget * rows-per-task))"
+            )
+        sharded = out.withColumn(
+            "pack_group", F.pmod(F.xxhash64(id_col), F.lit(pack_shards))
+        )
+        out = _observe(
+            "pack",
+            pack_sequences(
+                sharded,
+                "n_tokens",
+                [id_col, "chunk_id"],
+                pack_budget,
+                group_col="pack_group",
+            ),
+        )
+    return out

@@ -319,3 +319,159 @@ def test_ungated_kind_redacts_on_digit_free_rows(spark, monkeypatch):
     out = curation.redact_pii(df, "text", kinds=("codeword",))
     got = sorted(r.text for r in out.collect())
     assert got == ["call me at <CODE> ok", "no secrets here"]
+
+
+def _curation_corpus(spark):
+    """Small corpus exercising every stage: a too-short doc (gopher
+    drop), exact duplicates, a transitively-linked near-dup trio, and a
+    benchmark-contaminated doc."""
+    base_words = " ".join(
+        f"the quick brown fox number {i} jumps over the lazy dog and then"
+        for i in range(12)
+    )
+    near_a = base_words
+    near_b = base_words.replace("number 3", "number three")
+    near_c = base_words.replace("number 3", "number three").replace(
+        "number 7", "number seven"
+    )
+    contaminated = (
+        "completely different opening words here so no near dup overlap "
+        + " ".join(f"benchmark secret token {i} for the eval set" for i in range(20))
+    )
+    clean = " ".join(
+        f"this is the clean unrelated document sentence {i} and it stays"
+        for i in range(12)
+    )
+    rows = [
+        (1, "too short"),
+        (2, near_a),
+        (3, near_a),          # exact dup of 2
+        (4, near_b),          # near dup of 2
+        (5, near_c),          # near dup of 4 (transitively of 2)
+        (6, contaminated),
+        (7, clean),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bench_df(spark):
+    bench = " ".join(f"benchmark secret token {i} for the eval set" for i in range(20))
+    return spark.createDataFrame([(0, bench)], ["bid", "text"])
+
+
+def test_curate_corpus_matches_individual_stages(spark):
+    from lcr_etl_upgrade_spark.operators.contamination import decontaminate
+    from lcr_etl_upgrade_spark.operators.curation import (
+        chunk_documents,
+        curate_corpus,
+        pack_sequences,
+    )
+    from lcr_etl_upgrade_spark.operators.dedup import (
+        drop_near_dups,
+        exact_dedup,
+        near_dup_pairs,
+    )
+    from lcr_etl_upgrade_spark.operators.text import gopher_quality_flag
+
+    df = _curation_corpus(spark)
+    bench = _bench_df(spark)
+    nd_kwargs = dict(num_hashes=16, bands=8, shingle_n=3, threshold=0.5)
+
+    # individual stages, applied by hand in the documented order
+    manual = (
+        gopher_quality_flag(df, "text", min_tokens=20)
+        .filter("passes_gopher")
+        .select("doc_id", "text")
+    )
+    manual = manual.join(
+        exact_dedup(manual, ["text"], "doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    manual = drop_near_dups(
+        manual,
+        near_dup_pairs(manual, "text", "doc_id", widen=False, **nd_kwargs),
+        "doc_id",
+    )
+    manual = decontaminate(manual, bench, id_col="doc_id")
+    manual = chunk_documents(manual, "text", "doc_id", 16, 0)
+    manual_packed = pack_sequences(
+        manual.withColumn(
+            "pack_group", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+        ),
+        "n_tokens",
+        ["doc_id", "chunk_id"],
+        32,
+        group_col="pack_group",
+    )
+
+    composed = curate_corpus(
+        df,
+        gopher_kwargs={"min_tokens": 20},
+        near_dup_kwargs=nd_kwargs,
+        benchmark=bench,
+        chunk_tokens=16,
+        pack_budget=32,
+        pack_shards=4,
+    )
+    a = sorted(map(tuple, composed.collect()))
+    b = sorted(map(tuple, manual_packed.collect()))
+    assert a == b
+    # semantics spot-check: 1 gone (short), one of {2,3} gone (exact),
+    # 4/5 gone (near-dup component keeps min id 2), 6 gone (contam),
+    # chunks only for docs 2 and 7
+    assert {r[0] for r in a} == {2, 7}
+
+
+def test_curate_corpus_observations_ride_one_action(spark):
+    from lcr_etl_upgrade_spark.operators.curation import curate_corpus
+
+    df = _curation_corpus(spark)
+    obs = {}
+    out = curate_corpus(
+        df,
+        gopher_kwargs={"min_tokens": 20},
+        near_dup_kwargs=dict(num_hashes=16, bands=8, threshold=0.5),
+        benchmark=_bench_df(spark),
+        observations=obs,
+    )
+    out.write.format("noop").mode("overwrite").save()
+    counts = {k: v.get["rows"] for k, v in obs.items()}
+    assert counts == {
+        "gopher": 6,       # doc 1 dropped
+        "exact": 5,        # doc 3 dropped
+        "near_dup": 3,     # docs 4, 5 dropped
+        "decontaminate": 2,  # doc 6 dropped
+    }
+
+
+def test_curate_corpus_composition_adds_no_shuffles(spark):
+    """The composed lazy tail (decontaminate-emit + chunk + pack) must
+    not introduce exchanges beyond what the stages themselves own: with
+    all dedup stages off, the plan from corpus to packed output carries
+    exactly ONE exchange (the packing window's shard shuffle)."""
+    from lcr_etl_upgrade_spark.operators.curation import curate_corpus
+
+    df = _curation_corpus(spark)
+    out = curate_corpus(
+        df,
+        gopher=False,
+        exact=False,
+        near_dup=False,
+        benchmark=None,
+        chunk_tokens=16,
+        pack_budget=32,
+        pack_shards=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_curate_corpus_argument_contracts(spark):
+    from lcr_etl_upgrade_spark.operators.curation import curate_corpus
+
+    df = _curation_corpus(spark)
+    with pytest.raises(ValueError, match="requires chunk_tokens"):
+        curate_corpus(df, pack_budget=32, pack_shards=4)
+    with pytest.raises(ValueError, match="requires pack_shards"):
+        curate_corpus(df, chunk_tokens=16, pack_budget=32)
