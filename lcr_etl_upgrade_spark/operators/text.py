@@ -168,15 +168,32 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       Gopher structural-noise signals).
 
     NULL text yields NULL features; empty/whitespace-only text yields
-    zero lines and zero ratios."""
+    zero lines and zero ratios.
+
+    Scale shape (measured on the 500k-doc 100x corpus, SCALE.md): the
+    line/paragraph arrays are materialized ONCE in their own projection
+    and every signal reads that column — withColumns over the raw text
+    would re-split per referencing signal (higher-order array exprs see
+    no cross-column CSE; 36.0 s -> 15.3 s paired). Catalyst keeps the
+    two projections apart because re-inlining a multi-referenced
+    non-cheap alias is exactly what CollapseProject refuses to do. The
+    bullet/ellipsis counters run as (?m) ``regexp_count`` directly on
+    the text instead of per-line interpreted rlike filters; the array
+    path survives only where arrays are semantically required
+    (distinct/longest-line)."""
     c = F.col(text_col)
     stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
 
     def _nonempty(parts: Column) -> Column:
         return F.filter(parts, lambda s: F.length(F.trim(s)) > 0)
 
-    lines = _nonempty(F.split(stripped, r"\n"))
-    paras = _nonempty(F.split(stripped, r"\n\s*\n"))
+    tmp = df.withColumns(
+        {
+            "__rep_lines": _nonempty(F.split(stripped, r"\n")),
+            "__rep_paras": _nonempty(F.split(stripped, r"\n\s*\n")),
+        }
+    )
+    lines, paras = F.col("__rep_lines"), F.col("__rep_paras")
     n_lines = F.size(lines)
     n_paras = F.size(paras)
 
@@ -189,13 +206,19 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     total_chars = F.aggregate(
         line_lens, F.lit(0), lambda acc, x: acc + x
     )
-    bullet = F.size(
-        F.filter(lines, lambda s: F.trim(s).rlike(r"^([-*•▪●]|\d+[.)])\s"))
+    # one multiline regex scan each instead of a per-line interpreted
+    # rlike filter. A bullet line = optional horizontal whitespace,
+    # marker, horizontal whitespace, then CONTENT — the old trim-based
+    # formulation accidentally counted a tab-only tail ("-\t") because
+    # F.trim strips spaces only; this one is consistent. An ellipsis
+    # line = "..."/"…" then only horizontal whitespace (incl. tabs —
+    # same F.rtrim space-only accident fixed) to end of line. Both
+    # match at most once per line (^ anchors; $ requires the tail).
+    bullet = F.regexp_count(
+        stripped, F.lit(r"(?m)^[^\S\n]*(?:[-*•▪●]|\d+[.)])[^\S\n]+\S")
     )
-    ellipsis = F.size(
-        F.filter(lines, lambda s: F.rtrim(s).rlike(r"(\.\.\.|…)$"))
-    )
-    return df.withColumns(
+    ellipsis = F.regexp_count(stripped, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$"))
+    return tmp.withColumns(
         {
             "n_lines": n_lines.cast("long"),
             "dup_line_ratio": _dup_ratio(lines, n_lines),
@@ -211,7 +234,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ellipsis.cast("double") / n_lines
             ),
         }
-    )
+    ).drop("__rep_lines", "__rep_paras")
 
 
 def gopher_quality_flag(
@@ -235,22 +258,27 @@ def gopher_quality_flag(
     distinct-position stopword hits. Composes ``repetition_features``
     plus token signals — all codegen expressions, so the flag evaluates
     at scan speed and pushes down as a plain filter when used in
-    ``df.filter``."""
+    ``df.filter``.
+
+    The token-level signals never materialize a token array: a token is
+    a maximal ``\\S+`` run, so "tokens containing a letter" is one
+    ``regexp_count(text, '\\S*[letter]\\S*')`` (the greedy runs make
+    exactly one match per qualifying token) and "tokens equal to a
+    stopword" is one whitespace-lookaround alternation — measured 22.8 s
+    -> 8.6 s and 20.9 s -> 7.3 s respectively on the 500k-doc 100x
+    corpus vs the interpreted per-token filter lambdas (SCALE.md)."""
     c = F.col(text_col)
-    toks = tokens_expr(c)
     n_tokens = F.regexp_count(c, F.lit(r"\S+"))
     avg_len = F.length(F.regexp_replace(c, "\\s", "")).cast("double") / F.greatest(
         n_tokens, F.lit(1)
     )
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
-    alpha_words = F.size(
-        F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ɏ]"))
-    )
-    stop_hits = F.size(
-        F.filter(
-            tokens_expr(F.lower(c)),
-            lambda t: t.isin(*LANG_STOPWORDS["en"]),
-        )
+    alpha_words = F.regexp_count(c, F.lit(r"\S*[A-Za-zÀ-ɏ]\S*"))
+    stop_hits = F.regexp_count(
+        F.lower(c),
+        F.lit(
+            r"(?<!\S)(?:" + "|".join(LANG_STOPWORDS["en"]) + r")(?!\S)"
+        ),
     )
     with_rep = repetition_features(df, text_col)
     passes = (

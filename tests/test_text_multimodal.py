@@ -554,3 +554,75 @@ def test_gopher_flag_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=" \t\n\r.…#-*•0123456789abcdefTHEandofX…é",
+            max_size=60,
+        ),
+        max_size=5,
+    )
+)
+def test_gopher_regexp_signals_match_array_formulation(spark, texts):
+    """The regexp_count formulations of alpha-word and stopword-hit
+    counts (r7 scale rewrite) must equal the per-token array-filter
+    formulation on hostile whitespace/punctuation mixes."""
+    from lcr_etl_upgrade_spark.operators.text import (
+        LANG_STOPWORDS,
+        tokens_expr,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] or [(0, "")]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    c = F.col("text")
+    toks = tokens_expr(c)
+    got = df.select(
+        "i",
+        F.regexp_count(c, F.lit(r"\S*[A-Za-zÀ-ɏ]\S*")).alias("alpha_re"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ɏ]"))).alias(
+            "alpha_arr"
+        ),
+        F.regexp_count(
+            F.lower(c),
+            F.lit(
+                r"(?<!\S)(?:" + "|".join(LANG_STOPWORDS["en"]) + r")(?!\S)"
+            ),
+        ).alias("stop_re"),
+        F.size(
+            F.filter(
+                tokens_expr(F.lower(c)),
+                lambda t: t.isin(*LANG_STOPWORDS["en"]),
+            )
+        ).alias("stop_arr"),
+    ).collect()
+    for r in got:
+        assert r.alpha_re == r.alpha_arr, (texts[r.i], r)
+        assert r.stop_re == r.stop_arr, (texts[r.i], r)
+
+
+def test_repetition_bullet_ellipsis_tab_edges(spark):
+    """The (?m) regex counters fix two F.trim/F.rtrim space-only
+    accidents: a bullet whose tail is only a tab does NOT count, and an
+    ellipsis followed by a trailing tab DOES."""
+    from lcr_etl_upgrade_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "- item one\n-\t\nplain line"),       # 1 bullet of 3 lines
+        (2, "ends with dots...\t\nanother...x"),  # 1 ellipsis of 2 lines
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r.i: r
+        for r in repetition_features(df).collect()
+    }
+    assert got[1].n_lines == 3
+    assert abs(got[1].bullet_line_ratio - 1 / 3) < 1e-9
+    assert got[2].n_lines == 2
+    assert abs(got[2].ellipsis_line_ratio - 1 / 2) < 1e-9
