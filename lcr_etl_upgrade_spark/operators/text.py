@@ -58,12 +58,30 @@ def bpe_ish_token_count_expr(col: Column) -> Column:
     return F.greatest(words, F.ceil(F.length(col) / 4)).cast("long")
 
 
-def stopword_ratio_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
-    toks = tokens_expr(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
-        "stopword_ratio"
+def stopword_hits_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens exactly equal to a stopword, as ONE
+    ``regexp_count`` scan: ``(?<!\\S)(?:w1|w2|...)(?!\\S)`` matches a
+    stopword only at token boundaries (lookarounds make alternation
+    order irrelevant), exactly once per qualifying ``\\S+`` run — equal
+    to the per-token ``isin`` array filter by construction (hypothesis
+    differential pin in tests/test_text_multimodal.py), but inside
+    whole-stage codegen instead of an interpreted higher-order lambda
+    (measured 20.9 s -> 7.3 s per signal on the 500k-doc 100x corpus,
+    SCALE.md r7)."""
+    return F.regexp_count(
+        F.lower(col),
+        F.lit(r"(?<!\S)(?:" + "|".join(stopwords) + r")(?!\S)"),
     )
+
+
+def stopword_ratio_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
+    hits = stopword_hits_expr(col, stopwords)
+    # denominator: token_count_expr == size(tokens_expr) by the pinned
+    # equivalence (lowering changes no whitespace)
+    return (
+        hits.cast("double")
+        / F.greatest(token_count_expr(col), F.lit(1))
+    ).alias("stopword_ratio")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,15 +123,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure expressions: one pass, a score column per language, greatest()
     for the argmax. Ties resolve by language code order (deterministic).
-    """
-    toks = tokens_expr(F.lower(F.col(text_col)))
-
-    def hits(sw: tuple[str, ...]) -> Column:
-        # Factory closure: a `sw=sw` default arg would change the lambda's
-        # arity and PySpark would bind the 2-arg (element, index) form.
-        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
-
-    scores = {lang: hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    Each language's hit count is one ``stopword_hits_expr`` regex scan —
+    five scans total instead of five interpreted per-token filters over
+    a materialized token array (measured 109.3 s -> ~34 s on the
+    500k-doc 100x corpus, SCALE.md r7; result values identical, oracle
+    hash unchanged)."""
+    scores = {
+        lang: stopword_hits_expr(F.col(text_col), sw)
+        for lang, sw in LANG_STOPWORDS.items()
+    }
     best = None
     best_lang = F.lit("und")
     # Fold right-to-left so earlier languages win ties.
@@ -274,12 +292,7 @@ def gopher_quality_flag(
     )
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
     alpha_words = F.regexp_count(c, F.lit(r"\S*[A-Za-zÀ-ɏ]\S*"))
-    stop_hits = F.regexp_count(
-        F.lower(c),
-        F.lit(
-            r"(?<!\S)(?:" + "|".join(LANG_STOPWORDS["en"]) + r")(?!\S)"
-        ),
-    )
+    stop_hits = stopword_hits_expr(c, LANG_STOPWORDS["en"])
     with_rep = repetition_features(df, text_col)
     passes = (
         (n_tokens >= min_tokens)

@@ -626,3 +626,45 @@ def test_repetition_bullet_ellipsis_tab_edges(spark):
     assert abs(got[1].bullet_line_ratio - 1 / 3) < 1e-9
     assert got[2].n_lines == 2
     assert abs(got[2].ellipsis_line_ratio - 1 / 2) < 1e-9
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=" \t\n的是了在我und der die le la el los que"
+            "toinisaofthe我有和.x",
+            max_size=50,
+        ),
+        max_size=4,
+    )
+)
+def test_stopword_hits_regex_matches_isin_all_languages(spark, texts):
+    """stopword_hits_expr == per-token isin for every LANG_STOPWORDS
+    entry, including the CJK lists (no whitespace segmentation)."""
+    from lcr_etl_upgrade_spark.operators.text import (
+        LANG_STOPWORDS,
+        stopword_hits_expr,
+        tokens_expr,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] or [(0, "")]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    c = F.col("text")
+    def arr_hits(sw):
+        # factory: a default-arg lambda would change arity and bind the
+        # 2-arg (element, index) filter form
+        return F.size(F.filter(tokens_expr(F.lower(c)), lambda t: t.isin(*sw)))
+
+    cols = []
+    for lang, sw in LANG_STOPWORDS.items():
+        cols.append(stopword_hits_expr(c, sw).alias(f"re_{lang}"))
+        cols.append(arr_hits(sw).alias(f"arr_{lang}"))
+    got = df.select("i", *cols).collect()
+    for r in got:
+        for lang in LANG_STOPWORDS:
+            assert r[f"re_{lang}"] == r[f"arr_{lang}"], (texts[r.i], lang, r)
