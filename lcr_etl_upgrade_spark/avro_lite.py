@@ -29,7 +29,11 @@ all shapes: ``[null, T]`` is nullable T; multi-branch all-numeric
 unions widen along Avro's promotion chain (int->long->float->double);
 any other multi-branch union reads as ``string`` with a documented
 per-branch rendering (verbatim strings, base64 bytes, canonical JSON
-otherwise). The WRITE side emits only ``[null, T]``,
+otherwise). The WRITE side emits ``[null, T]`` from Spark schemas, and
+``encode_container`` additionally writes MULTI-branch unions with
+value-driven branch selection (first matching branch; bool before int,
+32-bit range respected, int->float/double promotion as a fallback —
+logical-typed branches inside multi-branch unions refuse),
 logical date (int days) and timestamp-micros (long). Codecs: ``null``
 and ``deflate``, both directions (deflate = raw RFC 1951 block, no
 zlib wrapper, per the spec). Anything else raises NotImplementedError
@@ -452,6 +456,61 @@ def decode_container(data: bytes) -> tuple[dict, list]:
 # ---------------------------------------------------------------- encode --
 
 
+def _union_branch_index(schema: list, v) -> int:
+    """First multi-branch union member that can carry the Python value
+    ``v`` (write-side branch selection; first match wins, mirroring the
+    spec's resolution order). Python ``bool`` is tested before ``int``
+    (it subclasses int); an int outside 32-bit range skips an ``int``
+    branch; an int with only float/double branches promotes in a second
+    pass. Logical-typed branches inside MULTI-branch unions are not
+    sniffed (a ``[null, T]`` logical branch is — see the caller) and
+    fail loudly, as does any unmatched value."""
+
+    def tname(s):
+        return s if isinstance(s, str) else s["type"]
+
+    for i, s in enumerate(schema):
+        t = tname(s)
+        if isinstance(s, dict) and _logical(s):
+            continue  # not sniffable; documented refusal below
+        if v is None and t == "null":
+            return i
+        if isinstance(v, bool):
+            if t == "boolean":
+                return i
+            continue
+        if isinstance(v, int) and t in ("int", "long"):
+            if t == "int" and not -(2**31) <= v < 2**31:
+                continue
+            return i
+        if isinstance(v, float) and t in ("float", "double"):
+            return i
+        if isinstance(v, str):
+            if t == "string":
+                return i
+            if t == "enum" and v in s.get("symbols", ()):
+                return i
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            if t == "bytes":
+                return i
+            if t == "fixed" and len(v) == s["size"]:
+                return i
+            continue
+        if isinstance(v, dict) and t in ("map", "record"):
+            return i
+        if isinstance(v, (list, tuple)) and t == "array":
+            return i
+    if isinstance(v, int) and not isinstance(v, bool):
+        for i, s in enumerate(schema):
+            if tname(s) in ("float", "double"):
+                return i
+    raise ValueError(
+        f"no union branch in {schema!r} accepts "
+        f"{type(v).__name__} value {v!r}"
+    )
+
+
 def _encoder(schema):
     """Compile an avro schema into ``f(BytesIO, value) -> None``."""
     if isinstance(schema, str):
@@ -466,15 +525,27 @@ def _encoder(schema):
             "string": lambda o, v: _write_bytes(o, v.encode("utf-8")),
         }
         return simple[schema]
-    if isinstance(schema, list):  # writer only emits [null, T]
-        enc = _encoder([s for s in schema if s != "null"][0])
+    if isinstance(schema, list):
+        subs = [_encoder(s) for s in schema]
+        null_idx = schema.index("null") if "null" in schema else None
+        non_null_idx = [i for i, s in enumerate(schema) if s != "null"]
 
         def union(o, v):
             if v is None:
-                _write_long(o, schema.index("null"))
+                if null_idx is None:
+                    raise ValueError(
+                        f"union {schema!r} has no null branch for None"
+                    )
+                _write_long(o, null_idx)
+                return
+            if len(non_null_idx) == 1:
+                # [null, T] / [T]: no sniffing — preserves every
+                # logical-type value the single branch already accepts
+                i = non_null_idx[0]
             else:
-                _write_long(o, 1 - schema.index("null"))
-                enc(o, v)
+                i = _union_branch_index(schema, v)
+            _write_long(o, i)
+            subs[i](o, v)
 
         return union
     t = schema["type"]

@@ -643,3 +643,102 @@ def test_union_branch_index_out_of_range_fails_loudly():
         )
         with pytest.raises(ValueError, match="union branch index"):
             decode_container(data)
+
+
+def test_multi_branch_union_write_golden_bytes():
+    """Write-side multi-branch unions: encode_container emits the same
+    bytes as a hand-composed ["int","string"] container (r6 verdict ask
+    #6), and the general matcher picks long/boolean branches by value."""
+    from lcr_etl_upgrade_spark.avro_lite import encode_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["int", "string"]}],
+    }
+    sync = bytes(range(16))
+    got = encode_container(schema, [{"v": 42}, {"v": "forty-two"}], sync=sync)
+    rows_bytes = _zz(0) + _zz(42) + _zz(1) + _s("forty-two")
+    want = (
+        b"Obj\x01"
+        + _zz(2)
+        + _s("avro.schema") + _s(json.dumps(schema))
+        + _s("avro.codec") + _s("null")
+        + _zz(0) + sync
+        + _zz(2) + _zz(len(rows_bytes)) + rows_bytes + sync
+    )
+    assert got == want
+
+    # decode round-trip renders per the documented string-fallback rule
+    _, rows = decode_container(got)
+    assert rows == [{"v": "42"}, {"v": "forty-two"}]
+
+
+def test_multi_branch_union_write_branch_selection():
+    from lcr_etl_upgrade_spark.avro_lite import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "v", "type": ["null", "boolean", "int", "long", "string"]}
+        ],
+    }
+    rows_in = [
+        {"v": None},
+        {"v": True},          # bool before int (bool subclasses int)
+        {"v": 7},             # fits int32 -> int branch
+        {"v": 1 << 40},       # overflows int32 -> long branch
+        {"v": "x"},
+    ]
+    _, rows = decode_container(encode_container(schema, rows_in))
+    assert rows == [
+        {"v": None},
+        {"v": "true"},
+        {"v": "7"},
+        {"v": str(1 << 40)},
+        {"v": "x"},
+    ]
+
+
+def test_multi_branch_union_write_errors():
+    from lcr_etl_upgrade_spark.avro_lite import encode_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["int", "string"]}],
+    }
+    with pytest.raises(ValueError, match="no null branch"):
+        encode_container(schema, [{"v": None}])
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_container(schema, [{"v": b"bytes"}])
+
+
+def test_multi_branch_union_write_read_through_spark(spark, tmp_path):
+    """write(encode_container) -> read_avro_lite round-trip of an
+    ["int","string"] union field as a rendered string column."""
+    from lcr_etl_upgrade_spark.avro_lite import (
+        encode_container,
+        read_avro_lite,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["int", "string"]},
+        ],
+    }
+    d = tmp_path / "mu"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        encode_container(schema, [{"id": 1, "v": 10}, {"id": 2, "v": "ten"}])
+    )
+    got = read_avro_lite(spark, str(d))
+    assert dict(got.dtypes)["v"] == "string"
+    assert {(r.id, r.v) for r in got.collect()} == {(1, "10"), (2, "ten")}
