@@ -498,7 +498,37 @@ def _union_branch_index(schema: list, v) -> int:
                 return i
             continue
         if isinstance(v, dict) and t in ("map", "record"):
-            return i
+            dict_branches = [
+                (j, s2)
+                for j, s2 in enumerate(schema)
+                if tname(s2) in ("map", "record")
+            ]
+            if len(dict_branches) == 1:
+                return i
+            # ambiguous: several dict-accepting branches. A record
+            # matches only on EXACT field-name set (the record encoder
+            # fills missing names with None — a near-miss would silently
+            # write a wrong-branch row of nulls); a map branch matches
+            # any remaining dict only if it is the sole map.
+            record_hits = [
+                j
+                for j, s2 in dict_branches
+                if tname(s2) == "record"
+                and {f["name"] for f in s2["fields"]} == set(v)
+            ]
+            if len(record_hits) == 1:
+                return record_hits[0]
+            map_hits = [
+                j for j, s2 in dict_branches if tname(s2) == "map"
+            ]
+            if not record_hits and len(map_hits) == 1:
+                return map_hits[0]
+            raise ValueError(
+                f"ambiguous union branch for dict with keys "
+                f"{sorted(v)} in {schema!r}: "
+                f"{len(record_hits)} exact record matches, "
+                f"{len(map_hits)} map branches"
+            )
         if isinstance(v, (list, tuple)) and t == "array":
             return i
     if isinstance(v, int) and not isinstance(v, bool):

@@ -70,7 +70,7 @@ from pyspark.sql import types as T
 
 from lcr_etl_upgrade_spark.roaring_lite import (
     count_roaring_bitmap_array,
-    parse_roaring_bitmap_array,
+    iter_roaring_bitmap_array,
     z85_decode,
 )
 
@@ -650,26 +650,37 @@ def _apply_dv_filter(
         import numpy as np
         import pandas as pd
 
+        CHUNK = 1_000_000
         for pdf in batches:
             for key, dv_json, card in zip(
                 pdf["__dv_file"], pdf["__dv_json"], pdf["__dv_card"]
             ):
-                # cardinality was driver-verified against these bytes;
-                # the bound re-guards the (pathological) case of the
-                # blob changing between plan and execution
-                positions = parse_roaring_bitmap_array(
+                # STREAMED expansion: per-container batches (≤65,536
+                # values each) re-chunked into bounded Arrow frames, so
+                # even a single multi-hundred-million-row DV never
+                # materializes whole in this worker. The cardinality was
+                # driver-verified against these bytes; the bound
+                # re-guards the (pathological) case of the blob changing
+                # between plan and execution.
+                buf: list[int] = []
+                for container in iter_roaring_bitmap_array(
                     _resolve_dv_blob(base, json.loads(dv_json)),
                     max_values=int(card),
-                )
-                arr = np.fromiter(
-                    positions, dtype=np.int64, count=len(positions)
-                )
-                # bounded Arrow batches, not one giant frame
-                for i in range(0, len(arr), 1_000_000):
+                ):
+                    buf.extend(container)
+                    if len(buf) >= CHUNK:
+                        yield pd.DataFrame(
+                            {
+                                "__dv_file": key,
+                                "__dv_idx": np.asarray(buf, dtype=np.int64),
+                            }
+                        )
+                        buf = []
+                if buf:
                     yield pd.DataFrame(
                         {
                             "__dv_file": key,
-                            "__dv_idx": arr[i : i + 1_000_000],
+                            "__dv_idx": np.asarray(buf, dtype=np.int64),
                         }
                     )
 

@@ -378,10 +378,23 @@ def curate_corpus(
         # widen=False: `out` sits behind joins/aggs by now — the
         # partition probe would execute those exchanges just to read a
         # count (see _fan_out)
+        caches: list = []
         pairs = near_dup_pairs(
-            out, text_col, id_col, widen=False, **(near_dup_kwargs or {})
+            out,
+            text_col,
+            id_col,
+            widen=False,
+            caches=caches,
+            **(near_dup_kwargs or {}),
         )
         out = _observe("near_dup", drop_near_dups(out, pairs, id_col))
+        # drop_near_dups consumed the pair relation EAGERLY (connected
+        # components iterates to a fixpoint with localCheckpoint'd
+        # edges), so nothing downstream references the persisted
+        # shingle/bucket relations — release them here instead of
+        # leaking two corpus-sized caches per curate_corpus call
+        for cached in caches:
+            cached.unpersist()
     if benchmark is not None:
         out = _observe(
             "decontaminate",

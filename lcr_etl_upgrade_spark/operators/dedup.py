@@ -562,6 +562,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     widen: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """Composite L2 pipeline: shingle once -> MinHash -> LSH candidates ->
     exact-Jaccard verify -> threshold.
@@ -569,13 +570,18 @@ def near_dup_pairs(
     The shingle relation and the (tiny) candidate set are persisted so the
     consumers share one computation instead of re-deriving the whole
     lineage per branch. MEMORY_AND_DISK, so at cluster scale this spills
-    rather than OOMs; unpersist is the caller's choice.
+    rather than OOMs; unpersist is the caller's choice — pass ``caches``
+    (a list) to receive the persisted DataFrames so a long-lived driver
+    (curate_corpus, a multi-corpus loop) can unpersist once the pair
+    relation's consumers have run.
 
     Pass ``widen=False`` when ``df`` sits behind a shuffle (join/agg
     output): the _fan_out partition probe would execute those exchanges
     once just to read a count (see _fan_out's docstring).
     """
     st = shingle_hashes(df, text_col, id_col, shingle_n, widen=widen).persist()
+    if caches is not None:
+        caches.append(st)
     sigs = minhash_from_tokens(st, id_col, num_hashes)
     # Persist the BUCKET relation (one row per bucket), not the pair
     # relation: pairs are quadratic in bucket size, and both consumers —
@@ -587,6 +593,8 @@ def near_dup_pairs(
     buckets = _lsh_buckets(
         sigs, id_col, bands=bands, num_hashes=num_hashes
     ).persist()
+    if caches is not None:
+        caches.append(buckets)
     candidates = _bucket_pairs(buckets)
     # No distinct on the candidate-id probe side: a left-semi join is
     # duplicate-invariant, so deduping here would spend a whole shuffle
@@ -766,15 +774,22 @@ def drop_near_dups(
     (default), or with ``quality_col`` the row with the HIGHEST quality,
     ties broken by minimum id — both deterministic under repartitioning.
     Documents in no pair survive untouched; pair ids absent from the
-    corpus select no victim. Rows are preserved verbatim (no projection,
-    no reorder guarantees).
+    corpus select no victim AND are never elected keeper — the labeling
+    is first semi-joined to the corpus, so a component whose minimum id
+    was filtered out upstream (pairs computed on a superset corpus)
+    still keeps exactly one PRESENT member instead of losing all of
+    them. Rows are preserved verbatim (no projection, no reorder
+    guarantees).
 
     Scale shape: the label relation is bounded by ids-in-pairs (corpus
     duplicate rate x corpus), not the corpus; the final exclusion is a
     left-anti join on the LOSER id set, which AQE broadcasts while small
     and shuffles when a duplicate-heavy corpus makes it large — the same
     sizing argument as near_dup_pairs' candidate semi-join."""
-    labels = connected_components(pairs, src_col, dst_col)
+    ids_present = corpus.select(F.col(id_col).alias("id"))
+    labels = connected_components(pairs, src_col, dst_col).join(
+        ids_present, "id", "left_semi"
+    )
     if quality_col is None:
         keepers = labels.groupBy("component").agg(F.min("id").alias("__keep"))
         losers = (
@@ -788,9 +803,8 @@ def drop_near_dups(
         )
         scored = labels.join(q, "id", "left")
         # max quality then min id: min over (quality DESC, id ASC) via a
-        # struct ordered by (-q, id); nulls_last on quality so an
-        # unscored (corpus-absent or null-quality) member never wins
-        # against a scored one.
+        # struct ordered by (-q, id); nulls_last on quality so a
+        # null-quality member never wins against a scored one.
         best = scored.groupBy("component").agg(
             F.min_by(
                 "id",

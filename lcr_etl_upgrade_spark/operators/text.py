@@ -8,6 +8,8 @@ broadcast-able token dictionary, also pure expressions.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,10 +69,16 @@ def stopword_hits_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
     differential pin in tests/test_text_multimodal.py), but inside
     whole-stage codegen instead of an interpreted higher-order lambda
     (measured 20.9 s -> 7.3 s per signal on the 500k-doc 100x corpus,
-    SCALE.md r7)."""
+    SCALE.md r7). Words are regex-escaped (a metacharacter stopword like
+    "c++" must count literally, as isin did); an empty list is refused —
+    "(?:)" would match the zero-width boundary in every document where
+    isin over nothing matches none."""
+    if not stopwords:
+        raise ValueError("stopword_hits_expr needs at least one stopword")
+    alternation = "|".join(re.escape(w) for w in stopwords)
     return F.regexp_count(
         F.lower(col),
-        F.lit(r"(?<!\S)(?:" + "|".join(stopwords) + r")(?!\S)"),
+        F.lit(r"(?<!\S)(?:" + alternation + r")(?!\S)"),
     )
 
 
@@ -232,10 +240,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # line = "..."/"…" then only horizontal whitespace (incl. tabs —
     # same F.rtrim space-only accident fixed) to end of line. Both
     # match at most once per line (^ anchors; $ requires the tail).
+    # (?d) = Java UNIX_LINES: ^/$ anchor ONLY at \n, matching the \n
+    # split that defines n_lines — without it (?m) also anchors at
+    # lone \r / U+0085 / U+2028 / U+2029 and the ratios could exceed
+    # 1.0 on \r-terminated text (pinned by test).
     bullet = F.regexp_count(
-        stripped, F.lit(r"(?m)^[^\S\n]*(?:[-*•▪●]|\d+[.)])[^\S\n]+\S")
+        stripped, F.lit(r"(?md)^[^\S\n]*(?:[-*•▪●]|\d+[.)])[^\S\n]+\S")
     )
-    ellipsis = F.regexp_count(stripped, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$"))
+    ellipsis = F.regexp_count(stripped, F.lit(r"(?md)(\.\.\.|…)[^\S\n]*$"))
     return tmp.withColumns(
         {
             "n_lines": n_lines.cast("long"),
@@ -279,9 +291,12 @@ def gopher_quality_flag(
     ``df.filter``.
 
     The token-level signals never materialize a token array: a token is
-    a maximal ``\\S+`` run, so "tokens containing a letter" is one
-    ``regexp_count(text, '\\S*[letter]\\S*')`` (the greedy runs make
-    exactly one match per qualifying token) and "tokens equal to a
+    a maximal ``\\S+`` run, so "tokens containing a letter" is
+    ``n_tokens`` minus one ``regexp_count`` of LETTERLESS tokens
+    (``(?<!\\S)[^\\s<letters>]++(?!\\S)`` — the possessive run plus the
+    O(1) lookbehind reject at mid-token starts keeps the scan LINEAR,
+    where the naive ``\\S*[letter]\\S*`` form backtracks quadratically
+    over a long letter-free token) and "tokens equal to a
     stopword" is one whitespace-lookaround alternation — measured 22.8 s
     -> 8.6 s and 20.9 s -> 7.3 s respectively on the 500k-doc 100x
     corpus vs the interpreted per-token filter lambdas (SCALE.md)."""
@@ -291,7 +306,8 @@ def gopher_quality_flag(
         n_tokens, F.lit(1)
     )
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
-    alpha_words = F.regexp_count(c, F.lit(r"\S*[A-Za-zÀ-ɏ]\S*"))
+    letterless = F.regexp_count(c, F.lit(r"(?<!\S)[^\sA-Za-zÀ-ɏ]++(?!\S)"))
+    alpha_words = n_tokens - letterless
     stop_hits = stopword_hits_expr(c, LANG_STOPWORDS["en"])
     with_rep = repetition_features(df, text_col)
     passes = (

@@ -13,6 +13,18 @@ Both are parsed defensively: any structural violation raises
 ``ValueError`` with the offending detail — a deletion vector read must
 never silently drop or invent deleted rows.
 
+One generator (``_iter_containers``) is the single implementation all
+three public entry points share, so the count, collect and streaming
+paths can never diverge structurally:
+
+- ``parse_roaring_bitmap_array`` — full value set (driver-side small
+  bitmaps, tests);
+- ``count_roaring_bitmap_array`` — exact distinct count in O(one
+  container) memory (driver-side integrity check for DVs of ANY size;
+  bitset containers count by popcount, never expanding);
+- ``iter_roaring_bitmap_array`` — per-container value batches in O(one
+  container) memory (executor-side streaming expansion in delta_lite).
+
 Used by ``delta_lite`` (deletionVectors reader feature); cites only the
 public specs (delta.io PROTOCOL.md "Deletion Vectors", RoaringFormatSpec,
 rfc.zeromq.org/spec/32).
@@ -21,6 +33,7 @@ rfc.zeromq.org/spec/32).
 from __future__ import annotations
 
 import struct
+from collections.abc import Iterator
 
 _Z85_CHARS = (
     "0123456789abcdefghijklmnopqrstuvwxyz"
@@ -68,135 +81,148 @@ def z85_encode(data: bytes) -> str:
     return "".join(out)
 
 
-def _walk_roaring32(
-    buf: bytes,
-    pos: int,
-    max_values: int | None = None,
-    out: set[int] | None = None,
-) -> tuple[int, int]:
-    """Walk ONE portable 32-bit roaring bitmap at ``pos``; returns
-    (distinct_value_count, next_pos), collecting the values into ``out``
-    when given. Format per the public RoaringFormatSpec.
+def _iter_containers(
+    data: bytes, max_values: int | None, collect: bool
+) -> Iterator[tuple[int, set[int] | None]]:
+    """THE walker: validate a whole RoaringBitmapArray structurally and
+    yield ``(n_distinct, values64 | None)`` per container, values only
+    when ``collect`` — so count/collect/stream consumers share one
+    implementation and can never disagree on what a blob contains.
 
-    With ``out=None`` this is a COUNT-ONLY pass: memory stays O(one
-    container) — array containers dedup at most 4096 values, bitsets
-    popcount, runs merge as intervals — so a multi-million-row deletion
-    vector can be integrity-verified without materializing positions.
-    Both modes perform the same structural validation and, on valid
-    input, report the same count (container keys are required strictly
-    increasing, as the spec orders them, so no cross-container dedup can
-    make the collected set smaller than the streamed count).
-
-    ``max_values`` bounds materialization DURING the walk (checked per
-    container) so an adversarial bitmap cannot exhaust memory before a
-    post-hoc check could run."""
+    Per the spec: container keys strictly increase within a bitmap
+    (violations raise — silent cross-container dedup would let a
+    streamed count and a collected set disagree), and a run must stay
+    inside its container's 16-bit space (a run crossing 0xFFFF would
+    spill values into the NEXT container's keyspace — same divergence,
+    raised instead). ``max_values`` bounds the running total during the
+    walk, re-checked against actual content after each container so a
+    lying descriptive header can't slip the pre-expansion check.
+    Structural errors surface even in count-only mode; the final
+    trailing-bytes check runs when the iterator is exhausted."""
+    if len(data) < 12:
+        raise ValueError(f"deletion-vector bitmap too short ({len(data)} B)")
+    magic, n_bitmaps = struct.unpack_from("<iq", data, 0)
+    if magic != ROARING_ARRAY_MAGIC:
+        raise ValueError(
+            f"bad RoaringBitmapArray magic {magic} "
+            f"(expected {ROARING_ARRAY_MAGIC})"
+        )
+    if n_bitmaps < 0:
+        raise ValueError(f"negative bitmap count {n_bitmaps}")
+    pos = 12
+    total = 0
 
     def need(n: int, what: str) -> None:
-        if pos + n > len(buf):
+        if pos + n > len(data):
             raise ValueError(f"truncated roaring bitmap: {what}")
 
-    need(4, "cookie")
-    (cookie,) = struct.unpack_from("<I", buf, pos)
-    pos += 4
-    if (cookie & 0xFFFF) == _COOKIE_RUN:
-        n_containers = (cookie >> 16) + 1
-        run_bits_len = (n_containers + 7) // 8
-        need(run_bits_len, "run-flag bitset")
-        run_bitset = buf[pos : pos + run_bits_len]
-        pos += run_bits_len
-        has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
-    elif cookie == _COOKIE_NO_RUN:
-        need(4, "container count")
-        (n_containers,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
-        run_bitset = b"\x00" * ((n_containers + 7) // 8)
-        has_offsets = True
-    else:
-        raise ValueError(f"bad roaring cookie {cookie:#x}")
-    need(4 * n_containers, "descriptive headers")
-    headers = [
-        struct.unpack_from("<HH", buf, pos + 4 * i) for i in range(n_containers)
-    ]
-    pos += 4 * n_containers
-    if has_offsets:
-        # offsets enable random access; sequential parse ignores them
-        need(4 * n_containers, "offsets")
-        pos += 4 * n_containers
-    total = 0
-    prev_key = -1
-    for i, (key, card_minus_1) in enumerate(headers):
-        if key <= prev_key:
-            # the spec stores containers sorted by key; accepting a
-            # repeat would let the collected-set and streamed counts
-            # disagree (silent dedup)
-            raise ValueError(
-                f"roaring container keys not strictly increasing "
-                f"({key} after {prev_key})"
-            )
-        prev_key = key
-        cardinality = card_minus_1 + 1
-        if max_values is not None and total + cardinality > max_values:
-            raise ValueError(
-                f"roaring bitmap exceeds the {max_values}-value "
-                "materialization bound"
-            )
-        base = key << 16
-        if run_bitset[i // 8] & (1 << (i % 8)):
-            need(2, "run count")
-            (n_runs,) = struct.unpack_from("<H", buf, pos)
-            pos += 2
-            need(4 * n_runs, "runs")
-            # merge as intervals: overlapping/unsorted runs in corrupt
-            # input still count exactly what the collect pass would keep
-            runs = sorted(
-                struct.unpack_from("<HH", buf, pos + 4 * r)
-                for r in range(n_runs)
-            )
-            n_distinct = 0
-            hi = -1
-            for start, length in runs:
-                end = start + length  # inclusive
-                if start > hi:
-                    n_distinct += end - start + 1
-                    hi = end
-                elif end > hi:
-                    n_distinct += end - hi
-                    hi = end
-            total += n_distinct
-            if out is not None:
-                for start, length in runs:
-                    out.update(
-                        base + v for v in range(start, start + length + 1)
-                    )
-            pos += 4 * n_runs
-        elif cardinality <= 4096:
-            need(2 * cardinality, "array container")
-            vals = struct.unpack_from(f"<{cardinality}H", buf, pos)
-            distinct = set(vals)
-            total += len(distinct)
-            if out is not None:
-                out.update(base + v for v in distinct)
-            pos += 2 * cardinality
-        else:
-            need(8192, "bitset container")
-            for word_i in range(1024):
-                (word,) = struct.unpack_from("<Q", buf, pos + 8 * word_i)
-                total += word.bit_count()
-                if out is not None:
-                    while word:
-                        low = word & -word
-                        out.add(base + 64 * word_i + low.bit_length() - 1)
-                        word ^= low
-            pos += 8192
-        # re-check against ACTUAL content: a run/bitset container whose
-        # descriptive-header cardinality lies low would otherwise slip
-        # past the pre-expansion bound
+    def bound(what: str) -> None:
         if max_values is not None and total > max_values:
             raise ValueError(
                 f"roaring bitmap exceeds the {max_values}-value "
-                "materialization bound"
+                f"materialization bound ({what})"
             )
-    return total, pos
+
+    for bm in range(n_bitmaps):
+        high = bm << 32
+        need(4, "cookie")
+        (cookie,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if (cookie & 0xFFFF) == _COOKIE_RUN:
+            n_containers = (cookie >> 16) + 1
+            run_bits_len = (n_containers + 7) // 8
+            need(run_bits_len, "run-flag bitset")
+            run_bitset = data[pos : pos + run_bits_len]
+            pos += run_bits_len
+            has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
+        elif cookie == _COOKIE_NO_RUN:
+            need(4, "container count")
+            (n_containers,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            run_bitset = b"\x00" * ((n_containers + 7) // 8)
+            has_offsets = True
+        else:
+            raise ValueError(f"bad roaring cookie {cookie:#x}")
+        need(4 * n_containers, "descriptive headers")
+        headers = [
+            struct.unpack_from("<HH", data, pos + 4 * i)
+            for i in range(n_containers)
+        ]
+        pos += 4 * n_containers
+        if has_offsets:
+            # offsets enable random access; sequential parse ignores them
+            need(4 * n_containers, "offsets")
+            pos += 4 * n_containers
+        prev_key = -1
+        for i, (key, card_minus_1) in enumerate(headers):
+            if key <= prev_key:
+                raise ValueError(
+                    f"roaring container keys not strictly increasing "
+                    f"({key} after {prev_key})"
+                )
+            prev_key = key
+            cardinality = card_minus_1 + 1
+            total += cardinality
+            bound("descriptive header")
+            total -= cardinality
+            base = high | (key << 16)
+            values: set[int] | None = set() if collect else None
+            if run_bitset[i // 8] & (1 << (i % 8)):
+                need(2, "run count")
+                (n_runs,) = struct.unpack_from("<H", data, pos)
+                pos += 2
+                need(4 * n_runs, "runs")
+                runs = sorted(
+                    struct.unpack_from("<HH", data, pos + 4 * r)
+                    for r in range(n_runs)
+                )
+                pos += 4 * n_runs
+                n_distinct = 0
+                hi = -1
+                for start, length in runs:
+                    end = start + length  # inclusive
+                    if end > 0xFFFF:
+                        raise ValueError(
+                            f"roaring run ({start}, len {length}) crosses "
+                            "the container's 16-bit boundary"
+                        )
+                    if start > hi:
+                        n_distinct += end - start + 1
+                        hi = end
+                    elif end > hi:
+                        n_distinct += end - hi
+                        hi = end
+                if values is not None:
+                    for start, length in runs:
+                        values.update(
+                            base + v for v in range(start, start + length + 1)
+                        )
+            elif cardinality <= 4096:
+                need(2 * cardinality, "array container")
+                vals = struct.unpack_from(f"<{cardinality}H", data, pos)
+                pos += 2 * cardinality
+                n_distinct = len(set(vals))
+                if values is not None:
+                    values.update(base + v for v in set(vals))
+            else:
+                need(8192, "bitset container")
+                n_distinct = 0
+                for word_i in range(1024):
+                    (word,) = struct.unpack_from("<Q", data, pos + 8 * word_i)
+                    n_distinct += word.bit_count()
+                    if values is not None:
+                        while word:
+                            low = word & -word
+                            values.add(base + 64 * word_i + low.bit_length() - 1)
+                            word ^= low
+                pos += 8192
+            total += n_distinct
+            bound("container content")
+            yield n_distinct, values
+    if pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing bytes after the last bitmap"
+        )
 
 
 def parse_roaring_bitmap_array(
@@ -208,54 +234,31 @@ def parse_roaring_bitmap_array(
     portable 32-bit bitmaps; bitmap i contributes ``(i << 32) | v32``.
     ``max_values`` bounds materialization during the parse (ValueError
     on breach, before memory is spent)."""
-    if len(data) < 12:
-        raise ValueError(f"deletion-vector bitmap too short ({len(data)} B)")
-    magic, count = struct.unpack_from("<iq", data, 0)
-    if magic != ROARING_ARRAY_MAGIC:
-        raise ValueError(
-            f"bad RoaringBitmapArray magic {magic} "
-            f"(expected {ROARING_ARRAY_MAGIC})"
-        )
-    if count < 0:
-        raise ValueError(f"negative bitmap count {count}")
-    pos = 12
     out: set[int] = set()
-    for i in range(count):
-        budget = None if max_values is None else max_values - len(out)
-        values: set[int] = set()
-        _, pos = _walk_roaring32(data, pos, budget, values)
-        out.update((i << 32) | v for v in values)
-    if pos != len(data):
-        raise ValueError(
-            f"{len(data) - pos} trailing bytes after the last bitmap"
-        )
+    for _, values in _iter_containers(data, max_values, collect=True):
+        out.update(values)  # type: ignore[arg-type]
     return out
 
 
 def count_roaring_bitmap_array(data: bytes) -> int:
     """Exact distinct-value count of a Delta RoaringBitmapArray WITHOUT
     materializing the values — same structural validation and the same
-    result as ``len(parse_roaring_bitmap_array(data))``, in O(one
-    container) memory. This is the driver-side cardinality-verification
-    path for deletion vectors of arbitrary size (the position expansion
-    itself happens executor-side in delta_lite)."""
-    if len(data) < 12:
-        raise ValueError(f"deletion-vector bitmap too short ({len(data)} B)")
-    magic, count = struct.unpack_from("<iq", data, 0)
-    if magic != ROARING_ARRAY_MAGIC:
-        raise ValueError(
-            f"bad RoaringBitmapArray magic {magic} "
-            f"(expected {ROARING_ARRAY_MAGIC})"
-        )
-    if count < 0:
-        raise ValueError(f"negative bitmap count {count}")
-    pos = 12
-    total = 0
-    for _ in range(count):
-        n, pos = _walk_roaring32(data, pos, None, None)
-        total += n
-    if pos != len(data):
-        raise ValueError(
-            f"{len(data) - pos} trailing bytes after the last bitmap"
-        )
-    return total
+    result as ``len(parse_roaring_bitmap_array(data))`` (shared walker),
+    in O(one container) memory: array containers dedup at most 4096
+    values, bitsets count by popcount, runs merge as intervals. This is
+    the driver-side cardinality-verification path for deletion vectors
+    of arbitrary size."""
+    return sum(n for n, _ in _iter_containers(data, None, collect=False))
+
+
+def iter_roaring_bitmap_array(
+    data: bytes, max_values: int | None = None
+) -> Iterator[set[int]]:
+    """Stream the values of a Delta RoaringBitmapArray as per-container
+    sets (each ≤ 65,536 values) in O(one container) memory — the
+    executor-side expansion path in delta_lite, which re-batches these
+    into bounded Arrow chunks so a single multi-hundred-million-row DV
+    never materializes whole in any one process. Same validation, same
+    values as :func:`parse_roaring_bitmap_array` by construction."""
+    for _, values in _iter_containers(data, max_values, collect=True):
+        yield values  # type: ignore[misc]

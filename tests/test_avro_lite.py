@@ -742,3 +742,28 @@ def test_multi_branch_union_write_read_through_spark(spark, tmp_path):
     got = read_avro_lite(spark, str(d))
     assert dict(got.dtypes)["v"] == "string"
     assert {(r.id, r.v) for r in got.collect()} == {(1, "10"), (2, "ten")}
+
+
+def test_multi_branch_union_two_records_selected_by_field_names():
+    """Two record branches in one union: the dict's exact field-name set
+    picks the branch; a near-miss raises instead of silently writing a
+    wrong-branch row of nulls (review finding r7)."""
+    from lcr_etl_upgrade_spark.avro_lite import encode_container
+
+    ra = {"type": "record", "name": "A",
+          "fields": [{"name": "f", "type": ["null", "long"]}]}
+    rb = {"type": "record", "name": "B",
+          "fields": [{"name": "g", "type": ["null", "long"]}]}
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["null", ra, rb]}]}
+    got = encode_container(
+        schema, [{"v": {"g": 5}}, {"v": {"f": 7}}, {"v": None}]
+    )
+    _, rows = decode_container(got)
+    assert rows == [
+        {"v": '{"g":5}'},
+        {"v": '{"f":7}'},
+        {"v": None},
+    ]
+    with pytest.raises(ValueError, match="ambiguous union branch"):
+        encode_container(schema, [{"v": {"not_a_field": 1}}])

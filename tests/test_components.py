@@ -222,3 +222,21 @@ def test_drop_near_dups_transitive_closure_vs_oracle(spark):
     want = sorted(keep | (set(ids) - set(comp)))
     out = drop_near_dups(corpus, pairs, "id")
     assert sorted(r.id for r in out.collect()) == want
+
+
+def test_drop_near_dups_absent_min_id_never_elected_keeper(spark):
+    """Pairs computed on a superset corpus: component {0, 1} where doc 0
+    was filtered out upstream must keep doc 1, not drop every present
+    member (review finding r7)."""
+    corpus = spark.createDataFrame([(1, "x"), (9, "y")], ["id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    out = drop_near_dups(corpus, pairs, "id")
+    assert sorted(r.id for r in out.collect()) == [1, 9]
+
+    # quality path: present member has NULL quality, absent min-id 0
+    # must still not win
+    corpus_q = spark.createDataFrame(
+        [(1, None), (9, 0.5)], "id long, quality double"
+    )
+    out_q = drop_near_dups(corpus_q, pairs, "id", quality_col="quality")
+    assert sorted(r.id for r in out_q.collect()) == [1, 9]

@@ -583,3 +583,83 @@ def test_vacuum_never_deletes_live_dv_file(spark, tmp_path):
     assert sorted(r.id for r in read_delta_lite(spark, path).collect()) == [
         0, 2, 4, 5, 6, 8, 9,
     ]
+
+
+def test_run_crossing_container_boundary_refused():
+    """A run with start+length > 0xFFFF would spill values into the NEXT
+    container's keyspace — count and collect would diverge. Both walkers
+    refuse (review finding r7)."""
+    from lcr_etl_upgrade_spark.roaring_lite import count_roaring_bitmap_array
+
+    bm = (
+        struct.pack("<I", 12347 | (0 << 16))
+        + b"\x01"
+        + struct.pack("<HH", 0, 1)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 65535, 1)  # values 65535, 65536: crosses
+    )
+    blob = _rbm_array([bm])
+    with pytest.raises(ValueError, match="16-bit boundary"):
+        parse_roaring_bitmap_array(blob)
+    with pytest.raises(ValueError, match="16-bit boundary"):
+        count_roaring_bitmap_array(blob)
+
+
+def test_iter_streams_containers_and_matches_parse():
+    """iter_roaring_bitmap_array yields per-container batches whose union
+    equals the full parse — the executor expansion path."""
+    from lcr_etl_upgrade_spark.roaring_lite import iter_roaring_bitmap_array
+
+    full = {k: [(0, 65535)] for k in range(3)}
+    full[3] = [(5, 9)]
+    data = _rbm_array([_run_bitmap32(full), _bitmap32_array({0: [1, 2]})])
+    batches = list(iter_roaring_bitmap_array(data))
+    assert all(len(b) <= 65536 for b in batches)
+    got = set().union(*batches)
+    assert got == parse_roaring_bitmap_array(data)
+    assert len(got) == 3 * 65536 + 10 + 2
+
+
+def test_multi_container_dv_streams_through_read(spark, tmp_path):
+    """Pin that the executor expansion handles MULTIPLE containers per
+    DV: {0:[1,3]} plus container key 1 holding value 0 -> row 65536 (not
+    present in the 10-row file; harmless, exercises the per-container
+    streaming buffer)."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    bitmap = _rbm_array([_bitmap32_array({0: [1, 3], 1: [0]})])
+    path = tmp_path / "dvt2"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.range(10).selectExpr("id", "id * 10 as v").coalesce(1).write.parquet(
+        str(sub)
+    )
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    pad = (-len(bitmap)) % 4
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+        "sizeInBytes": len(bitmap),
+        "cardinality": 3,
+    }
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv}}) + "\n")
+    ids = sorted(r.id for r in read_delta_lite(spark, str(path)).collect())
+    assert ids == [0, 2, 4, 5, 6, 7, 8, 9]

@@ -583,18 +583,19 @@ def test_gopher_regexp_signals_match_array_formulation(spark, texts):
     df = spark.createDataFrame(rows, ["i", "text"])
     c = F.col("text")
     toks = tokens_expr(c)
+    from lcr_etl_upgrade_spark.operators.text import stopword_hits_expr
+
+    n_tokens = F.regexp_count(c, F.lit(r"\S+"))
+    letterless = F.regexp_count(
+        c, F.lit(r"(?<!\S)[^\sA-Za-zÀ-ɏ]++(?!\S)")
+    )
     got = df.select(
         "i",
-        F.regexp_count(c, F.lit(r"\S*[A-Za-zÀ-ɏ]\S*")).alias("alpha_re"),
+        (n_tokens - letterless).alias("alpha_re"),
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ɏ]"))).alias(
             "alpha_arr"
         ),
-        F.regexp_count(
-            F.lower(c),
-            F.lit(
-                r"(?<!\S)(?:" + "|".join(LANG_STOPWORDS["en"]) + r")(?!\S)"
-            ),
-        ).alias("stop_re"),
+        stopword_hits_expr(c, LANG_STOPWORDS["en"]).alias("stop_re"),
         F.size(
             F.filter(
                 tokens_expr(F.lower(c)),
@@ -668,3 +669,49 @@ def test_stopword_hits_regex_matches_isin_all_languages(spark, texts):
     for r in got:
         for lang in LANG_STOPWORDS:
             assert r[f"re_{lang}"] == r[f"arr_{lang}"], (texts[r.i], lang, r)
+
+
+def test_repetition_cr_terminated_text_ratio_bounded(spark):
+    """Lone-\\r line terminators: (?md) anchors only at \\n, matching the
+    \\n-split that defines n_lines — the ratios can never exceed 1.0
+    (review finding r7)."""
+    from lcr_etl_upgrade_spark.operators.text import repetition_features
+
+    rows = [(1, "a...\rb...\rc..."), (2, "x\r- item y")]
+    got = {r.i: r for r in repetition_features(
+        spark.createDataFrame(rows, ["i", "text"])).collect()}
+    assert got[1].n_lines == 1
+    assert got[1].ellipsis_line_ratio == 1.0  # whole (single) line ends ...
+    assert got[2].n_lines == 1
+    assert got[2].bullet_line_ratio == 0.0  # \r does not start a new line
+
+
+def test_stopword_hits_expr_contracts(spark):
+    """Metacharacter stopwords count literally; empty lists refuse."""
+    from lcr_etl_upgrade_spark.operators.text import stopword_hits_expr
+
+    df = spark.createDataFrame(
+        [("i know c++ and a bit of c",)], ["text"]
+    )
+    got = df.select(
+        stopword_hits_expr(F.col("text"), ("c++",)).alias("h")
+    ).collect()[0].h
+    assert got == 1
+    with pytest.raises(ValueError, match="at least one stopword"):
+        stopword_hits_expr(F.col("text"), ())
+
+
+def test_gopher_letterless_regex_linear_on_huge_numeric_token(spark):
+    """A 200 KB digit-only token must evaluate in bounded time — the
+    possessive letterless pattern scans linearly where \\S*[letter]\\S*
+    backtracks quadratically (review finding r7)."""
+    import time
+
+    from lcr_etl_upgrade_spark.operators.text import gopher_quality_flag
+
+    big = "start " + "9" * 200_000 + " end"
+    df = spark.createDataFrame([(1, big)], ["i", "text"])
+    t0 = time.perf_counter()
+    row = gopher_quality_flag(df).select("passes_gopher").collect()[0]
+    assert time.perf_counter() - t0 < 30
+    assert row.passes_gopher is False  # avg token len way over bound

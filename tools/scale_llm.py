@@ -230,14 +230,19 @@ def main() -> None:
         # a ~1k-doc synthetic benchmark drawn from replica 0, so real
         # 13-gram overlap exists at every scale (replica tokens keep
         # other replicas clean — the organic regime: contamination RATE
-        # is constant while the corpus grows Nx)
-        bench = (
+        # is constant while the corpus grows Nx). Materialized to
+        # parquet, NOT persist(): paired()'s per-iteration clearCache
+        # would silently unpersist it and the later iterations would
+        # re-run the orderBy/limit lineage inside the timed window.
+        (
             load_table(spark, BASE, "documents")
             .orderBy("doc_id")
             .limit(1000)
             .select("doc_id", "text")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/bench.parquet")
         )
-        bench.persist().count()
+        bench = spark.read.parquet(f"{out_dir}/bench.parquet")
         n_hits = contamination_hits(
             docs_of(out_dir), bench, id_col="doc_id"
         ).count()
