@@ -484,6 +484,17 @@ def _union_branch_index(schema: list, v) -> int:
                 continue
             return i
         if isinstance(v, float) and t in ("float", "double"):
+            # mirror the int path's range check: a finite value beyond
+            # float32 range must skip a 'float' branch so a later
+            # 'double' branch can carry it (struct.pack('<f') would
+            # raise OverflowError)
+            if (
+                t == "float"
+                and v == v  # not NaN
+                and v not in (float("inf"), float("-inf"))
+                and not -3.4028234663852886e38 <= v <= 3.4028234663852886e38
+            ):
+                continue
             return i
         if isinstance(v, str):
             if t == "string":

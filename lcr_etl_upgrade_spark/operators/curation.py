@@ -345,7 +345,10 @@ def curate_corpus(
     survivor). ``near_dup_kwargs`` passes through (num_hashes, bands,
     shingle_n, threshold). ``pack_shards`` hashes documents into that
     many pack groups so the packing window stays bounded at scale;
-    required when ``pack_budget`` is set."""
+    required when ``pack_budget`` is set. The packed output DELIBERATELY
+    keeps the ``pack_group`` column: ``bin_id`` is 0-based PER GROUP, so
+    (pack_group, bin_id) — not bin_id alone — identifies a training
+    sequence; dropping it would make the bins ambiguous."""
     from pyspark.sql import Observation
 
     from lcr_etl_upgrade_spark.operators.contamination import decontaminate

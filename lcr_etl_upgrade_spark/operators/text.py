@@ -213,6 +213,13 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _nonempty(parts: Column) -> Column:
         return F.filter(parts, lambda s: F.length(F.trim(s)) > 0)
 
+    clash = {"__rep_lines", "__rep_paras"} & set(df.columns)
+    if clash:
+        # withColumns would silently REPLACE (and the final drop would
+        # destroy) a same-named caller column
+        raise ValueError(
+            f"repetition_features reserves column names {sorted(clash)}"
+        )
     tmp = df.withColumns(
         {
             "__rep_lines": _nonempty(F.split(stripped, r"\n")),

@@ -767,3 +767,24 @@ def test_multi_branch_union_two_records_selected_by_field_names():
     ]
     with pytest.raises(ValueError, match="ambiguous union branch"):
         encode_container(schema, [{"v": {"not_a_field": 1}}])
+
+
+def test_union_float_branch_range_check():
+    """A finite value beyond float32 range skips a 'float' branch so a
+    later 'double' branch carries it; in-range floats keep first-match
+    (review finding r7)."""
+    from lcr_etl_upgrade_spark.avro_lite import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": ["null", "float", "double"]}]}
+    got = encode_container(
+        schema, [{"x": 1e300}, {"x": 0.5}, {"x": float("inf")}]
+    )
+    _, rows = decode_container(got)
+    # union type widens to double on read; 0.5 and inf exact in float32
+    assert rows[0] == {"x": 1e300}
+    assert rows[1] == {"x": 0.5}
+    assert rows[2] == {"x": float("inf")}

@@ -715,3 +715,11 @@ def test_gopher_letterless_regex_linear_on_huge_numeric_token(spark):
     row = gopher_quality_flag(df).select("passes_gopher").collect()[0]
     assert time.perf_counter() - t0 < 30
     assert row.passes_gopher is False  # avg token len way over bound
+
+
+def test_repetition_features_reserved_column_clash_raises(spark):
+    from lcr_etl_upgrade_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame([("x", "y")], ["text", "__rep_lines"])
+    with pytest.raises(ValueError, match="reserves column names"):
+        repetition_features(df)

@@ -260,9 +260,17 @@ def main() -> None:
         # scale (pair generation is already measured above under
         # doc_minhash_near_dup), then time components + survivor drop
         for label, sf_dir in (("1x", BASE), (f"{factor}x", out_dir)):
-            near_dup_pairs(docs_of(sf_dir), "text", "doc_id").select(
-                "doc_a", "doc_b"
-            ).write.mode("overwrite").parquet(f"{out_dir}/pairs_{label}.parquet")
+            nd_caches: list = []
+            near_dup_pairs(
+                docs_of(sf_dir), "text", "doc_id", caches=nd_caches
+            ).select("doc_a", "doc_b").write.mode("overwrite").parquet(
+                f"{out_dir}/pairs_{label}.parquet"
+            )
+            # release the corpus-scale shingle/bucket persists before the
+            # next scale's pass so the measured runs aren't skewed by
+            # avoidable memory pressure
+            for cached in nd_caches:
+                cached.unpersist()
 
         def pairs_of(sf_dir):
             label = "1x" if sf_dir == BASE else f"{factor}x"
