@@ -378,6 +378,14 @@ def curate_corpus(
         survivors = exact_dedup(out, [text_col], id_col).select(id_col)
         out = _observe("exact", out.join(survivors, id_col, "left_semi"))
     if near_dup:
+        # The filtered corpus is consumed MANY times from here on:
+        # shingled for pair candidates, semi-joined for keeper
+        # presence, and scanned again for the final output — without a
+        # cut, each consumer re-runs the (regex-heavy) gopher filter
+        # and the exact-dedup shuffle. localCheckpoint materializes it
+        # once (eager, executor storage, GC-managed — no unpersist
+        # lifecycle to leak); measured 275 s -> see SCALE.md at 100x.
+        out = out.localCheckpoint()
         # widen=False: `out` sits behind joins/aggs by now — the
         # partition probe would execute those exchanges just to read a
         # count (see _fan_out)
