@@ -76,6 +76,14 @@ def _read_long(buf: io.BytesIO) -> int:
 
 
 def _write_long(out: io.BytesIO, n: int) -> None:
+    # out-of-range zigzag is not a bigger varint, it is CORRUPTION: a
+    # >64-bit positive emits an out-of-spec >10-byte encoding conforming
+    # readers reject, and the `n >> 63` sign fold mis-encodes any
+    # negative below -2**63 — refuse loudly on both
+    if not -(2**63) <= n < 2**63:
+        raise ValueError(
+            f"value {n} outside 64-bit range for an avro long varint"
+        )
     n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
     while True:
         if n & ~0x7F:
@@ -460,9 +468,9 @@ def _union_branch_index(schema: list, v) -> int:
     """First multi-branch union member that can carry the Python value
     ``v`` (write-side branch selection; first match wins, mirroring the
     spec's resolution order). Python ``bool`` is tested before ``int``
-    (it subclasses int); an int outside 32-bit range skips an ``int``
-    branch; an int with only float/double branches promotes in a second
-    pass. Logical-typed branches inside MULTI-branch unions are not
+    (it subclasses int); an int outside 32-/64-bit range skips an
+    ``int``/``long`` branch; an int with no fitting integer branch
+    promotes to a range-checked float/double branch in a second pass. Logical-typed branches inside MULTI-branch unions are not
     sniffed (a ``[null, T]`` logical branch is — see the caller) and
     fail loudly, as does any unmatched value."""
 
@@ -481,6 +489,11 @@ def _union_branch_index(schema: list, v) -> int:
             continue
         if isinstance(v, int) and t in ("int", "long"):
             if t == "int" and not -(2**31) <= v < 2**31:
+                continue
+            # a >64-bit int must skip a 'long' branch too: zigzag of an
+            # out-of-range value would emit an out-of-spec >10-byte
+            # varint that conforming readers reject or mis-decode
+            if t == "long" and not -(2**63) <= v < 2**63:
                 continue
             return i
         if isinstance(v, float) and t in ("float", "double"):
@@ -543,8 +556,19 @@ def _union_branch_index(schema: list, v) -> int:
         if isinstance(v, (list, tuple)) and t == "array":
             return i
     if isinstance(v, int) and not isinstance(v, bool):
+        # promotion pass mirrors the float-VALUE path's range checks: a
+        # 'float' branch only fits within float32 range, a 'double'
+        # branch within float64 (struct.pack would raise OverflowError
+        # past either; better the clean no-branch ValueError below)
         for i, s in enumerate(schema):
-            if tname(s) in ("float", "double"):
+            t = tname(s)
+            if t == "float" and (
+                -3.4028234663852886e38 <= v <= 3.4028234663852886e38
+            ):
+                return i
+            if t == "double" and (
+                -1.7976931348623157e308 <= v <= 1.7976931348623157e308
+            ):
                 return i
     raise ValueError(
         f"no union branch in {schema!r} accepts "
@@ -555,13 +579,52 @@ def _union_branch_index(schema: list, v) -> int:
 def _encoder(schema):
     """Compile an avro schema into ``f(BytesIO, value) -> None``."""
     if isinstance(schema, str):
+        def write_int32(o, v):
+            # spec: int is the 32-bit zigzag varint; a larger value
+            # would decode "successfully" to a number the schema says
+            # cannot exist — refuse like _write_long does for 64-bit
+            if not -(2**31) <= v < 2**31:
+                raise ValueError(
+                    f"value {v} outside 32-bit range for an avro int"
+                )
+            _write_long(o, v)
+
+        def write_float32(o, v):
+            # NaN/inf are representable; a FINITE value past float32
+            # range would raise a raw OverflowError/struct.error deep
+            # in struct.pack — surface the module's clean ValueError
+            # instead (the [null, T] union path encodes here directly,
+            # with no branch sniffing to range-check first)
+            if (
+                v == v
+                and v not in (float("inf"), float("-inf"))
+                and not -3.4028234663852886e38 <= v <= 3.4028234663852886e38
+            ):
+                raise ValueError(
+                    f"value {v!r} outside float32 range for an avro float"
+                )
+            o.write(struct.pack("<f", v))
+
+        def write_float64(o, v):
+            if (
+                v == v
+                and v not in (float("inf"), float("-inf"))
+                and not (
+                    -1.7976931348623157e308 <= v <= 1.7976931348623157e308
+                )
+            ):
+                raise ValueError(
+                    f"value {v!r} outside float64 range for an avro double"
+                )
+            o.write(struct.pack("<d", v))
+
         simple = {
             "null": lambda o, v: None,
             "boolean": lambda o, v: o.write(b"\x01" if v else b"\x00"),
-            "int": _write_long,
+            "int": write_int32,
             "long": _write_long,
-            "float": lambda o, v: o.write(struct.pack("<f", v)),
-            "double": lambda o, v: o.write(struct.pack("<d", v)),
+            "float": write_float32,
+            "double": write_float64,
             "bytes": lambda o, v: _write_bytes(o, bytes(v)),
             "string": lambda o, v: _write_bytes(o, v.encode("utf-8")),
         }

@@ -612,8 +612,12 @@ def _apply_dv_filter(
 
     Below MAX_DV_POSITIONS total cardinality the relation is hinted
     broadcast (no shuffle of the fact side — the common case); above
-    it, no hint, and the anti-join shuffles both sides instead of
-    building an oversized broadcast table."""
+    it, an explicit shuffle_hash hint forces a shuffled hash join.
+    The hint must be explicit: Catalyst's size estimate for the
+    mapInPandas output derives from the tiny one-row-per-DV descriptor
+    relation, so merely DROPPING the broadcast hint would still
+    statically plan a broadcast join of the expanded positions — the
+    exact oversized build table the valve exists to prevent."""
     in_scan = set(files_in_scan)
     relevant = {
         rel: dv
@@ -689,6 +693,8 @@ def _apply_dv_filter(
     )
     if total <= MAX_DV_POSITIONS:
         deleted = F.broadcast(deleted)
+    else:
+        deleted = deleted.hint("shuffle_hash")
     scan = df.select(
         "*",
         # Hadoop renders local paths as file:/abs or file:///abs

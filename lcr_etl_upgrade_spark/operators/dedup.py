@@ -707,12 +707,21 @@ def connected_components(
     ``max_iter`` (default 25) is a safety valve far above the log-bound
     of any feasible graph, raising RuntimeError rather than returning a
     partially-contracted (WRONG) labeling."""
-    edges = _canonical_edges(pairs, src_col, dst_col).localCheckpoint()
+    # ONE execution of the pairs lineage: checkpoint a minimal
+    # projection first and derive both the edge set and the id universe
+    # from the checkpointed rows. pairs is typically the UN-persisted
+    # output of near_dup_pairs (only its shingle/bucket stages cache),
+    # so scanning it once for edges and twice for the ids union re-ran
+    # the candidate semi-join + Jaccard-verify tail three times per call.
+    raw = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint()
+    edges = _canonical_edges(raw, "s", "d").localCheckpoint()
     # ids come from the RAW relation so a doc appearing only in a
     # (dropped) self-loop pair still labels as its own singleton
     ids = (
-        pairs.select(F.col(src_col).alias("u"))
-        .union(pairs.select(F.col(dst_col).alias("u")))
+        raw.select(F.col("s").alias("u"))
+        .union(raw.select(F.col("d").alias("u")))
         .filter(F.col("u").isNotNull())
         .distinct()
         .select(F.col("u").alias("id"))
@@ -801,14 +810,20 @@ def drop_near_dups(
         order = [F.col("id").asc()]
         scored = labels
     else:
-        q = corpus.select(
-            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        # ONE quality row per id: a corpus holding duplicate rows for an
+        # id (exact dedup not yet applied) would otherwise fan the label
+        # relation out through this join, and the elected keeper's
+        # rn>1 duplicates would land its id in the loser set — deleting
+        # the WHOLE component. Max = the best evidence for the doc,
+        # cast first so the aggregate orders like the window below.
+        q = corpus.groupBy(F.col(id_col).alias("id")).agg(
+            F.max(F.col(quality_col).cast("double")).alias("__q")
         )
         scored = labels.join(q, "id", "left")
         # max quality first, min id on ties; nulls_last so a
         # null-quality member never wins against a scored one
         order = [
-            F.col("__q").cast("double").desc_nulls_last(),
+            F.col("__q").desc_nulls_last(),
             F.col("id").asc(),
         ]
     w = Window.partitionBy("component").orderBy(*order)

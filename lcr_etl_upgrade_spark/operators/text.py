@@ -72,9 +72,19 @@ def stopword_hits_expr(col: Column, stopwords: tuple[str, ...]) -> Column:
     SCALE.md r7). Words are regex-escaped (a metacharacter stopword like
     "c++" must count literally, as isin did); an empty list is refused —
     "(?:)" would match the zero-width boundary in every document where
-    isin over nothing matches none."""
+    isin over nothing matches none. Empty or whitespace-containing
+    stopwords are refused for the same divergence reason: a
+    whitespace-split token can never EQUAL one (isin counts 0), but the
+    regex would match zero-width at every boundary (empty) or across
+    token boundaries ("a b" counting 1 in "a b")."""
     if not stopwords:
         raise ValueError("stopword_hits_expr needs at least one stopword")
+    bad = [w for w in stopwords if not w or re.search(r"\s", w)]
+    if bad:
+        raise ValueError(
+            "stopword_hits_expr requires non-empty, whitespace-free "
+            f"stopwords (no whitespace-split token can equal {bad[0]!r})"
+        )
     alternation = "|".join(re.escape(w) for w in stopwords)
     return F.regexp_count(
         F.lower(col),

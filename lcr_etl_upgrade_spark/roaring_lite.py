@@ -94,9 +94,13 @@ def _iter_containers(
     streamed count and a collected set disagree), and a run must stay
     inside its container's 16-bit space (a run crossing 0xFFFF would
     spill values into the NEXT container's keyspace — same divergence,
-    raised instead). ``max_values`` bounds the running total during the
-    walk, re-checked against actual content after each container so a
-    lying descriptive header can't slip the pre-expansion check.
+    raised instead). ``max_values`` bounds the running total of ACTUAL
+    distinct content, checked after each container — never the
+    descriptive header's cardinality claim, which this walker tolerates
+    overstating (duplicate array values, overlapping runs): counting
+    the claim would make a blob pass the driver's count-based verify
+    yet fail the same-bound expansion at action time. The overshoot is
+    capped at one container (≤65,536 values) before the raise.
     Structural errors surface even in count-only mode; the final
     trailing-bytes check runs when the iterator is exhausted."""
     if len(data) < 12:
@@ -162,9 +166,6 @@ def _iter_containers(
                 )
             prev_key = key
             cardinality = card_minus_1 + 1
-            total += cardinality
-            bound("descriptive header")
-            total -= cardinality
             base = high | (key << 16)
             values: set[int] | None = set() if collect else None
             if run_bitset[i // 8] & (1 << (i % 8)):

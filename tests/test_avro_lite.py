@@ -788,3 +788,65 @@ def test_union_float_branch_range_check():
     assert rows[0] == {"x": 1e300}
     assert rows[1] == {"x": 0.5}
     assert rows[2] == {"x": float("inf")}
+
+
+def test_union_int_promotion_and_long_range_checks():
+    """Int branch selection is range-checked end to end (review finding
+    r7 pass 3): an int past 2**63 skips a 'long' branch (zigzag would
+    emit an out-of-spec >10-byte varint) and lands on a double branch;
+    the int->float promotion pass applies the same float32/float64
+    range checks as the float-value path instead of OverflowError-ing
+    in struct.pack; with no branch that fits, the clean no-union-branch
+    ValueError surfaces."""
+    from lcr_etl_upgrade_spark.avro_lite import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": ["null", "long", "double"]}]}
+    got = encode_container(schema, [{"x": 2**70}, {"x": 2**40}])
+    _, rows = decode_container(got)
+    assert rows[0] == {"x": float(2**70)}  # long skipped -> double
+    assert rows[1] == {"x": 2**40}         # fits -> long, exact
+
+    # promotion: int past float32 range must reach the double branch
+    fschema = {"type": "record", "name": "r",
+               "fields": [{"name": "x",
+                           "type": ["null", "float", "double"]}]}
+    _, rows = decode_container(encode_container(fschema, [{"x": 10**39}]))
+    assert rows == [{"x": 1e39}]
+
+    # no branch fits: clean refusal, not OverflowError
+    import pytest as _pytest
+
+    # [null, long] takes the no-sniff single-branch path: the branch
+    # encoder's own 64-bit range check surfaces instead of silently
+    # emitting an out-of-spec >10-byte varint
+    only_long = {"type": "record", "name": "r",
+                 "fields": [{"name": "x", "type": ["null", "long"]}]}
+    with _pytest.raises(ValueError, match="64-bit range"):
+        encode_container(only_long, [{"x": 2**70}])
+    # multi-branch with only integer branches: sniffing refuses cleanly
+    int_long = {"type": "record", "name": "r",
+                "fields": [{"name": "x", "type": ["null", "int", "long"]}]}
+    with _pytest.raises(ValueError, match="no union branch"):
+        encode_container(int_long, [{"x": 2**70}])
+    # scalar (non-union) fields refuse out-of-range ints the same way
+    plain_int = {"type": "record", "name": "r",
+                 "fields": [{"name": "x", "type": "int"}]}
+    with _pytest.raises(ValueError, match="32-bit range"):
+        encode_container(plain_int, [{"x": 2**40}])
+    with _pytest.raises(ValueError, match="64-bit range"):
+        encode_container(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": "long"}]},
+            [{"x": -(2**80)}],
+        )
+    # [null, float] no-sniff path: the float encoder's own range check
+    only_float = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": ["null", "float"]}]}
+    with _pytest.raises(ValueError, match="float32 range"):
+        encode_container(only_float, [{"x": 10**39}])
+    with _pytest.raises(ValueError, match="no union branch"):
+        encode_container(fschema, [{"x": 10**400}])  # past float64 too

@@ -240,3 +240,24 @@ def test_drop_near_dups_absent_min_id_never_elected_keeper(spark):
     )
     out_q = drop_near_dups(corpus_q, pairs, "id", quality_col="quality")
     assert sorted(r.id for r in out_q.collect()) == [1, 9]
+
+
+def test_drop_near_dups_duplicate_corpus_ids_keep_the_keeper(spark):
+    """A corpus holding duplicate ROWS per id (exact dedup not yet run)
+    must not delete its own keeper (review finding r7 pass 3): the
+    quality join aggregates to one row per id first, so the elected
+    keeper's duplicates can't land it in the loser set and wipe the
+    whole component."""
+    corpus = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a2", 3.0), (2, "b", 1.0), (4, "d", 9.0)],
+        ["id", "text", "quality"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    out = drop_near_dups(corpus, pairs, "id", quality_col="quality")
+    # keeper of {1,2} is id 1 (max quality 5.0 > 1.0); BOTH id-1 rows
+    # survive verbatim (drop_near_dups dedups components, not exact rows)
+    assert sorted((r.id, r.quality) for r in out.collect()) == [
+        (1, 3.0),
+        (1, 5.0),
+        (4, 9.0),
+    ]

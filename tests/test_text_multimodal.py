@@ -699,6 +699,14 @@ def test_stopword_hits_expr_contracts(spark):
     assert got == 1
     with pytest.raises(ValueError, match="at least one stopword"):
         stopword_hits_expr(F.col("text"), ())
+    # a whitespace-split token can never EQUAL a whitespace-containing
+    # or empty stopword: isin counts 0 where the regex would match
+    # across token boundaries / zero-width everywhere — refused
+    # (review finding r7 pass 3)
+    with pytest.raises(ValueError, match="whitespace-free"):
+        stopword_hits_expr(F.col("text"), ("a b",))
+    with pytest.raises(ValueError, match="whitespace-free"):
+        stopword_hits_expr(F.col("text"), ("the", ""))
 
 
 def test_gopher_letterless_regex_linear_on_huge_numeric_token(spark):
