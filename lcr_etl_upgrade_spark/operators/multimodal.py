@@ -17,12 +17,18 @@ Codecs come in two tiers:
   (``decode_jpeg_header`` -> width/height/components/precision) and MPEG
   audio frame-header parse (``decode_mp3_header`` -> bitrate/sample_rate/
   estimated duration) — both pure ``struct``/bytes header grammars like
-  PPM/WAV; only full pixel/sample decode (DCT, MDCT) remains a seam.
-- STUBBED full decode (JPEG pixels / MP3 samples / H.264 need codec
-  libraries absent in this container): ``decode_stub='fake'`` produces a
-  deterministic hash-feature vector so downstream operators (dedup,
-  similarity) are exercisable end-to-end, and ``decode_stub='raise'``
-  marks the production seam with NotImplementedError.
+  PPM/WAV.
+- REAL full-pixel decode for baseline JPEG: ``jpeg_lite`` (pure numpy —
+  Huffman entropy decode, dequant, IDCT, chroma upsample, BT.601), so
+  JPEG payloads get pixel statistics like PPM does. Progressive/
+  arithmetic JPEG and MP3 MDCT sample decode remain the documented
+  seam.
+- STUBBED full decode (progressive JPEG / MP3 samples / H.264 need
+  codec libraries absent in this container): ``decode_stub='fake'``
+  produces a deterministic hash-feature vector so downstream operators
+  (dedup, similarity) are exercisable end-to-end, and
+  ``decode_stub='raise'`` marks the production seam with
+  NotImplementedError.
 """
 
 from __future__ import annotations
@@ -418,12 +424,13 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 def _media_features_one(payload: bytes | None) -> dict:
     """Sniff the container magic and decode for real: PPM -> per-channel
     means + pixel extrema; WAV -> sample extrema + RMS; JPEG -> SOF
-    geometry (metadata-level; pixel stats stay NULL behind the codec
-    seam); MP3 -> bitrate/sample_rate/estimated duration (likewise no
-    sample stats). A payload that is None, has an unknown magic, or fails
-    its container's grammar yields all-NULL features (kind stays NULL) —
-    malformed media must surface as analyzable rows, never task
-    failures."""
+    geometry, plus full pixel statistics when the stream is within
+    jpeg_lite's baseline scope (progressive/arithmetic/header-only files
+    keep metadata-level features); MP3 -> bitrate/sample_rate/estimated
+    duration (no sample stats — the MDCT seam). A payload that is None,
+    has an unknown magic, or fails its container's grammar yields
+    all-NULL features (kind stays NULL) — malformed media must surface
+    as analyzable rows, never task failures."""
     out: dict = {k.name: None for k in MEDIA_FEATURE_SCHEMA if k.name != "media_id"}
     if payload is None:
         return out
@@ -467,6 +474,32 @@ def _media_features_one(payload: bytes | None) -> dict:
                 height=jpg["height"],
                 components=jpg["components"],
             )
+            # full baseline pixel decode (jpeg_lite); files outside its
+            # scope — progressive/arithmetic (NotImplementedError) or a
+            # header-only / truncated / non-baseline stream (ValueError)
+            # — keep their metadata-level features rather than failing
+            try:
+                from lcr_etl_upgrade_spark.jpeg_lite import (
+                    decode_jpeg_pixels,
+                )
+
+                full = decode_jpeg_pixels(payload)
+                px = full["pixels"]
+                n = full["components"]
+                chans = [px[c::n] for c in range(n)]
+                out.update(
+                    components=n,
+                    mean_c0=sum(chans[0]) / len(chans[0]),
+                    vmin=min(px),
+                    vmax=max(px),
+                )
+                if n == 3:
+                    out.update(
+                        mean_c1=sum(chans[1]) / len(chans[1]),
+                        mean_c2=sum(chans[2]) / len(chans[2]),
+                    )
+            except (ValueError, NotImplementedError):
+                pass
         elif payload.startswith(b"ID3") or (
             len(payload) >= 2
             and payload[0] == 0xFF

@@ -1,16 +1,18 @@
 """L5 multimodal queries — binary payloads through REAL codecs, oracled.
 
 ``multimodal_feature_extract`` builds genuine container bytes per doc —
-a binary PPM (P6 header + RGB raster) for even doc_ids, a RIFF/WAVE
-PCM-16 file (fmt + data chunks) for odd ones — from a deterministic
-pixel/sample formula, then decodes them with the dependency-free
-parsers in operators/multimodal.py (pure ``struct``; header grammar and
-chunk walk for real). The oracle restates the FORMULA math in DuckDB,
-so any decode defect (misread header, wrong endianness, off-by-one in
-the raster) hash-mismatches an engine that never saw the bytes.
+binary PPM (P6 header + RGB raster), RIFF/WAVE PCM-16 (fmt + data
+chunks), REAL baseline JPEG (DQT/SOF0/DHT/Huffman scan via
+``jpeg_lite.encode_jpeg_flat``), and MPEG audio frame headers — from a
+deterministic formula, then decodes them with the dependency-free
+parsers (pure ``struct``/numpy; header grammar, chunk walk, entropy
+decode + IDCT for real). The oracle restates the FORMULA math in
+DuckDB, so any decode defect (misread header, wrong endianness,
+off-by-one in the raster, a broken Huffman walk or color conversion)
+hash-mismatches an engine that never saw the bytes.
 
-Rich formats (JPEG/MP3) stay behind the documented stub seam; the fake
-sha256 extractor is still exercised in pytest
+Only MP3 sample (MDCT) decode stays behind the documented seam; the
+fake sha256 extractor is still exercised in pytest
 (tests/test_text_multimodal.py) as the downstream-plumbing stand-in.
 """
 
@@ -39,11 +41,18 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
     """Writer side of the codec round-trip, one container per id%4:
     0 -> PPM with pixel j = (id*7 + j*13) % 256;
     1 -> WAV with sample i = ((id*31 + i*17) % 65536) - 32768;
-    2 -> JPEG (SOI + SOF0) with width = 100 + id%50, height = 50 + id%30;
+    2 -> REAL baseline JPEG (DQT/SOF0/DHT/SOS + Huffman scan) of a flat
+         color: width = 100 + id%50, height = 50 + id%30, Y = (id*5)%256,
+         Cb = (id*3)%256, Cr = (id*11)%256 — flat + all-8s quant makes
+         the DC-only decode EXACT, so the expected RGB is the BT.601
+         clamp/round formula, restatable in SQL with no DCT math (none
+         of the 50 ids lands on a .5 rounding tie — pinned by
+         tests/test_text_multimodal.py);
     3 -> MP3 frame header with bitrate idx 1 + id%14, rate idx id%3,
          stereo, followed by id%100 zero bytes (so est_duration =
          (4 + id%100)*8 / bitrate).
     Real container bytes; every expected feature restatable in SQL."""
+    from lcr_etl_upgrade_spark.jpeg_lite import encode_jpeg_flat
     from lcr_etl_upgrade_spark.operators.multimodal import (
         encode_ppm,
         encode_wav_pcm16,
@@ -58,19 +67,12 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
             samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(_WAV_N)]
             return encode_wav_pcm16(_WAV_RATE, samples)
         if m == 2:
-            w, h = 100 + d % 50, 50 + d % 30
-            sof_body = (
-                bytes([8])
-                + h.to_bytes(2, "big")
-                + w.to_bytes(2, "big")
-                + bytes([3])
-                + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-            )
-            return (
-                b"\xff\xd8"
-                + b"\xff\xc0"
-                + (len(sof_body) + 2).to_bytes(2, "big")
-                + sof_body
+            return encode_jpeg_flat(
+                100 + d % 50,
+                50 + d % 30,
+                (d * 5) % 256,
+                (d * 3) % 256,
+                (d * 11) % 256,
             )
         bidx, sidx = 1 + d % 14, d % 3
         header = bytes([0xFF, 0xFB, (bidx << 4) | (sidx << 2), 0x00])
@@ -120,19 +122,33 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
       GROUP BY q.doc_id
     ),
     jpg AS (
-      SELECT doc_id AS media_id, 'image' AS kind,
-             CAST(100 + doc_id % 50 AS INTEGER) AS width,
-             CAST(50 + doc_id % 30 AS INTEGER) AS height,
+      SELECT media_id, 'image' AS kind, width, height,
              CAST(NULL AS INTEGER) AS sample_rate,
              CAST(NULL AS BIGINT) AS n_samples,
-             CAST(NULL AS DOUBLE) AS mean_c0, CAST(NULL AS DOUBLE) AS mean_c1,
-             CAST(NULL AS DOUBLE) AS mean_c2,
-             CAST(NULL AS BIGINT) AS vmin, CAST(NULL AS BIGINT) AS vmax,
+             -- flat image: per-channel mean IS the channel value
+             r AS mean_c0, g AS mean_c1, b AS mean_c2,
+             CAST(LEAST(r, g, b) AS BIGINT) AS vmin,
+             CAST(GREATEST(r, g, b) AS BIGINT) AS vmax,
              CAST(NULL AS DOUBLE) AS rms_r,
              3 AS components,
              CAST(NULL AS INTEGER) AS bitrate_kbps,
              CAST(NULL AS DOUBLE) AS est_duration_r
-      FROM ids WHERE doc_id % 4 = 2
+      FROM (
+        SELECT doc_id AS media_id,
+               CAST(100 + doc_id % 50 AS INTEGER) AS width,
+               CAST(50 + doc_id % 30 AS INTEGER) AS height,
+               LEAST(255, GREATEST(0, ROUND(
+                 yy + 1.402 * (cr - 128)))) AS r,
+               LEAST(255, GREATEST(0, ROUND(
+                 yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))) AS g,
+               LEAST(255, GREATEST(0, ROUND(
+                 yy + 1.772 * (cb - 128)))) AS b
+        FROM (SELECT doc_id,
+                     CAST(doc_id * 5 % 256 AS DOUBLE) AS yy,
+                     CAST(doc_id * 3 % 256 AS DOUBLE) AS cb,
+                     CAST(doc_id * 11 % 256 AS DOUBLE) AS cr
+              FROM ids WHERE doc_id % 4 = 2) p
+      ) c
     ),
     mp3 AS (
       SELECT media_id, 'audio' AS kind,
@@ -161,13 +177,14 @@ def _synth_media(doc_id: pd.Series) -> pd.Series:
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec round-trip over FOUR container formats: synthesize
-    PPM/WAV/JPEG/MP3 bytes per doc (pandas UDF writer), decode them with
-    the pure-struct parsers inside mapInPandas (header grammar, chunk
-    walk, int16 unpack, SOF marker walk, MPEG frame header), and emit
-    typed features. DuckDB recomputes the expected statistics from the
-    pixel/sample/geometry/bitrate formulas alone — it never parses the
-    bytes — so the hash-match proves the decoders read the containers
-    correctly."""
+    PPM/WAV/JPEG/MP3 bytes per doc (pandas UDF writer), decode them
+    inside mapInPandas (header grammar, chunk walk, int16 unpack, and
+    for JPEG the full jpeg_lite baseline pipeline — Huffman entropy
+    decode, dequant, IDCT, 4:2:0 upsample, BT.601 — plus the MPEG frame
+    header), and emit typed features. DuckDB recomputes the expected
+    statistics from the pixel/sample/geometry/bitrate formulas alone —
+    it never parses the bytes — so the hash-match proves the decoders
+    read the containers correctly."""
     from lcr_etl_upgrade_spark.operators.multimodal import extract_media_features
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

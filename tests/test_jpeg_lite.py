@@ -1,0 +1,520 @@
+"""jpeg_lite: baseline JPEG pixel decode against hand-composed spec
+goldens (ISO/IEC 10918-1 segment grammar + Annex C/F entropy coding) and
+a test-local general encoder + direct-cosine IDCT oracle, both written
+independently of the module under test."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lcr_etl_upgrade_spark.jpeg_lite import (
+    ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg_flat,
+)
+
+# ---- independent test-side helpers ---------------------------------------
+
+
+def _canon_codes(bits: list[int], huffval: bytes) -> dict[int, tuple[int, int]]:
+    """Annex C canonical code construction, re-derived for the tests:
+    {symbol -> (code, length)}."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BW:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int) -> None:
+        self.bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+    def scan_bytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+# shared test tables: DC categories 0..11 at length 4, the full AC
+# run/size alphabet at length 8 (162 symbols, none all-ones)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMS = bytes(
+    s
+    for s in range(256)
+    if (s & 0x0F) != 0 and 1 <= (s & 0x0F) <= 10 and (s >> 4) <= 15
+) + bytes([0x00, 0xF0])
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMS)  # length 8
+_DC_CODE = _canon_codes(_DC_BITS, _DC_VALS)
+_AC_CODE = _canon_codes(_AC_BITS, _AC_SYMS)
+
+
+def _mag(bw: _BW, v: int) -> None:
+    v = int(v)
+    t = abs(v).bit_length()
+    code, ln = _DC_CODE[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(v if v > 0 else v + (1 << t) - 1, t)
+
+
+def _encode_block(bw: _BW, zz: list[int], pred: int) -> int:
+    zz = [int(v) for v in zz]
+    dc = zz[0]
+    _mag(bw, dc - pred)
+    k, run = 1, 0
+    last = max((i for i in range(1, 64) if zz[i]), default=0)
+    while k <= last:
+        if zz[k] == 0:
+            run += 1
+        else:
+            while run >= 16:
+                code, ln = _AC_CODE[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            t = abs(zz[k]).bit_length()
+            code, ln = _AC_CODE[(run << 4) | t]
+            bw.put(code, ln)
+            bw.put(zz[k] if zz[k] > 0 else zz[k] + (1 << t) - 1, t)
+            run = 0
+        k += 1
+    if last < 63:
+        code, ln = _AC_CODE[0x00]
+        bw.put(code, ln)
+    return dc
+
+
+def _encode_general(
+    width: int,
+    height: int,
+    comps: list[dict],
+    quant: list[int],
+    blocks: dict[int, np.ndarray],
+    dri: int = 0,
+) -> bytes:
+    """Independent baseline encoder: interleaved single scan, shared
+    quant + huffman tables. ``blocks[ci]`` holds quantized coefficients
+    in ZIGZAG order, shape (rows, cols, 64) over the padded MCU grid."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += _seg(0xC0, sof)
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+        + bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS,
+    )
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00])
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    bw = _BW()
+    preds = [0] * len(comps)
+    scan = b""
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            scan += bw.scan_bytes() + bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _BW()
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(comps):
+            for v in range(c["v"]):
+                for h in range(c["h"]):
+                    zz = blocks[ci][my * c["v"] + v, mx * c["h"] + h]
+                    preds[ci] = _encode_block(bw, list(zz), preds[ci])
+    scan += bw.scan_bytes()
+    return out + scan + b"\xff\xd9"
+
+
+def _idct_direct(coefs_natural: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 inverse DCT as the literal double cosine sum — the
+    slow, obviously-correct oracle for the module's matmul IDCT."""
+    F = coefs_natural.reshape(8, 8)
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * F[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def _oracle_decode(
+    width: int,
+    height: int,
+    comps: list[dict],
+    quant: list[int],
+    blocks: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Independent pipeline: dequant (zigzag->natural) -> direct-cosine
+    IDCT -> +128 clamp -> replicate-upsample -> BT.601."""
+    qnat = np.zeros(64)
+    for k in range(64):
+        qnat[ZIGZAG[k]] = quant[k]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        rows, cols, _ = blocks[ci].shape
+        plane = np.zeros((rows * 8, cols * 8))
+        for r in range(rows):
+            for col in range(cols):
+                nat = np.zeros(64)
+                for k in range(64):
+                    nat[ZIGZAG[k]] = blocks[ci][r, col, k] * qnat[ZIGZAG[k]]
+                plane[r * 8 : r * 8 + 8, col * 8 : col * 8 + 8] = (
+                    _idct_direct(nat)
+                )
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+            hmax // c["h"], axis=1
+        )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return planes[0][..., None]
+    y, cb, cr = planes
+    r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(
+        np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+        0,
+        255,
+    )
+    b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _got(payload: bytes) -> tuple[dict, np.ndarray]:
+    out = decode_jpeg_pixels(payload)
+    arr = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(
+        out["height"], out["width"], out["components"]
+    )
+    return out, arr
+
+
+# ---- byte-level goldens ---------------------------------------------------
+
+
+def test_flat_gray_8x8_hand_composed_golden():
+    """One grayscale 8x8 block composed byte-by-byte from the spec:
+    quant[0]=8 cancels the orthonormal IDCT's 1/8, so pixel == 128+DC.
+    DC diff 72: category 7 -> DC code '0111' (12 symbols at length 4),
+    magnitude bits 1001000, then AC EOB (first length-8 code)."""
+    quant = [8] + [1] * 63
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes(quant))
+        + _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _seg(
+            0xC4,
+            bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+            + bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS,
+        )
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    bw = _BW()
+    code, ln = _DC_CODE[7]
+    bw.put(code, ln)
+    bw.put(72, 7)
+    code, ln = _AC_CODE[0x00]
+    bw.put(code, ln)
+    payload += bw.scan_bytes() + b"\xff\xd9"
+    out, arr = _got(payload)
+    assert (out["width"], out["height"], out["components"]) == (8, 8, 1)
+    assert (arr == 200).all()  # 128 + 72
+
+
+def test_single_ac_coefficient_vs_direct_cosine():
+    """DC=0 with one AC coefficient: the decoded block must equal the
+    literal T.81 double cosine sum, pixel for pixel."""
+    quant = [1] * 64
+    for zz_pos, val in [(1, 40), (5, -33), (63, 25)]:
+        zz = np.zeros((1, 1, 64), dtype=np.int64)
+        zz[0, 0, zz_pos] = val
+        payload = _encode_general(
+            8, 8, [{"id": 1, "h": 1, "v": 1}], quant, {0: zz}
+        )
+        _, arr = _got(payload)
+        expected = _oracle_decode(
+            8, 8, [{"id": 1, "h": 1, "v": 1}], quant, {0: zz}
+        )
+        assert (arr == expected.astype(np.uint8)).all(), zz_pos
+
+
+def test_random_blocks_differential_grayscale():
+    """Random quantized coefficients through the independent encoder,
+    decoded and compared against the direct-cosine oracle — exercises
+    DC prediction across blocks, AC run lengths, ZRL, EOB placement."""
+    rng = np.random.default_rng(7)
+    quant = [8, 6, 6, 7, 6, 5, 8, 7] + [9] * 56
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    for _ in range(5):
+        zz = np.zeros((2, 3, 64), dtype=np.int64)
+        for r in range(2):
+            for c in range(3):
+                n = rng.integers(0, 12)
+                pos = rng.choice(64, size=n, replace=False)
+                zz[r, c, pos] = rng.integers(-40, 41, size=n)
+        payload = _encode_general(24, 16, comps, quant, {0: zz})
+        _, arr = _got(payload)
+        expected = _oracle_decode(24, 16, comps, quant, {0: zz})
+        np.testing.assert_array_equal(arr, expected.astype(np.uint8))
+
+
+def test_non_flat_420_color_vs_oracle():
+    """4:2:0 color with per-block-distinct luma DC — catches MCU
+    block-ordering and chroma upsample placement bugs a flat image
+    cannot see. 20x12 crops the padded 32x16 grid on both axes."""
+    comps = [
+        {"id": 1, "h": 2, "v": 2},
+        {"id": 2, "h": 1, "v": 1},
+        {"id": 3, "h": 1, "v": 1},
+    ]
+    quant = [8] + [4] * 63
+    y = np.zeros((2, 4, 64), dtype=np.int64)
+    for r in range(2):
+        for c in range(4):
+            y[r, c, 0] = (r * 4 + c) * 3 - 10  # distinct per block
+            y[r, c, 3] = 5
+    cb = np.zeros((1, 2, 64), dtype=np.int64)
+    cb[0, 0, 0], cb[0, 1, 0] = 6, -6
+    cr = np.zeros((1, 2, 64), dtype=np.int64)
+    cr[0, 0, 1] = 9
+    blocks = {0: y, 1: cb, 2: cr}
+    payload = _encode_general(20, 12, comps, quant, blocks)
+    out, arr = _got(payload)
+    assert (out["width"], out["height"], out["components"]) == (20, 12, 3)
+    expected = _oracle_decode(20, 12, comps, quant, blocks)
+    np.testing.assert_array_equal(arr, expected.astype(np.uint8))
+
+
+def test_restart_markers_reset_predictors():
+    """DRI=1 over three grayscale blocks: predictors reset at each RSTn,
+    so each interval re-codes the full DC — and markers must appear in
+    RST0,RST1 sequence (an out-of-sequence marker raises)."""
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [1] * 63
+    zz = np.zeros((1, 3, 64), dtype=np.int64)
+    zz[0, :, 0] = 50
+    payload = _encode_general(24, 8, comps, quant, {0: zz}, dri=1)
+    assert b"\xff\xd0" in payload and b"\xff\xd1" in payload
+    _, arr = _got(payload)
+    assert (arr == 178).all()  # 128 + 50
+    # corrupt the sequence: RST0 -> RST5
+    bad = payload.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_pixels(bad)
+
+
+def test_byte_stuffing_in_scan():
+    """A DC magnitude of eight 1-bits lands a literal 0xFF in the scan;
+    the encoder must stuff 0x00 and the decoder must unstuff it."""
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [1] * 64
+    zz = np.zeros((1, 2, 64), dtype=np.int64)
+    # block 1: DC 0 (4 bits) + EOB (8 bits) = 12 bits; block 2's DC
+    # category code (4 bits) completes the byte, so the 8 magnitude
+    # bits of 255 land byte-aligned as a literal 0xFF
+    zz[0, 1, 0] = 255
+    payload = _encode_general(16, 8, comps, quant, {0: zz})
+    assert b"\xff\x00" in payload
+    _, arr = _got(payload)
+    assert (arr[:, :8] == 128).all()
+    # DC 255 * quant 1 / 8 = 31.875 -> round 32 -> +128
+    assert (arr[:, 8:] == 160).all()
+
+
+# ---- the flat writer used by the oracled query ----------------------------
+
+
+def test_flat_writer_decodes_to_exact_bt601():
+    """encode_jpeg_flat -> decode_jpeg_pixels equals the clamp/round
+    BT.601 formula EXACTLY (the property the DuckDB oracle restates),
+    including non-MCU-aligned crops."""
+    for w, h, y, cb, cr in [
+        (8, 8, 128, 128, 128),
+        (10, 6, 200, 30, 99),
+        (33, 17, 0, 255, 0),
+        (1, 1, 255, 0, 255),
+        (100, 50, 77, 11, 250),
+    ]:
+        out, arr = _got(encode_jpeg_flat(w, h, y, cb, cr))
+        assert (out["width"], out["height"]) == (w, h)
+        r = min(255, max(0, round(y + 1.402 * (cr - 128))))
+        g = min(
+            255,
+            max(0, round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        )
+        b = min(255, max(0, round(y + 1.772 * (cb - 128))))
+        assert {tuple(v) for row in arr for v in row} == {(r, g, b)}
+
+
+# ---- refusals --------------------------------------------------------------
+
+
+def _minimal_with_sof(sof_marker: int, precision: int = 8, nf: int = 1):
+    body = bytes([precision, 0, 8, 0, 8, nf])
+    for i in range(nf):
+        body += bytes([i + 1, 0x11, 0])
+    return b"\xff\xd8" + _seg(sof_marker, body)
+
+
+def test_progressive_and_arithmetic_raise_not_implemented():
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC2))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC9))
+
+
+def test_unsupported_shapes_raise_value_error():
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC0, precision=12))
+    with pytest.raises(ValueError, match="4-component"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC0, nf=4))
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC3))  # lossless
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"P6 1 1 255 rgb")
+
+
+def test_structural_corruption_raises():
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [1] * 63
+    zz = np.zeros((1, 1, 64), dtype=np.int64)
+    zz[0, 0, 0] = 10
+    good = _encode_general(8, 8, comps, quant, {0: zz})
+    with pytest.raises(ValueError, match="truncated|exhausted|entropy"):
+        decode_jpeg_pixels(good[:-4])  # cut into the scan
+    # zero quant divisor
+    bad_q = good.replace(
+        _seg(0xDB, bytes([0x00]) + bytes(quant)),
+        _seg(0xDB, bytes([0x00]) + bytes([8] + [0] * 63)),
+    )
+    with pytest.raises(ValueError, match="zero divisor"):
+        decode_jpeg_pixels(bad_q)
+    # strip the DHT segment entirely
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+        + bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS,
+    )
+    with pytest.raises(ValueError, match="missing DC huffman"):
+        decode_jpeg_pixels(good.replace(dht, b""))
+    # non-interleaved: SOS listing 1 of 3 frame components
+    color = _encode_general(
+        8,
+        8,
+        [
+            {"id": 1, "h": 1, "v": 1},
+            {"id": 2, "h": 1, "v": 1},
+            {"id": 3, "h": 1, "v": 1},
+        ],
+        quant,
+        {
+            0: zz,
+            1: np.zeros((1, 1, 64), dtype=np.int64),
+            2: np.zeros((1, 1, 64), dtype=np.int64),
+        },
+    )
+    sos_full = bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0])
+    sos_one = bytes([1, 1, 0, 0, 63, 0])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_pixels(
+            color.replace(_seg(0xDA, sos_full), _seg(0xDA, sos_one))
+        )
+
+
+def test_pixel_budget_guard():
+    """A hostile SOF claiming giant geometry must refuse BEFORE the
+    coefficient store is allocated (34 GB for 65535x65535), with a
+    ValueError _media_features_one downgrades to metadata features."""
+    body = bytes([8]) + (60000).to_bytes(2, "big") + (60000).to_bytes(2, "big")
+    body += bytes([1, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="pixel decode bound"):
+        decode_jpeg_pixels(b"\xff\xd8" + _seg(0xC0, body))
+
+
+# ---- exception totality ----------------------------------------------------
+# operators/multimodal.py catches ValueError and NotImplementedError from
+# the pixel stage; anything else would kill the executor task.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(payload=st.binary(min_size=0, max_size=400))
+def test_decode_total_on_random_bytes(payload):
+    try:
+        decode_jpeg_pixels(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pos=st.integers(min_value=0, max_value=4095),
+    byte=st.integers(min_value=0, max_value=255),
+    which=st.integers(min_value=0, max_value=1),
+)
+def test_decode_total_on_mutated_valid(pos, byte, which):
+    """Single-byte mutations of VALID baseline JPEGs (right magic,
+    broken interior — tables, scan bits, marker grammar) must decode or
+    raise the two permitted types, never IndexError/KeyError/struct
+    errors or a numpy shape blowup."""
+    if which == 0:
+        base = encode_jpeg_flat(20, 12, 77, 11, 250)
+    else:
+        zz = np.zeros((1, 2, 64), dtype=np.int64)
+        zz[0, 0, 0], zz[0, 0, 5], zz[0, 1, 63] = 40, -9, 3
+        base = _encode_general(
+            16, 8, [{"id": 1, "h": 1, "v": 1}], [8] + [2] * 63, {0: zz}
+        )
+    mutated = bytearray(base)
+    mutated[pos % len(mutated)] = byte
+    try:
+        decode_jpeg_pixels(bytes(mutated))
+    except (ValueError, NotImplementedError):
+        pass

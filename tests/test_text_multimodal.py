@@ -731,3 +731,55 @@ def test_repetition_features_reserved_column_clash_raises(spark):
     df = spark.createDataFrame([("x", "y")], ["text", "__rep_lines"])
     with pytest.raises(ValueError, match="reserves column names"):
         repetition_features(df)
+
+
+def test_media_features_full_jpeg_pixel_stats_and_fallbacks():
+    """JPEG payloads inside jpeg_lite's baseline scope get REAL pixel
+    statistics (channel means, extrema); a header-only SOF stream and a
+    progressive file keep metadata-level geometry instead of failing."""
+    from lcr_etl_upgrade_spark.jpeg_lite import encode_jpeg_flat
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+    )
+
+    feats = _media_features_one(encode_jpeg_flat(10, 6, 200, 30, 99))
+    # flat (200, 30, 99) -> BT.601 (159, 254, 26), exact (see jpeg_lite)
+    assert feats["kind"] == "image"
+    assert (feats["width"], feats["height"], feats["components"]) == (10, 6, 3)
+    assert (feats["mean_c0"], feats["mean_c1"], feats["mean_c2"]) == (
+        159.0,
+        254.0,
+        26.0,
+    )
+    assert (feats["vmin"], feats["vmax"]) == (26, 254)
+
+    # header-only stream (SOI+SOF, no scan): geometry, NULL pixel stats
+    hdr_only = _jpeg_bytes(456, 123)
+    f2 = _media_features_one(hdr_only)
+    assert f2["kind"] == "image"
+    assert (f2["width"], f2["height"]) == (456, 123)
+    assert f2["mean_c0"] is None and f2["vmin"] is None
+
+    # progressive: decode_jpeg_pixels raises NotImplementedError, which
+    # must downgrade to metadata features, not kill the task
+    prog = hdr_only.replace(b"\xff\xc0", b"\xff\xc2")
+    f3 = _media_features_one(prog)
+    assert f3["kind"] == "image" and f3["mean_c0"] is None
+
+
+def test_synth_jpeg_color_formula_has_no_rounding_ties():
+    """The oracled multimodal query relies on numpy's round (banker's)
+    agreeing with SQL ROUND (half away from zero) for the 50 synthetic
+    flat JPEGs — true iff no BT.601 channel value lands exactly on .5.
+    Pin that property for every id the query generates."""
+    for d in range(0, 200):
+        if d % 4 != 2:
+            continue
+        y, cb, cr = (d * 5) % 256, (d * 3) % 256, (d * 11) % 256
+        for v in (
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ):
+            frac = abs(v - int(v))
+            assert abs(frac - 0.5) > 1e-9, (d, v)
