@@ -82,22 +82,32 @@ _SOF_OTHER = {0xC3, 0xC5, 0xC7}  # lossless / differential huffman
 _STANDALONE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))
 
 
-def _build_huffman(bits: list[int], huffval: bytes) -> dict[tuple[int, int], int]:
+def _build_huffman(
+    bits: list[int], huffval: bytes
+) -> tuple[list[tuple[int, int] | None], dict[tuple[int, int], int]]:
     """Canonical Huffman table per T.81 Annex C: codes of each length are
     assigned consecutively in HUFFVAL order, doubling the running code at
-    each length step. Returns {(length, code) -> symbol}."""
-    table: dict[tuple[int, int], int] = {}
+    each length step. Returns ``(lut8, full)``: an 8-bit-prefix lookup
+    (every code of length <= 8 resolved in ONE probe — the hot path; real
+    tables put all frequent symbols there) and the exact
+    {(length, code) -> symbol} map for longer codes and the stream tail."""
+    full: dict[tuple[int, int], int] = {}
+    lut8: list[tuple[int, int] | None] = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             if code >= (1 << length):
                 raise ValueError("overfull huffman table (BITS exceeds codespace)")
-            table[(length, code)] = huffval[k]
+            full[(length, code)] = huffval[k]
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    lut8[base | suffix] = (huffval[k], length)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut8, full
 
 
 class _BitReader:
@@ -128,7 +138,9 @@ class _BitReader:
                 )
         else:
             self._pos += 1
-        self._bitbuf = (self._bitbuf << 8) | b
+        # mask to the live window: without it the buffer grows one byte
+        # per fill into a scan-sized bignum and every shift goes O(scan)
+        self._bitbuf = ((self._bitbuf << 8) | b) & 0xFFFFFFFF
         self._nbits += 8
 
     def read_bit(self) -> int:
@@ -138,16 +150,37 @@ class _BitReader:
         return (self._bitbuf >> self._nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            self._fill()
+        self._nbits -= n
+        return (self._bitbuf >> self._nbits) & ((1 << n) - 1)
 
-    def decode(self, table: dict[tuple[int, int], int]) -> int:
+    def decode(
+        self,
+        table: tuple[list[tuple[int, int] | None], dict[tuple[int, int], int]],
+    ) -> int:
+        lut8, full = table
+        if self._nbits < 8:
+            try:
+                while self._nbits < 8:
+                    self._fill()
+            except ValueError:
+                pass  # stream tail: the per-bit walk below serves
+                # whatever bits remain (a short final code before the
+                # trailing marker is legal), and re-raises on real
+                # exhaustion
+        if self._nbits >= 8:
+            hit = lut8[(self._bitbuf >> (self._nbits - 8)) & 0xFF]
+            if hit is not None:
+                sym, length = hit
+                self._nbits -= length
+                return sym
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = full.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid huffman code (no match within 16 bits)")
