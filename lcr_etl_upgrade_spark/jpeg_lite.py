@@ -70,9 +70,12 @@ _A = np.array(
 
 # decode-size guard: coefficient storage is allocated from the SOF
 # geometry BEFORE any entropy data proves the image real, so a hostile
-# header claiming 65535x65535 would commit ~34 GB up front. 100 MP
-# covers every real photograph; raise it deliberately for stitched
-# imagery, never implicitly.
+# header claiming 65535x65535 would commit tens of GB up front. With
+# the staged-release reconstruction below, peak memory is ~30 B/pixel
+# for 4:4:4 color (~3 GB at this bound — the coefficient stores of all
+# components coexist through the scan). 100 MP covers every real
+# photograph; raise it deliberately for stitched imagery, never
+# implicitly.
 MAX_JPEG_PIXELS = 100_000_000
 
 _SOF_BASELINE = {0xC0, 0xC1}
@@ -337,13 +340,13 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 raise ValueError("malformed DRI segment")
             (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS
+            sos = body
             pos += seg_len
             break
         pos += seg_len
 
     if frame is None:
         raise ValueError("reached SOS without a SOF frame header")
-    sos = payload[pos - seg_len + 2 : pos]
     if len(sos) < 1 or len(sos) != 1 + 2 * sos[0] + 3:
         raise ValueError("malformed SOS header")
     ns = sos[0]
@@ -364,6 +367,15 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         scan_order.append(c)
     if len({id(c) for c in scan_order}) != ns:
         raise ValueError("duplicate component in SOS")
+
+    if ns == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU over the component's own ceil(w/8) x
+        # ceil(h/8) grid, its declared sampling factors notwithstanding
+        # (they only position it relative to OTHER components). A
+        # grayscale file declaring 2x2 would otherwise decode over an
+        # hmax-padded MCU grid: wrong block count or wrong placement.
+        comps[0]["h"] = comps[0]["v"] = 1
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -429,32 +441,42 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                         my * c["v"] + v, mx * c["h"] + h
                     ] = block.reshape(8, 8)
 
+    # reconstruction keeps a strict memory diet: every float64
+    # intermediate (8 B/pixel) is freed as soon as its uint8 form
+    # (1 B/pixel) exists, so peak RSS stays ~2-3 float64 stages (~25
+    # B/pixel) instead of every stage of every component living at once
+    # (~70 B/pixel — 7 GB at the 100 MP guard)
     planes = []
     for c in comps:
+        coef = c.pop("coef")
+        br, bc = coef.shape[:2]
         # batched IDCT: (rows, cols, 8, 8) coefficient blocks through the
         # orthonormal basis in two einsums, then stitched into a plane
-        spatial = np.einsum(
-            "ux,rcuv,vy->rcxy", _A, c["coef"], _A, optimize=True
-        )
-        br, bc = c["coef"].shape[:2]
+        spatial = np.einsum("ux,rcuv,vy->rcxy", _A, coef, _A, optimize=True)
+        del coef
         plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
-        plane = np.clip(np.round(plane) + 128, 0, 255)
+        plane = (np.clip(np.round(plane) + 128, 0, 255)).astype(np.uint8)
+        del spatial
         plane = plane.repeat(vmax // c["v"], axis=0).repeat(
             hmax // c["h"], axis=1
         )
         planes.append(plane[:height, :width])
 
     if len(planes) == 1:
-        pixels = planes[0].astype(np.uint8).tobytes()
+        pixels = np.ascontiguousarray(planes[0]).tobytes()
     else:
+        # channels one at a time (float64 math on the uint8 planes —
+        # numpy upcasts — then straight back to uint8)
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack(
-            [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
+        cbf = cb.astype(np.float64) - 128.0
+        crf = cr.astype(np.float64) - 128.0
+        rgb = np.empty((height, width, 3), dtype=np.uint8)
+        rgb[..., 0] = np.clip(np.round(y + 1.402 * crf), 0, 255)
+        rgb[..., 1] = np.clip(
+            np.round(y - 0.344136 * cbf - 0.714136 * crf), 0, 255
         )
-        pixels = rgb.astype(np.uint8).tobytes()
+        rgb[..., 2] = np.clip(np.round(y + 1.772 * cbf), 0, 255)
+        pixels = rgb.tobytes()
     return {
         "width": width,
         "height": height,

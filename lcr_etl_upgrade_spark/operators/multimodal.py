@@ -421,6 +421,28 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _raster_stats(px: bytes, n_channels: int) -> dict:
+    """Per-channel means + global extrema of an interleaved raster.
+    numpy with EXACT int64 channel sums (not float .mean()), so the
+    values are bit-identical to a pure-Python sum/len — the property
+    the DuckDB oracle's AVG restatement relies on — while a 12 MP
+    image takes milliseconds instead of seconds of byte iteration."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, n_channels)
+    sums = arr.sum(axis=0, dtype=np.int64)
+    n = arr.shape[0]
+    stats = {
+        "mean_c0": float(sums[0] / n),
+        "vmin": int(arr.min()),
+        "vmax": int(arr.max()),
+    }
+    if n_channels == 3:
+        stats["mean_c1"] = float(sums[1] / n)
+        stats["mean_c2"] = float(sums[2] / n)
+    return stats
+
+
 def _media_features_one(payload: bytes | None) -> dict:
     """Sniff the container magic and decode for real: PPM -> per-channel
     means + pixel extrema; WAV -> sample extrema + RMS; JPEG -> SOF
@@ -437,17 +459,11 @@ def _media_features_one(payload: bytes | None) -> dict:
     try:
         if payload.startswith(b"P6"):
             img = decode_ppm(payload)
-            px = img["pixels"]
-            chans = [px[c :: 3] for c in range(3)]
             out.update(
                 kind="image",
                 width=img["width"],
                 height=img["height"],
-                mean_c0=sum(chans[0]) / len(chans[0]),
-                mean_c1=sum(chans[1]) / len(chans[1]),
-                mean_c2=sum(chans[2]) / len(chans[2]),
-                vmin=min(px),
-                vmax=max(px),
+                **_raster_stats(img["pixels"], 3),
             )
         elif payload.startswith(b"RIFF"):
             wav = decode_wav(payload)
@@ -484,20 +500,10 @@ def _media_features_one(payload: bytes | None) -> dict:
                 )
 
                 full = decode_jpeg_pixels(payload)
-                px = full["pixels"]
-                n = full["components"]
-                chans = [px[c::n] for c in range(n)]
                 out.update(
-                    components=n,
-                    mean_c0=sum(chans[0]) / len(chans[0]),
-                    vmin=min(px),
-                    vmax=max(px),
+                    components=full["components"],
+                    **_raster_stats(full["pixels"], full["components"]),
                 )
-                if n == 3:
-                    out.update(
-                        mean_c1=sum(chans[1]) / len(chans[1]),
-                        mean_c2=sum(chans[2]) / len(chans[2]),
-                    )
             except (ValueError, NotImplementedError):
                 pass
         elif payload.startswith(b"ID3") or (

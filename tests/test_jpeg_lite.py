@@ -518,3 +518,56 @@ def test_decode_total_on_mutated_valid(pos, byte, which):
         decode_jpeg_pixels(bytes(mutated))
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_zigzag_matches_spec_diagonal_walk():
+    """Pin the module's ZIGZAG table against an independent derivation
+    (the T.81 Figure 5 diagonal walk) — the differential tests share the
+    table between encoder, oracle and decoder, so a wrong table would
+    cancel out of them."""
+    order = []
+    r = c = 0
+    up = True
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r, up = r + 1, False
+            elif r == 0:
+                c, up = c + 1, False
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c, up = c + 1, True
+            elif c == 0:
+                r, up = r + 1, True
+            else:
+                r, c = r + 1, c - 1
+    assert list(ZIGZAG) == order
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2: a one-component scan has ONE data unit per MCU over the
+    component's own ceil(w/8) x ceil(h/8) raster grid, whatever sampling
+    factors the SOF declares. A 24x8 grayscale declaring 2x2 is exactly
+    3 raster blocks — an (incorrect) interleaved MCU walk would expect
+    8 blocks and fail, or tile them at wrong positions."""
+    quant = [8] + [1] * 63
+    zz = np.zeros((1, 3, 64), dtype=np.int64)
+    zz[0, :, 0] = [10, 20, 30]  # distinct per raster block
+    payload = _encode_general(
+        24, 8, [{"id": 1, "h": 1, "v": 1}], quant, {0: zz}
+    )
+    # rewrite the SOF sampling byte 1x1 -> 2x2 (same entropy data)
+    sof_11 = _seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (24).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    sof_22 = sof_11.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]))
+    assert sof_11 in payload and sof_11 != sof_22
+    _, base = _got(payload)
+    _, declared22 = _got(payload.replace(sof_11, sof_22))
+    np.testing.assert_array_equal(base, declared22)
+    assert [int(base[0, c * 8, 0]) for c in range(3)] == [138, 148, 158]
