@@ -11,22 +11,26 @@ No reference counterpart (/root/reference/ingest.py has no media code);
 consumed by operators/multimodal.py, where a JPEG payload previously
 stopped at the SOF-geometry seam.
 
-Scope — the baseline subset real curation corpora overwhelmingly use:
+Scope — the Huffman processes real curation corpora use:
 
-- SOF0 (baseline) and SOF1 (extended sequential, 8-bit) frames;
+- SOF0/SOF1 (baseline / extended sequential) AND SOF2 (progressive:
+  spectral selection + successive approximation per T.81 Annex G — DC
+  and AC first/refinement scans, EOB runs, any libjpeg-style scan
+  script);
 - 8-bit sample precision, 1 (grayscale) or 3 (YCbCr) components;
-- one interleaved scan covering all frame components;
+- interleaved and non-interleaved scans (T.81 A.2: single-component
+  scans walk the component's own data-unit grid);
 - restart markers (DRI/RSTn) and 0xFF00 byte stuffing;
 - sampling factors whose ratio to the frame maximum is integral
   (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1 — everything common encoders emit).
 
-Everything else REFUSES loudly rather than mis-decoding: progressive
-(SOF2) and arithmetic-coded (SOF9+) frames raise NotImplementedError
-naming the remedy (they are different entropy procedures, not edge
-cases of this one); 12-bit precision, 4-component (CMYK/Adobe), and
-non-interleaved multi-scan files raise ValueError. Structural
-corruption (truncated entropy data, invalid Huffman code, missing
-table, bad marker grammar) raises ValueError with the offending detail.
+Everything else REFUSES loudly rather than mis-decoding:
+arithmetic-coded frames (SOF9+) raise NotImplementedError naming the
+remedy (a different entropy coder, not an edge case of this one);
+12-bit precision, 4-component (CMYK/Adobe), and lossless/differential
+SOFs raise ValueError. Structural corruption (truncated entropy data,
+invalid Huffman code, missing table, bad marker grammar, out-of-band
+runs) raises ValueError with the offending detail.
 
 The entropy walk is sequential Python per image — it runs executor-side
 inside mapInPandas (operators/multimodal.py), so at 100 TB it
@@ -216,8 +220,261 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _skip_to_marker(payload: bytes, start: int) -> int:
+    """Position of the next real marker (0xFF followed by a non-stuffing
+    byte) at or after ``start`` — used to step past a decoded scan's
+    entropy tail (pad bits) to the following segment."""
+    i = start
+    while i + 1 < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            return i
+        i += 1
+    raise ValueError("no marker after entropy-coded data")
+
+
+def _decode_baseline_block(reader, c, huff, coef_zz) -> None:
+    """One full-precision data unit (T.81 F.2.2): DC diff + RLE AC into
+    ``coef_zz`` (64 QUANTIZED values, natural order)."""
+    t = reader.decode(huff[(0, c["td"])])
+    if t > 11:
+        raise ValueError(f"bad DC category {t}")
+    c["pred"] += _extend(reader.receive(t), t)
+    coef_zz[0] = c["pred"]
+    ac_tab = huff[(1, c["ta"])]
+    k = 1
+    while k < 64:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef_zz[ZIGZAG[k]] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _decode_ac_first(reader, ac_tab, blk, ss, se, al, state) -> None:
+    """Progressive AC first scan for one data unit (T.81 G.1.2.2):
+    run/size pairs within the band, EOB-run across blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past the scan's spectral band")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, ac_tab, blk, ss, se, al, state) -> None:
+    """Progressive AC refinement for one data unit (T.81 G.1.2.3):
+    correction bits for already-nonzero coefficients, run/size pairs
+    inserting newly-significant ±1<<al values, EOB-run refinement."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(z: int) -> None:
+        if reader.read_bit() and (blk[z] & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newly = 0
+            if s == 0:
+                if r < 15:
+                    # the run INCLUDES the current block, whose band
+                    # tail still carries correction bits — the clause
+                    # below sweeps it, then decrements
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        f"AC refinement size {s} (only ±1 is codable)"
+                    )
+                newly = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newly:
+                if k > se:
+                    raise ValueError("AC refinement run past the band")
+                blk[ZIGZAG[k]] = newly
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(payload, pos, sos, frame, qt, huff, restart_interval):
+    """Decode ONE scan's entropy data into the frame's quantized
+    coefficient stores. Returns the payload offset of the marker that
+    follows the scan. Handles all four progressive scan kinds (DC/AC ×
+    first/refine) and the baseline full-band scan through the same MCU /
+    raster walk."""
+    if len(sos) < 4 or len(sos) != 1 + 2 * sos[0] + 3:
+        raise ValueError("malformed SOS header")
+    ns = sos[0]
+    ss, se, aa = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = aa >> 4, aa & 0x0F
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    scan_order = []
+    for j in range(ns):
+        cs, tt = sos[1 + 2 * j], sos[2 + 2 * j]
+        if cs not in by_id:
+            raise ValueError(f"SOS names unknown component {cs}")
+        c = by_id[cs]
+        c["td"], c["ta"] = tt >> 4, tt & 0x0F
+        scan_order.append(c)
+    if len({id(c) for c in scan_order}) != ns:
+        raise ValueError("duplicate component in SOS")
+
+    progressive = frame["progressive"]
+    if progressive:
+        if not (0 <= al <= 13 and ah in (0, al + 1)):
+            raise ValueError(f"bad successive approximation {ah}/{al}")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            kind = "dc_first" if ah == 0 else "dc_refine"
+        else:
+            if not (1 <= ss <= se <= 63):
+                raise ValueError(f"bad spectral band {ss}..{se}")
+            if ns != 1:
+                raise ValueError(
+                    "progressive AC scans must be non-interleaved (Ns=1)"
+                )
+            kind = "ac_first" if ah == 0 else "ac_refine"
+        if kind.startswith("ac") and not scan_order[0]["dc_seen"]:
+            raise ValueError("AC scan before the component's DC scan")
+        if kind == "dc_refine" and not all(
+            c["dc_seen"] for c in scan_order
+        ):
+            raise ValueError("DC refinement before the first DC scan")
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("baseline scan must cover Ss=0..Se=63, Ah=Al=0")
+        if ns != len(comps):
+            raise ValueError(
+                f"non-interleaved baseline scan ({ns} of {len(comps)} "
+                "components) unsupported"
+            )
+        kind = "baseline"
+
+    # table presence per scan kind (DC refinement reads raw bits only)
+    for c in scan_order:
+        if kind in ("baseline", "dc_first") and (0, c["td"]) not in huff:
+            raise ValueError(f"missing DC huffman table {c['td']}")
+        if kind in ("baseline", "ac_first", "ac_refine") and (
+            (1, c["ta"]) not in huff
+        ):
+            raise ValueError(f"missing AC huffman table {c['ta']}")
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        c["pred"] = 0
+
+    reader = _BitReader(payload, pos)
+    state = {"eobrun": 0}
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+
+    def at_restart(m: int) -> None:
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart((m // restart_interval - 1) % 8)
+            state["eobrun"] = 0
+            for c in comps:
+                c["pred"] = 0
+
+    interleaved = ns > 1 or kind == "baseline"
+    if interleaved:
+        for m in range(mcus_x * mcus_y):
+            at_restart(m)
+            my, mx = divmod(m, mcus_x)
+            for c in scan_order:
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        blk = c["coef"][
+                            my * c["v"] + v, mx * c["h"] + h
+                        ].reshape(64)
+                        if kind == "baseline":
+                            _decode_baseline_block(reader, c, huff, blk)
+                        elif kind == "dc_first":
+                            t = reader.decode(huff[(0, c["td"])])
+                            if t > 11:
+                                raise ValueError(f"bad DC category {t}")
+                            c["pred"] += _extend(reader.receive(t), t)
+                            blk[0] = c["pred"] << al
+                        else:  # dc_refine
+                            blk[0] |= reader.read_bit() << al
+    else:
+        # non-interleaved: the component's OWN data-unit grid (T.81
+        # A.2) — smaller than the padded MCU grid when sampling pads
+        c = scan_order[0]
+        xw = -(-frame["width"] * c["h"] // frame["hmax"])
+        yh = -(-frame["height"] * c["v"] // frame["vmax"])
+        bw, bh = -(-xw // 8), -(-yh // 8)
+        for m in range(bw * bh):
+            at_restart(m)
+            by, bx = divmod(m, bw)
+            blk = c["coef"][by, bx].reshape(64)
+            if kind == "dc_first":
+                t = reader.decode(huff[(0, c["td"])])
+                if t > 11:
+                    raise ValueError(f"bad DC category {t}")
+                c["pred"] += _extend(reader.receive(t), t)
+                blk[0] = c["pred"] << al
+            elif kind == "dc_refine":
+                blk[0] |= reader.read_bit() << al
+            elif kind == "ac_first":
+                _decode_ac_first(
+                    reader, huff[(1, c["ta"])], blk, ss, se, al, state
+                )
+            else:  # ac_refine
+                _decode_ac_refine(
+                    reader, huff[(1, c["ta"])], blk, ss, se, al, state
+                )
+
+    if kind in ("baseline", "dc_first"):
+        for c in scan_order:
+            c["dc_seen"] = True
+    return _skip_to_marker(payload, reader._pos)
+
+
 def decode_jpeg_pixels(payload: bytes) -> dict:
-    """Full baseline JPEG decode: returns ``{"width", "height",
+    """Full JPEG decode — baseline sequential (SOF0/SOF1) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    T.81 Annex G) Huffman processes. Returns ``{"width", "height",
     "components", "pixels"}`` where pixels is the row-major interleaved
     RGB (3 components, JFIF BT.601 conversion) or grayscale (1
     component) raster as bytes — the same contract as ``decode_ppm``.
@@ -229,9 +486,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
     frame: dict | None = None
     restart_interval = 0
+    scans_done = 0
 
     while True:
         if pos + 1 >= len(payload):
+            if frame is not None and scans_done:
+                break  # EOI lost but a full scan landed: render it
             raise ValueError("reached end of payload before SOS")
         if payload[pos] != 0xFF:
             raise ValueError(
@@ -245,8 +505,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         pos += 1
         if marker in _STANDALONE:
             continue
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS (no image data)")
+        if marker == 0xD9:  # EOI
+            if frame is None or not scans_done:
+                raise ValueError("EOI before SOS (no image data)")
+            break
         if pos + 2 > len(payload):
             raise ValueError("truncated segment length")
         (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
@@ -263,7 +525,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 if pq > 1 or b + n > len(body):
                     raise ValueError("malformed DQT segment")
                 raw = (
-                    struct.unpack(f">64H", body[b : b + 128])
+                    struct.unpack(">64H", body[b : b + 128])
                     if pq == 1
                     else body[b : b + 64]
                 )
@@ -287,21 +549,14 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     raise ValueError("malformed DHT segment")
                 huff[(tc, th)] = _build_huffman(bits, body[b : b + n])
                 b += n
-        elif marker in _SOF_PROGRESSIVE:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) uses a spectral-selection/"
-                "successive-approximation entropy procedure this baseline "
-                "decoder does not implement; transcode to baseline or "
-                "bind a native codec at the multimodal decode seam"
-            )
         elif marker in _SOF_ARITHMETIC:
             raise NotImplementedError(
                 "arithmetic-coded JPEG is a different entropy coder; "
-                "transcode to baseline huffman or bind a native codec"
+                "transcode to huffman or bind a native codec"
             )
         elif marker in _SOF_OTHER:
             raise ValueError(f"unsupported SOF marker 0xff{marker:02x}")
-        elif marker in _SOF_BASELINE:
+        elif marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
             if frame is not None:
                 raise ValueError("multiple SOF frame headers")
             if len(body) < 6:
@@ -333,113 +588,79 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 h, v = hv >> 4, hv & 0x0F
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise ValueError(f"bad sampling factors {h}x{v}")
-                comps.append({"id": ci, "h": h, "v": v, "tq": tqi})
-            frame = {"width": width, "height": height, "comps": comps}
+                comps.append(
+                    {
+                        "id": ci,
+                        "h": h,
+                        "v": v,
+                        "tq": tqi,
+                        "pred": 0,
+                        "dc_seen": False,
+                    }
+                )
+            if nf == 1:
+                # T.81 A.2: every scan of a single-component frame is
+                # non-interleaved — one data unit per MCU over the
+                # component's own ceil(w/8) x ceil(h/8) grid, its
+                # declared sampling factors notwithstanding (they only
+                # position it relative to OTHER components)
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise ValueError(
+                        f"non-integral sampling ratio {c['h']}x{c['v']} "
+                        f"vs max {hmax}x{vmax} unsupported"
+                    )
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                # QUANTIZED coefficient store, one 8x8 block per
+                # (block-row, block-col) of the padded MCU grid;
+                # dequantization happens once at reconstruction
+                c["coef"] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 8, 8),
+                    dtype=np.int32,
+                )
+            frame = {
+                "width": width,
+                "height": height,
+                "comps": comps,
+                "progressive": marker in _SOF_PROGRESSIVE,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcus_x": mcus_x,
+                "mcus_y": mcus_y,
+            }
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise ValueError("malformed DRI segment")
             (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS
-            sos = body
-            pos += seg_len
-            break
+            if frame is None:
+                raise ValueError("reached SOS without a SOF frame header")
+            pos = _decode_scan(
+                payload, pos + seg_len, body, frame, qt, huff,
+                restart_interval,
+            )
+            scans_done += 1
+            if not frame["progressive"]:
+                break  # one full-band scan IS the whole baseline image
+            continue
         pos += seg_len
 
     if frame is None:
         raise ValueError("reached SOS without a SOF frame header")
-    if len(sos) < 1 or len(sos) != 1 + 2 * sos[0] + 3:
-        raise ValueError("malformed SOS header")
-    ns = sos[0]
-    comps = frame["comps"]
-    if ns != len(comps):
+    if frame["progressive"] and not all(
+        c["dc_seen"] for c in frame["comps"]
+    ):
         raise ValueError(
-            f"non-interleaved scan ({ns} of {len(comps)} components) "
-            "unsupported: this decoder handles one interleaved scan"
+            "progressive stream ended before every component's DC scan"
         )
-    by_id = {c["id"]: c for c in comps}
-    scan_order = []
-    for j in range(ns):
-        cs, tt = sos[1 + 2 * j], sos[2 + 2 * j]
-        if cs not in by_id:
-            raise ValueError(f"SOS names unknown component {cs}")
-        c = by_id[cs]
-        c["td"], c["ta"] = tt >> 4, tt & 0x0F
-        scan_order.append(c)
-    if len({id(c) for c in scan_order}) != ns:
-        raise ValueError("duplicate component in SOS")
-
-    if ns == 1:
-        # T.81 A.2: a single-component scan is NON-interleaved — one
-        # data unit per MCU over the component's own ceil(w/8) x
-        # ceil(h/8) grid, its declared sampling factors notwithstanding
-        # (they only position it relative to OTHER components). A
-        # grayscale file declaring 2x2 would otherwise decode over an
-        # hmax-padded MCU grid: wrong block count or wrong placement.
-        comps[0]["h"] = comps[0]["v"] = 1
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise ValueError(
-                f"non-integral sampling ratio {c['h']}x{c['v']} vs max "
-                f"{hmax}x{vmax} unsupported"
-            )
+    comps = frame["comps"]
     width, height = frame["width"], frame["height"]
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError(f"missing quantization table {c['tq']}")
-        if (0, c["td"]) not in huff:
-            raise ValueError(f"missing DC huffman table {c['td']}")
-        if (1, c["ta"]) not in huff:
-            raise ValueError(f"missing AC huffman table {c['ta']}")
-        # per-component DEQUANTIZED coefficient store, one 8x8 block per
-        # (block-row, block-col) of the padded MCU grid
-        c["coef"] = np.zeros(
-            (mcus_y * c["v"], mcus_x * c["h"], 8, 8), dtype=np.float64
-        )
-        c["pred"] = 0
-
-    reader = _BitReader(payload, pos)
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.restart((m // restart_interval - 1) % 8)
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcus_x)
-        for c in scan_order:
-            dc_tab, ac_tab = huff[(0, c["td"])], huff[(1, c["ta"])]
-            q = qt[c["tq"]]
-            for v in range(c["v"]):
-                for h in range(c["h"]):
-                    block = np.zeros(64, dtype=np.float64)
-                    t = reader.decode(dc_tab)
-                    if t > 11:
-                        raise ValueError(f"bad DC category {t}")
-                    c["pred"] += _extend(reader.receive(t), t)
-                    block[0] = c["pred"] * q[0]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(ac_tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        nat = ZIGZAG[k]
-                        block[nat] = _extend(reader.receive(s), s) * q[nat]
-                        k += 1
-                    c["coef"][
-                        my * c["v"] + v, mx * c["h"] + h
-                    ] = block.reshape(8, 8)
+    hmax, vmax = frame["hmax"], frame["vmax"]
 
     # reconstruction keeps a strict memory diet: every float64
     # intermediate (8 B/pixel) is freed as soon as its uint8 form
@@ -448,10 +669,11 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     # (~70 B/pixel — 7 GB at the 100 MP guard)
     planes = []
     for c in comps:
-        coef = c.pop("coef")
+        # dequantize the int32 store (exact int64 products), then
+        # batched IDCT: (rows, cols, 8, 8) coefficient blocks through
+        # the orthonormal basis in two einsums, stitched into a plane
+        coef = c.pop("coef") * qt[c["tq"]].reshape(8, 8)
         br, bc = coef.shape[:2]
-        # batched IDCT: (rows, cols, 8, 8) coefficient blocks through the
-        # orthonormal basis in two einsums, then stitched into a plane
         spatial = np.einsum("ux,rcuv,vy->rcxy", _A, coef, _A, optimize=True)
         del coef
         plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)

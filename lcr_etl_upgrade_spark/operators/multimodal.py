@@ -18,17 +18,16 @@ Codecs come in two tiers:
   audio frame-header parse (``decode_mp3_header`` -> bitrate/sample_rate/
   estimated duration) — both pure ``struct``/bytes header grammars like
   PPM/WAV.
-- REAL full-pixel decode for baseline JPEG: ``jpeg_lite`` (pure numpy —
-  Huffman entropy decode, dequant, IDCT, chroma upsample, BT.601), so
-  JPEG payloads get pixel statistics like PPM does. Progressive/
-  arithmetic JPEG and MP3 MDCT sample decode remain the documented
-  seam.
-- STUBBED full decode (progressive JPEG / MP3 samples / H.264 need
-  codec libraries absent in this container): ``decode_stub='fake'``
-  produces a deterministic hash-feature vector so downstream operators
-  (dedup, similarity) are exercisable end-to-end, and
-  ``decode_stub='raise'`` marks the production seam with
-  NotImplementedError.
+- REAL full-pixel decode for JPEG: ``jpeg_lite`` (pure numpy — Huffman
+  entropy decode for BOTH baseline and progressive processes, dequant,
+  IDCT, chroma upsample, BT.601), so JPEG payloads get pixel statistics
+  like PPM does. Arithmetic-coded JPEG and MP3 MDCT sample decode
+  remain the documented seam.
+- STUBBED full decode (MP3 samples / H.264 need codec libraries absent
+  in this container): ``decode_stub='fake'`` produces a deterministic
+  hash-feature vector so downstream operators (dedup, similarity) are
+  exercisable end-to-end, and ``decode_stub='raise'`` marks the
+  production seam with NotImplementedError.
 """
 
 from __future__ import annotations
@@ -447,8 +446,9 @@ def _media_features_one(payload: bytes | None) -> dict:
     """Sniff the container magic and decode for real: PPM -> per-channel
     means + pixel extrema; WAV -> sample extrema + RMS; JPEG -> SOF
     geometry, plus full pixel statistics when the stream is within
-    jpeg_lite's baseline scope (progressive/arithmetic/header-only files
-    keep metadata-level features); MP3 -> bitrate/sample_rate/estimated
+    jpeg_lite's scope — baseline AND progressive (arithmetic-coded or
+    header-only files keep metadata-level features); MP3 -> bitrate/
+    sample_rate/estimated
     duration (no sample stats — the MDCT seam). A payload that is None,
     has an unknown magic, or fails its container's grammar yields
     all-NULL features (kind stays NULL) — malformed media must surface
@@ -490,10 +490,10 @@ def _media_features_one(payload: bytes | None) -> dict:
                 height=jpg["height"],
                 components=jpg["components"],
             )
-            # full baseline pixel decode (jpeg_lite); files outside its
-            # scope — progressive/arithmetic (NotImplementedError) or a
-            # header-only / truncated / non-baseline stream (ValueError)
-            # — keep their metadata-level features rather than failing
+            # full pixel decode (jpeg_lite, baseline + progressive);
+            # files outside its scope — arithmetic-coded
+            # (NotImplementedError) or header-only / truncated streams
+            # (ValueError) — keep metadata-level features, not failures
             try:
                 from lcr_etl_upgrade_spark.jpeg_lite import (
                     decode_jpeg_pixels,

@@ -58,14 +58,12 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 # shared test tables: DC categories 0..11 at length 4, the full AC
-# run/size alphabet at length 8 (162 symbols, none all-ones)
+# run/size alphabet at length 8 — sizes 0..10 for every run, so EOB,
+# ZRL and all the progressive EOBn symbols are codable (176 codes,
+# none all-ones)
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = bytes(range(12))
-_AC_SYMS = bytes(
-    s
-    for s in range(256)
-    if (s & 0x0F) != 0 and 1 <= (s & 0x0F) <= 10 and (s >> 4) <= 15
-) + bytes([0x00, 0xF0])
+_AC_SYMS = bytes(s for s in range(256) if (s & 0x0F) <= 10)
 _AC_BITS = [0] * 16
 _AC_BITS[7] = len(_AC_SYMS)  # length 8
 _DC_CODE = _canon_codes(_DC_BITS, _DC_VALS)
@@ -399,11 +397,14 @@ def _minimal_with_sof(sof_marker: int, precision: int = 8, nf: int = 1):
     return b"\xff\xd8" + _seg(sof_marker, body)
 
 
-def test_progressive_and_arithmetic_raise_not_implemented():
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_pixels(_minimal_with_sof(0xC2))
+def test_arithmetic_refuses_and_scanless_progressive_is_malformed():
+    # arithmetic coding is a genuinely different entropy coder
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(_minimal_with_sof(0xC9))
+    # progressive is now DECODED; a header-only SOF2 stream with no scan
+    # is structurally incomplete, not unsupported
+    with pytest.raises(ValueError, match="before SOS"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC2))
 
 
 def test_unsupported_shapes_raise_value_error():
@@ -497,20 +498,32 @@ def test_decode_total_on_random_bytes(payload):
 @given(
     pos=st.integers(min_value=0, max_value=4095),
     byte=st.integers(min_value=0, max_value=255),
-    which=st.integers(min_value=0, max_value=1),
+    which=st.integers(min_value=0, max_value=2),
 )
 def test_decode_total_on_mutated_valid(pos, byte, which):
-    """Single-byte mutations of VALID baseline JPEGs (right magic,
-    broken interior — tables, scan bits, marker grammar) must decode or
-    raise the two permitted types, never IndexError/KeyError/struct
-    errors or a numpy shape blowup."""
+    """Single-byte mutations of VALID baseline AND progressive JPEGs
+    (right magic, broken interior — tables, scan bits, scan scripts,
+    marker grammar) must decode or raise the two permitted types, never
+    IndexError/KeyError/struct errors or a numpy shape blowup."""
     if which == 0:
         base = encode_jpeg_flat(20, 12, 77, 11, 250)
-    else:
+    elif which == 1:
         zz = np.zeros((1, 2, 64), dtype=np.int64)
         zz[0, 0, 0], zz[0, 0, 5], zz[0, 1, 63] = 40, -9, 3
         base = _encode_general(
             16, 8, [{"id": 1, "h": 1, "v": 1}], [8] + [2] * 63, {0: zz}
+        )
+    else:
+        zz = np.zeros((1, 2, 64), dtype=np.int64)
+        zz[0, 0, 0], zz[0, 0, 5], zz[0, 1, 63] = 40, -9, 3
+        base = _encode_progressive(
+            16, 8, [{"id": 1, "h": 1, "v": 1}], [8] + [2] * 63, {0: zz},
+            [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 1, 63, 0, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ],
         )
     mutated = bytearray(base)
     mutated[pos % len(mutated)] = byte
@@ -571,3 +584,374 @@ def test_single_component_scan_is_non_interleaved():
     _, declared22 = _got(payload.replace(sof_11, sof_22))
     np.testing.assert_array_equal(base, declared22)
     assert [int(base[0, c * 8, 0]) for c in range(3)] == [138, 148, 158]
+
+
+# ---- progressive (T.81 Annex G) -------------------------------------------
+# Test-side progressive encoder, re-derived independently from the spec
+# (jcphuff-equivalent semantics): DC first/refine, AC first with EOB
+# runs, AC refinement with buffered correction bits. The decisive check
+# is CROSS-MODE: a progressive encoding of random coefficients must
+# decode to exactly the same pixels as the (independently oracled)
+# baseline encoding of the same coefficients.
+
+
+def _emit_eobrun(bw: _BW, state: dict) -> None:
+    e = state["eobrun"]
+    if e:
+        r = e.bit_length() - 1
+        code, ln = _AC_CODE[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(e - (1 << r), r)
+        bw.bits.extend(state["pending"])
+        state["eobrun"] = 0
+        state["pending"] = []
+
+
+def _enc_ac_first_block(bw, zz, ss, se, al, state):
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last = max((i for i, v in enumerate(vals) if v), default=-1)
+    if last == -1:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+        return
+    _emit_eobrun(bw, state)
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = _AC_CODE[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        t = abs(v).bit_length()
+        code, ln = _AC_CODE[(r << 4) | t]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << t) - 1, t)
+        r = 0
+    if last < se - ss:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
+def _enc_ac_refine_block(bw, zz, ss, se, al, state):
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_idx = i
+    r, br = 0, []
+    for i, a in enumerate(absv):
+        v = int(zz[ss + i])
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            _emit_eobrun(bw, state)
+            code, ln = _AC_CODE[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            bw.bits.extend(br)
+            br = []
+        if a > 1:
+            br.append(a & 1)
+            continue
+        _emit_eobrun(bw, state)
+        code, ln = _AC_CODE[(r << 4) | 1]
+        bw.put(code, ln)
+        r = 0
+        bw.put(1 if v > 0 else 0, 1)
+        bw.bits.extend(br)
+        br = []
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
+def _comp_grid(width, height, c, hmax, vmax):
+    xw = -(-width * c["h"] // hmax)
+    yh = -(-height * c["v"] // vmax)
+    return -(-xw // 8), -(-yh // 8)
+
+
+def _encode_progressive(width, height, comps, quant, blocks, script, dri=0):
+    """Progressive encoder: ``script`` is a list of scans
+    (comp_indices, Ss, Se, Ah, Al). DC scans may interleave all comps;
+    AC scans take one comp. Shared test huffman tables for all scans.
+    ``dri`` emits RSTn every dri MCUs/data-units within every scan."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += _seg(0xC2, sof)
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+        + bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS,
+    )
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    for comp_idx, ss, se, ah, al in script:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([comps[ci]["id"], 0x00])
+        out += _seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+        bw = _BW()
+        state = {"eobrun": 0, "pending": []}
+        preds = {ci: 0 for ci in comp_idx}
+        if ss == 0 and len(comp_idx) > 1:
+            # interleaved DC scan: one "unit" = one MCU (all its blocks)
+            units = [
+                [
+                    (ci, blocks[ci][my * comps[ci]["v"] + v,
+                                    mx * comps[ci]["h"] + h])
+                    for ci in comp_idx
+                    for v in range(comps[ci]["v"])
+                    for h in range(comps[ci]["h"])
+                ]
+                for m in range(mcus_x * mcus_y)
+                for my, mx in [divmod(m, mcus_x)]
+            ]
+        else:
+            ci = comp_idx[0]
+            bw_, bh_ = _comp_grid(width, height, comps[ci], hmax, vmax)
+            units = [
+                [(ci, blocks[ci][m // bw_, m % bw_])]
+                for m in range(bw_ * bh_)
+            ]
+        rst = 0
+        for m, unit in enumerate(units):
+            if dri and m and m % dri == 0:
+                _emit_eobrun(bw, state)
+                out += bw.scan_bytes() + bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                bw = _BW()
+                preds = {ci: 0 for ci in comp_idx}
+            for ci, zz in unit:
+                if ss == 0:
+                    if ah == 0:
+                        v = int(zz[0]) >> al  # arithmetic point transform
+                        _mag(bw, v - preds[ci])
+                        preds[ci] = v
+                    else:
+                        bw.put((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first_block(bw, zz, ss, se, al, state)
+                else:
+                    _enc_ac_refine_block(bw, zz, ss, se, al, state)
+        _emit_eobrun(bw, state)
+        out += bw.scan_bytes()
+    return out + b"\xff\xd9"
+
+
+def _rand_blocks(rng, rows, cols, max_ac=40, n_ac=10, max_dc=200):
+    zz = np.zeros((rows, cols, 64), dtype=np.int64)
+    for r in range(rows):
+        for c in range(cols):
+            n = rng.integers(0, n_ac + 1)
+            pos = rng.choice(63, size=n, replace=False) + 1
+            zz[r, c, pos] = rng.integers(-max_ac, max_ac + 1, size=n)
+            zz[r, c, 0] = rng.integers(-max_dc, max_dc + 1)
+    return zz
+
+
+def test_progressive_spectral_selection_equals_baseline():
+    """DC scan + two AC band scans (no successive approximation) must
+    decode to EXACTLY the baseline decode of the same coefficients."""
+    rng = np.random.default_rng(11)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [3] * 63
+    for _ in range(3):
+        zz = {0: _rand_blocks(rng, 2, 3)}
+        base = _got(_encode_general(24, 16, comps, quant, zz))[1]
+        prog = _got(
+            _encode_progressive(
+                24, 16, comps, quant, zz,
+                [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0), ((0,), 6, 63, 0, 0)],
+            )
+        )[1]
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """The full libjpeg-style script — DC first at Al=1, AC bands at
+    Al=2, DC refine, then two AC refinement sweeps down to Al=0 — must
+    reconstruct the coefficients EXACTLY (cross-mode differential)."""
+    rng = np.random.default_rng(13)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [3] * 63
+    script = [
+        ((0,), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 1, 63, 1, 0),
+    ]
+    for _ in range(3):
+        zz = {0: _rand_blocks(rng, 3, 2)}
+        base = _got(_encode_general(16, 24, comps, quant, zz))[1]
+        prog = _got(_encode_progressive(16, 24, comps, quant, zz, script))[1]
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_color_420_equals_baseline():
+    """3-component 4:2:0 with an interleaved DC scan and per-component
+    AC scans, with successive approximation — catches the
+    non-interleaved component-grid walk (smaller than the padded MCU
+    grid for the luma of a 20x12 image) and chroma refinement."""
+    rng = np.random.default_rng(17)
+    comps = [
+        {"id": 1, "h": 2, "v": 2},
+        {"id": 2, "h": 1, "v": 1},
+        {"id": 3, "h": 1, "v": 1},
+    ]
+    quant = [8] + [4] * 63
+    zz = {
+        0: _rand_blocks(rng, 2, 4, max_ac=20, n_ac=6, max_dc=60),
+        1: _rand_blocks(rng, 1, 2, max_ac=12, n_ac=4, max_dc=30),
+        2: _rand_blocks(rng, 1, 2, max_ac=12, n_ac=4, max_dc=30),
+    }
+    base = _got(_encode_general(20, 12, comps, quant, zz))[1]
+    script = [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    ]
+    prog = _got(_encode_progressive(20, 12, comps, quant, zz, script))[1]
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-empty band (few nonzero blocks among many all-zero
+    ones) exercises multi-block EOB runs in both first and refinement
+    scans."""
+    rng = np.random.default_rng(19)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [2] * 63
+    zz = np.zeros((4, 8, 64), dtype=np.int64)
+    zz[:, :, 0] = rng.integers(-50, 51, size=(4, 8))
+    zz[1, 3, 17], zz[3, 6, 33] = 21, -13  # two lonely AC coefficients
+    blocks = {0: zz}
+    base = _got(_encode_general(64, 32, comps, quant, blocks))[1]
+    script = [
+        ((0,), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 1),
+        ((0,), 1, 63, 1, 0),
+    ]
+    prog = _got(_encode_progressive(64, 32, comps, quant, blocks, script))[1]
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_dc_only_stream_renders():
+    """A progressive stream that ends after the DC scans (a truncated
+    download cut at a scan boundary) still renders — blurry, but valid:
+    every pixel equals the block's DC reconstruction."""
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [1] * 63
+    zz = np.zeros((1, 2, 64), dtype=np.int64)
+    zz[0, :, 0] = [72, -40]
+    payload = _encode_progressive(
+        16, 8, comps, quant, {0: zz}, [((0,), 0, 0, 0, 0)]
+    )
+    out, arr = _got(payload)
+    assert (arr[:, :8] == 200).all() and (arr[:, 8:] == 88).all()
+    # but a stream with NO DC scan for the component refuses
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg_pixels(
+            _encode_progressive(
+                16, 8, comps, quant, {0: zz}, [((0,), 1, 63, 0, 0)]
+            )
+        )
+
+
+def test_progressive_zrl_in_refinement():
+    """Zero-history runs >15 before a newly-significant coefficient
+    force ZRL symbols inside an AC refinement scan, with correction
+    bits for already-significant coefficients buffered across them."""
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [2] * 63
+    zz = np.zeros((1, 1, 64), dtype=np.int64)
+    zz[0, 0, 1] = 7    # significant from the first AC scan (7>>1 = 3)
+    zz[0, 0, 40] = 2   # zero at al=1, newly significant at al=0...
+    zz[0, 0, 60] = -3  # ...after a >15 zero-history gap, and another
+    blocks = {0: zz}
+    base = _got(_encode_general(8, 8, comps, quant, blocks))[1]
+    script = [
+        ((0,), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 1),
+        ((0,), 1, 63, 1, 0),
+    ]
+    prog = _got(_encode_progressive(8, 8, comps, quant, blocks, script))[1]
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_random_scripts_differential():
+    """Many random coefficient fields through two scan scripts — the
+    broad cross-mode net for EOB-run, ZRL, refinement-order and
+    predictor interactions the targeted cases might miss."""
+    rng = np.random.default_rng(23)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [3] * 63
+    scripts = [
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+        [
+            ((0,), 0, 0, 0, 2),
+            ((0,), 1, 8, 0, 1),
+            ((0,), 9, 63, 0, 1),
+            ((0,), 0, 0, 1, 1),
+            ((0,), 0, 0, 2, 0),  # wait: Ah must be Al+1 of PREVIOUS
+        ],
+    ]
+    # fix script 2's DC chain: Al 2 -> refine to 1 -> refine to 0
+    scripts[1][3] = ((0,), 0, 0, 2, 1)
+    scripts[1][4] = ((0,), 0, 0, 1, 0)
+    scripts[1] += [((0,), 1, 63, 1, 0)]
+    for script in scripts:
+        for _ in range(4):
+            zz = {0: _rand_blocks(rng, 2, 2, max_ac=60, n_ac=16)}
+            base = _got(_encode_general(16, 16, comps, quant, zz))[1]
+            prog = _got(
+                _encode_progressive(16, 16, comps, quant, zz, script)
+            )[1]
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_restart_markers_reset_predictors_and_eobrun():
+    """RSTn inside progressive scans resets the DC predictors AND the
+    EOB run — an unreset run would swallow the blocks after the marker."""
+    rng = np.random.default_rng(29)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    quant = [8] + [3] * 63
+    zz = {0: _rand_blocks(rng, 2, 3, max_ac=25, n_ac=5)}
+    script = [
+        ((0,), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 1),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    base = _got(_encode_general(24, 16, comps, quant, zz))[1]
+    payload = _encode_progressive(24, 16, comps, quant, zz, script, dri=2)
+    assert payload.count(b"\xff\xd0") >= 4  # RST0 in several scans
+    prog = _got(payload)[1]
+    np.testing.assert_array_equal(prog, base)
