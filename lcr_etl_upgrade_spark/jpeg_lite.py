@@ -1,9 +1,11 @@
-"""Pure-numpy baseline JPEG decoder — no image-library dependency.
+"""Pure-numpy JPEG decoder — no image-library dependency.
 
-Implements the baseline sequential DCT process of the PUBLIC spec
-(ISO/IEC 10918-1 / ITU-T T.81): marker-segment walk (DQT/DHT/SOF/DRI/
-SOS), canonical Huffman decode (Annex C code construction, Annex F
-decoding procedure with EXTEND sign recovery), run-length AC decode,
+Implements the Huffman DCT processes of the PUBLIC spec (ISO/IEC
+10918-1 / ITU-T T.81) — baseline/extended sequential (Annex F) AND
+progressive (Annex G): marker-segment walk (DQT/DHT/SOF/DRI/SOS),
+canonical Huffman decode (Annex C code construction, Annex F decoding
+procedure with EXTEND sign recovery), run-length AC decode, multi-scan
+spectral-selection / successive-approximation coefficient refinement,
 dequantization in zigzag order, 8x8 inverse DCT (orthonormal basis,
 batched numpy matmul), chroma upsampling by sample-factor replication,
 and the Rec. ITU-R BT.601 YCbCr -> RGB conversion from the JFIF spec.
@@ -83,9 +85,11 @@ _A = np.array(
 MAX_JPEG_PIXELS = 100_000_000
 
 _SOF_BASELINE = {0xC0, 0xC1}
-_SOF_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
-_SOF_ARITHMETIC = {0xC9, 0xCB, 0xCD, 0xCF}
-_SOF_OTHER = {0xC3, 0xC5, 0xC7}  # lossless / differential huffman
+_SOF_PROGRESSIVE = {0xC2}  # huffman progressive ONLY — 0xCA/0xCE are
+# progressive but ARITHMETIC-coded (walking their entropy data with
+# huffman tables would mis-decode), 0xC6 is differential-hierarchical
+_SOF_ARITHMETIC = {0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_OTHER = {0xC3, 0xC5, 0xC6, 0xC7}  # lossless / differential huffman
 _STANDALONE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))
 
 
@@ -223,23 +227,43 @@ def _extend(v: int, t: int) -> int:
 def _skip_to_marker(payload: bytes, start: int) -> int:
     """Position of the next real marker (0xFF followed by a non-stuffing
     byte) at or after ``start`` — used to step past a decoded scan's
-    entropy tail (pad bits) to the following segment."""
+    entropy tail (pad bits) to the following segment. Returns
+    ``len(payload)`` when none follows: a file truncated right after a
+    COMPLETE scan (common in scraped corpora — the EOI is the first
+    thing a cut download loses) must render what landed, not refuse."""
     i = start
     while i + 1 < len(payload):
         if payload[i] == 0xFF and payload[i + 1] != 0x00:
             return i
         i += 1
-    raise ValueError("no marker after entropy-coded data")
+    return len(payload)
+
+
+def _decode_dc_first(reader, c, dc_tab, al: int) -> int:
+    """DC category + EXTEND diff into the component's predictor,
+    returning the (point-transform-shifted) coefficient with a
+    fail-loudly bound: legitimate 8-bit quantized DC values sit far
+    inside int32 even at maximum successive-approximation shift, so a
+    predictor outside it is a corrupt/hostile stream accumulating
+    diffs, not data — the int32 store would otherwise silently wrap
+    (numpy 1.x) or raise OverflowError past the totality contract
+    (numpy 2.x)."""
+    t = reader.decode(dc_tab)
+    if t > 11:
+        raise ValueError(f"bad DC category {t}")
+    c["pred"] += _extend(reader.receive(t), t)
+    val = c["pred"] << al
+    if not -(2**31) <= val < 2**31:
+        raise ValueError(
+            "accumulated DC coefficient outside int32 (corrupt stream)"
+        )
+    return val
 
 
 def _decode_baseline_block(reader, c, huff, coef_zz) -> None:
     """One full-precision data unit (T.81 F.2.2): DC diff + RLE AC into
     ``coef_zz`` (64 QUANTIZED values, natural order)."""
-    t = reader.decode(huff[(0, c["td"])])
-    if t > 11:
-        raise ValueError(f"bad DC category {t}")
-    c["pred"] += _extend(reader.receive(t), t)
-    coef_zz[0] = c["pred"]
+    coef_zz[0] = _decode_dc_first(reader, c, huff[(0, c["td"])], 0)
     ac_tab = huff[(1, c["ta"])]
     k = 1
     while k < 64:
@@ -346,6 +370,10 @@ def _decode_scan(payload, pos, sos, frame, qt, huff, restart_interval):
     if len(sos) < 4 or len(sos) != 1 + 2 * sos[0] + 3:
         raise ValueError("malformed SOS header")
     ns = sos[0]
+    if not 1 <= ns <= 4:
+        # Ns=0 would pass the length equation above (1+0+3 == 4) and
+        # reach scan_order[0] as an IndexError past the totality contract
+        raise ValueError(f"bad SOS component count {ns}")
     ss, se, aa = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
     ah, al = aa >> 4, aa & 0x0F
     comps = frame["comps"]
@@ -430,11 +458,9 @@ def _decode_scan(payload, pos, sos, frame, qt, huff, restart_interval):
                         if kind == "baseline":
                             _decode_baseline_block(reader, c, huff, blk)
                         elif kind == "dc_first":
-                            t = reader.decode(huff[(0, c["td"])])
-                            if t > 11:
-                                raise ValueError(f"bad DC category {t}")
-                            c["pred"] += _extend(reader.receive(t), t)
-                            blk[0] = c["pred"] << al
+                            blk[0] = _decode_dc_first(
+                                reader, c, huff[(0, c["td"])], al
+                            )
                         else:  # dc_refine
                             blk[0] |= reader.read_bit() << al
     else:
@@ -449,11 +475,7 @@ def _decode_scan(payload, pos, sos, frame, qt, huff, restart_interval):
             by, bx = divmod(m, bw)
             blk = c["coef"][by, bx].reshape(64)
             if kind == "dc_first":
-                t = reader.decode(huff[(0, c["td"])])
-                if t > 11:
-                    raise ValueError(f"bad DC category {t}")
-                c["pred"] += _extend(reader.receive(t), t)
-                blk[0] = c["pred"] << al
+                blk[0] = _decode_dc_first(reader, c, huff[(0, c["td"])], al)
             elif kind == "dc_refine":
                 blk[0] |= reader.read_bit() << al
             elif kind == "ac_first":
@@ -650,8 +672,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             continue
         pos += seg_len
 
-    if frame is None:
-        raise ValueError("reached SOS without a SOF frame header")
+    # every break out of the marker loop guarantees frame is set and at
+    # least one scan decoded
     if frame["progressive"] and not all(
         c["dc_seen"] for c in frame["comps"]
     ):

@@ -179,8 +179,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec round-trip over FOUR container formats: synthesize
     PPM/WAV/JPEG/MP3 bytes per doc (pandas UDF writer), decode them
     inside mapInPandas (header grammar, chunk walk, int16 unpack, and
-    for JPEG the full jpeg_lite baseline pipeline — Huffman entropy
-    decode, dequant, IDCT, 4:2:0 upsample, BT.601 — plus the MPEG frame
+    for JPEG the full jpeg_lite pipeline — Huffman entropy decode,
+    dequant, IDCT, 4:2:0 upsample, BT.601 — plus the MPEG frame
     header), and emit typed features. DuckDB recomputes the expected
     statistics from the pixel/sample/geometry/bitrate formulas alone —
     it never parses the bytes — so the hash-match proves the decoders

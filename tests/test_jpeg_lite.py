@@ -955,3 +955,56 @@ def test_progressive_restart_markers_reset_predictors_and_eobrun():
     assert payload.count(b"\xff\xd0") >= 4  # RST0 in several scans
     prog = _got(payload)[1]
     np.testing.assert_array_equal(prog, base)
+
+
+def test_review_fixes_hostile_and_truncated_streams():
+    """Round-7 review pass: four decoder contract holes."""
+    # 1. Ns=0 SOS passes the length equation but must ValueError, not
+    #    IndexError (which would escape the totality catch)
+    hostile = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _seg(0xDA, bytes([0, 0, 0, 0]))
+    )
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg_pixels(hostile)
+
+    # 2. a hostile DC-first scan accumulating the predictor past int32
+    #    must ValueError (silent int32 wraparound / OverflowError before)
+    comps = [{"id": 1, "h": 1, "v": 1}]
+    bw = _BW()
+    pred = 0
+    for _ in range(16 * 12):  # 96x96 grayscale = 144 blocks
+        _mag(bw, 2047)
+        pred += 2047
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xC2, bytes([8, 0, 96, 0, 96, 1, 1, 0x11, 0]))
+        + _seg(
+            0xC4,
+            bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+            + bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS,
+        )
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0D]))  # Al=13
+        + bw.scan_bytes()
+        + b"\xff\xd9"
+    )
+    assert pred << 13 >= 2**31
+    with pytest.raises(ValueError, match="outside int32"):
+        decode_jpeg_pixels(payload)
+
+    # 3. truncation right after a COMPLETE scan (EOI lost) renders
+    full = encode_jpeg_flat(16, 16, 100, 50, 60)
+    out, arr = _got(full[:-2])
+    assert (out["width"], out["height"]) == (16, 16)
+    np.testing.assert_array_equal(arr, _got(full)[1])
+
+    # 4. progressive-ARITHMETIC (SOF10) refuses as arithmetic, and
+    #    differential-hierarchical (SOF6) as unsupported — neither may
+    #    reach the huffman-progressive decoder
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(_minimal_with_sof(0xCA))
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg_pixels(_minimal_with_sof(0xC6))

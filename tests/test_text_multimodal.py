@@ -760,8 +760,10 @@ def test_media_features_full_jpeg_pixel_stats_and_fallbacks():
     assert (f2["width"], f2["height"]) == (456, 123)
     assert f2["mean_c0"] is None and f2["vmin"] is None
 
-    # progressive: decode_jpeg_pixels raises NotImplementedError, which
-    # must downgrade to metadata features, not kill the task
+    # a header-only progressive (SOF2) stream has no scan to decode:
+    # the pixel stage's ValueError must downgrade to metadata features,
+    # not kill the task (full progressive decode is covered in
+    # tests/test_jpeg_lite.py)
     prog = hdr_only.replace(b"\xff\xc0", b"\xff\xc2")
     f3 = _media_features_one(prog)
     assert f3["kind"] == "image" and f3["mean_c0"] is None
