@@ -548,18 +548,123 @@ def extract_media_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
-def resize_stub(
-    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+def _area_resample_axis(arr, dst: int, axis: int):
+    """Exact box-filter (area-average) resample along one axis for ANY
+    ratio: output cell i averages source pixels over [i*s, (i+1)*s)
+    (s = src/dst) with fractional edge weights — the antialiasing
+    downscale real curation pipelines use (PIL's BOX / OpenCV's
+    INTER_AREA semantics). Python loop is over OUTPUT size only."""
+    import numpy as np
+
+    src = arr.shape[axis]
+    scale = src / dst
+    arr = np.moveaxis(np.asarray(arr, dtype=np.float64), axis, 0)
+    out = np.empty((dst,) + arr.shape[1:], dtype=np.float64)
+    for i in range(dst):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(lo), min(int(np.ceil(hi)), src)
+        w = np.ones(j1 - j0)
+        w[0] -= lo - j0
+        w[-1] -= j1 - hi
+        out[i] = np.tensordot(w, arr[j0:j1], axes=(0, 0)) / w.sum()
+    return np.moveaxis(out, 0, axis)
+
+
+def _resample_rgb(arr, height: int, width: int, method: str):
+    import numpy as np
+
+    if method == "nearest":
+        sy = np.minimum(
+            (np.arange(height) + 0.5) * arr.shape[0] / height, arr.shape[0] - 1
+        ).astype(np.int64)
+        sx = np.minimum(
+            (np.arange(width) + 0.5) * arr.shape[1] / width, arr.shape[1] - 1
+        ).astype(np.int64)
+        return arr[sy][:, sx]
+    out = _area_resample_axis(arr, height, 0)
+    out = _area_resample_axis(out, width, 1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    method: str = "area",
 ) -> DataFrame:
-    """Resize seam: passes metadata through with the new dimensions; the
-    payload transform is the stubbed codec step."""
-    return df.withColumn(
+    """REAL image resize, executor-side: decode PPM or JPEG payloads
+    (jpeg_lite — baseline AND progressive), resample in numpy ('area' =
+    exact box average, the antialiasing curation default; 'nearest' =
+    point sampling), and re-encode as binary PPM — the pipeline's
+    canonical uncompressed interchange (grayscale JPEGs widen to RGB).
+    Non-image, malformed, or out-of-scope payloads yield NULL payloads
+    (analyzable rows, never task failures). Returns
+    ``(id, payload, meta)`` with the new geometry. This replaces the
+    round-4 ``resize_stub`` whose payload transform was the stubbed
+    codec step — the seam is now functional end to end."""
+    import numpy as np
+
+    if method not in ("area", "nearest"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if width < 1 or height < 1:
+        raise ValueError(f"bad target geometry {width}x{height}")
+
+    def one(payload) -> bytes | None:
+        if payload is None:
+            return None
+        payload = bytes(payload)
+        try:
+            if payload.startswith(b"P6"):
+                img = decode_ppm(payload)
+                n = 3
+            elif payload.startswith(b"\xff\xd8"):
+                from lcr_etl_upgrade_spark.jpeg_lite import (
+                    decode_jpeg_pixels,
+                )
+
+                img = decode_jpeg_pixels(payload)
+                n = img["components"]
+            else:
+                return None
+        except (ValueError, NotImplementedError):
+            return None
+        arr = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+            img["height"], img["width"], n
+        )
+        if n == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        out = _resample_rgb(arr, height, width, method)
+        return encode_ppm(width, height, np.ascontiguousarray(out).tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: pd.Series(resized, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+    resized = df.select(id_col, payload_col).mapInPandas(run, schema)
+    return resized.withColumn(
         "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.when(
+            F.col(payload_col).isNotNull(),
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            ),
         ),
     )
 

@@ -785,3 +785,93 @@ def test_synth_jpeg_color_formula_has_no_rounding_ties():
         ):
             frac = abs(v - int(v))
             assert abs(frac - 0.5) > 1e-9, (d, v)
+
+
+def test_resize_images_real(spark):
+    """resize_images decodes PPM/JPEG for real, resamples, re-encodes
+    PPM: nearest is a pure index map (golden), area is an exact box
+    mean on integer factors, non-images yield NULL payloads."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.jpeg_lite import encode_jpeg_flat
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    # 4x4 with four constant 2x2 quadrants -> area 2x2 = quadrant values
+    quad = np.zeros((4, 4, 3), dtype=np.uint8)
+    quad[:2, :2], quad[:2, 2:], quad[2:, :2], quad[2:, 2:] = 10, 40, 90, 200
+    src = encode_ppm(4, 4, quad.tobytes())
+    wav_like = b"RIFF????WAVE"  # non-image magic
+    df = spark.createDataFrame(
+        [(0, bytearray(src)),
+         (1, bytearray(encode_jpeg_flat(10, 6, 200, 30, 99))),
+         (2, bytearray(wav_like)),
+         (3, None),
+         (4, bytearray(b"\xff\xd8\xff\xd9"))],  # malformed JPEG
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    img0 = decode_ppm(bytes(out[0].payload))
+    a0 = np.frombuffer(img0["pixels"], np.uint8).reshape(2, 2, 3)
+    assert [int(a0[0, 0, 0]), int(a0[0, 1, 0]), int(a0[1, 0, 0]),
+            int(a0[1, 1, 0])] == [10, 40, 90, 200]
+    assert out[0].meta.width == 2 and out[0].meta.n_bytes == len(out[0].payload)
+    # flat JPEG resizes to the same flat BT.601 color at any size
+    a1 = np.frombuffer(
+        decode_ppm(bytes(out[1].payload))["pixels"], np.uint8
+    ).reshape(2, 2, 3)
+    assert {tuple(v) for row in a1 for v in row} == {(159, 254, 26)}
+    # non-image / NULL / malformed -> NULL payload AND NULL meta
+    for mid in (2, 3, 4):
+        assert out[mid].payload is None and out[mid].meta is None
+
+
+def test_resize_area_matches_naive_2d_oracle():
+    """Separable box resample equals the direct 2D overlap-weighted
+    mean for arbitrary (non-integer) ratios."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import _resample_rgb
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, size=(7, 11, 3)).astype(np.uint8)
+    dh, dw = 3, 4
+
+    def naive(arr, dh, dw):
+        sh, sw = arr.shape[:2]
+        out = np.zeros((dh, dw, 3))
+        for i in range(dh):
+            for j in range(dw):
+                ly, hy = i * sh / dh, (i + 1) * sh / dh
+                lx, hx = j * sw / dw, (j + 1) * sw / dw
+                acc = np.zeros(3)
+                wsum = 0.0
+                for y in range(int(ly), int(np.ceil(hy))):
+                    for x in range(int(lx), int(np.ceil(hx))):
+                        w = (min(hy, y + 1) - max(ly, y)) * (
+                            min(hx, x + 1) - max(lx, x)
+                        )
+                        acc += w * arr[y, x]
+                        wsum += w
+                out[i, j] = acc / wsum
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    got = _resample_rgb(arr, dh, dw, "area")
+    np.testing.assert_array_equal(got, naive(arr, dh, dw))
+
+
+def test_resize_nearest_upscale_golden():
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import _resample_rgb
+
+    arr = np.array([[[1, 1, 1], [2, 2, 2]],
+                    [[3, 3, 3], [4, 4, 4]]], dtype=np.uint8)
+    up = _resample_rgb(arr, 4, 4, "nearest")
+    assert up[0, 0, 0] == 1 and up[0, 3, 0] == 2
+    assert up[3, 0, 0] == 3 and up[3, 3, 0] == 4
+    # each source pixel replicates into a 2x2 block
+    assert (up[:2, :2, 0] == 1).all() and (up[2:, 2:, 0] == 4).all()
