@@ -23,11 +23,15 @@ Codecs come in two tiers:
   IDCT, chroma upsample, BT.601), so JPEG payloads get pixel statistics
   like PPM does. Arithmetic-coded JPEG and MP3 MDCT sample decode
   remain the documented seam.
-- STUBBED full decode (MP3 samples / H.264 need codec libraries absent
-  in this container): ``decode_stub='fake'`` produces a deterministic
-  hash-feature vector so downstream operators (dedup, similarity) are
-  exercisable end-to-end, and ``decode_stub='raise'`` marks the
-  production seam with NotImplementedError.
+- REAL video via YUV4MPEG2 (the mjpegtools/ffmpeg uncompressed
+  interchange): stream-header grammar, frame walk, studio-swing
+  Rec. 601 conversion — ``sample_video_frames`` emits every-nth frame
+  as a binary-PPM row the image operators consume directly.
+- STUBBED full decode (MP3 samples / compressed video need codec
+  libraries absent in this container): ``decode_stub='fake'`` produces
+  a deterministic hash-feature vector so downstream operators (dedup,
+  similarity) are exercisable end-to-end, and ``decode_stub='raise'``
+  marks the production seam with NotImplementedError.
 """
 
 from __future__ import annotations
@@ -506,6 +510,16 @@ def _media_features_one(payload: bytes | None) -> dict:
                 )
             except (ValueError, NotImplementedError):
                 pass
+        elif payload.startswith(b"YUV4MPEG2"):
+            vid = decode_y4m_header(payload)
+            out.update(
+                kind="video",
+                width=vid["width"],
+                height=vid["height"],
+                # frame count rides the n_samples field (a video IS a
+                # sample sequence; the schema stays closed)
+                n_samples=vid["n_frames"],
+            )
         elif payload.startswith(b"ID3") or (
             len(payload) >= 2
             and payload[0] == 0xFF
@@ -672,11 +686,13 @@ def resize_images(
 def frame_sample_stub(
     df: DataFrame, every_n: int, id_col: str = "media_id"
 ) -> DataFrame:
-    """Frame-sampling seam for video payloads: emits (media_id, frame_idx)
-    rows for every_n-th frame index derived from metadata; the frame
-    payload decode is the stubbed step. Rows with NULL meta.n_bytes get
-    a single frame 0 (unknown size, sample something rather than
-    nothing)."""
+    """Frame-sampling seam for COMPRESSED video payloads (H.264 & co
+    need codec libraries): emits (media_id, frame_idx) rows for
+    every_n-th frame index derived from metadata; the frame payload
+    decode is the stubbed step. Rows with NULL meta.n_bytes get a
+    single frame 0 (unknown size, sample something rather than
+    nothing). For uncompressed YUV4MPEG2 payloads use
+    ``sample_video_frames`` — that path decodes REAL frames."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     n_frames = F.greatest(
@@ -688,3 +704,189 @@ def frame_sample_stub(
             "frame_idx"
         ),
     )
+
+
+# ---- Y4M: uncompressed video (YUV4MPEG2, the mjpegtools interchange) ----
+
+# per-frame pixel bound, shared rationale with jpeg_lite.MAX_JPEG_PIXELS
+MAX_PIXELS_PER_FRAME = 100_000_000
+
+_Y4M_PLANES = {  # colorspace tag prefix -> (x_shift, y_shift) of chroma
+    "C420": (1, 1),  # all 420 siting variants (jpeg/mpeg2/paldv) share
+    "C422": (1, 0),  # the plane LAYOUT; siting only moves subpixels,
+    "C444": (0, 0),  # which replicate-upsampling ignores anyway
+    "Cmono": None,
+}
+
+
+def decode_y4m_header(payload: bytes) -> dict:
+    """YUV4MPEG2 stream header: ``YUV4MPEG2 W<w> H<h> [F<n>:<d>] [C...]``
+    + ``\\n``, then per frame ``FRAME[ params]\\n`` + planar YUV bytes.
+    Returns width/height/fps/colorspace/frame geometry and the exact
+    frame count implied by the payload length (a trailing partial frame
+    is corruption — a cut download is detected, not silently shortened).
+    Public spec: the mjpegtools y4m format (ffmpeg/mplayer interchange).
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0 or nl > 512:
+        raise ValueError("unterminated y4m stream header")
+    width = height = 0
+    fps = (0, 1)
+    cs = "C420"
+    for tok in payload[9:nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if not tok:
+            continue
+        try:
+            if tok[0] == "W":
+                width = int(tok[1:])
+            elif tok[0] == "H":
+                height = int(tok[1:])
+            elif tok[0] == "F":
+                n, d = tok[1:].split(":")
+                fps = (int(n), int(d))
+            elif tok[0] == "C":
+                cs = tok
+        except (IndexError, ValueError):
+            raise ValueError(f"malformed y4m header token {tok!r}") from None
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad y4m geometry {width}x{height}")
+    if width * height > MAX_PIXELS_PER_FRAME:
+        raise ValueError(
+            f"y4m geometry {width}x{height} exceeds the per-frame bound"
+        )
+    shifts = next(
+        (v for k, v in _Y4M_PLANES.items() if cs.startswith(k)), "missing"
+    )
+    if shifts == "missing":
+        raise ValueError(f"unsupported y4m colorspace {cs}")
+    if shifts is None:
+        frame_bytes = width * height
+    else:
+        xs, ys = shifts
+        if (xs and width % 2) or (ys and height % 2):
+            raise ValueError(
+                f"odd geometry {width}x{height} with subsampled {cs}"
+            )
+        frame_bytes = width * height + 2 * (width >> xs) * (height >> ys)
+    # frame markers: b"FRAME" + optional params + b"\n"
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at {pos}")
+        fnl = payload.find(b"\n", pos + 5, pos + 5 + 256)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        data_at = fnl + 1
+        if data_at + frame_bytes > len(payload):
+            raise ValueError(
+                "truncated y4m frame (payload cut mid-frame)"
+            )
+        frames.append(data_at)
+        pos = data_at + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "colorspace": cs,
+        "frame_bytes": frame_bytes,
+        "chroma_shifts": shifts,
+        "frame_offsets": frames,
+        "n_frames": len(frames),
+    }
+
+
+def y4m_frame_to_ppm(payload: bytes, info: dict, idx: int) -> bytes:
+    """Extract ONE frame and convert to binary PPM. Y4M carries
+    STUDIO-SWING (limited-range) Rec. 601 YCbCr — Y in 16..235, chroma
+    in 16..240 — so the conversion derives from Kr=0.299/Kb=0.114 with
+    the 219/224 excursions (unlike JFIF JPEG's full-range BT.601 in
+    jpeg_lite); chroma upsamples by replication. Out-of-range code
+    values clamp, as players do."""
+    import numpy as np
+
+    w, h = info["width"], info["height"]
+    off = info["frame_offsets"][idx]
+    y = np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+    y_ = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    if info["chroma_shifts"] is None:
+        gray = np.clip(np.round(y_), 0, 255).astype(np.uint8)
+        rgb = np.repeat(gray[..., None], 3, axis=2)
+        return encode_ppm(w, h, rgb.tobytes())
+    xs, ys = info["chroma_shifts"]
+    cw, ch = w >> xs, h >> ys
+    cb = np.frombuffer(payload, np.uint8, cw * ch, off + w * h)
+    cr = np.frombuffer(payload, np.uint8, cw * ch, off + w * h + cw * ch)
+    pb = (cb.astype(np.float64).reshape(ch, cw) - 128.0) * (255.0 / 224.0)
+    pr = (cr.astype(np.float64).reshape(ch, cw) - 128.0) * (255.0 / 224.0)
+    pb = pb.repeat(1 << ys, axis=0).repeat(1 << xs, axis=1)[:h, :w]
+    pr = pr.repeat(1 << ys, axis=0).repeat(1 << xs, axis=1)[:h, :w]
+    kr, kb = 0.299, 0.114
+    kg = 1.0 - kr - kb
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = np.clip(np.round(y_ + 2.0 * (1.0 - kr) * pr), 0, 255)
+    rgb[..., 1] = np.clip(
+        np.round(
+            y_
+            - (2.0 * (1.0 - kb) * kb / kg) * pb
+            - (2.0 * (1.0 - kr) * kr / kg) * pr
+        ),
+        0,
+        255,
+    )
+    rgb[..., 2] = np.clip(np.round(y_ + 2.0 * (1.0 - kb) * pb), 0, 255)
+    return encode_ppm(w, h, rgb.tobytes())
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling: decode YUV4MPEG2 payloads executor-
+    side and emit every ``every_n``-th frame as a binary-PPM row
+    ``(media_id, frame_idx, frame)`` — the downstream image operators
+    (extract_media_features, resize_images) consume the frames
+    directly. Only the SELECTED frames are converted (offset-sliced
+    from the payload, not decoded-then-dropped). Non-Y4M or malformed
+    payloads emit zero rows — compressed video (H.264 & co) stays
+    behind frame_sample_stub's documented seam. Replaces nothing: the
+    stub remains for metadata-only pipelines."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                try:
+                    info = decode_y4m_header(p)
+                    for fi in range(0, info["n_frames"], every_n):
+                        ids.append(int(mid))
+                        idxs.append(fi)
+                        frames.append(y4m_frame_to_ppm(p, info, fi))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

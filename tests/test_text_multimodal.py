@@ -442,7 +442,7 @@ def _decoders():
     from lcr_etl_upgrade_spark.operators import multimodal as mm
 
     return [mm.decode_ppm, mm.decode_wav, mm.decode_jpeg_header,
-            mm.decode_mp3_header]
+            mm.decode_mp3_header, mm.decode_y4m_header]
 
 
 @settings(max_examples=300, deadline=None,
@@ -875,3 +875,132 @@ def test_resize_nearest_upscale_golden():
     assert up[3, 0, 0] == 3 and up[3, 3, 0] == 4
     # each source pixel replicates into a 2x2 block
     assert (up[:2, :2, 0] == 1).all() and (up[2:, 2:, 0] == 4).all()
+
+
+def _y4m(width, height, frames, cs=b"C420", fps=b"F25:1"):
+    """Hand-build a YUV4MPEG2 stream: frames is a list of (y, cb, cr)
+    plane byte tuples (cb/cr omitted for mono)."""
+    out = b"YUV4MPEG2 W%d H%d " % (width, height) + fps + b" " + cs + b"\n"
+    for planes in frames:
+        out += b"FRAME\n" + b"".join(planes)
+    return out
+
+
+def test_y4m_header_and_frame_goldens():
+    """Hand-composed YUV4MPEG2 bytes: header grammar, frame walk,
+    studio-swing Rec.601 conversion (Y=16 -> 0, Y=235 -> 255, gray when
+    Cb=Cr=128), truncation/colorspace/odd-dim refusals."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_ppm,
+        decode_y4m_header,
+        y4m_frame_to_ppm,
+    )
+
+    w, h = 4, 2
+    cbcr = bytes([128] * ((w // 2) * (h // 2)))
+    f0 = (bytes([16] * (w * h)), cbcr, cbcr)
+    f1 = (bytes([235] * (w * h)), cbcr, cbcr)
+    f2 = (bytes([126] * (w * h)), cbcr, cbcr)
+    payload = _y4m(w, h, [f0, f1, f2])
+    info = decode_y4m_header(payload)
+    assert (info["width"], info["height"], info["n_frames"]) == (4, 2, 3)
+    assert info["fps"] == (25, 1)
+    for idx, want in [(0, 0), (1, 255), (2, 128)]:  # (126-16)*255/219
+        ppm = decode_ppm(y4m_frame_to_ppm(payload, info, idx))
+        px = set(ppm["pixels"])
+        assert px == {want}, (idx, px)
+
+    # mono colorspace: single plane, grayscale replicated to RGB
+    mono = _y4m(2, 2, [(bytes([16, 126, 235, 16]),)], cs=b"Cmono")
+    mi = decode_y4m_header(mono)
+    mp = decode_ppm(y4m_frame_to_ppm(mono, mi, 0))
+    arr = np.frombuffer(mp["pixels"], np.uint8).reshape(2, 2, 3)
+    assert [int(v) for v in arr[0, :, 0]] == [0, 128]
+
+    # refusals: truncated frame, unknown colorspace, odd dims with 420
+    with pytest.raises(ValueError, match="truncated y4m frame"):
+        decode_y4m_header(payload[:-1])
+    with pytest.raises(ValueError, match="unsupported y4m colorspace"):
+        decode_y4m_header(_y4m(4, 2, [], cs=b"C411"))
+    with pytest.raises(ValueError, match="odd geometry"):
+        decode_y4m_header(_y4m(3, 2, []))
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m_header(b"P6 1 1 255 x")
+
+
+def test_y4m_chroma_conversion_vs_spec_derivation():
+    """A colored 4:2:0 frame must match the Rec.601 studio-swing
+    matrix derived in the test from Kr/Kb and the 219/224 excursions."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_ppm,
+        decode_y4m_header,
+        y4m_frame_to_ppm,
+    )
+
+    w, h = 2, 2
+    y, cb, cr = 81, 90, 240  # "red-ish" studio-swing triple
+    payload = _y4m(w, h, [(bytes([y] * 4), bytes([cb]), bytes([cr]))])
+    info = decode_y4m_header(payload)
+    arr = np.frombuffer(
+        decode_ppm(y4m_frame_to_ppm(payload, info, 0))["pixels"], np.uint8
+    ).reshape(2, 2, 3)
+    kr, kb = 0.299, 0.114
+    kg = 1 - kr - kb
+    y_ = (y - 16) * 255 / 219
+    pb, pr = (cb - 128) * 255 / 224, (cr - 128) * 255 / 224
+    want = [
+        min(255, max(0, round(y_ + 2 * (1 - kr) * pr))),
+        min(255, max(0, round(
+            y_ - 2 * (1 - kb) * kb / kg * pb - 2 * (1 - kr) * kr / kg * pr
+        ))),
+        min(255, max(0, round(y_ + 2 * (1 - kb) * pb))),
+    ]
+    assert [int(v) for v in arr[0, 0]] == want
+
+
+def test_sample_video_frames_real(spark):
+    """Every-nth Y4M frame lands as a PPM row; non-Y4M payloads emit
+    zero rows (compressed video stays behind the stub seam)."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_ppm,
+        sample_video_frames,
+    )
+
+    w, h = 4, 2
+    cbcr = bytes([128] * 2)
+    frames = [
+        (bytes([16 + 20 * i] * (w * h)), cbcr, cbcr) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(_y4m(w, h, frames))), (1, bytearray(b"not video")),
+         (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = sample_video_frames(df, every_n=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(0, 0), (0, 2), (0, 4)]
+    # frame 2's luma is 16+40 -> (40)*255/219 = 46.58 -> 47
+    px = set(decode_ppm(bytes(rows[1].frame))["pixels"])
+    assert px == {47}
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(df, every_n=0)
+
+
+def test_media_features_video_row():
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+    )
+
+    w, h = 4, 2
+    cbcr = bytes([128] * 2)
+    payload = _y4m(w, h, [(bytes([100] * 8), cbcr, cbcr)] * 3)
+    f = _media_features_one(payload)
+    assert f["kind"] == "video"
+    assert (f["width"], f["height"], f["n_samples"]) == (4, 2, 3)
+    # malformed video -> all-NULL row, not a task failure
+    assert _media_features_one(payload[:-2])["kind"] is None
