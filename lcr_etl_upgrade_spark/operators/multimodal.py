@@ -27,6 +27,10 @@ Codecs come in two tiers:
   interchange): stream-header grammar, frame walk, studio-swing
   Rec. 601 conversion — ``sample_video_frames`` emits every-nth frame
   as a binary-PPM row the image operators consume directly.
+- REAL media transforms: ``resize_images`` (box-average/nearest
+  resample, PPM out) and ``resample_audio`` (mono downmix + linear
+  rate conversion, WAV out) — the standard curation normalizations,
+  decode-transform-reencode inside mapInPandas.
 - STUBBED full decode (MP3 samples / compressed video need codec
   libraries absent in this container): ``decode_stub='fake'`` produces
   a deterministic hash-feature vector so downstream operators (dedup,
@@ -890,3 +894,91 @@ def sample_video_frames(
         ]
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mono: bool = True,
+) -> DataFrame:
+    """REAL audio normalization, executor-side: decode WAV PCM-16,
+    downmix interleaved channels to mono (average — the standard
+    speech-curation preprocessing), linearly resample to
+    ``target_rate`` (sample i maps to source position i*src/dst; the
+    two neighbours interpolate), and re-encode WAV PCM-16. Linear
+    interpolation is the documented quality floor — a production
+    pipeline wanting band-limited (sinc) resampling binds a DSP library
+    at this seam, with the schema and totality behavior unchanged.
+    Non-audio, malformed, or zero-sample payloads yield NULL payloads
+    (analyzable rows, never task failures)."""
+    import numpy as np
+
+    if target_rate < 1 or target_rate >= 2**31:
+        raise ValueError(f"bad target rate {target_rate}")
+
+    def one(payload) -> bytes | None:
+        if payload is None:
+            return None
+        payload = bytes(payload)
+        if not payload.startswith(b"RIFF"):
+            return None
+        try:
+            wav = decode_wav(payload)
+        except ValueError:
+            return None
+        nch = wav["n_channels"]
+        arr = np.asarray(wav["samples"], dtype=np.float64)
+        n = len(arr) // nch
+        if n == 0:
+            return None
+        arr = arr[: n * nch].reshape(n, nch)
+        chans = arr.mean(axis=1, keepdims=True) if mono else arr
+        src = wav["sample_rate"]
+        if src == target_rate:
+            out = chans
+        else:
+            m = max(1, int(round(n * target_rate / src)))
+            # position of output sample i in source frames
+            pos = np.arange(m, dtype=np.float64) * (src / target_rate)
+            j = np.minimum(pos.astype(np.int64), n - 1)
+            j1 = np.minimum(j + 1, n - 1)
+            frac = (pos - j)[:, None]
+            out = chans[j] * (1.0 - frac) + chans[j1] * frac
+        flat = np.clip(np.round(out.reshape(-1)), -32768, 32767).astype(
+            np.int64
+        )
+        return encode_wav_pcm16(
+            target_rate, [int(v) for v in flat], 1 if mono else nch
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: pd.Series(res, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+    resampled = df.select(id_col, payload_col).mapInPandas(run, schema)
+    return resampled.withColumn(
+        "meta",
+        F.when(
+            F.col(payload_col).isNotNull(),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(target_rate).alias("sample_rate"),
+                F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            ),
+        ),
+    )

@@ -1004,3 +1004,43 @@ def test_media_features_video_row():
     assert (f["width"], f["height"], f["n_samples"]) == (4, 2, 3)
     # malformed video -> all-NULL row, not a task failure
     assert _media_features_one(payload[:-2])["kind"] is None
+
+
+def test_resample_audio_real(spark):
+    """resample_audio decodes WAV, downmixes to mono, linearly
+    resamples, re-encodes: goldens for up/down/identity rates and
+    stereo downmix; non-audio payloads yield NULL rows."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+        resample_audio,
+    )
+
+    up_src = encode_wav_pcm16(8000, [0, 100])
+    down_src = encode_wav_pcm16(16000, [0, 10, 20, 30])
+    stereo = encode_wav_pcm16(8000, [10, 20, -10, -30], n_channels=2)
+    df = spark.createDataFrame(
+        [(0, bytearray(up_src)), (1, bytearray(down_src)),
+         (2, bytearray(stereo)), (3, bytearray(b"P6 not audio")),
+         (4, None), (5, bytearray(up_src[:-3]))],
+        "media_id long, payload binary",
+    )
+    # upsample 8k -> 16k: positions [0, .5, 1, 1.5] over [0, 100]
+    out = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    w0 = decode_wav(bytes(out[0].payload))
+    assert w0["sample_rate"] == 16000 and w0["n_channels"] == 1
+    assert list(w0["samples"]) == [0, 50, 100, 100]
+    assert out[0].meta.sample_rate == 16000
+    # stereo downmix at identity rate needs a second call (16k != 8k
+    # here would interpolate); check downmix means exactly
+    out8 = {r.media_id: r for r in resample_audio(df, 8000).collect()}
+    w2 = decode_wav(bytes(out8[2].payload))
+    assert list(w2["samples"]) == [15, -20]
+    # downsample 16k -> 8k: positions [0, 2]
+    w1 = decode_wav(bytes(out8[1].payload))
+    assert list(w1["samples"]) == [0, 20]
+    # non-audio / NULL / truncated -> NULL payload and NULL meta
+    for mid in (3, 4, 5):
+        assert out[mid].payload is None and out[mid].meta is None
+    with pytest.raises(ValueError, match="target rate"):
+        resample_audio(df, 0)
