@@ -192,10 +192,24 @@ def decode_ppm(payload: bytes) -> dict:
 
 
 def encode_wav_pcm16(
-    sample_rate: int, samples: list[int], n_channels: int = 1
+    sample_rate: int, samples, n_channels: int = 1
 ) -> bytes:
-    """Serialize a RIFF/WAVE file with one PCM-16 fmt chunk + data chunk."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    """Serialize a RIFF/WAVE file with one PCM-16 fmt chunk + data chunk.
+    ``samples`` is a list of ints (packed here) or ready little-endian
+    int16 bytes (the vectorized resample path). A byte rate past the
+    u32 header field raises ValueError, not struct.error — degenerate
+    geometry must stay inside the module's designated failure type."""
+    if sample_rate * n_channels * 2 >= 2**32:
+        raise ValueError(
+            f"byte rate {sample_rate}x{n_channels} overflows the WAV "
+            "u32 header field"
+        )
+    if isinstance(samples, (bytes, bytearray)):
+        data = bytes(samples)
+        if len(data) % 2:
+            raise ValueError("odd byte count for int16 sample data")
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM
@@ -249,6 +263,10 @@ def decode_wav(payload: bytes) -> dict:
         # escape _media_features_one's malformed-payload handler and kill
         # the executor task
         raise ValueError("fmt chunk declares zero channels")
+    if sample_rate == 0:
+        # resample_audio divides by the declared rate; a zero rate is
+        # malformation, not a divisor
+        raise ValueError("fmt chunk declares zero sample rate")
     if sample_rate >= 2**31:
         # '<I' is unsigned but MEDIA_FEATURE_SCHEMA declares int32; a
         # declared rate past int32 is garbage anyway — classify it as
@@ -604,6 +622,44 @@ def _resample_rgb(arr, height: int, width: int, method: str):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def _transform_payloads(
+    df: DataFrame, one, id_col: str, payload_col: str, meta_fields
+) -> DataFrame:
+    """Shared decode-transform-reencode scaffolding for the media
+    normalizers: map ``one`` (bytes -> bytes|None) over payloads inside
+    mapInPandas, then attach the caller's meta struct to non-NULL rows
+    (NULL payload -> NULL meta)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: pd.Series(
+                        [one(p) for p in pdf[payload_col]], dtype="object"
+                    ),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+    out = df.select(id_col, payload_col).mapInPandas(run, schema)
+    return out.withColumn(
+        "meta",
+        F.when(
+            F.col(payload_col).isNotNull(),
+            F.struct(
+                *meta_fields,
+                F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            ),
+        ),
+    )
+
+
 def resize_images(
     df: DataFrame,
     width: int,
@@ -651,39 +707,30 @@ def resize_images(
         arr = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
             img["height"], img["width"], n
         )
+        maxval = img.get("maxval", 255)
+        if maxval != 255:
+            # the output header hardcodes maxval 255, so sub-255 P6
+            # samples must rescale or every consumer reads them darker
+            # multiply before dividing: sample*255 is integer-exact in
+            # float64, so exact halves (50/100 -> 127.5) round cleanly
+            arr = np.clip(
+                np.round(arr.astype(np.float64) * 255.0 / maxval), 0, 255
+            ).astype(np.uint8)
         if n == 1:
             arr = np.repeat(arr, 3, axis=2)
         out = _resample_rgb(arr, height, width, method)
         return encode_ppm(width, height, np.ascontiguousarray(out).tobytes())
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            resized = [one(p) for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    payload_col: pd.Series(resized, dtype="object"),
-                }
-            )
-
-    schema = T.StructType(
+    return _transform_payloads(
+        df,
+        one,
+        id_col,
+        payload_col,
         [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField(payload_col, T.BinaryType(), True),
-        ]
-    )
-    resized = df.select(id_col, payload_col).mapInPandas(run, schema)
-    return resized.withColumn(
-        "meta",
-        F.when(
-            F.col(payload_col).isNotNull(),
-            F.struct(
-                F.lit(width).alias("width"),
-                F.lit(height).alias("height"),
-                F.lit(None).cast("int").alias("sample_rate"),
-                F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
-            ),
-        ),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ],
     )
 
 
@@ -926,59 +973,52 @@ def resample_audio(
             return None
         try:
             wav = decode_wav(payload)
-        except ValueError:
-            return None
-        nch = wav["n_channels"]
-        arr = np.asarray(wav["samples"], dtype=np.float64)
-        n = len(arr) // nch
-        if n == 0:
-            return None
-        arr = arr[: n * nch].reshape(n, nch)
-        chans = arr.mean(axis=1, keepdims=True) if mono else arr
-        src = wav["sample_rate"]
-        if src == target_rate:
-            out = chans
-        else:
-            m = max(1, int(round(n * target_rate / src)))
-            # position of output sample i in source frames
-            pos = np.arange(m, dtype=np.float64) * (src / target_rate)
-            j = np.minimum(pos.astype(np.int64), n - 1)
-            j1 = np.minimum(j + 1, n - 1)
-            frac = (pos - j)[:, None]
-            out = chans[j] * (1.0 - frac) + chans[j1] * frac
-        flat = np.clip(np.round(out.reshape(-1)), -32768, 32767).astype(
-            np.int64
-        )
-        return encode_wav_pcm16(
-            target_rate, [int(v) for v in flat], 1 if mono else nch
-        )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = [one(p) for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    payload_col: pd.Series(res, dtype="object"),
-                }
+            nch = wav["n_channels"]
+            arr = np.asarray(wav["samples"], dtype=np.float64)
+            n = len(arr) // nch
+            if n == 0:
+                return None
+            arr = arr.reshape(n, nch)  # decode_wav emits whole frames
+            chans = arr.mean(axis=1, keepdims=True) if mono else arr
+            src = wav["sample_rate"]
+            if src == target_rate:
+                out = chans
+            else:
+                m = max(1, int(round(n * target_rate / src)))
+                if m > (1 << 27):
+                    # a hostile declared rate (e.g. 1 Hz) would explode
+                    # the output ~target/src-fold; 134M samples (256 MB)
+                    # is already past any real audio payload
+                    raise ValueError(
+                        f"resample blowup: {n} frames at declared rate "
+                        f"{src} -> {m} output samples"
+                    )
+                # position of output sample i in source frames
+                pos = np.arange(m, dtype=np.float64) * (src / target_rate)
+                j = np.minimum(pos.astype(np.int64), n - 1)
+                j1 = np.minimum(j + 1, n - 1)
+                frac = (pos - j)[:, None]
+                out = chans[j] * (1.0 - frac) + chans[j1] * frac
+            flat = np.clip(
+                np.round(out.reshape(-1)), -32768, 32767
+            ).astype("<i2")
+            return encode_wav_pcm16(
+                target_rate, flat.tobytes(), 1 if mono else nch
             )
+        except ValueError:
+            # malformed container OR degenerate geometry (zero rate,
+            # u32 byte-rate overflow, blowup guard): NULL row, not a
+            # task failure
+            return None
 
-    schema = T.StructType(
+    return _transform_payloads(
+        df,
+        one,
+        id_col,
+        payload_col,
         [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField(payload_col, T.BinaryType(), True),
-        ]
-    )
-    resampled = df.select(id_col, payload_col).mapInPandas(run, schema)
-    return resampled.withColumn(
-        "meta",
-        F.when(
-            F.col(payload_col).isNotNull(),
-            F.struct(
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(target_rate).alias("sample_rate"),
-                F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
-            ),
-        ),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(target_rate).alias("sample_rate"),
+        ],
     )

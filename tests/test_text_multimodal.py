@@ -1044,3 +1044,74 @@ def test_resample_audio_real(spark):
         assert out[mid].payload is None and out[mid].meta is None
     with pytest.raises(ValueError, match="target rate"):
         resample_audio(df, 0)
+
+
+def test_resample_audio_degenerate_inputs_yield_null_not_death(spark):
+    """Review findings (r7 pass 5): zero declared rate (ZeroDivision),
+    hostile 1 Hz rate with many samples (np.arange blowup), and a
+    u32-overflowing byte rate must all land as NULL rows — only
+    ValueError is the sanctioned malformation signal."""
+    import struct as _struct
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+        resample_audio,
+    )
+
+    good = encode_wav_pcm16(8000, [1, 2, 3])
+    zero_rate = bytearray(good)
+    zero_rate[24:28] = _struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="zero sample rate"):
+        decode_wav(bytes(zero_rate))
+    # 10,000 frames at a declared "1 Hz": resampling to 16 kHz would
+    # demand 160M output samples, past the 1<<27 blowup guard
+    one_hz = bytearray(encode_wav_pcm16(8000, list(range(10000))))
+    one_hz[24:28] = _struct.pack("<I", 1)
+    # stereo WAV whose rate field is patched to 2**30+1 post-encode
+    # (the encoder itself refuses to build such a header)
+    huge_rate = bytearray(encode_wav_pcm16(8000, [5, 6], n_channels=2))
+    huge_rate[24:28] = _struct.pack("<I", 2**30 + 1)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, zero_rate), (2, one_hz),
+         (3, huge_rate)],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.payload for r in resample_audio(df, 16000).collect()}
+    assert out[0] is not None
+    assert out[1] is None and out[2] is None
+    # id 3: mono=False keeps 2 channels; byte rate 2*(2**30+1)*2 > u32
+    out2 = {
+        r.media_id: r.payload
+        for r in resample_audio(df, 2**30 + 1, mono=False).collect()
+    }
+    assert out2[3] is None
+    # the encoder itself refuses the overflow loudly for direct callers
+    with pytest.raises(ValueError, match="byte rate"):
+        encode_wav_pcm16(2**31, [0], n_channels=2)
+    # bytes fast path == list path, byte for byte
+    assert encode_wav_pcm16(8000, [1, -2, 3]) == encode_wav_pcm16(
+        8000, _struct.pack("<3h", 1, -2, 3)
+    )
+
+
+def test_resize_rescales_sub255_ppm_maxval(spark):
+    """A P6 with maxval 100 re-encodes under the output's maxval-255
+    header: samples must rescale (100 -> 255) or every consumer reads
+    the image ~39% darker (review finding r7 pass 5)."""
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+    )
+
+    src = b"P6\n2 2\n100\n" + bytes([100, 50, 0] * 4)
+    df = spark.createDataFrame(
+        [(0, bytearray(src))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 2, 2).collect()[0]
+    arr = np.frombuffer(
+        decode_ppm(bytes(out.payload))["pixels"], np.uint8
+    ).reshape(2, 2, 3)
+    assert [int(v) for v in arr[0, 0]] == [255, 128, 0]  # round(50*2.55)
