@@ -20,9 +20,11 @@ Codecs come in two tiers:
   PPM/WAV.
 - REAL full-pixel decode for JPEG: ``jpeg_lite`` (pure numpy — Huffman
   entropy decode for BOTH baseline and progressive processes, dequant,
-  IDCT, chroma upsample, BT.601), so JPEG payloads get pixel statistics
-  like PPM does. Arithmetic-coded JPEG and MP3 MDCT sample decode
-  remain the documented seam.
+  IDCT, chroma upsample, BT.601) and for PNG: ``png_lite`` (chunk walk
+  with CRC verification, inflate, the five filters inverted, Adam7,
+  palette expansion), so JPEG/PNG payloads get pixel statistics like
+  PPM does. Arithmetic-coded JPEG and MP3 MDCT sample decode remain
+  the documented seam.
 - REAL video via YUV4MPEG2 (the mjpegtools/ffmpeg uncompressed
   interchange): stream-header grammar, frame walk, studio-swing
   Rec. 601 conversion — ``sample_video_frames`` emits every-nth frame
@@ -532,6 +534,17 @@ def _media_features_one(payload: bytes | None) -> dict:
                 )
             except (ValueError, NotImplementedError):
                 pass
+        elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            from lcr_etl_upgrade_spark.png_lite import decode_png
+
+            img = decode_png(payload)
+            out.update(
+                kind="image",
+                width=img["width"],
+                height=img["height"],
+                components=img["components"],
+                **_raster_stats(img["pixels"], img["components"]),
+            )
         elif payload.startswith(b"YUV4MPEG2"):
             vid = decode_y4m_header(payload)
             out.update(
@@ -699,6 +712,11 @@ def resize_images(
                 )
 
                 img = decode_jpeg_pixels(payload)
+                n = img["components"]
+            elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+                from lcr_etl_upgrade_spark.png_lite import decode_png
+
+                img = decode_png(payload)
                 n = img["components"]
             else:
                 return None

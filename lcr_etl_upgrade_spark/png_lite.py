@@ -1,0 +1,292 @@
+"""Pure-Python/numpy PNG decoder — no image-library dependency.
+
+Implements the PUBLIC spec (W3C PNG / RFC 2083): signature check,
+chunk walk with CRC-32 verification, IHDR grammar, IDAT concatenation +
+zlib inflate, the five scanline filters (None/Sub/Up/Average/Paeth)
+inverted exactly, Adam7 deinterlacing, palette expansion, and bit-depth
+normalization. No reference counterpart (/root/reference has no media
+code); consumed by operators/multimodal.py alongside ``jpeg_lite``.
+
+Scope — what scraped-corpus PNGs actually are:
+
+- bit depths 1/2/4/8 for palette and greyscale, 8 and 16 for all color
+  types (16-bit reduces to the high byte, the 8-bit raster every
+  consumer here works in — documented lossy normalization);
+- color types 0 (grey), 2 (RGB), 3 (palette), 4 (grey+alpha),
+  6 (RGBA); alpha is DROPPED in the output raster (the pixel-statistics
+  and resize consumers are RGB/grey — compositing policy belongs to the
+  caller);
+- interlace 0 (none) and 1 (Adam7);
+- output contract matches ``decode_ppm`` / ``decode_jpeg_pixels``:
+  ``{"width", "height", "components" (1|3), "pixels"}``.
+
+Malformation — bad signature, CRC mismatch, truncated/oversized
+chunks, zlib errors, wrong raster length, unknown filter byte,
+out-of-range palette index, geometry past MAX_PNG_PIXELS — raises
+ValueError with the offending detail (the executor totality contract:
+operators catch exactly that). The per-row filter inversion for
+Sub/Average/Paeth is sequential per pixel-byte in Python (the filters
+are defined recursively on the same row); rows with None/Up invert
+vectorized. Like the JPEG entropy walk, this parallelizes per FILE
+across executors via mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+MAX_PNG_PIXELS = 100_000_000  # same rationale as jpeg_lite.MAX_JPEG_PIXELS
+
+# color type -> raw channel count
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_VALID_DEPTHS = {
+    0: {1, 2, 4, 8, 16},
+    2: {8, 16},
+    3: {1, 2, 4, 8},
+    4: {8, 16},
+    6: {8, 16},
+}
+# Adam7 pass grid: (x0, y0, dx, dy) — the seven sub-lattices of the
+# canonical 8x8 interlace pattern; together they tile every pixel once
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Invert the scanline filters: ``raw`` is height x (1 + stride)
+    bytes (filter byte + filtered row bytes); ``bpp`` is the spec's
+    bytes-per-complete-pixel (the left-neighbour distance). Returns
+    (height, stride) uint8."""
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"inflated raster is {len(raw)} bytes, "
+            f"expected {height * (stride + 1)}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pad = (-stride) % bpp
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        if ftype == 0:  # None
+            out[y] = rows[y, 1:]
+        elif ftype == 2:  # Up — whole-row vector add
+            out[y] = rows[y, 1:] + out[y - 1] if y else rows[y, 1:]
+        elif ftype == 1:  # Sub IS a per-lane prefix sum mod 256
+            lanes = np.pad(
+                rows[y, 1:].astype(np.int64), (0, pad)
+            ).reshape(-1, bpp)
+            out[y] = (
+                np.cumsum(lanes, axis=0).reshape(-1)[:stride] & 0xFF
+            )
+        elif ftype in (3, 4):
+            # Average/Paeth carry a nonlinear left dependency — a plain
+            # Python-list walk is ~15x faster than numpy scalar indexing
+            cur = rows[y, 1:].tolist()
+            pv = out[y - 1].tolist() if y else [0] * stride
+            if ftype == 3:  # Average
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((a + pv[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    c = pv[x - bpp] if x >= bpp else 0
+                    b = pv[x]
+                    pa = b - c
+                    pb = a - c
+                    pc = pa + pb
+                    if pa < 0:
+                        pa = -pa
+                    if pb < 0:
+                        pb = -pb
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+    return out
+
+
+def _expand_bits(row_bytes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Unpack sub-byte samples (MSB first, per spec) to one value per
+    pixel, discarding the partial-byte tail padding."""
+    bits = np.unpackbits(row_bytes, axis=-1)
+    n = bits.shape[-1] // depth
+    vals = np.zeros(bits.shape[:-1] + (n,), dtype=np.uint8)
+    for i in range(depth):
+        vals = (vals << 1) | bits[..., i::depth][..., :n]
+    return vals[..., :width]
+
+
+def _reduce_pass(
+    data: np.ndarray, depth: int, channels: int, width: int
+) -> np.ndarray:
+    """(rows, stride-bytes) -> (rows, width, channels) uint8 samples,
+    normalizing depth: sub-byte expands (then scales to 0..255 for
+    greyscale), 16-bit keeps the high byte."""
+    if depth == 8:
+        return data.reshape(data.shape[0], -1, channels)[:, :width]
+    if depth == 16:
+        return data.reshape(data.shape[0], -1, channels, 2)[
+            :, :width, :, 0
+        ]
+    vals = _expand_bits(data, depth, width)
+    return vals[..., None]
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full PNG decode to an 8-bit raster — see the module docstring
+    for scope, normalization, and refusal behavior."""
+    if not payload.startswith(_SIGNATURE):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            if length != 13:
+                raise ValueError(f"IHDR length {length}")
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if w == 0 or h == 0:
+                raise ValueError(f"bad PNG geometry {w}x{h}")
+            if w * h > MAX_PNG_PIXELS:
+                raise ValueError(
+                    f"PNG geometry {w}x{h} exceeds the "
+                    f"{MAX_PNG_PIXELS}-pixel decode bound"
+                )
+            if color not in _CHANNELS:
+                raise ValueError(f"unknown PNG color type {color}")
+            if depth not in _VALID_DEPTHS[color]:
+                raise ValueError(
+                    f"bit depth {depth} invalid for color type {color}"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unknown compression/filter method {comp}/{filt}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            ihdr = (w, h, depth, color, interlace)
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError(f"PLTE length {len(body)}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    if not seen_iend:
+        raise ValueError("missing IEND")
+    w, h, depth, color, interlace = ihdr
+    channels = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from None
+
+    def pass_stride(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
+    bpp = max(1, channels * depth // 8)
+    if interlace == 0:
+        rows = _unfilter(raw, pass_stride(w), h, bpp)
+        samples = _reduce_pass(rows, depth, channels, w)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pass_stride(pw)
+            need = ph * (stride + 1)
+            sub = raw[off : off + need]
+            off += need
+            rows = _unfilter(sub, stride, ph, bpp)
+            samples[y0::dy, x0::dx] = _reduce_pass(rows, depth, channels, pw)
+        if off != len(raw):
+            raise ValueError(
+                f"{len(raw) - off} trailing bytes after the last Adam7 pass"
+            )
+
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image with no PLTE chunk")
+        idx = samples[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} outside the "
+                f"{len(plte)}-entry PLTE"
+            )
+        rgb = plte[idx]
+        return {
+            "width": w, "height": h, "components": 3,
+            "pixels": rgb.tobytes(),
+        }
+    if color == 0:
+        grey = samples[..., 0]
+        if depth in (1, 2, 4):
+            # scale to full 8-bit range per spec (max sample -> 255)
+            grey = (
+                grey.astype(np.uint16) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+        return {
+            "width": w, "height": h, "components": 1,
+            "pixels": np.ascontiguousarray(grey).tobytes(),
+        }
+    if color == 4:  # grey + alpha: drop alpha
+        return {
+            "width": w, "height": h, "components": 1,
+            "pixels": np.ascontiguousarray(samples[..., 0]).tobytes(),
+        }
+    # color 2 (RGB) / 6 (RGBA with alpha dropped)
+    return {
+        "width": w, "height": h, "components": 3,
+        "pixels": np.ascontiguousarray(samples[..., :3]).tobytes(),
+    }

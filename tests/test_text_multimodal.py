@@ -441,8 +441,10 @@ from hypothesis import strategies as st
 def _decoders():
     from lcr_etl_upgrade_spark.operators import multimodal as mm
 
+    from lcr_etl_upgrade_spark.png_lite import decode_png
+
     return [mm.decode_ppm, mm.decode_wav, mm.decode_jpeg_header,
-            mm.decode_mp3_header, mm.decode_y4m_header]
+            mm.decode_mp3_header, mm.decode_y4m_header, decode_png]
 
 
 @settings(max_examples=300, deadline=None,
@@ -1115,3 +1117,50 @@ def test_resize_rescales_sub255_ppm_maxval(spark):
         decode_ppm(bytes(out.payload))["pixels"], np.uint8
     ).reshape(2, 2, 3)
     assert [int(v) for v in arr[0, 0]] == [255, 128, 0]  # round(50*2.55)
+
+
+def test_png_through_features_and_resize(spark):
+    """PNG payloads flow through the same paths as PPM/JPEG: pixel
+    statistics in extract_media_features, decode->resample->PPM in
+    resize_images; corrupt PNGs degrade to NULL rows."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        _media_features_one,
+        decode_ppm,
+        resize_images,
+    )
+
+    def chunk(t, b):
+        return (_struct.pack(">I", len(b)) + t + b
+                + _struct.pack(">I", _zlib.crc32(t + b)))
+
+    # 2x2 RGB, filter 0 rows
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    raster = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    f = _media_features_one(payload)
+    assert f["kind"] == "image" and (f["width"], f["height"]) == (2, 2)
+    assert (f["mean_c0"], f["vmin"], f["vmax"]) == (55.0, 10, 120)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(payload)), (1, bytearray(payload[:-4] + b"\x00" * 4))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(df, 1, 1).collect()}
+    arr = np.frombuffer(
+        decode_ppm(bytes(out[0].payload))["pixels"], np.uint8
+    )
+    assert arr.tolist() == [55, 65, 75]  # box mean of all four pixels
+    assert out[1].payload is None  # CRC-corrupt -> NULL row
