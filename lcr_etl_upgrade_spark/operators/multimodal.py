@@ -475,8 +475,9 @@ def _media_features_one(payload: bytes | None) -> dict:
     means + pixel extrema; WAV -> sample extrema + RMS; JPEG -> SOF
     geometry, plus full pixel statistics when the stream is within
     jpeg_lite's scope — baseline AND progressive (arithmetic-coded or
-    header-only files keep metadata-level features); MP3 -> bitrate/
-    sample_rate/estimated
+    header-only files keep metadata-level features); PNG -> full pixel
+    statistics (png_lite); YUV4MPEG2 -> video geometry + frame count;
+    MP3 -> bitrate/sample_rate/estimated
     duration (no sample stats — the MDCT seam). A payload that is None,
     has an unknown magic, or fails its container's grammar yields
     all-NULL features (kind stays NULL) — malformed media must surface
@@ -681,8 +682,9 @@ def resize_images(
     id_col: str = "media_id",
     method: str = "area",
 ) -> DataFrame:
-    """REAL image resize, executor-side: decode PPM or JPEG payloads
-    (jpeg_lite — baseline AND progressive), resample in numpy ('area' =
+    """REAL image resize, executor-side: decode PPM, JPEG (jpeg_lite —
+    baseline AND progressive) or PNG (png_lite) payloads, resample in
+    numpy ('area' =
     exact box average, the antialiasing curation default; 'nearest' =
     point sampling), and re-encode as binary PPM — the pipeline's
     canonical uncompressed interchange (grayscale JPEGs widen to RGB).

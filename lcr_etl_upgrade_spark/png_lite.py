@@ -58,14 +58,6 @@ _ADAM7 = (
 )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
     """Invert the scanline filters: ``raw`` is height x (1 + stride)
     bytes (filter byte + filtered row bytes); ``bpp`` is the spec's
@@ -78,7 +70,6 @@ def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
         )
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.uint8)
-    pad = (-stride) % bpp
     for y in range(height):
         ftype = int(rows[y, 0])
         if ftype == 0:  # None
@@ -86,12 +77,10 @@ def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
         elif ftype == 2:  # Up — whole-row vector add
             out[y] = rows[y, 1:] + out[y - 1] if y else rows[y, 1:]
         elif ftype == 1:  # Sub IS a per-lane prefix sum mod 256
-            lanes = np.pad(
-                rows[y, 1:].astype(np.int64), (0, pad)
-            ).reshape(-1, bpp)
-            out[y] = (
-                np.cumsum(lanes, axis=0).reshape(-1)[:stride] & 0xFF
-            )
+            # stride is always an exact multiple of bpp: sub-byte
+            # depths force bpp=1, and depth 8/16 give stride = w*bpp
+            lanes = rows[y, 1:].astype(np.int64).reshape(-1, bpp)
+            out[y] = np.cumsum(lanes, axis=0).reshape(-1) & 0xFF
         elif ftype in (3, 4):
             # Average/Paeth carry a nonlinear left dependency — a plain
             # Python-list walk is ~15x faster than numpy scalar indexing
@@ -176,7 +165,7 @@ def decode_png(payload: bytes) -> dict:
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )
-        if zlib.crc32(ctype + body) != crc:
+        if zlib.crc32(body, zlib.crc32(ctype)) != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
@@ -224,13 +213,33 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("missing IEND")
     w, h, depth, color, interlace = ihdr
     channels = _CHANNELS[color]
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"IDAT inflate failed: {exc}") from None
 
     def pass_stride(pw: int) -> int:
         return (pw * channels * depth + 7) // 8
+
+    # BOUNDED inflate: the raster size is fully determined by IHDR, so
+    # cap decompression at it — an unbounded zlib.decompress would let
+    # a tiny hostile IDAT (zlib compresses ~1000:1) materialize tens of
+    # GB before any length check runs, the decompression-bomb task
+    # death the pixel guard exists to prevent
+    if interlace == 0:
+        expected = h * (pass_stride(w) + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pass_stride(pw) + 1)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from None
+    if len(raw) > expected:
+        raise ValueError(
+            f"IDAT inflates past the declared {expected}-byte raster"
+        )
 
     bpp = max(1, channels * depth // 8)
     if interlace == 0:

@@ -245,12 +245,19 @@ def test_malformed_pngs_refuse():
             b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", huge)
             + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
         )
-    # wrong inflated size (extra row)
+    # oversized inflate stops at the bound; undersized fails the
+    # raster-length check
+    hdr_1x1 = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + hdr_1x1
+            + _chunk(b"IDAT", zlib.compress(bytes(4)))
+            + _chunk(b"IEND", b"")
+        )
     with pytest.raises(ValueError, match="inflated raster"):
         decode_png(
-            b"\x89PNG\r\n\x1a\n"
-            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
-            + _chunk(b"IDAT", zlib.compress(bytes(4)))
+            b"\x89PNG\r\n\x1a\n" + hdr_1x1
+            + _chunk(b"IDAT", zlib.compress(bytes(1)))
             + _chunk(b"IEND", b"")
         )
 
@@ -300,3 +307,24 @@ def test_adam7_passes_tile_every_pixel_exactly_once():
         for x0, y0, dx, dy in _ADAM7:
             count[y0::dy, x0::dx] += 1
         assert (count == 1).all(), (w, h)
+
+
+def test_idat_decompression_bomb_is_bounded():
+    """A 1x1 PNG whose IDAT inflates to far more than the declared
+    raster must refuse WITHOUT materializing the inflate output — the
+    decompression-bomb guard (review finding r7 pass 6)."""
+    import resource
+
+    bomb = zlib.compress(bytes(200_000_000), 9)  # ~190 KB compressed
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(payload)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KB on linux: the 200 MB inflate must not have landed
+    assert after - before < 50_000, (before, after)
