@@ -91,6 +91,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    # start-idle is not run-idle (r7: a gated run drifted +2.6 s from
+    # co-tenant load arriving MID-run, near-uniform across queries) —
+    # sample the 1-min load after each query and report the peak. The
+    # peak INCLUDES the bench's own burst load (32 executor threads
+    # against a 60 s damping window), but that self-load profile is the
+    # same every round: quiet r6-style runs peak ~1.5-2, so a peak well
+    # above that band flags external contention and the total carries
+    # its own invalidation instead of needing forensics.
+    load_peak = load_avg_start
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -99,6 +108,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        load_peak = max(load_peak, os.getloadavg()[0])
         timings[name] = round(min(samples), 3)
         # max-min across the runs: the jitter band for THIS query on THIS
         # box, so a cross-round delta smaller than the spread is noise,
@@ -118,6 +128,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_start": load_avg_start,
                 "load_avg_end": round(os.getloadavg()[0], 2),
+                "load_avg_peak": round(load_peak, 2),
                 "busy_waited_sec": waited,
                 "idle_bar": idle_bar,
                 "idle_bar_met": idle_bar_met,
