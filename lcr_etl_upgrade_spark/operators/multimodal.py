@@ -208,9 +208,17 @@ def encode_wav_pcm16(
         )
     if isinstance(samples, (bytes, bytearray)):
         data = bytes(samples)
-        if len(data) % 2:
-            raise ValueError("odd byte count for int16 sample data")
+        if len(data) % (2 * n_channels):
+            raise ValueError(
+                f"sample data ({len(data)} bytes) is not a whole number of "
+                f"{n_channels}-channel int16 frames"
+            )
     else:
+        if len(samples) % n_channels:
+            raise ValueError(
+                f"{len(samples)} samples is not a whole number of "
+                f"{n_channels}-channel frames"
+            )
         data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack(
         "<HHIIHH",
@@ -710,6 +718,14 @@ def resize_images(
         raise ValueError(f"unknown resize method {method!r}")
     if width < 1 or height < 1:
         raise ValueError(f"bad target geometry {width}x{height}")
+    # Same resource-exhaustion guard as the decode side: an oversized
+    # TARGET allocates multi-GB float intermediates per task even when
+    # every input is tiny.
+    if width * height > MAX_PIXELS_PER_FRAME:
+        raise ValueError(
+            f"target geometry {width}x{height} exceeds "
+            f"{MAX_PIXELS_PER_FRAME} pixels"
+        )
 
     def one(payload) -> bytes | None:
         if payload is None:
@@ -793,12 +809,19 @@ def frame_sample_stub(
 # per-frame pixel bound, shared rationale with jpeg_lite.MAX_JPEG_PIXELS
 MAX_PIXELS_PER_FRAME = 100_000_000
 
-_Y4M_PLANES = {  # colorspace tag prefix -> (x_shift, y_shift) of chroma
-    "C420": (1, 1),  # all 420 siting variants (jpeg/mpeg2/paldv) share
-    "C422": (1, 0),  # the plane LAYOUT; siting only moves subpixels,
-    "C444": (0, 0),  # which replicate-upsampling ignores anyway
+_Y4M_PLANES = {  # exact colorspace tag -> (x_shift, y_shift) of chroma
+    "C420": (1, 1),  # the 420 siting variants (jpeg/mpeg2/paldv) share
+    "C420jpeg": (1, 1),  # the plane LAYOUT; siting only moves
+    "C420mpeg2": (1, 1),  # subpixels, which replicate-upsampling
+    "C420paldv": (1, 1),  # ignores anyway
+    "C422": (1, 0),
+    "C444": (0, 0),
     "Cmono": None,
 }
+# NOT in the table on purpose: 10/12-bit (C420p10, C422p12, ...) and
+# alpha (C444alpha) tags change bytes-per-frame; a prefix match would
+# accept them with the 8-bit geometry and fail later with a misleading
+# "expected FRAME marker" instead of the refusal below.
 
 
 def decode_y4m_header(payload: bytes) -> dict:
@@ -839,11 +862,9 @@ def decode_y4m_header(payload: bytes) -> dict:
         raise ValueError(
             f"y4m geometry {width}x{height} exceeds the per-frame bound"
         )
-    shifts = next(
-        (v for k, v in _Y4M_PLANES.items() if cs.startswith(k)), "missing"
-    )
-    if shifts == "missing":
+    if cs not in _Y4M_PLANES:  # exact match: p10/p12/alpha must refuse
         raise ValueError(f"unsupported y4m colorspace {cs}")
+    shifts = _Y4M_PLANES[cs]
     if shifts is None:
         frame_bytes = width * height
     else:

@@ -1164,3 +1164,54 @@ def test_png_through_features_and_resize(spark):
     )
     assert arr.tolist() == [55, 65, 75]  # box mean of all four pixels
     assert out[1].payload is None  # CRC-corrupt -> NULL row
+
+
+def test_wav_encode_rejects_partial_frames():
+    """ADVICE r7: multi-channel sample data must be a whole number of
+    FRAMES (2 * n_channels bytes), not just an even byte count —
+    otherwise the data chunk ends mid-frame."""
+    from lcr_etl_upgrade_spark.operators.multimodal import encode_wav_pcm16
+
+    # 3 int16 samples into 2 channels = 1.5 frames -> refuse (both paths)
+    with pytest.raises(ValueError, match="frames"):
+        encode_wav_pcm16(8000, b"\x01\x00\x02\x00\x03\x00", n_channels=2)
+    with pytest.raises(ValueError, match="frames"):
+        encode_wav_pcm16(8000, [1, 2, 3], n_channels=2)
+    # whole frames still work
+    wav = encode_wav_pcm16(8000, [1, 2, 3, 4], n_channels=2)
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_wav
+
+    d = decode_wav(wav)
+    assert d["n_channels"] == 2 and len(d["samples"]) == 4
+
+
+def test_y4m_rejects_high_bitdepth_and_alpha_tags():
+    """ADVICE r7: C420p10/C422p12/C444alpha change bytes-per-frame; a
+    prefix match would accept them with 8-bit geometry and die later
+    with a misleading 'expected FRAME marker'. They must hit the
+    intended 'unsupported y4m colorspace' refusal instead."""
+    from lcr_etl_upgrade_spark.operators.multimodal import decode_y4m_header
+
+    for cs in (b"C420p10", b"C420p12", b"C422p10", b"C444p12",
+               b"C444alpha"):
+        with pytest.raises(ValueError, match="unsupported y4m colorspace"):
+            decode_y4m_header(_y4m(4, 2, [], cs=cs))
+    # the named 8-bit siting variants remain accepted
+    for cs in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        info = decode_y4m_header(_y4m(4, 2, [], cs=cs))
+        assert info["frame_bytes"] == 4 * 2 + 2 * (2 * 1)
+
+
+def test_resize_images_bounds_target_geometry(spark):
+    """ADVICE r7: the decode side bounds INPUT pixels at 100 MP; the
+    target must be bounded too or a huge width*height allocates
+    multi-GB float intermediates per task."""
+    from lcr_etl_upgrade_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"P6 1 1 255 xyz"))], "media_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        resize_images(df, 100_000, 100_000)
+    # at-the-bound geometry is accepted (validation only; lazy plan)
+    resize_images(df, 10_000, 10_000)
