@@ -1,0 +1,685 @@
+#!/usr/bin/env python
+"""Randomized relational differential: PySpark DataFrame ops vs DuckDB.
+
+Round-8 ask #2. The frozen 87-query registry pins known shapes; this
+fuzzer covers what a fixed registry structurally cannot - operator
+INTERACTION bugs (the round-6 deletion-vector fail-open class). It
+generates random typed query trees over the engine's implemented
+relational surface
+
+    scan -> filter/project -> join -> agg / window -> orderBy/limit
+         -> distinct / union all
+
+renders each tree BOTH as PySpark DataFrame calls (pyspark.sql.functions
+Column expressions - the same API surface plans/relational.py is built
+from) and as DuckDB SQL, runs both over the same random NULL-ridden
+in-memory tables, and compares row-sorted, column-name-sorted, typed-
+normalized rows (the exact comparator of tools/check_oracle.py).
+
+Dialect traps deliberately designed around (each is a REAL semantic
+divergence between the engines, not a bug in either):
+ - string concatenation: Spark concat() propagates NULL, DuckDB
+   concat() SKIPS NULLs -> rendered as `||` on the DuckDB side;
+ - sort null placement: Spark ASC defaults to NULLS FIRST, DuckDB to
+   NULLS LAST -> every DuckDB ORDER BY carries an explicit
+   NULLS FIRST/LAST matching Spark's default;
+ - `/` and `%`: Spark yields NULL on zero divisors where DuckDB raises,
+   and `/` result types differ -> excluded from the grammar;
+ - float reductions: SUM/AVG over doubles are partition-order-dependent
+   in Spark -> aggregation is restricted to exact types (int64 sums,
+   min/max/count over anything, avg over ints which both engines
+   compute as exact-int-sum / count);
+ - LIMIT determinism: a LIMIT is only emitted under an ORDER BY whose
+   key list ends with the table's unique id.
+
+Every case is reproducible from (seed, index); a failing case is
+greedily minimized (drop projections, strip WHERE, unwrap predicate
+subtrees) before reporting.
+
+Usage:
+    python tools/query_fuzz.py [--seed N] [--n N] [--rows N] [--case I]
+
+Prints one JSON summary line; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import frame_to_rows  # noqa: E402
+
+# --------------------------------------------------------------- datagen
+
+_ALPHABET = list("abcxyz")
+
+
+def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
+    """Three NULL-ridden tables with a unique id each."""
+    out = {}
+    for ti in range(3):
+        n = int(rng.integers(max(2, rows // 2), rows + 1))
+        nullmask = lambda: rng.random(n) < 0.15  # noqa: E731
+        a = rng.integers(-5, 6, n).astype("float64")
+        a[nullmask()] = np.nan
+        b = rng.integers(-1000, 1001, n).astype("float64")
+        b[nullmask()] = np.nan
+        c = rng.integers(-64, 65, n).astype("float64") / 8.0
+        c[nullmask()] = np.nan
+        d = np.array(
+            ["".join(rng.choice(_ALPHABET, rng.integers(0, 5))) for _ in range(n)],
+            dtype=object,
+        )
+        d[nullmask()] = None
+        e = rng.integers(0, 2, n).astype("float64")
+        e[nullmask()] = np.nan
+        out[f"t{ti}"] = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "a_int": pd.array(a, dtype="Int64"),
+                "b_int": pd.array(b, dtype="Int64"),
+                "c_dbl": a * 0 + c,  # plain float64 with NaN for null
+                "d_str": d,
+                "e_bool": pd.array(
+                    [None if np.isnan(v) else bool(v) for v in e],
+                    dtype="boolean",
+                ),
+            }
+        )
+    return out
+
+
+_SPARK_SCHEMA = (
+    "id long, a_int long, b_int long, c_dbl double, d_str string, "
+    "e_bool boolean"
+)
+
+# ----------------------------------------------------------- expression AST
+
+INT, DBL, STR, BOOL = "int", "dbl", "str", "bool"
+_COLS = {"a_int": INT, "b_int": INT, "c_dbl": DBL, "d_str": STR,
+         "e_bool": BOOL, "id": INT}
+
+
+class E:
+    """Expression node: renders to a pyspark Column and a SQL string."""
+
+    def __init__(self, typ, sql, col, children=()):
+        self.typ = typ
+        self._sql = sql          # callable () -> str
+        self._col = col          # callable () -> pyspark Column
+        self.children = children
+
+    def sql(self) -> str:
+        return self._sql()
+
+    def col(self):
+        return self._col()
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+def col_ref(name: str, prefix: str = "") -> E:
+    full = f"{prefix}{name}" if prefix else name
+    return E(_COLS[name], lambda: full, lambda: _F().col(full))
+
+
+def lit_int(v: int) -> E:
+    return E(INT, lambda: str(v), lambda: _F().lit(v))
+
+
+def lit_dbl(v: float) -> E:
+    return E(DBL, lambda: repr(v), lambda: _F().lit(v))
+
+
+def lit_str(v: str) -> E:
+    return E(STR, lambda: "'" + v + "'", lambda: _F().lit(v))
+
+
+def lit_bool(v: bool) -> E:
+    return E(BOOL, lambda: "TRUE" if v else "FALSE", lambda: _F().lit(v))
+
+
+def binop(op: str, typ: str, lhs: E, rhs: E) -> E:
+    sql_op = {"==": "=", "!=": "<>", "&": "AND", "|": "OR"}.get(op, op)
+    def col():
+        import operator as _o
+
+        f = {"+": _o.add, "-": _o.sub, "*": _o.mul, "<": _o.lt,
+             "<=": _o.le, ">": _o.gt, ">=": _o.ge, "==": _o.eq,
+             "!=": _o.ne, "&": _o.and_, "|": _o.or_}[op]
+        return f(lhs.col(), rhs.col())
+
+    return E(typ, lambda: f"({lhs.sql()} {sql_op} {rhs.sql()})", col,
+             (lhs, rhs))
+
+
+def fn(name_spark: str, typ: str, args: list[E],
+       sql_tpl: str | None = None) -> E:
+    def sql():
+        rendered = [a.sql() for a in args]
+        if sql_tpl:
+            return sql_tpl.format(*rendered)
+        return f"{name_spark}({', '.join(rendered)})"
+
+    def col():
+        F = _F()
+        return getattr(F, name_spark)(*[a.col() for a in args])
+
+    return E(typ, sql, col, tuple(args))
+
+
+def is_null(x: E, negate: bool) -> E:
+    word = "IS NOT NULL" if negate else "IS NULL"
+    return E(BOOL, lambda: f"({x.sql()} {word})",
+             lambda: x.col().isNotNull() if negate else x.col().isNull(),
+             (x,))
+
+
+def case_when(cond: E, then: E, other: E) -> E:
+    return E(
+        then.typ,
+        lambda: (f"(CASE WHEN {cond.sql()} THEN {then.sql()} "
+                 f"ELSE {other.sql()} END)"),
+        lambda: _F().when(cond.col(), then.col()).otherwise(other.col()),
+        (cond, then, other),
+    )
+
+
+def concat2(a: E, b: E) -> E:
+    # Spark concat() propagates NULL; DuckDB concat() skips NULLs, so
+    # the SQL side must use `||` (which propagates).
+    return E(STR, lambda: f"({a.sql()} || {b.sql()})",
+             lambda: _F().concat(a.col(), b.col()), (a, b))
+
+
+def substr_(x: E, pos: int, ln: int) -> E:
+    return E(STR, lambda: f"substr({x.sql()}, {pos}, {ln})",
+             lambda: _F().substring(x.col(), pos, ln), (x,))
+
+
+# --------------------------------------------------------- random generator
+
+
+class Gen:
+    def __init__(self, rng: np.random.Generator, prefixes: list[str]):
+        self.rng = rng
+        self.prefixes = prefixes
+
+    def pick(self, xs):
+        return xs[int(self.rng.integers(0, len(xs)))]
+
+    def column(self, typ=None) -> E:
+        names = [n for n, t in _COLS.items()
+                 if (typ is None or t == typ) and n != "id"]
+        if not names:
+            raise ValueError(typ)
+        return col_ref(self.pick(names), self.pick(self.prefixes))
+
+    def expr(self, typ: str, depth: int) -> E:
+        r = self.rng.random()
+        if depth <= 0 or r < 0.35:
+            return self.leaf(typ)
+        if typ in (INT, DBL):
+            k = self.pick(["bin", "bin", "case", "coalesce", "abs"])
+            if k == "bin":
+                op = self.pick(["+", "-", "*"])
+                return binop(op, typ, self.expr(typ, depth - 1),
+                             self.expr(typ, depth - 1))
+            if k == "case":
+                return case_when(self.expr(BOOL, depth - 1),
+                                 self.expr(typ, depth - 1),
+                                 self.expr(typ, depth - 1))
+            if k == "coalesce":
+                return fn("coalesce", typ,
+                          [self.expr(typ, depth - 1),
+                           self.expr(typ, depth - 1)])
+            return fn("abs", typ, [self.expr(typ, depth - 1)])
+        if typ == STR:
+            k = self.pick(["concat", "upper", "lower", "substr", "case",
+                           "coalesce"])
+            if k == "concat":
+                return concat2(self.expr(STR, depth - 1),
+                               self.expr(STR, depth - 1))
+            if k in ("upper", "lower"):
+                return fn(k, STR, [self.expr(STR, depth - 1)])
+            if k == "substr":
+                return substr_(self.expr(STR, depth - 1),
+                               int(self.rng.integers(1, 4)),
+                               int(self.rng.integers(0, 4)))
+            if k == "case":
+                return case_when(self.expr(BOOL, depth - 1),
+                                 self.expr(STR, depth - 1),
+                                 self.expr(STR, depth - 1))
+            return fn("coalesce", STR, [self.expr(STR, depth - 1),
+                                        self.expr(STR, depth - 1)])
+        # BOOL
+        k = self.pick(["cmp", "cmp", "cmp", "and", "or", "not", "isnull",
+                       "isnotnull"])
+        if k == "cmp":
+            t = self.pick([INT, INT, DBL, STR])
+            op = self.pick(["<", "<=", ">", ">=", "==", "!="])
+            return binop(op, BOOL, self.expr(t, depth - 1),
+                         self.expr(t, depth - 1))
+        if k in ("and", "or"):
+            return binop("&" if k == "and" else "|", BOOL,
+                         self.expr(BOOL, depth - 1),
+                         self.expr(BOOL, depth - 1))
+        if k == "not":
+            inner = self.expr(BOOL, depth - 1)
+            return E(BOOL, lambda: f"(NOT {inner.sql()})",
+                     lambda: ~inner.col(), (inner,))
+        return is_null(self.column(), k == "isnotnull")
+
+    def leaf(self, typ: str) -> E:
+        if self.rng.random() < 0.7:
+            try:
+                return self.column(typ)
+            except ValueError:
+                pass
+        if typ == INT:
+            return lit_int(int(self.rng.integers(-20, 21)))
+        if typ == DBL:
+            return lit_dbl(float(self.rng.integers(-64, 65)) / 8.0)
+        if typ == STR:
+            return lit_str("".join(
+                self.rng.choice(_ALPHABET, self.rng.integers(0, 3))))
+        return lit_bool(bool(self.rng.integers(0, 2)))
+
+
+# ------------------------------------------------------------- query shapes
+
+
+class Case:
+    """One randomized query: carries everything needed to (re)run and
+    to render both sides."""
+
+    def __init__(self, kind, tables, projections, where=None, group=None,
+                 aggs=None, join=None, order=None, limit=None,
+                 distinct=False, window=None):
+        self.kind = kind
+        self.tables = tables          # list of table names used
+        self.projections = projections  # list[(alias, E)]
+        self.where = where            # E | None
+        self.group = group            # list[(alias, E)] | None
+        self.aggs = aggs              # list[(alias, fn, E|None)] | None
+        self.join = join              # (how, key) | None
+        self.order = order            # list[(E, asc)] | None (ends with id)
+        self.limit = limit
+        self.distinct = distinct
+        self.window = window          # list[(alias, spec)] | None
+
+    # ---- DuckDB side
+    def to_sql(self) -> str:
+        def prefixed(t: str, p: str) -> str:
+            cols = ", ".join(f"{c} AS {p}{c}" for c in _COLS)
+            return f"(SELECT {cols} FROM {t})"
+
+        if self.join:
+            how, key = self.join
+            t0, t1 = self.tables
+            sql_how = {"inner": "JOIN", "left": "LEFT JOIN",
+                       "right": "RIGHT JOIN", "full": "FULL JOIN",
+                       "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[how]
+            src = (f"{prefixed(t0, 's0_')} s0 {sql_how} "
+                   f"{prefixed(t1, 's1_')} s1 "
+                   f"ON s0.s0_{key} = s1.s1_{key}")
+        else:
+            src = f"{prefixed(self.tables[0], 's0_')} s0"
+        cols = []
+        if self.group is not None:
+            for alias, e in self.group:
+                cols.append(f"{e.sql()} AS {alias}")
+            for alias, agg, arg in self.aggs:
+                cols.append(f"{_agg_sql(agg, arg)} AS {alias}")
+        else:
+            for alias, e in self.projections:
+                cols.append(f"{e.sql()} AS {alias}")
+            for alias, spec in (self.window or []):
+                cols.append(f"{_win_sql(spec)} AS {alias}")
+        sel = "SELECT DISTINCT" if self.distinct else "SELECT"
+        q = f"{sel} {', '.join(cols)} FROM {src}"
+        if self.where is not None:
+            q += f" WHERE {self.where.sql()}"
+        if self.group is not None:
+            q += " GROUP BY " + ", ".join(
+                str(i + 1) for i in range(len(self.group)))
+        if self.order is not None:
+            parts = []
+            for e, asc in self.order:
+                # Spark defaults: ASC -> NULLS FIRST, DESC -> NULLS LAST.
+                # DuckDB defaults to NULLS LAST everywhere: be explicit.
+                parts.append(f"{e.sql()} {'ASC NULLS FIRST' if asc else 'DESC NULLS LAST'}")
+            q += " ORDER BY " + ", ".join(parts)
+        if self.limit is not None:
+            q += f" LIMIT {self.limit}"
+        return q
+
+    # ---- Spark side
+    def to_df(self, spark, sdfs):
+        from pyspark.sql import functions as F
+
+        if self.join:
+            how, key = self.join
+            d0 = _prefix(sdfs[self.tables[0]], "s0_")
+            d1 = _prefix(sdfs[self.tables[1]], "s1_")
+            cond = d0[f"s0_{key}"] == d1[f"s1_{key}"]
+            spark_how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+            df = d0.join(d1, cond, spark_how)
+        else:
+            df = _prefix(sdfs[self.tables[0]], "s0_")
+        if self.where is not None:
+            df = df.filter(self.where.col())
+        if self.group is not None:
+            gcols = [e.col().alias(a) for a, e in self.group]
+            aggcols = [_agg_col(F, agg, arg).alias(a)
+                       for a, agg, arg in self.aggs]
+            df = df.groupBy(*gcols).agg(*aggcols)
+        else:
+            pcols = [e.col().alias(a) for a, e in self.projections]
+            pcols += [_win_col(F, spec).alias(a)
+                      for a, spec in (self.window or [])]
+            df = df.select(*pcols)
+        if self.distinct:
+            df = df.distinct()
+        if self.order is not None:
+            df = df.orderBy(*[e.col().asc() if asc else e.col().desc()
+                              for e, asc in self.order])
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df
+
+
+def _prefix(df, p):
+    return df.select([df[c].alias(f"{p}{c}") for c in df.columns])
+
+
+def _agg_sql(agg: str, arg) -> str:
+    if agg == "count_star":
+        return "count(*)"
+    if agg == "avg_int":
+        return f"avg({arg.sql()})"
+    return f"{agg}({arg.sql()})"
+
+
+def _agg_col(F, agg: str, arg):
+    if agg == "count_star":
+        return F.count(F.lit(1))
+    if agg == "avg_int":
+        return F.avg(arg.col())
+    return getattr(F, agg)(arg.col())
+
+
+def _win_sql(spec) -> str:
+    kind, part, order_sql = spec["kind"], spec["part"], spec["order_sql"]
+    over = f"PARTITION BY {part.sql()}"
+    if order_sql is not None:
+        over += f" ORDER BY {order_sql}"
+    if kind == "row_number":
+        return f"row_number() OVER ({over})"
+    if kind == "sum_part":
+        return f"sum({spec['arg'].sql()}) OVER ({over})"
+    if kind == "lag":
+        return f"lag({spec['arg'].sql()}) OVER ({over})"
+    raise ValueError(kind)
+
+
+def _win_col(F, spec):
+    from pyspark.sql.window import Window
+
+    kind, part = spec["kind"], spec["part"]
+    w = Window.partitionBy(part.col())
+    if spec["order_cols"] is not None:
+        w = w.orderBy(*spec["order_cols"]())
+    if kind == "row_number":
+        return F.row_number().over(w)
+    if kind == "sum_part":
+        return F.sum(spec["arg"].col()).over(w)
+    if kind == "lag":
+        return F.lag(spec["arg"].col()).over(w)
+    raise ValueError(kind)
+
+
+def gen_case(rng: np.random.Generator) -> Case:
+    kind = ["filter_project", "agg", "join", "orderby_limit", "distinct",
+            "window"][int(rng.integers(0, 6))]
+    t0 = f"t{int(rng.integers(0, 3))}"
+
+    if kind == "join":
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_", "s1_"])
+        how = g.pick(["inner", "left", "right", "full", "semi", "anti"])
+        key = g.pick(["a_int", "b_int", "d_str"])
+        if how in ("semi", "anti"):
+            g = Gen(rng, ["s0_"])  # only left side visible
+        n_proj = int(rng.integers(1, 4))
+        projections = [
+            (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 2))
+            for i in range(n_proj)
+        ]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0, t1], projections, where=where,
+                    join=(how, key))
+
+    g = Gen(rng, ["s0_"])
+    if kind == "agg":
+        n_keys = int(rng.integers(1, 3))
+        group = [(f"k{i}", g.expr(g.pick([INT, STR, BOOL]), 1))
+                 for i in range(n_keys)]
+        n_aggs = int(rng.integers(1, 4))
+        aggs = []
+        for i in range(n_aggs):
+            a = g.pick(["sum", "count", "count_star", "min", "max",
+                        "avg_int", "min", "max"])
+            if a == "count_star":
+                aggs.append((f"a{i}", a, None))
+            elif a in ("sum", "avg_int"):
+                aggs.append((f"a{i}", a, g.expr(INT, 1)))
+            else:  # count/min/max over any type
+                aggs.append((f"a{i}", a,
+                             g.expr(g.pick([INT, DBL, STR]), 1)))
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0], [], where=where, group=group, aggs=aggs)
+
+    if kind == "orderby_limit":
+        projections = [("p0", col_ref("id", "s0_"))]
+        for i in range(int(rng.integers(1, 3))):
+            projections.append(
+                (f"p{i+1}", g.expr(g.pick([INT, DBL, STR]), 2)))
+        # Order by the projected ALIASES: ordering by pre-projection
+        # expressions fails to resolve after the select on the Spark
+        # side, and a literal in ORDER BY is an ordinal to DuckDB.
+        def alias_ref(name):
+            return E(INT, lambda: name, lambda: _F().col(name))
+
+        order = [(alias_ref(a), bool(rng.integers(0, 2)))
+                 for a, _ in projections[1:]]
+        order.append((alias_ref("p0"), True))  # unique id tiebreak
+        return Case(kind, [t0], projections, order=order,
+                    limit=int(rng.integers(1, 30)))
+
+    if kind == "distinct":
+        projections = [
+            (f"p{i}", g.expr(g.pick([INT, STR, BOOL]), 1))
+            for i in range(int(rng.integers(1, 3)))
+        ]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0], projections, where=where, distinct=True)
+
+    if kind == "window":
+        part = g.column(g.pick([INT, STR]))
+        wkind = g.pick(["row_number", "sum_part", "lag"])
+        spec = {"kind": wkind, "part": part}
+        if wkind == "sum_part":
+            spec["arg"] = g.expr(INT, 1)
+            spec["order_sql"] = None
+            spec["order_cols"] = None
+        else:
+            if wkind == "lag":
+                spec["arg"] = g.expr(g.pick([INT, STR]), 1)
+            oexpr = g.expr(INT, 1)
+            # id tiebreak makes row_number/lag deterministic
+            spec["order_sql"] = (f"{oexpr.sql()} ASC NULLS FIRST, "
+                                 f"s0_id ASC NULLS FIRST")
+            spec["order_cols"] = lambda oe=oexpr: [
+                oe.col().asc(), col_ref("id", "s0_").col().asc()]
+        projections = [("p0", col_ref("id", "s0_")),
+                       ("p1", g.expr(g.pick([INT, STR]), 1))]
+        return Case(kind, [t0], projections, window=[("w0", spec)])
+
+    # filter_project
+    projections = [
+        (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 3))
+        for i in range(int(rng.integers(1, 5)))
+    ]
+    where = g.expr(BOOL, 3) if rng.random() < 0.7 else None
+    return Case(kind, [t0], projections, where=where)
+
+
+# --------------------------------------------------------------- execution
+
+
+def run_case(case: Case, spark, sdfs, con) -> dict | None:
+    """Returns None on match, a mismatch record otherwise."""
+    try:
+        df = case.to_df(spark, sdfs)
+        srows = df.collect()
+        scols = df.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    try:
+        res = con.execute(case.to_sql())
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as exc:
+        return {"side": "duckdb_error", "err": repr(exc)[:400]}
+    s_norm, s_cols = frame_to_rows([tuple(r) for r in srows], scols)
+    o_norm, o_cols = frame_to_rows(orows, ocols)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return {"side": "schema", "spark": s_cols, "duckdb": o_cols}
+    if s_norm != o_norm:
+        diff_idx = next(
+            (i for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b),
+            min(len(s_norm), len(o_norm)),
+        )
+        return {
+            "side": "values",
+            "spark_rows": len(s_norm),
+            "duckdb_rows": len(o_norm),
+            "first_diff": {
+                "spark": s_norm[diff_idx] if diff_idx < len(s_norm) else None,
+                "duckdb": o_norm[diff_idx] if diff_idx < len(o_norm) else None,
+            },
+        }
+    return None
+
+
+def minimize(case: Case, spark, sdfs, con) -> Case:
+    """Greedy shrink: still-failing variants with fewer moving parts."""
+
+    def fails(c):
+        return run_case(c, spark, sdfs, con) is not None
+
+    import copy
+
+    changed = True
+    while changed:
+        changed = False
+        # strip LIMIT / ORDER / WHERE / DISTINCT
+        for attr, val in (("limit", None), ("order", None),
+                          ("where", None), ("distinct", False)):
+            if getattr(case, attr):
+                c = copy.copy(case)
+                setattr(c, attr, val)
+                if fails(c):
+                    case = c
+                    changed = True
+        # drop projection / agg members (keep at least one)
+        for attr in ("projections", "aggs", "group", "window"):
+            items = getattr(case, attr)
+            if items and len(items) > 1:
+                for i in range(len(items)):
+                    c = copy.copy(case)
+                    setattr(c, attr, items[:i] + items[i + 1:])
+                    if fails(c):
+                        case = c
+                        changed = True
+                        break
+        # unwrap WHERE into a child boolean
+        if case.where is not None:
+            for ch in case.where.children:
+                if ch.typ == BOOL:
+                    c = copy.copy(case)
+                    c.where = ch
+                    if fails(c):
+                        case = c
+                        changed = True
+                        break
+    return case
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seed", type=int, default=20260815)
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--rows", type=int, default=300)
+    ap.add_argument("--case", type=int, default=None,
+                    help="run only case index I (for repro)")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session("query_fuzz")
+    data_rng = np.random.default_rng(args.seed)
+    tables = make_tables(data_rng, args.rows)
+    con = duckdb.connect()
+    sdfs = {}
+    for name, pdf in tables.items():
+        con.register(name, pdf)
+        sdfs[name] = spark.createDataFrame(
+            pdf.astype(object).where(pdf.notna(), None), _SPARK_SCHEMA
+        ).cache()
+        sdfs[name].count()
+
+    failures = []
+    for i in range(args.n):
+        if args.case is not None and i != args.case:
+            # burn the per-case generator state to keep (seed, i) stable
+            gen_case(np.random.default_rng(args.seed * 1_000_003 + i))
+            continue
+        case_rng = np.random.default_rng(args.seed * 1_000_003 + i)
+        case = gen_case(case_rng)
+        rec = run_case(case, spark, sdfs, con)
+        if args.case is not None:
+            print("SQL :", case.to_sql())
+        if rec is not None:
+            small = minimize(case, spark, sdfs, con)
+            failures.append({
+                "i": i, "kind": case.kind, **rec,
+                "sql": case.to_sql(),
+                "minimized_sql": small.to_sql(),
+            })
+            print(f"FAIL case {i}: {json.dumps(failures[-1])[:600]}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "seed": args.seed, "n": args.n, "rows": args.rows,
+        "failures": failures, "ok": not failures,
+    }))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
