@@ -17,6 +17,71 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _busy_jiffies() -> int:
+    """System-wide non-idle jiffies from /proc/stat (all CPUs)."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _tree_jiffies(pid: int) -> int:
+    """utime+stime (+ reaped-children cutime/cstime) summed over `pid`
+    and every live descendant - the bench's OWN CPU, python + JVM.
+    Invariant to children being reaped mid-window: a child's jiffies
+    move from its /proc entry into the parent's cutime, so the tree sum
+    is cumulative either way."""
+    procs: dict[int, tuple[int, int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat", "rb") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced with process exit
+        rest = s[s.rindex(b")") + 2:].split()
+        procs[int(p)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+        )
+    kids: dict[int, list[int]] = {}
+    for q, (pp, _) in procs.items():
+        kids.setdefault(pp, []).append(q)
+    total, stack = 0, [pid]
+    while stack:
+        q = stack.pop()
+        if q in procs:
+            total += procs[q][1]
+            stack.extend(kids.get(q, []))
+    return total
+
+
+class ExtMeter:
+    """Average EXTERNAL core usage over a window: system-wide busy CPU
+    minus this process tree's CPU, per wall second. This is the
+    discriminator the load average cannot be (r7: a +1.83 s drift at
+    peak load 4.51 needed forensics to attribute) - self-load cancels
+    out exactly, so any nonzero reading IS co-tenant contention.
+    Calibrated on this container: idle reads ~0.01 cores, and 4
+    saturating self-spinners still read ~0.01."""
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._pid = os.getpid()
+
+    def start(self) -> None:
+        self._b0 = _busy_jiffies()
+        self._t0 = _tree_jiffies(self._pid)
+        self._w0 = time.perf_counter()
+
+    def stop(self) -> float:
+        wall = max(time.perf_counter() - self._w0, 1e-6)
+        ext = (_busy_jiffies() - self._b0) - (
+            _tree_jiffies(self._pid) - self._t0
+        )
+        return max(ext / self._hz / wall, 0.0)
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -91,23 +156,43 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    # start-idle is not run-idle (r7: a gated run drifted +2.6 s from
-    # co-tenant load arriving MID-run, near-uniform across queries) —
-    # sample the 1-min load after each query and report the peak. The
-    # peak INCLUDES the bench's own burst load (32 executor threads
-    # against a 60 s damping window), but that self-load profile is the
-    # same every round: quiet r6-style runs peak ~1.5-2, so a peak well
-    # above that band flags external contention and the total carries
-    # its own invalidation instead of needing forensics.
+    # load_avg_peak is kept for cross-round continuity only; it mixes
+    # self-load with co-tenant steal (r7's +1.83 s drift at peak 4.51
+    # needed forensics). The authoritative contention signal is now
+    # per-query ext_cores below.
     load_peak = load_avg_start
+    # Self-invalidating per-query gate (r8): measure EXTERNAL core usage
+    # across each query's best-of-N window; if co-tenants used more than
+    # ext_bar cores on average, the window is contended - discard it and
+    # re-run the query (bounded retries). On a quiet box this adds
+    # nothing; under transient contention the kept number is from a
+    # clean window instead of carrying pollution into the artifact.
+    ext_bar = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_BAR", "0.5"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRIES", "2"))
+    meter = ExtMeter()
+    ext_cores: dict[str, float] = {}
+    retries: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        best_attempt = None  # (ext, samples)
+        for attempt in range(1 + max_retries):
+            samples = []
+            meter.start()
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            ext = meter.stop()
+            if best_attempt is None or ext < best_attempt[0]:
+                best_attempt = (ext, samples)
+            if ext <= ext_bar:
+                break
+            retries[name] = retries.get(name, 0) + 1
+        ext, samples = best_attempt
+        ext_cores[name] = round(ext, 3)
         load_peak = max(load_peak, os.getloadavg()[0])
         timings[name] = round(min(samples), 3)
         # max-min across the runs: the jitter band for THIS query on THIS
@@ -129,6 +214,11 @@ def main() -> None:
                 "load_avg_start": load_avg_start,
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "load_avg_peak": round(load_peak, 2),
+                "ext_cores": ext_cores,
+                "ext_cores_max": round(max(ext_cores.values()), 3),
+                "ext_bar": ext_bar,
+                "ext_bar_met": max(ext_cores.values()) <= ext_bar,
+                "query_retries": retries,
                 "busy_waited_sec": waited,
                 "idle_bar": idle_bar,
                 "idle_bar_met": idle_bar_met,
