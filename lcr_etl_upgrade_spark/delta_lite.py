@@ -762,6 +762,117 @@ def _quoted(name: str) -> Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
+def _mapped_schema(
+    schema: T.StructType, prior: T.StructType | None, next_id: list[int]
+) -> T.StructType:
+    """WRITE-side mapping assignment: return ``schema`` with
+    ``delta.columnMapping.id`` / ``delta.columnMapping.physicalName``
+    metadata on every field, recursively (nested struct fields get their
+    own ids and physical names, per the protocol). Fields whose logical
+    name exists at the same position-path in ``prior`` KEEP their prior
+    assignment — the protocol requires physical names to be stable
+    across schema evolution so old parquet files stay resolvable; new
+    fields draw fresh ids from the shared ``next_id`` counter."""
+
+    def walk(dt: T.DataType, prior_dt: T.DataType | None) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            prior_fields = (
+                {f.name: f for f in prior_dt.fields}
+                if isinstance(prior_dt, T.StructType)
+                else {}
+            )
+            out = []
+            for f in dt.fields:
+                pf = prior_fields.get(f.name)
+                meta = dict(f.metadata or {})
+                if pf is not None and "delta.columnMapping.id" in (
+                    pf.metadata or {}
+                ):
+                    meta["delta.columnMapping.id"] = pf.metadata[
+                        "delta.columnMapping.id"
+                    ]
+                    meta["delta.columnMapping.physicalName"] = pf.metadata[
+                        "delta.columnMapping.physicalName"
+                    ]
+                else:
+                    meta["delta.columnMapping.id"] = next_id[0]
+                    meta["delta.columnMapping.physicalName"] = (
+                        f"col-{uuid.uuid4()}"
+                    )
+                    next_id[0] += 1
+                out.append(
+                    T.StructField(
+                        f.name,
+                        walk(f.dataType, pf.dataType if pf else None),
+                        f.nullable,
+                        meta,
+                    )
+                )
+            return T.StructType(out)
+        if isinstance(dt, T.ArrayType):
+            prior_el = (
+                prior_dt.elementType
+                if isinstance(prior_dt, T.ArrayType)
+                else None
+            )
+            return T.ArrayType(walk(dt.elementType, prior_el), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            pk = prior_dt.keyType if isinstance(prior_dt, T.MapType) else None
+            pv = (
+                prior_dt.valueType
+                if isinstance(prior_dt, T.MapType)
+                else None
+            )
+            return T.MapType(
+                walk(dt.keyType, pk),
+                walk(dt.valueType, pv),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    return walk(schema, prior)  # type: ignore[return-value]
+
+
+def _max_mapped_id(dt: T.DataType) -> int:
+    """Largest delta.columnMapping.id anywhere in the schema tree."""
+    if isinstance(dt, T.StructType):
+        out = 0
+        for f in dt.fields:
+            fid = int((f.metadata or {}).get("delta.columnMapping.id", 0))
+            out = max(out, fid, _max_mapped_id(f.dataType))
+        return out
+    if isinstance(dt, T.ArrayType):
+        return _max_mapped_id(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return max(_max_mapped_id(dt.keyType), _max_mapped_id(dt.valueType))
+    return 0
+
+
+def _physicalize_df(df: DataFrame, mapped: T.StructType) -> DataFrame:
+    """Rename ``df``'s columns to the mapped schema's physical names
+    (nested fields via a positional struct cast, same trick the reader
+    uses in reverse) and attach ``parquet.field.id`` metadata so Spark's
+    parquet writer stamps field ids into the footers — what id-mode
+    readers resolve by, and what delta-spark itself writes under
+    mapping."""
+    phys = _physicalize(mapped)
+    cols = []
+    for f, pf in zip(mapped.fields, phys.fields):
+        cols.append(
+            _quoted(f.name)
+            .cast(pf.dataType)
+            .alias(
+                pf.name,
+                metadata={
+                    "parquet.field.id": int(
+                        f.metadata["delta.columnMapping.id"]
+                    )
+                },
+            )
+        )
+    return df.select(*cols)
+
+
 def _verify_physical_names(
     spark: SparkSession, sample_file: str, expect: list[str]
 ) -> None:
@@ -975,19 +1086,43 @@ def _partition_values_from_rel(
     return {c: values.get(c) for c in part_cols}
 
 
+# Writer-side table features (minWriterVersion=7) this writer actually
+# honors. columnMapping: it writes physicalName-named parquet, carries
+# id/physicalName field metadata through metaData, and keys
+# partitionValues by physical name (_mapped_schema/_physicalize_df).
+# Everything else (invariants, constraints, CDF, ...) must refuse: a
+# writer must honor EVERY listed writerFeature.
+_SUPPORTED_WRITER_FEATURES = frozenset({"columnMapping"})
+
+
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
     """WRITER compliance is separate from reader compliance: a
     v2Checkpoint table is READABLE here (reader feature implemented) but
     this writer behaves as protocol writer version 2 — committing to a
-    table that demands minWriterVersion > 2 (feature lists, invariants,
-    …) would violate the protocol's "a writer must support every
-    writerFeature" rule and produce a log real Delta tooling may
-    reject. Checked on the initial replay AND on every append retry: a
-    concurrent writer may UPGRADE the protocol between our replay and
-    the commit race."""
+    table that demands minWriterVersion > 2 (legacy cumulative feature
+    sets: invariants, constraints, …) would violate the protocol's "a
+    writer must support every writerFeature" rule and produce a log real
+    Delta tooling may reject. The ONE exception is version 7 (table
+    features), where the demanded capabilities are listed explicitly —
+    writable iff every listed feature is implemented here
+    (_SUPPORTED_WRITER_FEATURES). Checked on the initial replay AND on
+    every append retry: a concurrent writer may UPGRADE the protocol
+    between our replay and the commit race."""
     if not protocol:
         return
     writer_v = int(protocol.get("minWriterVersion", 2))
+    if writer_v == 7:
+        unsupported = (
+            set(protocol.get("writerFeatures") or ())
+            - _SUPPORTED_WRITER_FEATURES
+        )
+        if unsupported:
+            raise NotImplementedError(
+                f"the table at {path!r} demands writerFeatures "
+                f"{sorted(unsupported)} this writer does not implement. "
+                "Use delta-spark to write it."
+            )
+        return
     if writer_v > 2:
         raise NotImplementedError(
             "delta_lite writes as protocol writer version 2; the table "
@@ -1002,6 +1137,7 @@ def write_delta_lite(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    column_mapping: str | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the committed version.
 
@@ -1011,12 +1147,33 @@ def write_delta_lite(
     append = K2/K4: files added under the EXISTING table schema; a column
     -name mismatch raises instead of silently writing an unreadable mix.
 
+    column_mapping: ``"name"`` or ``"id"`` writes a COLUMN-MAPPED table
+    (protocol 3/7 with the columnMapping table feature): parquet files,
+    hive path segments and partitionValues carry generated physical
+    names (``col-<uuid>``), metaData carries the logical schema with
+    id/physicalName field metadata, and parquet footers get field ids
+    stamped for top-level columns. ``None`` (default) inherits the
+    existing table's mode (appends and overwrites of a mapped table stay
+    mapped — physical names are REUSED per logical name on overwrite, as
+    the protocol's stability rule requires; fresh columns draw ids above
+    maxColumnId). Enabling mapping on an existing unmapped table is an
+    overwrite-time protocol upgrade; DISABLING it, or switching
+    name<->id, is protocol-forbidden and raises. Nested fields get ids
+    and physical names at every level; parquet field-id stamping is
+    top-level only (name-based resolution covers nested fields — the
+    documented seam is foreign readers that resolve NESTED columns
+    strictly by field id).
+
     The commit file is created with ``open(.., "x")`` — creation is the
     commit point, and a concurrent writer gets FileExistsError (single-
     writer semantics made explicit rather than log corruption).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if column_mapping not in (None, "name", "id"):
+        raise ValueError(
+            f"column_mapping must be None|'name'|'id', got {column_mapping!r}"
+        )
     base = _local(path)
     spark = df.sparkSession
     try:
@@ -1026,6 +1183,28 @@ def write_delta_lite(
 
     if prior is not None:
         _check_writer_protocol(prior.protocol, path)
+
+    prior_mapping = (
+        _column_mapping_mode(prior.metadata) if prior is not None else "none"
+    )
+    if column_mapping is None:
+        mapping = prior_mapping
+    else:
+        if prior_mapping != "none" and column_mapping != prior_mapping:
+            raise ValueError(
+                f"the table at {path!r} has "
+                f"delta.columnMapping.mode={prior_mapping!r}; switching to "
+                f"{column_mapping!r} is protocol-forbidden (physical names "
+                "must stay stable)"
+            )
+        if mode == "append" and prior is not None and (
+            prior_mapping == "none" and column_mapping != "none"
+        ):
+            raise ValueError(
+                "enabling column mapping is a metadata+protocol change; "
+                "use mode='overwrite'"
+            )
+        mapping = column_mapping
 
     if prior is not None and mode == "append":
         partition_by = tuple(prior.partition_columns)
@@ -1043,25 +1222,84 @@ def write_delta_lite(
 
     now_ms = int(time.time() * 1000)
     os.makedirs(_log_dir(path), exist_ok=True)
-    moved = _stage_and_move(df, base, partition_by)
     part_cols = list(partition_by)
+
+    # Column mapping: everything the FILES see (parquet schema, hive
+    # partition dirs, partitionValues keys) is physical; everything the
+    # LOG's metaData sees (schemaString field names, partitionColumns)
+    # stays logical — mirroring read_delta_lite's contract exactly.
+    if mapping != "none":
+        if mode == "append" and prior is not None:
+            mapped = prior.schema  # assignments live in the table schema
+            max_id = int(
+                (prior.metadata.get("configuration") or {}).get(
+                    "delta.columnMapping.maxColumnId",
+                    _max_mapped_id(mapped),
+                )
+            )
+        else:
+            counter = [1]
+            prior_mapped = (
+                prior.schema
+                if prior is not None and prior_mapping != "none"
+                else None
+            )
+            if prior_mapped is not None:
+                counter = [_max_mapped_id(prior_mapped) + 1]
+            mapped = _mapped_schema(df.schema, prior_mapped, counter)
+            max_id = _max_mapped_id(mapped)
+        logical_to_phys = {
+            f.name: pf.name
+            for f, pf in zip(mapped.fields, _physicalize(mapped).fields)
+        }
+        stage_df = _physicalize_df(df, mapped)
+        stage_part_cols = [logical_to_phys[c] for c in part_cols]
+    else:
+        stage_df, stage_part_cols = df, part_cols
+
+    moved = _stage_and_move(stage_df, base, tuple(stage_part_cols))
 
     actions: list[dict] = []
     version = 0 if prior is None else prior.version + 1
-    if prior is None:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+    protocol_action = None
+    if mapping != "none":
+        protocol_action = {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        }
+    elif prior is None:
+        protocol_action = {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+        }
+    needs_upgrade = mapping != "none" and (
+        prior is None
+        or int((prior.protocol or {}).get("minReaderVersion", 1)) < 3
+    )
+    if prior is None or needs_upgrade:
+        actions.append(protocol_action)
     if prior is None or mode == "overwrite":
         meta_id = prior.metadata["id"] if prior else str(uuid.uuid4())
+        configuration = {}
+        if mapping != "none":
+            configuration = {
+                "delta.columnMapping.mode": mapping,
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+        schema_json = (
+            mapped.json() if mapping != "none" else df.schema.json()
+        )
         actions.append(
             {
                 "metaData": {
                     "id": meta_id,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_json,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }
@@ -1083,7 +1321,7 @@ def write_delta_lite(
                 "add": {
                     "path": urllib.parse.quote(rel, safe="/="),
                     "partitionValues": _partition_values_from_rel(
-                        rel, part_cols
+                        rel, stage_part_cols
                     ),
                     "size": size,
                     "modificationTime": now_ms,

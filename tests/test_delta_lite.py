@@ -997,7 +997,8 @@ def test_writer_refuses_high_writer_version_table(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_lite(_df(spark, [(1, "a")]), path)
     _author_v2_checkpoint(spark, path, "sidecar")
-    with pytest.raises(NotImplementedError, match="minWriterVersion=7"):
+    # v7 is now feature-gated: refusal names the unimplemented features
+    with pytest.raises(NotImplementedError, match="demands writerFeatures"):
         write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     # still readable
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
@@ -1139,7 +1140,7 @@ def test_append_retry_refuses_concurrent_protocol_upgrade(
         return real_replay(*a, **k)
 
     monkeypatch.setattr(dl, "replay_log", racing_replay)
-    with pytest.raises(NotImplementedError, match="minWriterVersion=7"):
+    with pytest.raises(NotImplementedError, match="demands writerFeatures"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
 
@@ -1466,3 +1467,196 @@ def test_type_widening_reader_feature(spark, tmp_path):
     row = {r.a: r for r in got.collect()}[2]
     assert row.b == 2.0 and row.c == decimal.Decimal("2")
     assert row.d == dtm.datetime(2024, 6, 1, 0, 0)
+
+
+# ---- column mapping WRITE side (round-8 ask #5) --------------------------
+
+
+def _mapped_log_state(path):
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    log_dir = os.path.join(path, "_delta_log")
+    actions = []
+    for f in sorted(os.listdir(log_dir)):
+        if re.fullmatch(r"\d{20}\.json", f):
+            with open(os.path.join(log_dir, f)) as fh:
+                actions += [json.loads(ln) for ln in fh if ln.strip()]
+    return actions
+
+
+def test_write_column_mapping_name_roundtrip(spark, tmp_path):
+    """write(column_mapping='name') -> read equals input; parquet files
+    carry GENERATED physical names, the log carries logical names with
+    id/physicalName metadata and mode+maxColumnId configuration, and the
+    protocol is 3/7 with the columnMapping feature both sides."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        _df(spark, [(1, "a"), (2, "b")]), path, column_mapping="name"
+    )
+    got = read_delta_lite(spark, path)
+    assert got.columns == ["id", "name"]
+    assert {(r.id, r.name) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+    state = replay_log(spark, path)
+    assert state.protocol["minReaderVersion"] == 3
+    assert state.protocol["minWriterVersion"] == 7
+    assert state.protocol["readerFeatures"] == ["columnMapping"]
+    assert state.protocol["writerFeatures"] == ["columnMapping"]
+    conf = state.metadata["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert conf["delta.columnMapping.maxColumnId"] == "2"
+    metas = [f.metadata for f in state.schema.fields]
+    assert [m["delta.columnMapping.id"] for m in metas] == [1, 2]
+    phys = [m["delta.columnMapping.physicalName"] for m in metas]
+    assert all(p.startswith("col-") for p in phys)
+
+    # the parquet files really carry the physical names, not logical
+    data_file = next(
+        os.path.join(path, f) for f in state.files
+    )
+    raw_cols = spark.read.parquet(data_file).columns
+    assert sorted(raw_cols) == sorted(phys)
+
+
+def test_write_column_mapping_id_stamps_field_ids(spark, tmp_path):
+    """id mode: parquet footers carry field ids matching the log's
+    delta.columnMapping.id (verified through pyarrow, an independently
+    authored parquet reader)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        _df(spark, [(1, "a")]), path, column_mapping="id"
+    )
+    state = replay_log(spark, path)
+    data_file = os.path.join(path, next(iter(state.files)))
+    arrow_schema = pq.read_schema(data_file)
+    by_phys = {
+        f.metadata["delta.columnMapping.physicalName"]: f.metadata[
+            "delta.columnMapping.id"
+        ]
+        for f in state.schema.fields
+    }
+    for field in arrow_schema:
+        fid = int(field.metadata[b"PARQUET:field_id"])
+        assert fid == by_phys[field.name]
+    got = read_delta_lite(spark, path)
+    assert [r.id for r in got.collect()] == [1]
+
+
+def test_write_column_mapping_append_and_stability(spark, tmp_path):
+    """Appends inherit the mapping (no column_mapping arg needed) and an
+    overwrite REUSES the physical names and ids of surviving logical
+    columns, assigning fresh ids above maxColumnId to new ones — the
+    protocol's stability rule."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path, column_mapping="name")
+    before = {
+        f.name: f.metadata for f in replay_log(spark, path).schema.fields
+    }
+
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    got = read_delta_lite(spark, path)
+    assert {(r.id, r.name) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+    # overwrite with one surviving column and one new column
+    df2 = spark.createDataFrame([(3, 1.5)], "id long, score double")
+    write_delta_lite(df2, path, mode="overwrite")
+    state = replay_log(spark, path)
+    after = {f.name: f.metadata for f in state.schema.fields}
+    assert after["id"] == before["id"]  # stable across overwrite
+    assert after["score"]["delta.columnMapping.id"] == 3  # fresh, above max
+    assert state.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "3"
+    assert {(r.id, r.score) for r in read_delta_lite(spark, path).collect()
+            } == {(3, 1.5)}
+
+
+def test_write_column_mapping_partitioned(spark, tmp_path):
+    """Partitioned mapped table: hive dirs and partitionValues keys use
+    the PHYSICAL name, metaData.partitionColumns the logical name; the
+    reader's single-relation fast path round-trips it."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "x", 30)],
+        "id long, part string, v long",
+    )
+    write_delta_lite(df, path, partition_by=("part",),
+                     column_mapping="name")
+    state = replay_log(spark, path)
+    assert state.partition_columns == ["part"]  # logical in metaData
+    phys_part = {
+        f.metadata["delta.columnMapping.physicalName"]
+        for f in state.schema.fields if f.name == "part"
+    }.pop()
+    for rel, pvals in state.files.items():
+        assert rel.startswith(f"{phys_part}=")  # physical hive segment
+        assert set(pvals) == {phys_part}  # physical partitionValues key
+    got = read_delta_lite(spark, path)
+    assert {(r.id, r.part, r.v) for r in got.collect()} == {
+        (1, "x", 10), (2, "y", 20), (3, "x", 30)
+    }
+    # partition pruning still sees a filterable logical column
+    assert got.filter(F.col("part") == "x").count() == 2
+
+
+def test_write_column_mapping_nested_struct(spark, tmp_path):
+    """Nested struct fields get their own ids/physical names at every
+    level and round-trip through the positional struct cast."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, ("deep", 7))],
+        "id long, s struct<a string, b long>",
+    )
+    write_delta_lite(df, path, column_mapping="name")
+    state = replay_log(spark, path)
+    s_field = {f.name: f for f in state.schema.fields}["s"]
+    inner = {f.name: f for f in s_field.dataType.fields}
+    ids = {
+        state.schema["id"].metadata["delta.columnMapping.id"],
+        s_field.metadata["delta.columnMapping.id"],
+        inner["a"].metadata["delta.columnMapping.id"],
+        inner["b"].metadata["delta.columnMapping.id"],
+    }
+    assert ids == {1, 2, 3, 4}  # unique ids at every level
+    assert all(
+        f.metadata["delta.columnMapping.physicalName"].startswith("col-")
+        for f in (s_field, inner["a"], inner["b"])
+    )
+    row = read_delta_lite(spark, path).collect()[0]
+    assert (row.id, row.s.a, row.s.b) == (1, "deep", 7)
+
+
+def test_write_column_mapping_mode_changes_refuse(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path, column_mapping="name")
+    with pytest.raises(ValueError, match="protocol-forbidden"):
+        write_delta_lite(_df(spark, [(2, "b")]), path, column_mapping="id")
+    with pytest.raises(ValueError, match="column_mapping must be"):
+        write_delta_lite(_df(spark, [(2, "b")]), path,
+                         column_mapping="weird")
+    # enabling mapping via append on an unmapped table refuses too
+    path2 = str(tmp_path / "u")
+    write_delta_lite(_df(spark, [(1, "a")]), path2)
+    with pytest.raises(ValueError, match="overwrite"):
+        write_delta_lite(_df(spark, [(2, "b")]), path2, mode="append",
+                         column_mapping="name")
+
+
+def test_write_column_mapping_upgrade_on_overwrite(spark, tmp_path):
+    """Enabling mapping on an existing unmapped table upgrades the
+    protocol in the SAME commit and old logical data stays readable via
+    time travel."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    assert replay_log(spark, path).protocol["minReaderVersion"] == 1
+    write_delta_lite(_df(spark, [(2, "b")]), path, column_mapping="name")
+    state = replay_log(spark, path)
+    assert state.protocol["minReaderVersion"] == 3
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {2}
+    # pre-upgrade version still readable (protocol replay at version 0)
+    assert {r.id for r in read_delta_lite(spark, path, version=0)
+            .collect()} == {1}
