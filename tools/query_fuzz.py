@@ -140,7 +140,10 @@ def lit_int(v: int) -> E:
 
 
 def lit_dbl(v: float) -> E:
-    return E(DBL, lambda: repr(v), lambda: _F().lit(v))
+    # DuckDB types a bare decimal literal as DECIMAL (so -5.625 - 1.375
+    # folds to DECIMAL '7.000'), Spark's lit() as DOUBLE - cast so both
+    # sides run IEEE double arithmetic
+    return E(DBL, lambda: f"CAST({v!r} AS DOUBLE)", lambda: _F().lit(v))
 
 
 def lit_str(v: str) -> E:
@@ -307,7 +310,7 @@ class Case:
 
     def __init__(self, kind, tables, projections, where=None, group=None,
                  aggs=None, join=None, order=None, limit=None,
-                 distinct=False, window=None):
+                 distinct=False, window=None, union=None, having=None):
         self.kind = kind
         self.tables = tables          # list of table names used
         self.projections = projections  # list[(alias, E)]
@@ -319,6 +322,8 @@ class Case:
         self.limit = limit
         self.distinct = distinct
         self.window = window          # list[(alias, spec)] | None
+        self.union = union            # (projections_b, where_b) | None
+        self.having = having          # E over agg output aliases | None
 
     # ---- DuckDB side
     def to_sql(self) -> str:
@@ -355,6 +360,18 @@ class Case:
         if self.group is not None:
             q += " GROUP BY " + ", ".join(
                 str(i + 1) for i in range(len(self.group)))
+        if self.having is not None:
+            # alias-safe HAVING: wrap as a subquery filter (identical
+            # semantics; avoids dialect rules on aliases in HAVING)
+            q = f"SELECT * FROM ({q}) __hv WHERE {self.having.sql()}"
+        if self.union is not None:
+            proj_b, where_b = self.union
+            cols_b = [f"{e.sql()} AS {a}" for a, e in proj_b]
+            q_b = (f"SELECT {', '.join(cols_b)} FROM "
+                   f"{prefixed(self.tables[1], 's0_')} s0")
+            if where_b is not None:
+                q_b += f" WHERE {where_b.sql()}"
+            q = f"{q} UNION ALL {q_b}"
         if self.order is not None:
             parts = []
             for e, asc in self.order:
@@ -391,6 +408,16 @@ class Case:
             pcols += [_win_col(F, spec).alias(a)
                       for a, spec in (self.window or [])]
             df = df.select(*pcols)
+        if self.having is not None:
+            df = df.filter(self.having.col())
+        if self.union is not None:
+            proj_b, where_b = self.union
+            d1 = _prefix(sdfs[self.tables[1]], "s0_")
+            if where_b is not None:
+                d1 = d1.filter(where_b.col())
+            df = df.unionAll(
+                d1.select(*[e.col().alias(a) for a, e in proj_b])
+            )
         if self.distinct:
             df = df.distinct()
         if self.order is not None:
@@ -453,24 +480,62 @@ def _win_col(F, spec):
 
 def gen_case(rng: np.random.Generator) -> Case:
     kind = ["filter_project", "agg", "join", "orderby_limit", "distinct",
-            "window"][int(rng.integers(0, 6))]
+            "window", "join_agg", "union_all",
+            "having"][int(rng.integers(0, 9))]
     t0 = f"t{int(rng.integers(0, 3))}"
 
-    if kind == "join":
+    if kind in ("join", "join_agg"):
         t1 = f"t{int(rng.integers(0, 3))}"
         g = Gen(rng, ["s0_", "s1_"])
         how = g.pick(["inner", "left", "right", "full", "semi", "anti"])
         key = g.pick(["a_int", "b_int", "d_str"])
         if how in ("semi", "anti"):
             g = Gen(rng, ["s0_"])  # only left side visible
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        if kind == "join_agg":
+            # aggregate OVER the join result: the composition the frozen
+            # registry exercises one shape of (q3/q5) and the fuzzer can
+            # now vary freely
+            group = [(f"k{i}", g.expr(g.pick([INT, STR, BOOL]), 1))
+                     for i in range(int(rng.integers(1, 3)))]
+            aggs = [("a0", "count_star", None),
+                    ("a1", g.pick(["sum", "avg_int"]), g.expr(INT, 1))]
+            return Case(kind, [t0, t1], [], where=where, group=group,
+                        aggs=aggs, join=(how, key))
         n_proj = int(rng.integers(1, 4))
         projections = [
             (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 2))
             for i in range(n_proj)
         ]
-        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
         return Case(kind, [t0, t1], projections, where=where,
                     join=(how, key))
+
+    if kind == "union_all":
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_"])
+        n_proj = int(rng.integers(1, 3))
+        types = [g.pick([INT, STR, BOOL]) for _ in range(n_proj)]
+        p_a = [(f"p{i}", g.expr(t, 2)) for i, t in enumerate(types)]
+        p_b = [(f"p{i}", g.expr(t, 2)) for i, t in enumerate(types)]
+        w_a = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        w_b = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0, t1], p_a, where=w_a,
+                    union=(p_b, w_b))
+
+    if kind == "having":
+        g = Gen(rng, ["s0_"])
+        group = [("k0", g.expr(g.pick([INT, STR]), 1))]
+        aggs = [("a0", "count_star", None),
+                ("a1", g.pick(["min", "max"]), g.expr(INT, 1))]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        # HAVING over the aggregate outputs (rendered post-agg filter on
+        # the Spark side - the same plan Spark gives HAVING)
+        hv_op = g.pick([">", ">=", "<", "<=", "==", "!="])
+        hv_lit = int(rng.integers(0, 6))
+        hv_ref = E(INT, lambda: "a0", lambda: _F().col("a0"))
+        having = binop(hv_op, BOOL, hv_ref, lit_int(hv_lit))
+        return Case(kind, [t0], [], where=where, group=group, aggs=aggs,
+                    having=having)
 
     g = Gen(rng, ["s0_"])
     if kind == "agg":
@@ -596,9 +661,10 @@ def minimize(case: Case, spark, sdfs, con) -> Case:
     changed = True
     while changed:
         changed = False
-        # strip LIMIT / ORDER / WHERE / DISTINCT
+        # strip LIMIT / ORDER / WHERE / DISTINCT / HAVING / UNION
         for attr, val in (("limit", None), ("order", None),
-                          ("where", None), ("distinct", False)):
+                          ("where", None), ("distinct", False),
+                          ("having", None), ("union", None)):
             if getattr(case, attr):
                 c = copy.copy(case)
                 setattr(c, attr, val)
