@@ -965,8 +965,9 @@ def test_y4m_chroma_conversion_vs_spec_derivation():
 
 
 def test_sample_video_frames_real(spark):
-    """Every-nth Y4M frame lands as a PPM row; non-Y4M payloads emit
-    zero rows (compressed video stays behind the stub seam)."""
+    """Every-nth Y4M frame lands as a PPM row; inputs yielding no frames
+    (non-Y4M, NULL payload) emit one (media_id, NULL, NULL) marker row
+    so inputs-vs-outputs accounting holds (the r7 asymmetry nit)."""
     import numpy as np
 
     from lcr_etl_upgrade_spark.operators.multimodal import (
@@ -984,8 +985,17 @@ def test_sample_video_frames_real(spark):
          (2, None)],
         "media_id long, payload binary",
     )
-    rows = sample_video_frames(df, every_n=2).collect()
-    assert [(r.media_id, r.frame_idx) for r in rows] == [(0, 0), (0, 2), (0, 4)]
+    out = sample_video_frames(df, every_n=2)
+    rows = sorted(
+        out.collect(),
+        key=lambda r: (r.media_id, -1 if r.frame_idx is None else r.frame_idx),
+    )
+    assert [(r.media_id, r.frame_idx) for r in rows] == [
+        (0, 0), (0, 2), (0, 4), (1, None), (2, None)
+    ]
+    assert rows[3].frame is None and rows[4].frame is None
+    # every input id appears in the output (the accounting invariant)
+    assert {r.media_id for r in rows} == {0, 1, 2}
     # frame 2's luma is 16+40 -> (40)*255/219 = 46.58 -> 47
     px = set(decode_ppm(bytes(rows[1].frame))["pixels"])
     assert px == {47}
