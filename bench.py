@@ -190,7 +190,8 @@ def main() -> None:
                 best_attempt = (ext, samples)
             if ext <= ext_bar:
                 break
-            retries[name] = retries.get(name, 0) + 1
+            if attempt < max_retries:  # a re-run will actually happen
+                retries[name] = retries.get(name, 0) + 1
         ext, samples = best_attempt
         ext_cores[name] = round(ext, 3)
         load_peak = max(load_peak, os.getloadavg()[0])

@@ -1216,6 +1216,27 @@ def write_delta_lite(
                 f"DataFrame has {sorted(got)}; use mode='overwrite' to "
                 "replace the schema"
             )
+        # names AND types (nullability aside), mirroring the retry-path
+        # gate: under mapping, _physicalize_df casts to the table type,
+        # which would turn a wrong-typed append into silent NULLs
+        # instead of the documented refusal
+        want_types = {f.name: f.dataType for f in prior.schema.fields}
+        got_types = {f.name: f.dataType for f in df.schema.fields}
+        mismatched = sorted(
+            n for n in want_types if want_types[n] != got_types[n]
+        )
+        if mismatched:
+            raise ValueError(
+                f"append type mismatch on columns {mismatched}: table has "
+                + ", ".join(
+                    f"{n}:{want_types[n].simpleString()}" for n in mismatched
+                )
+                + "; DataFrame has "
+                + ", ".join(
+                    f"{n}:{got_types[n].simpleString()}" for n in mismatched
+                )
+                + " — cast explicitly or use mode='overwrite'"
+            )
         df = df.select(*want)  # name-based mapping, like the K2 sink
 
     import time
@@ -1244,10 +1265,25 @@ def write_delta_lite(
                 if prior is not None and prior_mapping != "none"
                 else None
             )
+            prior_max = 0
             if prior_mapped is not None:
-                counter = [_max_mapped_id(prior_mapped) + 1]
+                # seed ABOVE the configured maxColumnId, not just above
+                # the ids still present in the schema: a column dropped
+                # by an earlier overwrite keeps its id reserved forever,
+                # or a later column would reuse it and id-tracking
+                # readers would silently read the new data as the old
+                # column (protocol monotonic-id rule)
+                prior_max = max(
+                    int(
+                        (prior.metadata.get("configuration") or {}).get(
+                            "delta.columnMapping.maxColumnId", 0
+                        )
+                    ),
+                    _max_mapped_id(prior_mapped),
+                )
+                counter = [prior_max + 1]
             mapped = _mapped_schema(df.schema, prior_mapped, counter)
-            max_id = _max_mapped_id(mapped)
+            max_id = max(_max_mapped_id(mapped), prior_max)
         logical_to_phys = {
             f.name: pf.name
             for f, pf in zip(mapped.fields, _physicalize(mapped).fields)
@@ -1379,12 +1415,28 @@ def write_delta_lite(
             same_schema = {
                 f.name: f.dataType for f in current.schema.fields
             } == {f.name: f.dataType for f in df.schema.fields}
-            if not same_schema or current.partition_columns != part_cols:
+            # the racing commit may also have changed the COLUMN-MAPPING
+            # state (enabled it, or reassigned physical names via an
+            # overwrite): our staged files carry the OLD physical layout
+            # and committing them would make the whole table unreadable
+            # (_verify_physical_names refuses at read time)
+            current_mapping = _column_mapping_mode(current.metadata)
+            same_mapping = current_mapping == mapping and (
+                mapping == "none"
+                or [f.name for f in _physicalize(current.schema).fields]
+                == [f.name for f in _physicalize(mapped).fields]
+            )
+            if (
+                not same_schema
+                or current.partition_columns != part_cols
+                or not same_mapping
+            ):
                 _rollback()
                 raise FileExistsError(
                     f"concurrent commit to {path!r} changed the table's "
-                    "schema or partitioning; this append no longer "
-                    "applies cleanly — re-read the table and retry"
+                    "schema, partitioning or column mapping; this append "
+                    "no longer applies cleanly — re-read the table and "
+                    "retry"
                 )
             version = current.version + 1
             # the table definitely exists now; a retried append is pure

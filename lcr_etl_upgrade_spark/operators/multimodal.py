@@ -971,6 +971,10 @@ def sample_video_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if pd.isna(mid):
+                    # a NULL id can't anchor a marker row (id_col is
+                    # non-nullable) and int(NaN) would kill the task
+                    continue
                 emitted = False
                 if p is not None:
                     p = bytes(p)

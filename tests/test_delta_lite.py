@@ -437,7 +437,7 @@ def test_concurrent_append_schema_change_refused(spark, tmp_path, monkeypatch):
         return real_replay(*a, **k)
 
     monkeypatch.setattr(dl, "replay_log", racing_replay)
-    with pytest.raises(FileExistsError, match="schema or partitioning"):
+    with pytest.raises(FileExistsError, match="schema, partitioning or column mapping"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
@@ -810,7 +810,7 @@ def test_concurrent_append_type_change_refused(spark, tmp_path, monkeypatch):
         return real_replay(*a, **k)
 
     monkeypatch.setattr(dl, "replay_log", racing_replay)
-    with pytest.raises(FileExistsError, match="schema or partitioning"):
+    with pytest.raises(FileExistsError, match="schema, partitioning or column mapping"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {"9"}
@@ -1660,3 +1660,84 @@ def test_write_column_mapping_upgrade_on_overwrite(spark, tmp_path):
     # pre-upgrade version still readable (protocol replay at version 0)
     assert {r.id for r in read_delta_lite(spark, path, version=0)
             .collect()} == {1}
+
+
+def test_column_mapping_max_id_monotonic_across_drops(spark, tmp_path):
+    """r8 review finding: a column dropped by an overwrite keeps its id
+    reserved — maxColumnId never decreases and later columns never reuse
+    a dropped column's id (the protocol's monotonic-id rule; reuse would
+    make id-tracking readers silently read new data as the old column)."""
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path, column_mapping="name")
+    # drop 'name' (id 2) via overwrite to a single-column schema
+    write_delta_lite(
+        spark.createDataFrame([(2,)], "id long"), path, mode="overwrite"
+    )
+    state = replay_log(spark, path)
+    assert state.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "2"  # not decreased to 1
+    # re-add a column: must draw id 3, never the dropped 'name' id 2
+    write_delta_lite(
+        spark.createDataFrame([(3, 1.5)], "id long, score double"),
+        path, mode="overwrite",
+    )
+    state = replay_log(spark, path)
+    by_name = {f.name: f.metadata for f in state.schema.fields}
+    assert by_name["score"]["delta.columnMapping.id"] == 3
+    assert state.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "3"
+
+
+def test_append_type_mismatch_refuses_not_nulls(spark, tmp_path):
+    """r8 review finding: a wrong-typed append must refuse up front; on
+    a mapped table the physicalizing cast would otherwise turn the
+    mismatch into silent NULL data."""
+    for cm in (None, "name"):
+        path = str(tmp_path / f"t_{cm}")
+        write_delta_lite(
+            spark.createDataFrame([(1, 10)], "id long, v long"),
+            path, column_mapping=cm,
+        )
+        bad = spark.createDataFrame([(2, "abc")], "id long, v string")
+        with pytest.raises(ValueError, match="append type mismatch"):
+            write_delta_lite(bad, path, mode="append")
+        # table unchanged
+        assert {r.v for r in read_delta_lite(spark, path).collect()} == {10}
+
+
+def test_append_retry_refuses_racing_mapping_enable(
+    spark, tmp_path, monkeypatch
+):
+    """r8 review finding: a racing overwrite that ENABLES column mapping
+    keeps the same logical schema, so the old name/type gate passed and
+    the retried append committed logically-named files into a
+    physically-named table — rendering it unreadable. The gate must
+    compare mapping state too."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    stale = replay_log(spark, path)
+
+    real_replay = dl.replay_log
+    calls = {"n": 0}
+
+    def racing_replay(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the racing writer lands version 1: SAME logical schema,
+            # but mapped
+            dl.write_delta_lite(
+                _df(spark, [(9, "z")]), path, column_mapping="name"
+            )
+            return stale
+        return real_replay(*a, **k)
+
+    monkeypatch.setattr(dl, "replay_log", racing_replay)
+    with pytest.raises(FileExistsError, match="column mapping"):
+        dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    monkeypatch.undo()
+    # the table stays fully readable (no logically-named orphan commit)
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}

@@ -1225,3 +1225,22 @@ def test_resize_images_bounds_target_geometry(spark):
         resize_images(df, 100_000, 100_000)
     # at-the-bound geometry is accepted (validation only; lazy plan)
     resize_images(df, 10_000, 10_000)
+
+
+def test_sample_video_frames_null_media_id_survives(spark):
+    """r8 review finding: the marker-row branch called int(mid) outside
+    any guard, so a NULL media_id killed the whole task instead of being
+    skipped (id_col is non-nullable in the output schema, so a marker
+    row cannot anchor to it)."""
+    from lcr_etl_upgrade_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(None, bytearray(b"not video")), (1, None)],
+        "media_id long, payload binary",
+    )
+    rows = sample_video_frames(df, every_n=1).collect()
+    assert [(r.media_id, r.frame_idx, r.frame) for r in rows] == [
+        (1, None, None)
+    ]

@@ -661,10 +661,19 @@ def minimize(case: Case, spark, sdfs, con) -> Case:
     changed = True
     while changed:
         changed = False
-        # strip LIMIT / ORDER / WHERE / DISTINCT / HAVING / UNION
-        for attr, val in (("limit", None), ("order", None),
-                          ("where", None), ("distinct", False),
-                          ("having", None), ("union", None)):
+        # strip LIMIT / ORDER / WHERE / DISTINCT / HAVING / UNION.
+        # ORDER and LIMIT strip TOGETHER: LIMIT without ORDER BY is
+        # nondeterministic, so a kept-LIMIT variant would "fail" on
+        # arbitrary row choice and lock in a spurious repro.
+        if case.order is not None:
+            c = copy.copy(case)
+            c.order, c.limit = None, None
+            if fails(c):
+                case = c
+                changed = True
+        for attr, val in (("limit", None), ("where", None),
+                          ("distinct", False), ("having", None),
+                          ("union", None)):
             if getattr(case, attr):
                 c = copy.copy(case)
                 setattr(c, attr, val)
@@ -723,9 +732,7 @@ def main() -> int:
     failures = []
     for i in range(args.n):
         if args.case is not None and i != args.case:
-            # burn the per-case generator state to keep (seed, i) stable
-            gen_case(np.random.default_rng(args.seed * 1_000_003 + i))
-            continue
+            continue  # each case seeds its own rng from (seed, i)
         case_rng = np.random.default_rng(args.seed * 1_000_003 + i)
         case = gen_case(case_rng)
         rec = run_case(case, spark, sdfs, con)
