@@ -30,7 +30,15 @@ divergence between the engines, not a bug in either):
    min/max/count over anything, avg over ints which both engines
    compute as exact-int-sum / count);
  - LIMIT determinism: a LIMIT is only emitted under an ORDER BY whose
-   key list ends with the table's unique id.
+   key list ends with the table's unique id;
+ - bare decimal literals are DECIMAL to DuckDB, DOUBLE to Spark's lit()
+   -> double literals render as CAST(x AS DOUBLE);
+ - negative zero: DuckDB's abs() on a computed DOUBLE returns -0.0
+   where Spark's Math.abs clears the sign bit -> '-0.0' normalizes to
+   '0.0' in the comparator (sign of zero is presentation, not
+   semantics);
+ - dates: Spark date_add(d, n) renders as DuckDB d + n, datediff(a, b)
+   as a - b (DuckDB date subtraction yields integer days).
 
 Every case is reproducible from (seed, index); a failing case is
 greedily minimized (drop projections, strip WHERE, unwrap predicate
@@ -80,6 +88,19 @@ def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
         d[nullmask()] = None
         e = rng.integers(0, 2, n).astype("float64")
         e[nullmask()] = np.nan
+        import datetime as _dt
+
+        days = rng.integers(0, 3000, n)  # 2015-01-01 + [0, 3000) days
+        fnull = nullmask()
+        f = np.array(
+            [
+                None
+                if fnull[i]
+                else _dt.date(2015, 1, 1) + _dt.timedelta(days=int(days[i]))
+                for i in range(n)
+            ],
+            dtype=object,
+        )
         out[f"t{ti}"] = pd.DataFrame(
             {
                 "id": np.arange(n, dtype="int64"),
@@ -91,6 +112,7 @@ def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
                     [None if np.isnan(v) else bool(v) for v in e],
                     dtype="boolean",
                 ),
+                "f_date": f,
             }
         )
     return out
@@ -98,14 +120,14 @@ def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
 
 _SPARK_SCHEMA = (
     "id long, a_int long, b_int long, c_dbl double, d_str string, "
-    "e_bool boolean"
+    "e_bool boolean, f_date date"
 )
 
 # ----------------------------------------------------------- expression AST
 
-INT, DBL, STR, BOOL = "int", "dbl", "str", "bool"
+INT, DBL, STR, BOOL, DATE = "int", "dbl", "str", "bool", "date"
 _COLS = {"a_int": INT, "b_int": INT, "c_dbl": DBL, "d_str": STR,
-         "e_bool": BOOL, "id": INT}
+         "e_bool": BOOL, "id": INT, "f_date": DATE}
 
 
 class E:
@@ -212,6 +234,31 @@ def substr_(x: E, pos: int, ln: int) -> E:
              lambda: _F().substring(x.col(), pos, ln), (x,))
 
 
+def lit_date(y: int, m: int, d: int) -> E:
+    import datetime as _dt
+
+    v = _dt.date(y, m, d)
+    return E(DATE, lambda: f"DATE '{v.isoformat()}'",
+             lambda: _F().lit(v))
+
+
+def date_add_(x: E, n: int) -> E:
+    # Spark date_add(d, n); DuckDB has date + integer-days
+    return E(DATE, lambda: f"({x.sql()} + {n})",
+             lambda: _F().date_add(x.col(), n), (x,))
+
+
+def datediff_(a: E, b: E) -> E:
+    # Spark datediff(end, start) = days; DuckDB date - date = days
+    return E(INT, lambda: f"({a.sql()} - {b.sql()})",
+             lambda: _F().datediff(a.col(), b.col()), (a, b))
+
+
+def year_(x: E) -> E:
+    return E(INT, lambda: f"year({x.sql()})",
+             lambda: _F().year(x.col()), (x,))
+
+
 # --------------------------------------------------------- random generator
 
 
@@ -234,8 +281,17 @@ class Gen:
         r = self.rng.random()
         if depth <= 0 or r < 0.35:
             return self.leaf(typ)
+        if typ == INT:
+            k = self.pick(["bin", "bin", "case", "coalesce", "abs",
+                           "datediff", "year"])
+            if k == "datediff":
+                return datediff_(self.expr(DATE, depth - 1),
+                                 self.expr(DATE, depth - 1))
+            if k == "year":
+                return year_(self.expr(DATE, depth - 1))
         if typ in (INT, DBL):
-            k = self.pick(["bin", "bin", "case", "coalesce", "abs"])
+            if typ == DBL:
+                k = self.pick(["bin", "bin", "case", "coalesce", "abs"])
             if k == "bin":
                 op = self.pick(["+", "-", "*"])
                 return binop(op, typ, self.expr(typ, depth - 1),
@@ -249,6 +305,20 @@ class Gen:
                           [self.expr(typ, depth - 1),
                            self.expr(typ, depth - 1)])
             return fn("abs", typ, [self.expr(typ, depth - 1)])
+        if typ == DATE:
+            k = self.pick(["date_add", "case", "coalesce", "leaf"])
+            if k == "date_add":
+                return date_add_(self.expr(DATE, depth - 1),
+                                 int(self.rng.integers(-60, 61)))
+            if k == "case":
+                return case_when(self.expr(BOOL, depth - 1),
+                                 self.expr(DATE, depth - 1),
+                                 self.expr(DATE, depth - 1))
+            if k == "coalesce":
+                return fn("coalesce", DATE,
+                          [self.expr(DATE, depth - 1),
+                           self.expr(DATE, depth - 1)])
+            return self.leaf(DATE)
         if typ == STR:
             k = self.pick(["concat", "upper", "lower", "substr", "case",
                            "coalesce"])
@@ -271,7 +341,7 @@ class Gen:
         k = self.pick(["cmp", "cmp", "cmp", "and", "or", "not", "isnull",
                        "isnotnull"])
         if k == "cmp":
-            t = self.pick([INT, INT, DBL, STR])
+            t = self.pick([INT, INT, DBL, STR, DATE])
             op = self.pick(["<", "<=", ">", ">=", "==", "!="])
             return binop(op, BOOL, self.expr(t, depth - 1),
                          self.expr(t, depth - 1))
@@ -298,6 +368,10 @@ class Gen:
         if typ == STR:
             return lit_str("".join(
                 self.rng.choice(_ALPHABET, self.rng.integers(0, 3))))
+        if typ == DATE:
+            return lit_date(int(self.rng.integers(2014, 2026)),
+                            int(self.rng.integers(1, 13)),
+                            int(self.rng.integers(1, 29)))
         return lit_bool(bool(self.rng.integers(0, 2)))
 
 
@@ -540,7 +614,7 @@ def gen_case(rng: np.random.Generator) -> Case:
     g = Gen(rng, ["s0_"])
     if kind == "agg":
         n_keys = int(rng.integers(1, 3))
-        group = [(f"k{i}", g.expr(g.pick([INT, STR, BOOL]), 1))
+        group = [(f"k{i}", g.expr(g.pick([INT, STR, BOOL, DATE]), 1))
                  for i in range(n_keys)]
         n_aggs = int(rng.integers(1, 4))
         aggs = []
@@ -553,7 +627,7 @@ def gen_case(rng: np.random.Generator) -> Case:
                 aggs.append((f"a{i}", a, g.expr(INT, 1)))
             else:  # count/min/max over any type
                 aggs.append((f"a{i}", a,
-                             g.expr(g.pick([INT, DBL, STR]), 1)))
+                             g.expr(g.pick([INT, DBL, STR, DATE]), 1)))
         where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
         return Case(kind, [t0], [], where=where, group=group, aggs=aggs)
 
@@ -561,7 +635,7 @@ def gen_case(rng: np.random.Generator) -> Case:
         projections = [("p0", col_ref("id", "s0_"))]
         for i in range(int(rng.integers(1, 3))):
             projections.append(
-                (f"p{i+1}", g.expr(g.pick([INT, DBL, STR]), 2)))
+                (f"p{i+1}", g.expr(g.pick([INT, DBL, STR, DATE]), 2)))
         # Order by the projected ALIASES: ordering by pre-projection
         # expressions fails to resolve after the select on the Spark
         # side, and a literal in ORDER BY is an ordinal to DuckDB.
@@ -605,7 +679,7 @@ def gen_case(rng: np.random.Generator) -> Case:
 
     # filter_project
     projections = [
-        (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 3))
+        (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL, DATE]), 3))
         for i in range(int(rng.integers(1, 5)))
     ]
     where = g.expr(BOOL, 3) if rng.random() < 0.7 else None
@@ -629,8 +703,18 @@ def run_case(case: Case, spark, sdfs, con) -> dict | None:
         orows = res.fetchall()
     except Exception as exc:
         return {"side": "duckdb_error", "err": repr(exc)[:400]}
+    def _no_negzero(rows):
+        # engine quirk, verified: DuckDB's abs() on a computed DOUBLE
+        # returns -0.0 for -0.0 (x < 0 ? -x : x), Spark's Math.abs
+        # clears the sign bit - and -0.0 == 0.0 everywhere else, so
+        # the sign of zero is presentation, not semantics
+        return [
+            tuple("0.0" if v == "-0.0" else v for v in row) for row in rows
+        ]
+
     s_norm, s_cols = frame_to_rows([tuple(r) for r in srows], scols)
     o_norm, o_cols = frame_to_rows(orows, ocols)
+    s_norm, o_norm = _no_negzero(s_norm), _no_negzero(o_norm)
     if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
         return {"side": "schema", "spark": s_cols, "duckdb": o_cols}
     if s_norm != o_norm:
