@@ -72,6 +72,7 @@ from lcr_etl_upgrade_spark.roaring_lite import (
     count_roaring_bitmap_array,
     iter_roaring_bitmap_array,
     z85_decode,
+    z85_encode,
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -1090,9 +1091,13 @@ def _partition_values_from_rel(
 # honors. columnMapping: it writes physicalName-named parquet, carries
 # id/physicalName field metadata through metaData, and keys
 # partitionValues by physical name (_mapped_schema/_physicalize_df).
+# deletionVectors: delete_rows writes spec-format DVs (roaring_lite
+# serializer, inline or u-storage files), DV updates commit the
+# protocol's remove(oldDv)+add(newDv) pair, and overwrite's removes echo
+# each file's tracked descriptor so DV-bearing files actually retire.
 # Everything else (invariants, constraints, CDF, ...) must refuse: a
 # writer must honor EVERY listed writerFeature.
-_SUPPORTED_WRITER_FEATURES = frozenset({"columnMapping"})
+_SUPPORTED_WRITER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
 
 
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
@@ -1342,15 +1347,18 @@ def write_delta_lite(
         )
     if prior is not None and mode == "overwrite":
         for rel in prior.files:
-            actions.append(
-                {
-                    "remove": {
-                        "path": urllib.parse.quote(rel, safe="/="),
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            remove = {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            # echo the file's tracked DV descriptor: log replay retires
+            # a file only when the remove's DV identity matches
+            # (_apply_action), so a bare remove would leave DV-bearing
+            # files alive through an overwrite
+            if rel in prior.dvs:
+                remove["deletionVector"] = prior.dvs[rel]
+            actions.append({"remove": remove})
     for rel, size in moved:
         actions.append(
             {
@@ -1455,6 +1463,236 @@ def write_delta_lite(
 
 CHECKPOINT_INTERVAL = 10  # delta-spark's default cadence
 _APPEND_RETRIES = 10  # bounded optimistic-concurrency retries for append
+
+# inline ('i' storage, Z85 in the log) below this many bitmap bytes,
+# u-storage .bin file at the table root otherwise — small DVs shouldn't
+# cost a file per delete, huge ones shouldn't bloat the JSON log
+DV_INLINE_THRESHOLD = 512
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate: Column | str,
+    inline_threshold: int = DV_INLINE_THRESHOLD,
+) -> int:
+    """DELETE FROM the table at ``path`` WHERE ``predicate`` — without
+    rewriting any parquet file: matching row positions are recorded as
+    DELETION VECTORS per the public protocol (the write direction of the
+    r6 reader feature; roaring_lite.serialize_roaring_bitmap_array).
+    Returns the committed version (the current version unchanged if
+    nothing matched).
+
+    Mechanics, mirroring the reader's contracts exactly:
+    - the predicate is evaluated over the LOGICAL schema (column-mapped
+      tables scan physically and rename first, like read_delta_lite);
+    - per-file positions come from ``_metadata.row_index`` and are
+      serialized to bitmaps EXECUTOR-side (one task per touched file via
+      applyInPandas); only the compact roaring bytes reach the driver;
+    - a file that already carries a DV gets the UNION of its old and new
+      positions (the protocol's re-add-replaces-DV rule), committed as
+      the remove(oldDv) + add(newDv) pair log replay keys on;
+    - descriptors use ``i`` inline storage below ``inline_threshold``
+      bitmap bytes and ``u`` UUID-named files (format version 1,
+      size/CRC framed exactly as ``_resolve_dv_blob`` verifies) above;
+    - first delete upgrades the protocol to 3/7 adding deletionVectors
+      to BOTH feature lists (preserving features already present);
+    - single-writer commit like overwrite: a lost race raises rather
+      than retrying (a concurrent writer may have rewritten the very
+      files this delete masked).
+    """
+    import zlib
+
+    base = _local(path)
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"unknown delta.columnMapping.mode {mapping!r}"
+        )
+    if not state.files:
+        return state.version
+
+    schema = state.schema
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_part_cols = [
+        pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name in state.partition_columns
+    ]
+    rels = sorted(state.files)
+    abs_files = [os.path.join(base, rel) for rel in rels]
+    if phys_part_cols:
+        if not _all_files_hive_layout(state.files, phys_part_cols):
+            raise NotImplementedError(
+                "delete_rows on a partitioned table whose file paths do "
+                "not hive-encode the logged partitionValues (externally "
+                "authored layout) — rewrite via overwrite instead"
+            )
+        scan = (
+            spark.read.option("basePath", base)
+            .schema(phys_schema)
+            .parquet(*abs_files)
+        )
+    else:
+        scan = spark.read.schema(phys_schema).parquet(*abs_files)
+
+    meta_cols = [
+        F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
+        .alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+    logical = scan.select(
+        *[
+            _quoted(pf.name).cast(f.dataType).alias(f.name)
+            for f, pf in zip(schema.fields, phys_schema.fields)
+        ],
+        *meta_cols,
+    )
+    pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+    matched = logical.filter(pred).select("__file", "__pos")
+
+    # old DV blobs, verified, keyed by the scan's normalized file path
+    verified = _dv_verify(base, state.dvs) if state.dvs else {}
+    old_blobs = {
+        _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))):
+        _resolve_dv_blob(base, dv)
+        for rel, (dv, _n) in verified.items()
+    }
+    bc = spark.sparkContext.broadcast(old_blobs)
+
+    def _serialize(pdf):
+        import pandas as pd
+
+        from lcr_etl_upgrade_spark.roaring_lite import (
+            parse_roaring_bitmap_array,
+            serialize_roaring_bitmap_array,
+        )
+
+        fname = pdf["__file"].iloc[0]
+        positions = set(int(p) for p in pdf["__pos"])
+        old = bc.value.get(fname)
+        if old is not None:
+            positions |= parse_roaring_bitmap_array(old)
+        blob = serialize_roaring_bitmap_array(positions)
+        return pd.DataFrame(
+            {
+                "__file": [fname],
+                "dv": [blob],
+                "card": [len(positions)],
+            }
+        )
+
+    touched = matched.groupBy("__file").applyInPandas(
+        _serialize, "__file string, dv binary, card long"
+    ).collect()
+    if not touched:
+        return state.version
+
+    enc_to_rel = {
+        _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
+        for rel in rels
+    }
+    import time
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+
+    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    reader_feats = set(proto.get("readerFeatures") or ())
+    writer_feats = set(proto.get("writerFeatures") or ())
+    if mapping != "none":  # preserve the active feature set
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    if "deletionVectors" not in reader_feats or int(
+        proto.get("minReaderVersion", 1)
+    ) < 3:
+        reader_feats.add("deletionVectors")
+        writer_feats.add("deletionVectors")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(reader_feats),
+                    "writerFeatures": sorted(writer_feats),
+                }
+            }
+        )
+
+    dv_written: list[str] = []  # staged .bin files, for rollback
+    try:
+        for row in sorted(touched, key=lambda r: r["__file"]):
+            rel = enc_to_rel.get(row["__file"])
+            if rel is None:  # file vanished between replay and scan?
+                raise ValueError(
+                    f"scan produced an unknown file key {row['__file']!r}"
+                )
+            blob = bytes(row["dv"])
+            if len(blob) <= inline_threshold:
+                pad = (-len(blob)) % 4  # z85 encodes 4-byte groups
+                descriptor = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+                    "offset": None,
+                    "sizeInBytes": len(blob),
+                    "cardinality": int(row["card"]),
+                }
+            else:
+                dv_uuid = uuid.uuid4()
+                name = f"deletion_vector_{dv_uuid}.bin"
+                framed = (
+                    b"\x01"
+                    + struct.pack(">I", len(blob))
+                    + blob
+                    + struct.pack(">I", zlib.crc32(blob))
+                )
+                with open(os.path.join(base, name), "wb") as fh:
+                    fh.write(framed)
+                dv_written.append(name)
+                descriptor = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": 1,
+                    "sizeInBytes": len(blob),
+                    "cardinality": int(row["card"]),
+                }
+            quoted = urllib.parse.quote(rel, safe="/=")
+            remove = {
+                "path": quoted,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            if rel in state.dvs:
+                remove["deletionVector"] = state.dvs[rel]
+            actions.append({"remove": remove})
+            actions.append(
+                {
+                    "add": {
+                        "path": quoted,
+                        "partitionValues": state.files[rel],
+                        "size": os.path.getsize(os.path.join(base, rel)),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "deletionVector": descriptor,
+                    }
+                }
+            )
+
+        version = state.version + 1
+        commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+        with open(commit_path, "x") as fh:
+            for action in actions:
+                fh.write(json.dumps(action) + "\n")
+    except BaseException:
+        for name in dv_written:
+            try:
+                os.remove(os.path.join(base, name))
+            except OSError:
+                pass
+        raise
+    return version
 
 
 def vacuum(spark: SparkSession, path: str) -> list[str]:

@@ -263,3 +263,58 @@ def iter_roaring_bitmap_array(
     values as :func:`parse_roaring_bitmap_array` by construction."""
     for _, values in _iter_containers(data, max_values, collect=True):
         yield values  # type: ignore[misc]
+
+
+def serialize_roaring_bitmap_array(values) -> bytes:
+    """Set/iterable of 64-bit row indexes -> Delta RoaringBitmapArray
+    bytes, the WRITE direction of :func:`parse_roaring_bitmap_array`
+    (delete_rows in delta_lite). Emits the
+    SERIAL_COOKIE_NO_RUNCONTAINER layout — always-valid per the
+    RoaringFormatSpec (run containers are an optional optimization) and
+    exactly what the spec-anchored walker above validates: array
+    containers up to 4096 values, bitset containers beyond, offset
+    headers always present under the no-run cookie. Bitmap i holds the
+    low 32 bits of values whose high 32 bits equal i; empty
+    intermediate bitmaps are emitted so the index-is-high-part
+    invariant holds. Round-trip identity with the parser is pinned by
+    test for every container kind and boundary."""
+    vals = sorted(set(int(v) for v in values))
+    if vals and (vals[0] < 0 or vals[-1] >= (1 << 64)):
+        raise ValueError("row indexes must be unsigned 64-bit")
+    n_bitmaps = (vals[-1] >> 32) + 1 if vals else 0
+    out = bytearray(struct.pack("<iq", ROARING_ARRAY_MAGIC, n_bitmaps))
+    from itertools import groupby
+
+    by_high: dict[int, list[int]] = {
+        h: [v & 0xFFFFFFFF for v in grp]
+        for h, grp in groupby(vals, key=lambda v: v >> 32)
+    }
+    for bm in range(n_bitmaps):
+        v32 = by_high.get(bm, [])
+        containers: list[tuple[int, list[int]]] = [
+            (k, [v & 0xFFFF for v in grp])
+            for k, grp in groupby(v32, key=lambda v: v >> 16)
+        ]
+        out += struct.pack("<II", _COOKIE_NO_RUN, len(containers))
+        for key, lows in containers:  # descriptive headers
+            out += struct.pack("<HH", key, len(lows) - 1)
+        # offsets: byte position of each container's data from the
+        # START of this bitmap's serialization (cookie byte 0)
+        header_end = 8 + 4 * len(containers) + 4 * len(containers)
+        running = header_end
+        sizes = [
+            2 * len(lows) if len(lows) <= 4096 else 8192
+            for _, lows in containers
+        ]
+        for size in sizes:
+            out += struct.pack("<I", running)
+            running += size
+        for (_key, lows), size in zip(containers, sizes):
+            if len(lows) <= 4096:
+                out += struct.pack(f"<{len(lows)}H", *lows)
+            else:
+                words = [0] * 1024
+                for v in lows:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
+    return bytes(out)

@@ -1741,3 +1741,147 @@ def test_append_retry_refuses_racing_mapping_enable(
     monkeypatch.undo()
     # the table stays fully readable (no logically-named orphan commit)
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
+
+
+# ---- deletion-vector WRITES: delete_rows (round 8) -----------------------
+
+
+def test_delete_rows_basic_inline(spark, tmp_path):
+    """DELETE WHERE via inline ('i') deletion vectors: matching rows
+    vanish from reads, no parquet file is rewritten, time travel shows
+    the pre-delete state, and the protocol upgrades to 3/7 with the
+    deletionVectors feature."""
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id long, name string"
+    )
+    write_delta_lite(df, path)
+    before_files = set(replay_log(spark, path).files)
+
+    v = delete_rows(spark, path, "id < 3")
+    assert v == 1
+    state = replay_log(spark, path)
+    assert set(state.files) == before_files  # same parquet files
+    assert state.dvs  # descriptors present
+    assert all(d["storageType"] == "i" for d in state.dvs.values())
+    assert state.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in state.protocol["readerFeatures"]
+    assert "deletionVectors" in state.protocol["writerFeatures"]
+
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == set(range(3, 10))
+    # time travel to the pre-delete version
+    v0 = {r.id for r in read_delta_lite(spark, path, version=0).collect()}
+    assert v0 == set(range(10))
+
+
+def test_delete_rows_union_with_existing_dv(spark, tmp_path):
+    """A second delete UNIONS positions with the file's existing DV (the
+    protocol's re-add-replaces-DV rule) — earlier deletions survive."""
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(i,) for i in range(10)], "id long"), path
+    )
+    delete_rows(spark, path, "id < 3")
+    delete_rows(spark, path, "id = 7")
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {3, 4, 5, 6, 8, 9}
+    # deleting already-deleted rows is a no-op that keeps them deleted
+    delete_rows(spark, path, "id < 4")
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {4, 5, 6, 8, 9}
+
+
+def test_delete_rows_file_storage(spark, tmp_path):
+    """inline_threshold=0 forces 'u' storage: a UUID-named .bin lands at
+    the table root with the version/size/CRC framing the reader
+    verifies, and the read round-trips."""
+    import os as _os
+
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(i,) for i in range(100)], "id long"), path
+    )
+    delete_rows(spark, path, "id % 2 = 0", inline_threshold=0)
+    state = replay_log(spark, path)
+    descs = list(state.dvs.values())
+    assert descs and all(d["storageType"] == "u" for d in descs)
+    bins = [f for f in _os.listdir(path)
+            if f.startswith("deletion_vector_") and f.endswith(".bin")]
+    assert bins  # the staged file exists
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {i for i in range(100) if i % 2 == 1}
+
+
+def test_delete_rows_partitioned_and_mapped(spark, tmp_path):
+    """Deletes compose with hive-partitioned layout and with column
+    mapping (predicate over LOGICAL names; positions per physical
+    file)."""
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y", i * 10) for i in range(10)],
+        "id long, part string, v long",
+    )
+    write_delta_lite(df, path, partition_by=("part",),
+                     column_mapping="name")
+    delete_rows(spark, path, (F.col("part") == "x") & (F.col("v") >= 40))
+    got = {(r.id, r.part) for r in read_delta_lite(spark, path).collect()}
+    assert got == {(i, "x" if i % 2 == 0 else "y") for i in range(10)
+                   if not (i % 2 == 0 and i * 10 >= 40)}
+    state = replay_log(spark, path)
+    feats = set(state.protocol["readerFeatures"])
+    assert {"columnMapping", "deletionVectors"} <= feats
+
+
+def test_delete_rows_no_match_no_commit(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(1,)], "id long"), path
+    )
+    assert delete_rows(spark, path, "id > 100") == 0  # version unchanged
+    assert replay_log(spark, path).version == 0
+
+
+def test_overwrite_retires_dv_bearing_files(spark, tmp_path):
+    """r8: log replay only retires a file when the remove's DV identity
+    matches — overwrite's removes must echo the tracked descriptor or
+    DV-bearing files survive the overwrite and resurrect rows."""
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(i,) for i in range(6)], "id long"), path
+    )
+    delete_rows(spark, path, "id < 2")
+    write_delta_lite(
+        spark.createDataFrame([(100,)], "id long"), path, mode="overwrite"
+    )
+    state = replay_log(spark, path)
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {100}
+    assert not state.dvs  # old descriptors retired with their files
+
+
+def test_append_to_dv_table_keeps_deletions(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(i,) for i in range(5)], "id long"), path
+    )
+    delete_rows(spark, path, "id = 0")
+    write_delta_lite(
+        spark.createDataFrame([(50,)], "id long"), path, mode="append"
+    )
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {1, 2, 3, 4, 50}

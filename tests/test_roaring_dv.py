@@ -698,3 +698,47 @@ def test_header_overclaim_cannot_split_verify_and_expand():
     # the bound still trips on actual content
     with pytest.raises(ValueError, match="materialization bound"):
         parse_roaring_bitmap_array(blob, max_values=0)
+
+
+def test_serialize_roundtrip_every_container_kind():
+    """r8 write direction: serialize -> parse is identity across array
+    containers, bitset containers (>4096), multi-container, multi-bitmap
+    (values above 2^32), and boundaries; count agrees without
+    materializing."""
+    import random
+
+    from lcr_etl_upgrade_spark.roaring_lite import (
+        count_roaring_bitmap_array,
+        parse_roaring_bitmap_array,
+        serialize_roaring_bitmap_array,
+    )
+
+    cases = [
+        set(),
+        {0},
+        {0xFFFF},       # container boundary
+        {0x10000},      # second container
+        {0xFFFFFFFF},   # last 32-bit value
+        {1 << 32},      # second bitmap (empty bitmap 0 NOT skipped)
+        {(5 << 32) | 7, 3},  # gap of empty bitmaps
+        set(range(5000)),               # one bitset container
+        set(range(0, 300000, 3)),       # several mixed containers
+        {random.Random(7).randrange(1 << 34) for _ in range(20000)},
+    ]
+    for c in cases:
+        blob = serialize_roaring_bitmap_array(c)
+        assert parse_roaring_bitmap_array(blob) == c
+        assert count_roaring_bitmap_array(blob) == len(c)
+
+
+def test_serialize_rejects_out_of_range():
+    import pytest
+
+    from lcr_etl_upgrade_spark.roaring_lite import (
+        serialize_roaring_bitmap_array,
+    )
+
+    with pytest.raises(ValueError, match="unsigned 64-bit"):
+        serialize_roaring_bitmap_array({-1})
+    with pytest.raises(ValueError, match="unsigned 64-bit"):
+        serialize_roaring_bitmap_array({1 << 64})
