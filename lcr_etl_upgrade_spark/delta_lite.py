@@ -1692,6 +1692,11 @@ def delete_rows(
             except OSError:
                 pass
         raise
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:  # best-effort, like write_delta_lite's hook
+            write_checkpoint(spark, path)
+        except Exception:
+            pass
     return version
 
 
@@ -1772,24 +1777,23 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     how many commits the table accumulates. Returns the checkpointed
     version.
 
-    Only protocol v1/v2 tables are checkpointed: this writer emits the
-    CLASSIC layout, and on a table whose protocol carries feature lists
-    (e.g. v2Checkpoint, which delta_lite can READ) a classic checkpoint
-    would both violate the feature's own write rule and — because the
-    action schema has no feature columns — strip readerFeatures/
-    writerFeatures from the protocol action, silently forgetting what
-    the table requires. Raises NotImplementedError for such tables
-    (callers doing best-effort auto-checkpointing swallow it)."""
+    This writer emits the CLASSIC layout, feature-aware (r8): the
+    protocol struct carries readerFeatures/writerFeatures and add
+    structs carry deletionVector descriptors, so 3/7 tables produced by
+    this module (columnMapping, deletionVectors) checkpoint and replay
+    losslessly — checkpoint state is just files+DVs+metadata+protocol,
+    which the classic layout represents for ANY feature except
+    ``v2Checkpoint``, whose own write rule MANDATES the v2 layout. Only
+    that case raises NotImplementedError (callers doing best-effort
+    auto-checkpointing swallow it)."""
     state = replay_log(spark, path)
     proto = state.protocol or {}
-    if (
-        int(proto.get("minReaderVersion", 1)) > 1
-        or int(proto.get("minWriterVersion", 2)) > 2
-    ):
+    if "v2Checkpoint" in (proto.get("readerFeatures") or ()):
         raise NotImplementedError(
-            "write_checkpoint emits classic protocol-v1 checkpoints only; "
-            f"this table's protocol {proto} requires feature-aware "
-            "checkpointing (use delta-spark)"
+            "this table lists the v2Checkpoint reader feature, whose "
+            "write rule mandates the v2 checkpoint layout; "
+            "write_checkpoint emits classic (feature-aware) checkpoints "
+            "only (use delta-spark)"
         )
     base = _local(path)
     log_dir = _log_dir(path)
@@ -1808,6 +1812,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 "size": _size(rel),
                 "modificationTime": 0,
                 "dataChange": False,
+                "deletionVector": state.dvs.get(rel),
             },
             "metaData": None,
             "protocol": None,
@@ -1825,12 +1830,15 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     )
     action_schema = (
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean>,"
+        "size:long,modificationTime:long,dataChange:boolean,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:long>>,"
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:long>,"
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
     )
     staging = os.path.join(log_dir, f"_cp-staging-{uuid.uuid4().hex}")
     (

@@ -1005,16 +1005,16 @@ def test_writer_refuses_high_writer_version_table(spark, tmp_path):
 
 
 def test_checkpoint_writer_refuses_feature_tables(spark, tmp_path):
-    """Review finding: write_checkpoint's classic action schema has no
-    feature columns — checkpointing a minReaderVersion=3 table would
-    strip readerFeatures/writerFeatures from the protocol action and
-    repoint _last_checkpoint at the corrupted copy. It must refuse."""
+    """r8 narrowing of the old blanket refusal: the classic schema is
+    feature-aware now, so the ONE remaining refusal is a table listing
+    the v2Checkpoint reader feature — that feature's own write rule
+    mandates the v2 layout."""
     from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
 
     path = str(tmp_path / "t")
     write_delta_lite(_df(spark, [(1, "a")]), path)
     _author_v2_checkpoint(spark, path, "json")
-    with pytest.raises(NotImplementedError, match="feature-aware"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         write_checkpoint(spark, path)
     # the v2 checkpoint pointer is untouched and the table still reads
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
@@ -1885,3 +1885,66 @@ def test_append_to_dv_table_keeps_deletions(spark, tmp_path):
     )
     got = {r.id for r in read_delta_lite(spark, path).collect()}
     assert got == {1, 2, 3, 4, 50}
+
+
+def test_feature_aware_checkpoint_roundtrips_dv_table(spark, tmp_path):
+    """r8: classic checkpoints carry readerFeatures/writerFeatures and
+    add.deletionVector, so a 3/7 DV table checkpoints and replays
+    losslessly FROM the checkpoint (pre-checkpoint commits deleted)."""
+    import os as _os
+
+    from lcr_etl_upgrade_spark.delta_lite import (
+        delete_rows,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.createDataFrame([(i,) for i in range(10)], "id long"), path
+    )
+    delete_rows(spark, path, "id < 3")          # v1, inline DV
+    delete_rows(spark, path, "id = 9", inline_threshold=0)  # v2, file DV
+    v = write_checkpoint(spark, path)
+    assert v == 2
+    # wipe the pre-checkpoint commits: replay can ONLY come from the
+    # checkpoint now (the protocol's log-cleanup contract)
+    log_dir = _os.path.join(path, "_delta_log")
+    for f in list(_os.listdir(log_dir)):
+        if f.endswith(".json") and not f.startswith("_"):
+            if int(f.split(".")[0]) <= 2:
+                _os.remove(_os.path.join(log_dir, f))
+    state = replay_log(spark, path)
+    assert state.version == 2
+    assert "deletionVectors" in state.protocol["readerFeatures"]
+    assert len(state.dvs) >= 1
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {3, 4, 5, 6, 7, 8}
+    # deletes keep composing AFTER the checkpoint (union with the
+    # checkpoint-carried DVs)
+    delete_rows(spark, path, "id = 3")
+    got = {r.id for r in read_delta_lite(spark, path).collect()}
+    assert got == {4, 5, 6, 7, 8}
+
+
+def test_feature_aware_checkpoint_mapped_table(spark, tmp_path):
+    """Checkpoint of a column-mapped table preserves the feature lists
+    and the mapped metadata; replay-from-checkpoint reads logically."""
+    import os as _os
+
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        _df(spark, [(1, "a"), (2, "b")]), path, column_mapping="name"
+    )
+    v = write_checkpoint(spark, path)
+    assert v == 0
+    log_dir = _os.path.join(path, "_delta_log")
+    _os.remove(_os.path.join(log_dir, f"{0:020d}.json"))
+    state = replay_log(spark, path)
+    assert state.protocol["readerFeatures"] == ["columnMapping"]
+    assert state.metadata["configuration"][
+        "delta.columnMapping.mode"
+    ] == "name"
+    got = {(r.id, r.name) for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
