@@ -100,6 +100,12 @@ class TableState:
     dvs: dict[str, dict] = field(default_factory=dict)
     metadata: dict | None = None
     protocol: dict | None = None
+    # setTransaction watermarks (appId -> latest txn action) and
+    # domainMetadata (domain -> latest action incl. tombstones): no
+    # effect on scans, but checkpoint STATE — a checkpoint that dropped
+    # them would un-idempotify streaming writers and erase domain config
+    txns: dict[str, dict] = field(default_factory=dict)
+    domains: dict[str, dict] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -219,7 +225,15 @@ def _apply_action(state: TableState, action: dict) -> None:
     elif "protocol" in action:
         state.protocol = action["protocol"]
         _check_protocol(state.protocol)
-    # commitInfo / txn / cdc / domainMetadata: no effect on scan state
+    elif "txn" in action:
+        t = action["txn"]
+        if t.get("appId") is not None:
+            state.txns[t["appId"]] = t
+    elif "domainMetadata" in action:
+        d = action["domainMetadata"]
+        if d.get("domain") is not None:
+            state.domains[d["domain"]] = d
+    # commitInfo / cdc: transient, no effect on scan or checkpoint state
 
 
 def _parquet_actions(
@@ -271,7 +285,8 @@ def _read_checkpoint(
       add/remove content may live inline or in ``sidecar`` parquet files
       under ``_delta_log/_sidecars/``. Any ONE complete v2 checkpoint
       for the version is valid; the lexically-last UUID is chosen."""
-    keys = ("add", "remove", "metaData", "protocol")
+    keys = ("add", "remove", "metaData", "protocol", "txn",
+            "domainMetadata")
     if parts:
         files = [
             os.path.join(
@@ -1095,9 +1110,92 @@ def _partition_values_from_rel(
 # serializer, inline or u-storage files), DV updates commit the
 # protocol's remove(oldDv)+add(newDv) pair, and overwrite's removes echo
 # each file's tracked descriptor so DV-bearing files actually retire.
-# Everything else (invariants, constraints, CDF, ...) must refuse: a
+# appendOnly / invariants: honored by ENFORCEMENT — non-append writes
+# refuse when delta.appendOnly=true, and any write refuses when the
+# schema declares delta.invariants expressions (we cannot evaluate
+# them, so refusal is the only compliant behavior) — see
+# _check_write_obligations. They must be listed here because upgrading
+# a legacy writer-v2 table to table features carries them over (the
+# protocol's implicit-legacy-features rule), and a writer that cannot
+# honor a listed feature must not write at all.
+# Everything else (constraints, CDF, rowTracking, ...) must refuse: a
 # writer must honor EVERY listed writerFeature.
-_SUPPORTED_WRITER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "appendOnly", "invariants"}
+)
+
+# Legacy writer version 2 implicitly enables these; a protocol upgrade
+# to version 7 must list them or downstream writers stop enforcing them.
+_LEGACY_V2_WRITER_FEATURES = ("appendOnly", "invariants")
+
+# Writer features whose STATE the classic checkpoint schema represents
+# (files+DVs+metadata+protocol+txn+domainMetadata). rowTracking is the
+# notable exclusion: its per-file baseRowId/defaultRowCommitVersion live
+# on add actions this writer's checkpoint schema does not carry.
+_CHECKPOINT_SAFE = frozenset(
+    {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "typeWidening",
+        "typeWidening-preview",
+        "variantType",
+        "variantType-preview",
+        "vacuumProtocolCheck",
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "generatedColumns",
+        "identityColumns",
+        "changeDataFeed",
+        "domainMetadata",
+    }
+)
+
+
+def _schema_declares_invariants(dt: T.DataType) -> bool:
+    """True if any field, recursively, carries a delta.invariants
+    expression in its metadata."""
+    if isinstance(dt, T.StructType):
+        return any(
+            "delta.invariants" in (f.metadata or {})
+            or _schema_declares_invariants(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, T.ArrayType):
+        return _schema_declares_invariants(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_declares_invariants(
+            dt.keyType
+        ) or _schema_declares_invariants(dt.valueType)
+    return False
+
+
+def _check_write_obligations(state: TableState, path: str,
+                             operation: str) -> None:
+    """Enforce the legacy/listed features whose semantics this writer
+    honors by REFUSAL: appendOnly (delta.appendOnly=true forbids every
+    non-append operation) and invariants (new rows must satisfy
+    expressions we cannot evaluate, so appends refuse when any are
+    declared; overwrites replace the schema and deletes add no rows, so
+    neither can violate an invariant)."""
+    config = (state.metadata or {}).get("configuration") or {}
+    if str(config.get("delta.appendOnly", "")).lower() == "true" and (
+        operation != "append"
+    ):
+        raise ValueError(
+            f"the table at {path!r} sets delta.appendOnly=true; "
+            f"{operation} is not an append"
+        )
+    if operation == "append" and state.metadata is not None and (
+        _schema_declares_invariants(state.schema)
+    ):
+        raise NotImplementedError(
+            f"the table at {path!r} declares delta.invariants "
+            "expressions this writer cannot evaluate; refusing the "
+            "append rather than committing unvalidated rows (use "
+            "delta-spark)"
+        )
 
 
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
@@ -1188,6 +1286,7 @@ def write_delta_lite(
 
     if prior is not None:
         _check_writer_protocol(prior.protocol, path)
+        _check_write_obligations(prior, path, mode)
 
     prior_mapping = (
         _column_mapping_mode(prior.metadata) if prior is not None else "none"
@@ -1304,12 +1403,19 @@ def write_delta_lite(
     version = 0 if prior is None else prior.version + 1
     protocol_action = None
     if mapping != "none":
+        writer_feats = {"columnMapping"}
+        if prior is not None and int(
+            (prior.protocol or {}).get("minWriterVersion", 2)
+        ) <= 2:
+            # upgrading a legacy table must carry its implicit features
+            # or downstream writers stop enforcing them
+            writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
         protocol_action = {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
                 "readerFeatures": ["columnMapping"],
-                "writerFeatures": ["columnMapping"],
+                "writerFeatures": sorted(writer_feats),
             }
         }
     elif prior is None:
@@ -1410,10 +1516,12 @@ def write_delta_lite(
             current = replay_log(spark, path)
             try:
                 # the racing commit may have UPGRADED the protocol (e.g.
-                # delta-spark enabling writer features): our retried
+                # delta-spark enabling writer features) or flipped
+                # delta.appendOnly / added invariants: our retried
                 # add-only commit would then be non-compliant
                 _check_writer_protocol(current.protocol, path)
-            except NotImplementedError:
+                _check_write_obligations(current, path, mode)
+            except (NotImplementedError, ValueError):
                 _rollback()
                 raise
             # compare names AND types: a racing overwrite that changed a
@@ -1469,6 +1577,13 @@ _APPEND_RETRIES = 10  # bounded optimistic-concurrency retries for append
 # cost a file per delete, huge ones shouldn't bloat the JSON log
 DV_INLINE_THRESHOLD = 512
 
+# delete_rows materializes ONE file's deleted positions in the task
+# serializing that file's DV (a python set, ~60 B/position; 2^25 is
+# ~2 GiB worst case). Past this, most of the file is deleted and a
+# rewrite (overwrite) is the right physical operation anyway — the
+# valve raises with that remedy instead of OOMing the executor.
+DELETE_MAX_FILE_POSITIONS = 1 << 25
+
 
 def delete_rows(
     spark: SparkSession,
@@ -1506,6 +1621,7 @@ def delete_rows(
     base = _local(path)
     state = replay_log(spark, path)
     _check_writer_protocol(state.protocol, path)
+    _check_write_obligations(state, path, "delete")
     mapping = _column_mapping_mode(state.metadata)
     if mapping not in ("none", "name", "id"):
         raise NotImplementedError(
@@ -1553,16 +1669,24 @@ def delete_rows(
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
     matched = logical.filter(pred).select("__file", "__pos")
 
-    # old DV blobs, verified, keyed by the scan's normalized file path
+    # old DV blobs, verified, shipped per file through a COGROUP (not a
+    # broadcast of every blob to every executor, and not a join that
+    # would duplicate a blob onto every matched row): each touched
+    # file's compact roaring bytes travel exactly once, to the one task
+    # serializing that file's new DV
     verified = _dv_verify(base, state.dvs) if state.dvs else {}
-    old_blobs = {
-        _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))):
-        _resolve_dv_blob(base, dv)
-        for rel, (dv, _n) in verified.items()
-    }
-    bc = spark.sparkContext.broadcast(old_blobs)
+    old_rows = [
+        (
+            _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))),
+            bytearray(_resolve_dv_blob(base, dv)),
+        )
+        for rel, (dv, _n) in sorted(verified.items())
+    ]
+    old_df = spark.createDataFrame(
+        old_rows or [("", bytearray(b""))], "__file string, old binary"
+    )
 
-    def _serialize(pdf):
+    def _serialize(left, right):
         import pandas as pd
 
         from lcr_etl_upgrade_spark.roaring_lite import (
@@ -1570,11 +1694,22 @@ def delete_rows(
             serialize_roaring_bitmap_array,
         )
 
-        fname = pdf["__file"].iloc[0]
-        positions = set(int(p) for p in pdf["__pos"])
-        old = bc.value.get(fname)
-        if old is not None:
-            positions |= parse_roaring_bitmap_array(old)
+        if left.empty:  # old DV whose file had no new matches: untouched
+            return pd.DataFrame({"__file": [], "dv": [], "card": []})
+        fname = left["__file"].iloc[0]
+        positions = set(int(p) for p in left["__pos"])
+        if not right.empty and len(right["old"].iloc[0]):
+            positions |= parse_roaring_bitmap_array(
+                bytes(right["old"].iloc[0]),
+                max_values=DELETE_MAX_FILE_POSITIONS,
+            )
+        if len(positions) > DELETE_MAX_FILE_POSITIONS:
+            raise ValueError(
+                f"{len(positions)} deleted positions for one file "
+                f"exceed DELETE_MAX_FILE_POSITIONS "
+                f"({DELETE_MAX_FILE_POSITIONS}); with most of a file "
+                "deleted, rewrite it via overwrite instead of masking"
+            )
         blob = serialize_roaring_bitmap_array(positions)
         return pd.DataFrame(
             {
@@ -1584,9 +1719,12 @@ def delete_rows(
             }
         )
 
-    touched = matched.groupBy("__file").applyInPandas(
-        _serialize, "__file string, dv binary, card long"
-    ).collect()
+    touched = (
+        matched.groupBy("__file")
+        .cogroup(old_df.groupBy("__file"))
+        .applyInPandas(_serialize, "__file string, dv binary, card long")
+        .collect()
+    )
     if not touched:
         return state.version
 
@@ -1610,6 +1748,9 @@ def delete_rows(
     ) < 3:
         reader_feats.add("deletionVectors")
         writer_feats.add("deletionVectors")
+        if int(proto.get("minWriterVersion", 2)) <= 2:
+            # legacy upgrade carries the implicit writer-v2 features
+            writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
         actions.append(
             {
                 "protocol": {
@@ -1682,9 +1823,22 @@ def delete_rows(
 
         version = state.version + 1
         commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
-        with open(commit_path, "x") as fh:
-            for action in actions:
-                fh.write(json.dumps(action) + "\n")
+        commit_created = False
+        try:
+            with open(commit_path, "x") as fh:
+                commit_created = True
+                for action in actions:
+                    fh.write(json.dumps(action) + "\n")
+        except BaseException:
+            # a partially-written commit file bricks every future
+            # replay (truncated JSON, or adds pointing at the .bins the
+            # rollback below deletes) — unlink it if WE created it
+            if commit_created:
+                try:
+                    os.remove(commit_path)
+                except OSError:
+                    pass
+            raise
     except BaseException:
         for name in dv_written:
             try:
@@ -1795,6 +1949,17 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             "write_checkpoint emits classic (feature-aware) checkpoints "
             "only (use delta-spark)"
         )
+    # state-bearing gate: a checkpoint must REPRESENT every feature's
+    # state. The classic schema here carries files+DVs+metadata+protocol
+    # +txn+domainMetadata; features whose state lives elsewhere (e.g.
+    # rowTracking's per-file baseRowId) or that we've never seen must
+    # refuse, or cleanup of pre-checkpoint commits silently erases them.
+    unsafe = set(proto.get("writerFeatures") or ()) - _CHECKPOINT_SAFE
+    if unsafe:
+        raise NotImplementedError(
+            f"writerFeatures {sorted(unsafe)} carry state this classic "
+            "checkpoint writer does not represent (use delta-spark)"
+        )
     base = _local(path)
     log_dir = _log_dir(path)
 
@@ -1819,15 +1984,17 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         }
         for rel, pv in sorted(state.files.items())
     ]
-    rows.append({"add": None, "metaData": state.metadata, "protocol": None})
+    rows.append({"metaData": state.metadata})
     rows.append(
         {
-            "add": None,
-            "metaData": None,
             "protocol": state.protocol
             or {"minReaderVersion": 1, "minWriterVersion": 2},
         }
     )
+    for app_id in sorted(state.txns):
+        rows.append({"txn": state.txns[app_id]})
+    for domain in sorted(state.domains):
+        rows.append({"domainMetadata": state.domains[domain]})
     action_schema = (
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,"
@@ -1838,7 +2005,10 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:long>,"
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
-        "readerFeatures:array<string>,writerFeatures:array<string>>"
+        "readerFeatures:array<string>,writerFeatures:array<string>>,"
+        "txn struct<appId:string,version:long,lastUpdated:long>,"
+        "domainMetadata struct<domain:string,configuration:string,"
+        "removed:boolean>"
     )
     staging = os.path.join(log_dir, f"_cp-staging-{uuid.uuid4().hex}")
     (

@@ -282,6 +282,16 @@ def serialize_roaring_bitmap_array(values) -> bytes:
     if vals and (vals[0] < 0 or vals[-1] >= (1 << 64)):
         raise ValueError("row indexes must be unsigned 64-bit")
     n_bitmaps = (vals[-1] >> 32) + 1 if vals else 0
+    # the array indexes bitmaps by high word, emitting EMPTY bitmaps for
+    # gaps — so one huge value drives the loop (2^63 -> 2^31 iterations,
+    # ~17 GiB of empties). Row indexes are per-FILE positions; 2^44
+    # (4096 bitmaps, <=32 KiB of empties) is absurdly beyond any real
+    # file, so refuse rather than hang.
+    if n_bitmaps > 4096:
+        raise ValueError(
+            f"max row index {vals[-1]} needs {n_bitmaps} bitmaps "
+            "(> 4096); refusing to serialize a pathological sparse range"
+        )
     out = bytearray(struct.pack("<iq", ROARING_ARRAY_MAGIC, n_bitmaps))
     from itertools import groupby
 

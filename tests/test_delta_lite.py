@@ -1134,7 +1134,9 @@ def test_append_retry_refuses_concurrent_protocol_upgrade(
             ) as fh:
                 fh.write(json.dumps({"protocol": {
                     "minReaderVersion": 1, "minWriterVersion": 7,
-                    "writerFeatures": ["invariants"],
+                    # r8: invariants became a SUPPORTED (enforced)
+                    # feature, so race an upgrade to one that is not
+                    "writerFeatures": ["rowTracking"],
                 }}) + "\n")
             return stale
         return real_replay(*a, **k)
@@ -1948,3 +1950,120 @@ def test_feature_aware_checkpoint_mapped_table(spark, tmp_path):
     ] == "name"
     got = {(r.id, r.name) for r in read_delta_lite(spark, path).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_append_only_table_refuses_non_appends(spark, tmp_path):
+    """r8 review: delta.appendOnly=true forbids overwrite AND delete;
+    appends keep working. (The enforcement that makes listing the
+    appendOnly writer feature honest.)"""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    # flip the config by hand (our writer doesn't expose table props)
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    state = replay_log(spark, path)
+    meta = dict(state.metadata)
+    meta["configuration"] = {"delta.appendOnly": "true"}
+    with open(log, "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")  # fine
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta_lite(_df(spark, [(9, "z")]), path, mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.delete_rows(spark, path, "id = 1")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+
+
+def test_invariants_refuse_appends_not_deletes(spark, tmp_path):
+    """r8 review: a schema declaring delta.invariants expressions makes
+    appends refuse (we cannot evaluate them) while deletes still work
+    (removing rows cannot violate an invariant)."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    state = replay_log(spark, path)
+    schema_json = json.loads(state.metadata["schemaString"])
+    schema_json["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+    }
+    meta = dict(state.metadata)
+    meta["schemaString"] = json.dumps(schema_json)
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+
+    with pytest.raises(NotImplementedError, match="invariants"):
+        write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    dl.delete_rows(spark, path, "id = 2")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+def test_legacy_upgrade_carries_implicit_features(spark, tmp_path):
+    """r8 review: upgrading a legacy writer-v2 table to table features
+    must list appendOnly+invariants (the implicit legacy set) or
+    downstream writers stop enforcing them."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    # via delete_rows on a plain table
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    dl.delete_rows(spark, path, "id = 1")
+    feats = set(replay_log(spark, path).protocol["writerFeatures"])
+    assert {"deletionVectors", "appendOnly", "invariants"} <= feats
+
+    # via enabling column mapping on an existing legacy table
+    path2 = str(tmp_path / "u")
+    write_delta_lite(_df(spark, [(1, "a")]), path2)
+    write_delta_lite(_df(spark, [(2, "b")]), path2, column_mapping="name")
+    feats2 = set(replay_log(spark, path2).protocol["writerFeatures"])
+    assert {"columnMapping", "appendOnly", "invariants"} <= feats2
+
+    # a FRESH mapped table carries no legacy baggage
+    path3 = str(tmp_path / "v")
+    write_delta_lite(_df(spark, [(1, "a")]), path3, column_mapping="name")
+    assert replay_log(spark, path3).protocol["writerFeatures"] == [
+        "columnMapping"
+    ]
+
+
+def test_checkpoint_preserves_txn_and_domain_metadata(spark, tmp_path):
+    """r8 review: setTransaction watermarks and domainMetadata are
+    checkpoint STATE - replay solely from the checkpoint must still see
+    them, or idempotent writers re-apply batches and domain config is
+    erased. Also: unknown state-bearing writer features (rowTracking)
+    refuse checkpointing."""
+    from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"txn": {
+            "appId": "stream-42", "version": 7, "lastUpdated": 123,
+        }}) + "\n")
+        fh.write(json.dumps({"domainMetadata": {
+            "domain": "delta.example", "configuration": "{\"k\":1}",
+            "removed": False,
+        }}) + "\n")
+    v = write_checkpoint(spark, path)
+    assert v == 1
+    for f in list(os.listdir(os.path.join(path, "_delta_log"))):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    state = replay_log(spark, path)
+    assert state.txns["stream-42"]["version"] == 7
+    assert state.domains["delta.example"]["configuration"] == '{"k":1}'
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+    # rowTracking state (per-file baseRowId) is NOT representable
+    path2 = str(tmp_path / "u")
+    write_delta_lite(_df(spark, [(1, "a")]), path2)
+    with open(os.path.join(path2, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_checkpoint(spark, path2)

@@ -742,3 +742,23 @@ def test_serialize_rejects_out_of_range():
         serialize_roaring_bitmap_array({-1})
     with pytest.raises(ValueError, match="unsigned 64-bit"):
         serialize_roaring_bitmap_array({1 << 64})
+
+
+def test_serialize_refuses_pathological_sparse_range():
+    """r8 review: one huge row index would otherwise drive gigabytes of
+    empty gap bitmaps (the array indexes bitmaps by high word)."""
+    import pytest
+
+    from lcr_etl_upgrade_spark.roaring_lite import (
+        serialize_roaring_bitmap_array,
+    )
+
+    with pytest.raises(ValueError, match="4096"):
+        serialize_roaring_bitmap_array({1 << 63})
+    # 4096 bitmaps exactly is still fine
+    blob = serialize_roaring_bitmap_array({(4095 << 32) | 1})
+    from lcr_etl_upgrade_spark.roaring_lite import (
+        parse_roaring_bitmap_array,
+    )
+
+    assert parse_roaring_bitmap_array(blob) == {(4095 << 32) | 1}

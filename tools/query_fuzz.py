@@ -714,7 +714,10 @@ def run_case(case: Case, spark, sdfs, con) -> dict | None:
 
     s_norm, s_cols = frame_to_rows([tuple(r) for r in srows], scols)
     o_norm, o_cols = frame_to_rows(orows, ocols)
-    s_norm, o_norm = _no_negzero(s_norm), _no_negzero(o_norm)
+    # normalize THEN re-sort: frame_to_rows sorted before normalization,
+    # and '-0.0' -> '0.0' can change a row's sort position, which would
+    # fire a spurious order divergence on semantically identical rows
+    s_norm, o_norm = sorted(_no_negzero(s_norm)), sorted(_no_negzero(o_norm))
     if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
         return {"side": "schema", "spark": s_cols, "duckdb": o_cols}
     if s_norm != o_norm:
