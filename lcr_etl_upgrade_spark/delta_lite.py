@@ -1235,6 +1235,27 @@ def _check_writer_protocol(protocol: dict | None, path: str) -> None:
         )
 
 
+def _write_commit_file(commit_path: str, actions: list[dict]) -> None:
+    """Write one commit with ``open(.., 'x')`` as the commit point.
+    FileExistsError means the version race was LOST (the file is the
+    winner's — never touched); any failure AFTER creation (disk full,
+    interrupt) unlinks the partial file, because truncated JSON in the
+    log bricks every future replay."""
+    created = False
+    try:
+        with open(commit_path, "x") as fh:
+            created = True
+            for action in actions:
+                fh.write(json.dumps(action) + "\n")
+    except BaseException:
+        if created:
+            try:
+                os.remove(commit_path)
+            except OSError:
+                pass
+        raise
+
+
 def write_delta_lite(
     df: DataFrame,
     path: str,
@@ -1402,10 +1423,24 @@ def write_delta_lite(
     actions: list[dict] = []
     version = 0 if prior is None else prior.version + 1
     protocol_action = None
+    needs_upgrade = False
     if mapping != "none":
-        writer_feats = {"columnMapping"}
+        prior_proto = (prior.protocol or {}) if prior is not None else {}
+        reader_feats = set(prior_proto.get("readerFeatures") or ())
+        writer_feats = set(prior_proto.get("writerFeatures") or ())
+        # upgrade whenever the feature isn't ALREADY listed — a table
+        # can sit at reader v3 for other features (e.g. a prior
+        # delete_rows upgrade) and still need columnMapping declared, or
+        # spec-compliant readers resolve by the wrong column names
+        needs_upgrade = prior is None or (
+            "columnMapping" not in reader_feats
+            or "columnMapping" not in writer_feats
+            or int(prior_proto.get("minReaderVersion", 1)) < 3
+        )
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
         if prior is not None and int(
-            (prior.protocol or {}).get("minWriterVersion", 2)
+            prior_proto.get("minWriterVersion", 2)
         ) <= 2:
             # upgrading a legacy table must carry its implicit features
             # or downstream writers stop enforcing them
@@ -1414,7 +1449,7 @@ def write_delta_lite(
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping"],
+                "readerFeatures": sorted(reader_feats),
                 "writerFeatures": sorted(writer_feats),
             }
         }
@@ -1422,10 +1457,6 @@ def write_delta_lite(
         protocol_action = {
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
         }
-    needs_upgrade = mapping != "none" and (
-        prior is None
-        or int((prior.protocol or {}).get("minReaderVersion", 1)) < 3
-    )
     if prior is None or needs_upgrade:
         actions.append(protocol_action)
     if prior is None or mode == "overwrite":
@@ -1496,11 +1527,14 @@ def write_delta_lite(
     for attempt in range(_APPEND_RETRIES + 1):
         commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
         try:
-            with open(commit_path, "x") as fh:
-                for action in actions:
-                    fh.write(json.dumps(action) + "\n")
+            _write_commit_file(commit_path, actions)
             break
         except FileExistsError:
+            lost_race = True
+        except BaseException:
+            _rollback()  # disk-full/interrupt mid-commit: unstage
+            raise
+        if lost_race:
             if mode != "append" or attempt >= _APPEND_RETRIES:
                 _rollback()
                 raise FileExistsError(
@@ -1673,15 +1707,27 @@ def delete_rows(
     # broadcast of every blob to every executor, and not a join that
     # would duplicate a blob onto every matched row): each touched
     # file's compact roaring bytes travel exactly once, to the one task
-    # serializing that file's new DV
-    verified = _dv_verify(base, state.dvs) if state.dvs else {}
-    old_rows = [
-        (
-            _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))),
-            bytearray(_resolve_dv_blob(base, dv)),
+    # serializing that file's new DV. Resolve-and-verify ONCE (the
+    # _dv_verify contract inlined) instead of resolving every blob a
+    # second time just to hand the bytes to the cogroup.
+    old_rows = []
+    for rel, dv in sorted(state.dvs.items()):
+        blob = _resolve_dv_blob(base, dv)
+        n = count_roaring_bitmap_array(blob)
+        card = dv.get("cardinality")
+        if card is not None and int(card) != n:
+            raise ValueError(
+                f"deletion vector for {rel!r}: descriptor cardinality "
+                f"{card} != {n} parsed positions"
+            )
+        old_rows.append(
+            (
+                _hadoop_path_encode(
+                    os.path.abspath(os.path.join(base, rel))
+                ),
+                bytearray(blob),
+            )
         )
-        for rel, (dv, _n) in sorted(verified.items())
-    ]
     old_df = spark.createDataFrame(
         old_rows or [("", bytearray(b""))], "__file string, old binary"
     )
@@ -1823,22 +1869,7 @@ def delete_rows(
 
         version = state.version + 1
         commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
-        commit_created = False
-        try:
-            with open(commit_path, "x") as fh:
-                commit_created = True
-                for action in actions:
-                    fh.write(json.dumps(action) + "\n")
-        except BaseException:
-            # a partially-written commit file bricks every future
-            # replay (truncated JSON, or adds pointing at the .bins the
-            # rollback below deletes) — unlink it if WE created it
-            if commit_created:
-                try:
-                    os.remove(commit_path)
-                except OSError:
-                    pass
-            raise
+        _write_commit_file(commit_path, actions)
     except BaseException:
         for name in dv_written:
             try:

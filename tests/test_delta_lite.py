@@ -2067,3 +2067,30 @@ def test_checkpoint_preserves_txn_and_domain_metadata(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="rowTracking"):
         write_checkpoint(spark, path2)
+
+
+def test_mapping_upgrade_on_already_v3_table_declares_feature(spark, tmp_path):
+    """r8 review #3: a table can sit at reader v3 for OTHER features
+    (e.g. a prior delete_rows upgrade); enabling column mapping must
+    still declare columnMapping in the lists — and must PRESERVE the
+    features already there."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark, [(1, "a"), (2, "b")]), path)
+    dl.delete_rows(spark, path, "id = 1")  # -> 3/7 deletionVectors
+    write_delta_lite(
+        _df(spark, [(3, "c")]), path, mode="overwrite",
+        column_mapping="name",
+    )
+    proto = replay_log(spark, path).protocol
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    # prior features preserved, not rebuilt from scratch
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    got = {(r.id, r.name) for r in read_delta_lite(spark, path).collect()}
+    assert got == {(3, "c")}
+    # and the mapped table still deletes
+    dl.delete_rows(spark, path, "id = 3")
+    assert read_delta_lite(spark, path).count() == 0
