@@ -299,15 +299,15 @@ def _ours_canonical(payload: bytes) -> np.ndarray:
 
 
 def run_png_cases(codec: JvmCodec, rng: np.random.Generator,
-                  n: int) -> list[dict]:
+                  n: int, max_dim: int = 20) -> list[dict]:
     """PNG-A + PNG-B; returns a list of failure records."""
     from lcr_etl_upgrade_spark.png_lite import decode_png
 
     failures: list[dict] = []
 
     for i in range(n):
-        w = int(rng.integers(1, 21))
-        h = int(rng.integers(1, 21))
+        w = int(rng.integers(1, max_dim + 1))
+        h = int(rng.integers(1, max_dim + 1))
 
         # PNG-A: ImageIO-encoded, png_lite-decoded, exact vs original
         if i % 2 == 0:
@@ -365,13 +365,14 @@ def run_png_cases(codec: JvmCodec, rng: np.random.Generator,
 
 
 def run_jpeg_cases(codec: JvmCodec, rng: np.random.Generator, n: int,
-                   max_abs: int = 2, max_mean: float = 0.25) -> list[dict]:
+                   max_abs: int = 2, max_mean: float = 0.25,
+                   max_dim: int = 40) -> list[dict]:
     from lcr_etl_upgrade_spark.jpeg_lite import decode_jpeg_pixels
 
     failures: list[dict] = []
     for i in range(n):
-        w = int(rng.integers(1, 41))
-        h = int(rng.integers(1, 41))
+        w = int(rng.integers(1, max_dim + 1))
+        h = int(rng.integers(1, max_dim + 1))
         quality = float(rng.uniform(0.3, 1.0))
         progressive = bool(rng.integers(0, 2))
         mode = ("gray", "rgb_gray", "rgb_flat")[int(rng.integers(0, 3))]
@@ -433,6 +434,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=20260815)
     ap.add_argument("--png", type=int, default=200)
     ap.add_argument("--jpeg", type=int, default=200)
+    ap.add_argument("--max-dim", type=int, default=None,
+                    help="override max image dimension (PNG default 20, "
+                         "JPEG default 40)")
     args = ap.parse_args()
 
     if not jvm_available():
@@ -441,8 +445,9 @@ def main() -> int:
 
     with JvmCodec() as codec:
         rng = np.random.default_rng(args.seed)
-        png_fail = run_png_cases(codec, rng, args.png)
-        jpeg_fail = run_jpeg_cases(codec, rng, args.jpeg)
+        png_kw = {"max_dim": args.max_dim} if args.max_dim else {}
+        png_fail = run_png_cases(codec, rng, args.png, **png_kw)
+        jpeg_fail = run_jpeg_cases(codec, rng, args.jpeg, **png_kw)
 
     summary = {
         "seed": args.seed,

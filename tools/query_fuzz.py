@@ -405,13 +405,21 @@ class Case:
             cols = ", ".join(f"{c} AS {p}{c}" for c in _COLS)
             return f"(SELECT {cols} FROM {t})"
 
-        if self.join:
+        sql_hows = {"inner": "JOIN", "left": "LEFT JOIN",
+                    "right": "RIGHT JOIN", "full": "FULL JOIN",
+                    "semi": "SEMI JOIN", "anti": "ANTI JOIN"}
+        if self.kind == "join3":
+            hows, keys = self.join
+            t0, t1, t2 = self.tables
+            src = (f"{prefixed(t0, 's0_')} s0 {sql_hows[hows[0]]} "
+                   f"{prefixed(t1, 's1_')} s1 "
+                   f"ON s0.s0_{keys[0]} = s1.s1_{keys[0]} "
+                   f"{sql_hows[hows[1]]} {prefixed(t2, 's2_')} s2 "
+                   f"ON s1.s1_{keys[1]} = s2.s2_{keys[1]}")
+        elif self.join:
             how, key = self.join
             t0, t1 = self.tables
-            sql_how = {"inner": "JOIN", "left": "LEFT JOIN",
-                       "right": "RIGHT JOIN", "full": "FULL JOIN",
-                       "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[how]
-            src = (f"{prefixed(t0, 's0_')} s0 {sql_how} "
+            src = (f"{prefixed(t0, 's0_')} s0 {sql_hows[how]} "
                    f"{prefixed(t1, 's1_')} s1 "
                    f"ON s0.s0_{key} = s1.s1_{key}")
         else:
@@ -461,7 +469,16 @@ class Case:
     def to_df(self, spark, sdfs):
         from pyspark.sql import functions as F
 
-        if self.join:
+        if self.kind == "join3":
+            hows, keys = self.join
+            d0 = _prefix(sdfs[self.tables[0]], "s0_")
+            d1 = _prefix(sdfs[self.tables[1]], "s1_")
+            d2 = _prefix(sdfs[self.tables[2]], "s2_")
+            df = d0.join(d1, d0[f"s0_{keys[0]}"] == d1[f"s1_{keys[0]}"],
+                         hows[0])
+            df = df.join(d2, df[f"s1_{keys[1]}"] == d2[f"s2_{keys[1]}"],
+                         hows[1])
+        elif self.join:
             how, key = self.join
             d0 = _prefix(sdfs[self.tables[0]], "s0_")
             d1 = _prefix(sdfs[self.tables[1]], "s1_")
@@ -554,9 +571,44 @@ def _win_col(F, spec):
 
 def gen_case(rng: np.random.Generator) -> Case:
     kind = ["filter_project", "agg", "join", "orderby_limit", "distinct",
-            "window", "join_agg", "union_all",
-            "having"][int(rng.integers(0, 9))]
+            "window", "join_agg", "union_all", "having", "join3",
+            "agg_orderby"][int(rng.integers(0, 11))]
     t0 = f"t{int(rng.integers(0, 3))}"
+
+    if kind == "join3":
+        # three-table chain: (t0 J t1) J t2, independent join types/keys
+        t1 = f"t{int(rng.integers(0, 3))}"
+        t2 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_", "s1_", "s2_"])
+        hows = [g.pick(["inner", "left", "right", "full"])
+                for _ in range(2)]
+        keys = [g.pick(["a_int", "b_int", "d_str"]) for _ in range(2)]
+        projections = [
+            (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 2))
+            for i in range(int(rng.integers(1, 4)))
+        ]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0, t1, t2], projections, where=where,
+                    join=(hows, keys))
+
+    if kind == "agg_orderby":
+        # agg -> ORDER BY the (unique) group keys -> LIMIT: deterministic
+        # because the key combination is unique per output row
+        g = Gen(rng, ["s0_"])
+        n_keys = int(rng.integers(1, 3))
+        group = [(f"k{i}", g.expr(g.pick([INT, STR]), 1))
+                 for i in range(n_keys)]
+        aggs = [("a0", "count_star", None),
+                ("a1", g.pick(["sum", "min", "max"]), g.expr(INT, 1))]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+
+        def alias_ref(name):
+            return E(INT, lambda n=name: n, lambda n=name: _F().col(n))
+
+        order = [(alias_ref(a), bool(rng.integers(0, 2)))
+                 for a, _ in group]
+        return Case(kind, [t0], [], where=where, group=group, aggs=aggs,
+                    order=order, limit=int(rng.integers(1, 20)))
 
     if kind in ("join", "join_agg"):
         t1 = f"t{int(rng.integers(0, 3))}"
