@@ -98,6 +98,12 @@ class TableState:
     # relative file path -> deletionVector descriptor (only for files
     # whose latest add carries one)
     dvs: dict[str, dict] = field(default_factory=dict)
+    # relative file path -> OPTIONAL add-action fields beyond the core
+    # set (stats, tags, rowTracking's baseRowId, ...): no effect on
+    # scans, but checkpoint STATE — write_checkpoint re-emits the ones
+    # its schema represents and REFUSES on any it cannot, instead of
+    # silently dropping them relative to JSON-log replay
+    adds: dict[str, dict] = field(default_factory=dict)
     metadata: dict | None = None
     protocol: dict | None = None
     # setTransaction watermarks (appId -> latest txn action) and
@@ -192,6 +198,15 @@ def _dv_uid(dv: dict | None) -> str | None:
     return f"{dv.get('storageType')}:{dv.get('pathOrInlineDv')}@{dv.get('offset') or 0}"
 
 
+# add-action fields TableState tracks structurally; everything else
+# (stats, tags, baseRowId, ...) lands in TableState.adds for the
+# checkpoint writer to re-emit or refuse on
+_ADD_CORE = frozenset(
+    {"path", "partitionValues", "size", "modificationTime", "dataChange",
+     "deletionVector"}
+)
+
+
 def _apply_action(state: TableState, action: dict) -> None:
     if "add" in action:
         a = action["add"]
@@ -207,6 +222,16 @@ def _apply_action(state: TableState, action: dict) -> None:
             state.dvs[rel] = dv
         else:
             state.dvs.pop(rel, None)
+        # optional add fields (stats, tags, ...) follow the same
+        # latest-add-wins rule; explicit nulls from checkpoint structs
+        # are absence
+        extra = {
+            k: v for k, v in a.items() if k not in _ADD_CORE and v is not None
+        }
+        if extra:
+            state.adds[rel] = extra
+        else:
+            state.adds.pop(rel, None)
     elif "remove" in action:
         r = action["remove"]
         rel = urllib.parse.unquote(r["path"])
@@ -220,6 +245,7 @@ def _apply_action(state: TableState, action: dict) -> None:
         if _dv_uid(r.get("deletionVector")) == _dv_uid(state.dvs.get(rel)):
             state.files.pop(rel, None)
             state.dvs.pop(rel, None)
+            state.adds.pop(rel, None)
     elif "metaData" in action:
         state.metadata = action["metaData"]
     elif "protocol" in action:
@@ -1153,6 +1179,22 @@ _CHECKPOINT_SAFE = frozenset(
 )
 
 
+# Exactly the fields write_checkpoint's fixed from_json structs carry;
+# anything beyond these in the replayed state makes the checkpoint
+# refuse (lossless-or-refuse) instead of silently dropping the field.
+_CP_ADD_OPTIONAL = frozenset({"stats", "tags"})
+_CP_DV_KEYS = frozenset(
+    {"storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+     "cardinality", "maxRowIndex"}
+)
+_CP_META_KEYS = frozenset(
+    {"id", "name", "description", "format", "schemaString",
+     "partitionColumns", "configuration", "createdTime"}
+)
+_CP_TXN_KEYS = frozenset({"appId", "version", "lastUpdated"})
+_CP_DOMAIN_KEYS = frozenset({"domain", "configuration", "removed"})
+
+
 def _schema_declares_invariants(dt: T.DataType) -> bool:
     """True if any field, recursively, carries a delta.invariants
     expression in its metadata."""
@@ -1308,6 +1350,19 @@ def write_delta_lite(
     if prior is not None:
         _check_writer_protocol(prior.protocol, path)
         _check_write_obligations(prior, path, mode)
+    if (prior is None or mode == "overwrite") and (
+        _schema_declares_invariants(df.schema)
+    ):
+        # an overwrite (or fresh create) rewrites metaData from df's
+        # schema — committing rows under field metadata that DECLARES
+        # delta.invariants we never evaluated would hand real readers an
+        # enforcement promise nobody kept; same refusal as append-onto-
+        # invariant-bearing-table in _check_write_obligations
+        raise NotImplementedError(
+            f"the incoming DataFrame schema for {path!r} carries "
+            "delta.invariants field metadata this writer cannot "
+            "evaluate; strip the metadata or use delta-spark"
+        )
 
     prior_mapping = (
         _column_mapping_mode(prior.metadata) if prior is not None else "none"
@@ -1673,6 +1728,21 @@ def delete_rows(
     ]
     rels = sorted(state.files)
     abs_files = [os.path.join(base, rel) for rel in rels]
+    if mapping != "none":
+        # same footer peek as read_delta_lite: on a mapped table whose
+        # files do NOT carry physical names (foreign id-mode writers
+        # relying on parquet field-id resolution), every data column
+        # would scan as NULL and a predicate like `col IS NULL` would
+        # silently mask the whole table — refuse instead
+        _verify_physical_names(
+            spark,
+            abs_files[0],
+            [
+                pf.name
+                for pf in phys_schema.fields
+                if pf.name not in phys_part_cols
+            ],
+        )
     if phys_part_cols:
         if not _all_files_hive_layout(state.files, phys_part_cols):
             raise NotImplementedError(
@@ -1744,11 +1814,20 @@ def delete_rows(
             return pd.DataFrame({"__file": [], "dv": [], "card": []})
         fname = left["__file"].iloc[0]
         positions = set(int(p) for p in left["__pos"])
+        old_n = 0
         if not right.empty and len(right["old"].iloc[0]):
-            positions |= parse_roaring_bitmap_array(
+            old = parse_roaring_bitmap_array(
                 bytes(right["old"].iloc[0]),
                 max_values=DELETE_MAX_FILE_POSITIONS,
             )
+            old_n = len(old)
+            positions |= old
+        if len(positions) == old_n:
+            # every matched row was ALREADY masked by the existing DV
+            # (the predicate runs over the raw scan): emitting would
+            # commit a byte-identical DV under a fresh uuid — skip, so
+            # a fully-no-op delete returns state.version uncommitted
+            return pd.DataFrame({"__file": [], "dv": [], "card": []})
         if len(positions) > DELETE_MAX_FILE_POSITIONS:
             raise ValueError(
                 f"{len(positions)} deleted positions for one file "
@@ -1991,6 +2070,33 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             f"writerFeatures {sorted(unsafe)} carry state this classic "
             "checkpoint writer does not represent (use delta-spark)"
         )
+    # lossless-or-refuse gate (vs silent from_json field drops): every
+    # key present in the replayed state must be representable by the
+    # fixed checkpoint schema below, else replay-from-checkpoint would
+    # diverge from JSON-log replay (delta-spark-authored add.stats/tags,
+    # DV maxRowIndex, metaData name/description ARE represented; e.g. a
+    # foreign writer's add.baseRowId or clusteringProvider is not)
+    bad: set[str] = set()
+    for rel in state.files:
+        bad |= set(state.adds.get(rel, ())) - _CP_ADD_OPTIONAL
+    for dv in state.dvs.values():
+        bad |= {f"deletionVector.{k}" for k in set(dv) - _CP_DV_KEYS}
+    bad |= {
+        f"metaData.{k}" for k in set(state.metadata or ()) - _CP_META_KEYS
+    }
+    for t in state.txns.values():
+        bad |= {f"txn.{k}" for k in set(t) - _CP_TXN_KEYS}
+    for d in state.domains.values():
+        bad |= {f"domainMetadata.{k}" for k in set(d) - _CP_DOMAIN_KEYS}
+    if bad:
+        raise NotImplementedError(
+            f"replayed state of {path!r} carries action fields the "
+            f"classic checkpoint schema does not represent: "
+            f"{sorted(bad)}; refusing rather than writing a checkpoint "
+            "that loses them relative to JSON-log replay (use "
+            "delta-spark)"
+        )
+
     base = _local(path)
     log_dir = _log_dir(path)
 
@@ -2009,6 +2115,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 "modificationTime": 0,
                 "dataChange": False,
                 "deletionVector": state.dvs.get(rel),
+                **state.adds.get(rel, {}),
             },
             "metaData": None,
             "protocol": None,
@@ -2029,9 +2136,11 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     action_schema = (
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,"
+        "stats:string,tags:map<string,string>,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:long>>,"
-        "metaData struct<id:string,format:struct<provider:string,"
+        "offset:int,sizeInBytes:int,cardinality:long,maxRowIndex:long>>,"
+        "metaData struct<id:string,name:string,description:string,"
+        "format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:long>,"

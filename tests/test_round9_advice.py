@@ -1,0 +1,270 @@
+"""Round-9 regression tests for the four ADVICE.md findings:
+
+1. delete_rows on a column-mapped table must run the same
+   physical-name footer check read_delta_lite does (a foreign id-mode
+   table would otherwise scan all-NULL and a `col IS NULL` predicate
+   would silently mask every row).
+2. A delete whose matches are ALL already masked by existing DVs must
+   be a no-op (same version, no commit, no new .bin files), not a
+   byte-identical DV rewrite under a fresh uuid.
+3. An overwrite (or fresh create) whose incoming DataFrame schema
+   carries delta.invariants field metadata must refuse — committing
+   unvalidated rows under a metaData that declares invariants would
+   hand real readers an enforcement promise nobody kept.
+4. write_checkpoint must carry metaData name/description, add.stats,
+   add.tags and deletionVector.maxRowIndex losslessly, and REFUSE on
+   state fields its fixed schema cannot represent (e.g. rowTracking's
+   add.baseRowId from a foreign writer) instead of silently dropping
+   them relative to JSON-log replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import types as T
+
+from lcr_etl_upgrade_spark.delta_lite import (
+    delete_rows,
+    read_delta_lite,
+    replay_log,
+    write_checkpoint,
+    write_delta_lite,
+)
+from lcr_etl_upgrade_spark.roaring_lite import ROARING_ARRAY_MAGIC, z85_encode
+
+
+def _bitmap32_array(values16_by_key):
+    keys = sorted(values16_by_key)
+    out = struct.pack("<II", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(values16_by_key[k]) - 1)
+    data_start = len(out) + 4 * len(keys)
+    offsets, containers = [], b""
+    for k in keys:
+        offsets.append(data_start + len(containers))
+        vals = sorted(values16_by_key[k])
+        containers += struct.pack(f"<{len(vals)}H", *vals)
+    for off in offsets:
+        out += struct.pack("<I", off)
+    return out + containers
+
+
+def _inline_dv(positions, extra=None):
+    per_key: dict[int, list[int]] = {}
+    for p in sorted(positions):
+        per_key.setdefault(p >> 16, []).append(p & 0xFFFF)
+    bitmap = struct.pack(
+        "<iq", ROARING_ARRAY_MAGIC, 1
+    ) + _bitmap32_array(per_key)
+    pad = (-len(bitmap)) % 4
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bitmap + b"\x00" * pad),
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(set(positions)),
+    }
+    dv.update(extra or {})
+    return dv
+
+
+def _author_table(spark, path, add_extra=None, meta_extra=None,
+                  dv=None):
+    """Hand-author a 10-row single-file unmapped table at ``path``."""
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.range(10).selectExpr("id", "id * 10 as v").coalesce(
+        1
+    ).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    meta.update(meta_extra or {})
+    add = {
+        "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+    }
+    if dv is not None:
+        add["deletionVector"] = dv
+    add.update(add_extra or {})
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if dv is not None:
+        proto = {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": proto}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": add}) + "\n")
+    return str(path)
+
+
+# ---- 1: delete_rows physical-name verification ---------------------------
+
+
+def test_delete_rows_refuses_foreign_id_mode_table(spark, tmp_path):
+    path = tmp_path / "idforeign"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    # parquet columns do NOT carry the physical names from the log
+    spark.createDataFrame([(1, "a")], "`c1` long, `c2` string").coalesce(
+        1
+    ).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ]}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    # before the fix this would silently mask EVERY row (all columns
+    # scan as NULL, so `id IS NULL` matches everything)
+    with pytest.raises(NotImplementedError, match="field-id"):
+        delete_rows(spark, str(path), "id IS NULL")
+
+
+def test_delete_rows_still_works_on_engine_written_mapped_table(
+    spark, tmp_path
+):
+    path = str(tmp_path / "mapped")
+    df = spark.range(10).selectExpr("id", "id * 10 as v")
+    write_delta_lite(df, path, column_mapping="name")
+    delete_rows(spark, path, "id < 3")
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(3, 10))
+
+
+# ---- 2: no-op deletes don't commit ---------------------------------------
+
+
+def test_delete_already_masked_rows_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "noop")
+    write_delta_lite(
+        spark.range(10).selectExpr("id", "id * 10 as v"), path
+    )
+    v1 = delete_rows(spark, path, "id < 3")
+    base_bins = sorted(
+        f for f in os.listdir(path) if f.endswith(".bin")
+    )
+    commits = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    # same predicate again: every match is already masked
+    v2 = delete_rows(spark, path, "id < 3")
+    assert v2 == v1
+    assert sorted(os.listdir(os.path.join(path, "_delta_log"))) == commits
+    assert sorted(
+        f for f in os.listdir(path) if f.endswith(".bin")
+    ) == base_bins
+    # a strict subset of already-masked rows is also a no-op
+    assert delete_rows(spark, path, "id = 1") == v1
+    # but a WIDER predicate still commits, unioning old+new positions
+    v3 = delete_rows(spark, path, "id < 5")
+    assert v3 == v1 + 1
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(5, 10))
+
+
+# ---- 3: overwrite/create with invariant-bearing incoming schema ----------
+
+
+def test_write_refuses_incoming_invariants_metadata(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField(
+            "a", T.LongType(), True,
+            {"delta.invariants":
+             '{"expression": {"expression": "a > 0"}}'},
+        )
+    ])
+    df = spark.createDataFrame([(1,)], schema)
+    with pytest.raises(NotImplementedError, match="delta.invariants"):
+        write_delta_lite(df, str(tmp_path / "fresh"))
+    # existing plain table, overwritten with an invariant-bearing frame
+    path = str(tmp_path / "existing")
+    write_delta_lite(spark.range(3).selectExpr("id as a"), path)
+    with pytest.raises(NotImplementedError, match="delta.invariants"):
+        write_delta_lite(df, path, mode="overwrite")
+    # a metadata-free frame still writes fine
+    write_delta_lite(spark.range(3).selectExpr("id as a"), path)
+
+
+# ---- 4: checkpoint losslessness ------------------------------------------
+
+
+def test_checkpoint_carries_optional_action_fields(spark, tmp_path):
+    path = _author_table(
+        spark,
+        tmp_path / "opt",
+        add_extra={
+            "stats": json.dumps({"numRecords": 10}),
+            "tags": {"OPTIMIZE_TARGET": "x"},
+        },
+        meta_extra={"name": "mytable", "description": "the description"},
+        dv=_inline_dv({1, 3, 7}, extra={"maxRowIndex": 7}),
+    )
+    before = replay_log(spark, path)
+    write_checkpoint(spark, path)
+    # force replay THROUGH the checkpoint by removing the JSON commit
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    after = replay_log(spark, path)
+    assert after.metadata["name"] == "mytable"
+    assert after.metadata["description"] == "the description"
+    assert after.adds["part-0.parquet"]["stats"] == json.dumps(
+        {"numRecords": 10}
+    )
+    assert after.adds["part-0.parquet"]["tags"] == {"OPTIMIZE_TARGET": "x"}
+    assert after.dvs["part-0.parquet"]["maxRowIndex"] == 7
+    assert after.files == before.files
+    # and the DV still applies through the checkpoint
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == {0, 2, 4, 5, 6, 8, 9}
+
+
+def test_checkpoint_refuses_unrepresentable_add_field(spark, tmp_path):
+    path = _author_table(
+        spark, tmp_path / "rt", add_extra={"baseRowId": 7}
+    )
+    with pytest.raises(NotImplementedError, match="baseRowId"):
+        write_checkpoint(spark, path)
+
+
+def test_checkpoint_refuses_unrepresentable_metadata_field(
+    spark, tmp_path
+):
+    path = _author_table(
+        spark, tmp_path / "mx", meta_extra={"somethingNew": 1}
+    )
+    with pytest.raises(NotImplementedError, match="somethingNew"):
+        write_checkpoint(spark, path)
