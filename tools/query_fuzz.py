@@ -7,8 +7,11 @@ INTERACTION bugs (the round-6 deletion-vector fail-open class). It
 generates random typed query trees over the engine's implemented
 relational surface
 
-    scan -> filter/project -> join -> agg / window -> orderBy/limit
-         -> distinct / union all
+    scan -> filter/project -> join (equi / null-safe <=>)
+         -> agg / rollup / cube / grouping sets
+         -> window (partition / ROWS / RANGE frames)
+         -> orderBy/limit -> distinct
+         -> union all / intersect [all] / except [all]
 
 renders each tree BOTH as PySpark DataFrame calls (pyspark.sql.functions
 Column expressions - the same API surface plans/relational.py is built
@@ -38,7 +41,22 @@ divergence between the engines, not a bug in either):
    '0.0' in the comparator (sign of zero is presentation, not
    semantics);
  - dates: Spark date_add(d, n) renders as DuckDB d + n, datediff(a, b)
-   as a - b (DuckDB date subtraction yields integer days).
+   as a - b (DuckDB date subtraction yields integer days);
+ - grouping over EMPTY input (round 9): Spark's Expand-based
+   rollup/cube/grouping-sets yields 0 rows for the grand-total set ()
+   where DuckDB (per the SQL standard) yields 1 — verified both ways ->
+   rollup/cube and ()-bearing set lists run unfiltered (base tables are
+   non-empty by construction); a WHERE-filtered case degrades to
+   GROUPING SETS without ();
+ - grouping column coverage: Spark refuses to SELECT a grouping column
+   absent from EVERY grouping set (DuckDB leniently NULLs it) -> the
+   renderer appends the all-keys set when a sampled list leaves a key
+   uncovered; per-key single-argument GROUPING() flags are used instead
+   of GROUPING_ID (whose bit order could diverge between engines);
+ - RANGE window frames: rows whose ORDER BY key is NULL get
+   engine-subtle offset-frame semantics -> the RANGE order key is
+   wrapped in coalesce() so both engines see identical non-null data
+   (ROWS frames instead use the id tiebreak for a total order).
 
 Every case is reproducible from (seed, index); a failing case is
 greedily minimized (drop projections, strip WHERE, unwrap predicate
@@ -384,7 +402,9 @@ class Case:
 
     def __init__(self, kind, tables, projections, where=None, group=None,
                  aggs=None, join=None, order=None, limit=None,
-                 distinct=False, window=None, union=None, having=None):
+                 distinct=False, window=None, union=None, having=None,
+                 setop="union_all", gkind=None, gsets=None,
+                 nullsafe=False):
         self.kind = kind
         self.tables = tables          # list of table names used
         self.projections = projections  # list[(alias, E)]
@@ -398,6 +418,11 @@ class Case:
         self.window = window          # list[(alias, spec)] | None
         self.union = union            # (projections_b, where_b) | None
         self.having = having          # E over agg output aliases | None
+        self.setop = setop            # union_all|intersect|intersect_all
+        #                               |except|except_all (with .union)
+        self.gkind = gkind            # rollup|cube|gsets (kind 'grouping')
+        self.gsets = gsets            # list[tuple[str,...]] of key aliases
+        self.nullsafe = nullsafe      # join key compares <=> not =
 
     # ---- DuckDB side
     def to_sql(self) -> str:
@@ -405,9 +430,13 @@ class Case:
             cols = ", ".join(f"{c} AS {p}{c}" for c in _COLS)
             return f"(SELECT {cols} FROM {t})"
 
+        if self.kind == "grouping":
+            return self._grouping_sql(prefixed)
+
         sql_hows = {"inner": "JOIN", "left": "LEFT JOIN",
                     "right": "RIGHT JOIN", "full": "FULL JOIN",
                     "semi": "SEMI JOIN", "anti": "ANTI JOIN"}
+        eq = "IS NOT DISTINCT FROM" if self.nullsafe else "="
         if self.kind == "join3":
             hows, keys = self.join
             t0, t1, t2 = self.tables
@@ -421,7 +450,7 @@ class Case:
             t0, t1 = self.tables
             src = (f"{prefixed(t0, 's0_')} s0 {sql_hows[how]} "
                    f"{prefixed(t1, 's1_')} s1 "
-                   f"ON s0.s0_{key} = s1.s1_{key}")
+                   f"ON s0.s0_{key} {eq} s1.s1_{key}")
         else:
             src = f"{prefixed(self.tables[0], 's0_')} s0"
         cols = []
@@ -453,7 +482,10 @@ class Case:
                    f"{prefixed(self.tables[1], 's0_')} s0")
             if where_b is not None:
                 q_b += f" WHERE {where_b.sql()}"
-            q = f"{q} UNION ALL {q_b}"
+            op = {"union_all": "UNION ALL", "intersect": "INTERSECT",
+                  "intersect_all": "INTERSECT ALL", "except": "EXCEPT",
+                  "except_all": "EXCEPT ALL"}[self.setop]
+            q = f"{q} {op} {q_b}"
         if self.order is not None:
             parts = []
             for e, asc in self.order:
@@ -465,9 +497,99 @@ class Case:
             q += f" LIMIT {self.limit}"
         return q
 
+    # ---- grouping (rollup / cube / grouping sets), both sides: group
+    # keys and agg args are PRE-PROJECTED to plain aliases (k0.., v0..)
+    # so GROUPING() and the grouping columns resolve identically in both
+    # engines, and the per-key grouping flags + set lists are DERIVED
+    # from self.group at render time (so the minimizer's generic
+    # group/agg drops stay consistent)
+    def _grouping_inner(self):
+        inner = [(a, e) for a, e in self.group]
+        vi = 0  # dense counter, matching _grouping_select/_grouping_df
+        for _, _, arg in self.aggs:
+            if arg is not None:
+                inner.append((f"v{vi}", arg))
+                vi += 1
+        return inner
+
+    def _grouping_sets_sql(self) -> str:
+        keys = [a for a, _ in self.group]
+        if self.gkind in ("rollup", "cube"):
+            return f"{self.gkind.upper()} ({', '.join(keys)})"
+        present = [s for s in self.gsets if all(k in keys for k in s)]
+        if not present:
+            # minimizer dropped every referenced key; fall back to a
+            # NON-empty set under a filter (the empty set diverges on
+            # empty input — see the trap note in gen_case)
+            present = [(keys[0],)] if self.where is not None else [()]
+        # Spark refuses to SELECT a grouping column absent from EVERY
+        # grouping set (DuckDB leniently NULLs it): guarantee coverage
+        # by appending the all-keys set when needed
+        covered = set().union(*present) if present else set()
+        if any(k not in covered for k in keys):
+            present.append(tuple(keys))
+        rendered = ", ".join(f"({', '.join(s)})" for s in present)
+        return f"GROUPING SETS ({rendered})"
+
+    def _grouping_select(self) -> list[str]:
+        cols = [a for a, _ in self.group]
+        cols += [f"grouping({a}) AS g_{a}" for a, _ in self.group]
+        vi = 0
+        for alias, agg, arg in self.aggs:
+            if arg is None:
+                cols.append(f"count(*) AS {alias}")
+            else:
+                cols.append(f"{agg}(v{vi}) AS {alias}")
+                vi += 1
+        return cols
+
+    def _grouping_sql(self, prefixed) -> str:
+        inner_cols = ", ".join(
+            f"{e.sql()} AS {a}" for a, e in self._grouping_inner()
+        )
+        q = f"SELECT {inner_cols} FROM {prefixed(self.tables[0], 's0_')} s0"
+        if self.where is not None:
+            q += f" WHERE {self.where.sql()}"
+        return (
+            f"SELECT {', '.join(self._grouping_select())} FROM ({q}) __g "
+            f"GROUP BY {self._grouping_sets_sql()}"
+        )
+
+    def _grouping_df(self, spark, sdfs):
+        from pyspark.sql import functions as F
+
+        df = _prefix(sdfs[self.tables[0]], "s0_")
+        if self.where is not None:
+            df = df.filter(self.where.col())
+        df = df.select(
+            *[e.col().alias(a) for a, e in self._grouping_inner()]
+        )
+        keys = [a for a, _ in self.group]
+        if self.gkind == "gsets":
+            df.createOrReplaceTempView("__fuzz_gsets")
+            return spark.sql(
+                f"SELECT {', '.join(self._grouping_select())} "
+                f"FROM __fuzz_gsets GROUP BY {self._grouping_sets_sql()}"
+            )
+        aggcols = [F.grouping(a).alias(f"g_{a}") for a in keys]
+        vi = 0
+        for alias, agg, arg in self.aggs:
+            if arg is None:
+                aggcols.append(F.count(F.lit(1)).alias(alias))
+            else:
+                aggcols.append(getattr(F, agg)(f"v{vi}").alias(alias))
+                vi += 1
+        grouped = df.rollup(*keys) if self.gkind == "rollup" else (
+            df.cube(*keys)
+        )
+        return grouped.agg(*aggcols)
+
     # ---- Spark side
     def to_df(self, spark, sdfs):
         from pyspark.sql import functions as F
+
+        if self.kind == "grouping":
+            return self._grouping_df(spark, sdfs)
 
         if self.kind == "join3":
             hows, keys = self.join
@@ -482,7 +604,10 @@ class Case:
             how, key = self.join
             d0 = _prefix(sdfs[self.tables[0]], "s0_")
             d1 = _prefix(sdfs[self.tables[1]], "s1_")
-            cond = d0[f"s0_{key}"] == d1[f"s1_{key}"]
+            if self.nullsafe:
+                cond = d0[f"s0_{key}"].eqNullSafe(d1[f"s1_{key}"])
+            else:
+                cond = d0[f"s0_{key}"] == d1[f"s1_{key}"]
             spark_how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
             df = d0.join(d1, cond, spark_how)
         else:
@@ -506,9 +631,14 @@ class Case:
             d1 = _prefix(sdfs[self.tables[1]], "s0_")
             if where_b is not None:
                 d1 = d1.filter(where_b.col())
-            df = df.unionAll(
-                d1.select(*[e.col().alias(a) for a, e in proj_b])
-            )
+            rhs = d1.select(*[e.col().alias(a) for a, e in proj_b])
+            df = {
+                "union_all": df.unionAll,
+                "intersect": df.intersect,
+                "intersect_all": df.intersectAll,
+                "except": df.subtract,          # EXCEPT (distinct)
+                "except_all": df.exceptAll,
+            }[self.setop](rhs)
         if self.distinct:
             df = df.distinct()
         if self.order is not None:
@@ -539,11 +669,24 @@ def _agg_col(F, agg: str, arg):
     return getattr(F, agg)(arg.col())
 
 
+def _frame_bound_sql(v, is_lo: bool) -> str:
+    if v is None:
+        return "UNBOUNDED PRECEDING" if is_lo else "UNBOUNDED FOLLOWING"
+    if v == 0:
+        return "CURRENT ROW"
+    return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+
 def _win_sql(spec) -> str:
     kind, part, order_sql = spec["kind"], spec["part"], spec["order_sql"]
     over = f"PARTITION BY {part.sql()}"
     if order_sql is not None:
         over += f" ORDER BY {order_sql}"
+    if kind == "frame_agg":
+        frame = (f"{spec['mode'].upper()} BETWEEN "
+                 f"{_frame_bound_sql(spec['lo'], True)} AND "
+                 f"{_frame_bound_sql(spec['hi'], False)}")
+        return f"{spec['agg']}({spec['arg'].sql()}) OVER ({over} {frame})"
     if kind == "row_number":
         return f"row_number() OVER ({over})"
     if kind == "sum_part":
@@ -560,6 +703,13 @@ def _win_col(F, spec):
     w = Window.partitionBy(part.col())
     if spec["order_cols"] is not None:
         w = w.orderBy(*spec["order_cols"]())
+    if kind == "frame_agg":
+        lo = Window.unboundedPreceding if spec["lo"] is None else spec["lo"]
+        hi = Window.unboundedFollowing if spec["hi"] is None else spec["hi"]
+        w = w.rowsBetween(lo, hi) if spec["mode"] == "rows" else (
+            w.rangeBetween(lo, hi)
+        )
+        return getattr(F, spec["agg"])(spec["arg"].col()).over(w)
     if kind == "row_number":
         return F.row_number().over(w)
     if kind == "sum_part":
@@ -569,11 +719,115 @@ def _win_col(F, spec):
     raise ValueError(kind)
 
 
-def gen_case(rng: np.random.Generator) -> Case:
-    kind = ["filter_project", "agg", "join", "orderby_limit", "distinct",
-            "window", "join_agg", "union_all", "having", "join3",
-            "agg_orderby"][int(rng.integers(0, 11))]
+ALL_KINDS = ["filter_project", "agg", "join", "orderby_limit", "distinct",
+             "window", "join_agg", "union_all", "having", "join3",
+             "agg_orderby", "grouping", "setop", "window_frame",
+             "join_nullsafe"]
+
+
+def gen_case(rng: np.random.Generator, kinds=None) -> Case:
+    pool = kinds or ALL_KINDS
+    kind = pool[int(rng.integers(0, len(pool)))]
     t0 = f"t{int(rng.integers(0, 3))}"
+
+    if kind == "grouping":
+        # rollup / cube / grouping sets with per-key GROUPING() flags
+        # (the flags disambiguate a NULL data key from a superaggregate
+        # NULL; single-argument GROUPING() is 0/1 in both engines,
+        # where multi-arg GROUPING_ID bit order would diverge)
+        g = Gen(rng, ["s0_"])
+        n_keys = int(rng.integers(1, 3))
+        group = [(f"k{i}", g.expr(g.pick([INT, STR]), 1))
+                 for i in range(n_keys)]
+        aggs = [("a0", "count_star", None)]
+        if rng.random() < 0.7:
+            aggs.append(("a1", g.pick(["sum", "min", "max"]),
+                         g.expr(INT, 1)))
+        # EMPTY-INPUT TRAP: a WHERE can filter everything out, and on
+        # empty input Spark's Expand-based grouping yields 0 rows for
+        # the grand-total set () where DuckDB (per the SQL standard)
+        # yields 1 — verified both ways. So: rollup/cube/sets-with-()
+        # run UNfiltered (tables are non-empty by construction), and a
+        # filtered case degrades to GROUPING SETS without ().
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        gkind = g.pick(["rollup", "cube", "gsets"])
+        gsets = None
+        if where is not None:
+            gkind = "gsets"
+        if gkind == "gsets":
+            from itertools import chain, combinations
+
+            keys = [a for a, _ in group]
+            min_r = 1 if where is not None else 0
+            subsets = list(chain.from_iterable(
+                combinations(keys, r)
+                for r in range(min_r, len(keys) + 1)
+            ))
+            take = int(rng.integers(1, len(subsets) + 1))
+            idx = rng.choice(len(subsets), size=take, replace=False)
+            gsets = [subsets[i] for i in sorted(idx)]
+        return Case(kind, [t0], [], where=where, group=group, aggs=aggs,
+                    gkind=gkind, gsets=gsets)
+
+    if kind == "setop":
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_"])
+        n_proj = int(rng.integers(1, 3))
+        types = [g.pick([INT, STR, BOOL]) for _ in range(n_proj)]
+        p_a = [(f"p{i}", g.expr(t, 2)) for i, t in enumerate(types)]
+        p_b = [(f"p{i}", g.expr(t, 2)) for i, t in enumerate(types)]
+        w_a = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        w_b = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        setop = g.pick(["intersect", "intersect_all", "except",
+                        "except_all"])
+        return Case(kind, [t0, t1], p_a, where=w_a, union=(p_b, w_b),
+                    setop=setop)
+
+    if kind == "window_frame":
+        g = Gen(rng, ["s0_"])
+        part = g.column(g.pick([INT, STR]))
+        spec = {
+            "kind": "frame_agg", "part": part,
+            "agg": g.pick(["sum", "min", "max", "count"]),
+            "arg": g.expr(INT, 1),
+            "mode": g.pick(["rows", "range"]),
+        }
+        if spec["mode"] == "rows":
+            # total order (id tiebreak) makes ROWS frames deterministic
+            oexpr = g.expr(INT, 1)
+            spec["order_sql"] = (f"{oexpr.sql()} ASC NULLS FIRST, "
+                                 f"s0_id ASC NULLS FIRST")
+            spec["order_cols"] = lambda oe=oexpr: [
+                oe.col().asc(), col_ref("id", "s0_").col().asc()]
+        else:
+            # RANGE: single NON-NULL numeric key — null rows' offset
+            # frames are engine-subtle, and coalesce keeps both engines
+            # looking at identical data (peer groups handle ties)
+            base = g.expr(INT, 1)
+            oexpr = fn("coalesce", INT,
+                       [base, lit_int(int(rng.integers(-3, 4)))])
+            spec["order_sql"] = f"{oexpr.sql()} ASC"
+            spec["order_cols"] = lambda oe=oexpr: [oe.col().asc()]
+        lo = g.pick([None, -3, -2, -1, 0, 1])
+        his = [None] + [v for v in (-2, -1, 0, 1, 2, 3)
+                        if lo is None or v >= lo]
+        spec["lo"], spec["hi"] = lo, g.pick(his)
+        projections = [("p0", col_ref("id", "s0_")),
+                       ("p1", g.expr(g.pick([INT, STR]), 1))]
+        return Case(kind, [t0], projections, window=[("w0", spec)])
+
+    if kind == "join_nullsafe":
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_", "s1_"])
+        how = g.pick(["inner", "left", "full"])
+        key = g.pick(["a_int", "b_int", "d_str"])
+        projections = [
+            (f"p{i}", g.expr(g.pick([INT, STR, BOOL]), 2))
+            for i in range(int(rng.integers(1, 4)))
+        ]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0, t1], projections, where=where,
+                    join=(how, key), nullsafe=True)
 
     if kind == "join3":
         # three-table chain: (t0 J t1) J t2, independent join types/keys
@@ -848,6 +1102,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=20260815)
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--rows", type=int, default=300)
+    ap.add_argument("--kinds", type=str, default=None,
+                    help="comma-separated case kinds to generate "
+                         "(default: all of ALL_KINDS)")
     ap.add_argument("--case", type=int, default=None,
                     help="run only case index I (for repro)")
     args = ap.parse_args()
@@ -873,7 +1130,8 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue  # each case seeds its own rng from (seed, i)
         case_rng = np.random.default_rng(args.seed * 1_000_003 + i)
-        case = gen_case(case_rng)
+        kinds = args.kinds.split(",") if args.kinds else None
+        case = gen_case(case_rng, kinds=kinds)
         rec = run_case(case, spark, sdfs, con)
         if args.case is not None:
             print("SQL :", case.to_sql())
