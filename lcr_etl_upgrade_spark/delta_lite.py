@@ -1673,6 +1673,17 @@ DV_INLINE_THRESHOLD = 512
 # valve raises with that remedy instead of OOMing the executor.
 DELETE_MAX_FILE_POSITIONS = 1 << 25
 
+# delete_rows funnels DV bytes through the DRIVER at two points: old
+# blobs are loaded to feed the cogroup, and new per-file blobs stream
+# back for the log commit. Per-file size is bounded by
+# DELETE_MAX_FILE_POSITIONS, but the SUM across files is not — this
+# caps it (raise-with-remedy, same contract as the per-file valve).
+# New blobs stream via toLocalIterator with u-storage .bin files
+# written incrementally, so peak driver memory is one blob + the
+# retained inline descriptors; the cap still bounds the total work a
+# single commit is allowed to funnel driver-side.
+DELETE_MAX_TOTAL_DV_BYTES = 256 << 20
+
 
 def delete_rows(
     spark: SparkSession,
@@ -1692,7 +1703,12 @@ def delete_rows(
       tables scan physically and rename first, like read_delta_lite);
     - per-file positions come from ``_metadata.row_index`` and are
       serialized to bitmaps EXECUTOR-side (one task per touched file via
-      applyInPandas); only the compact roaring bytes reach the driver;
+      applyInPandas); only the compact roaring bytes reach the driver,
+      STREAMED one partition at a time (u-storage blobs hit disk
+      immediately; a fully-no-op delete — every match already masked —
+      returns the current version without committing), with
+      DELETE_MAX_TOTAL_DV_BYTES capping the total funneled per commit
+      on both the old-blob and new-blob sides;
     - a file that already carries a DV gets the UNION of its old and new
       positions (the protocol's re-add-replaces-DV rule), committed as
       the remove(oldDv) + add(newDv) pair log replay keys on;
@@ -1781,8 +1797,17 @@ def delete_rows(
     # _dv_verify contract inlined) instead of resolving every blob a
     # second time just to hand the bytes to the cogroup.
     old_rows = []
+    old_total = 0
     for rel, dv in sorted(state.dvs.items()):
         blob = _resolve_dv_blob(base, dv)
+        old_total += len(blob)
+        if old_total > DELETE_MAX_TOTAL_DV_BYTES:
+            raise ValueError(
+                f"existing deletion vectors total more than "
+                f"DELETE_MAX_TOTAL_DV_BYTES ({DELETE_MAX_TOTAL_DV_BYTES}) "
+                "bytes; delete in smaller batches (narrower predicates) "
+                "or compact the table via overwrite first"
+            )
         n = count_roaring_bitmap_array(blob)
         card = dv.get("cardinality")
         if card is not None and int(card) != n:
@@ -1844,14 +1869,11 @@ def delete_rows(
             }
         )
 
-    touched = (
+    touched_df = (
         matched.groupBy("__file")
         .cogroup(old_df.groupBy("__file"))
         .applyInPandas(_serialize, "__file string, dv binary, card long")
-        .collect()
     )
-    if not touched:
-        return state.version
 
     enc_to_rel = {
         _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
@@ -1889,13 +1911,29 @@ def delete_rows(
 
     dv_written: list[str] = []  # staged .bin files, for rollback
     try:
-        for row in sorted(touched, key=lambda r: r["__file"]):
+        # stream results one partition at a time: u-storage blobs land
+        # on disk IMMEDIATELY and only the compact descriptors (plus
+        # inline blobs, each <= inline_threshold) stay driver-side, so
+        # peak driver memory is one in-flight blob — with a hard cap on
+        # the total bytes a single commit may funnel through here
+        per_file: list[tuple[str, dict]] = []
+        new_total = 0
+        for row in touched_df.toLocalIterator():
             rel = enc_to_rel.get(row["__file"])
             if rel is None:  # file vanished between replay and scan?
                 raise ValueError(
                     f"scan produced an unknown file key {row['__file']!r}"
                 )
             blob = bytes(row["dv"])
+            new_total += len(blob)
+            if new_total > DELETE_MAX_TOTAL_DV_BYTES:
+                raise ValueError(
+                    f"this delete's new deletion vectors total more "
+                    f"than DELETE_MAX_TOTAL_DV_BYTES "
+                    f"({DELETE_MAX_TOTAL_DV_BYTES}) bytes across files; "
+                    "delete in smaller batches (narrower predicates) or "
+                    "rewrite via overwrite instead of masking"
+                )
             if len(blob) <= inline_threshold:
                 pad = (-len(blob)) % 4  # z85 encodes 4-byte groups
                 descriptor = {
@@ -1924,6 +1962,11 @@ def delete_rows(
                     "sizeInBytes": len(blob),
                     "cardinality": int(row["card"]),
                 }
+            per_file.append((rel, descriptor))
+        if not per_file:
+            return state.version
+
+        for rel, descriptor in sorted(per_file):
             quoted = urllib.parse.quote(rel, safe="/=")
             remove = {
                 "path": quoted,

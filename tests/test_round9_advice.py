@@ -268,3 +268,60 @@ def test_checkpoint_refuses_unrepresentable_metadata_field(
     )
     with pytest.raises(NotImplementedError, match="somethingNew"):
         write_checkpoint(spark, path)
+
+
+# ---- DELETE_MAX_TOTAL_DV_BYTES valve --------------------------------------
+
+
+def _multi_file_table(spark, path, files=6):
+    """Table with ``files`` single-row-group parquet files via append."""
+    for i in range(files):
+        write_delta_lite(
+            spark.range(i * 10, (i + 1) * 10).selectExpr(
+                "id", "id * 10 as v"
+            ).coalesce(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+
+
+def test_delete_total_dv_bytes_valve_new_blobs(spark, tmp_path,
+                                               monkeypatch):
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "valve_new")
+    _multi_file_table(spark, path)
+    monkeypatch.setattr(dl, "DELETE_MAX_TOTAL_DV_BYTES", 64)
+    # one row from EVERY file -> many small DVs whose SUM exceeds the cap
+    with pytest.raises(ValueError, match="DELETE_MAX_TOTAL_DV_BYTES"):
+        delete_rows(spark, path, "id % 10 = 0")
+    # nothing committed, no staged .bin leftovers
+    assert not [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(60))
+
+
+def test_delete_total_dv_bytes_valve_old_blobs(spark, tmp_path,
+                                               monkeypatch):
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "valve_old")
+    _multi_file_table(spark, path, files=4)
+    v = delete_rows(spark, path, "id % 10 = 1")  # seed DVs on every file
+    monkeypatch.setattr(dl, "DELETE_MAX_TOTAL_DV_BYTES", 8)
+    with pytest.raises(ValueError, match="existing deletion vectors"):
+        delete_rows(spark, path, "id % 10 = 2")
+    # prior state intact
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    assert replay_log(spark, path).version == v
+
+
+def test_delete_under_valve_still_works(spark, tmp_path):
+    path = str(tmp_path / "valve_ok")
+    _multi_file_table(spark, path, files=3)
+    delete_rows(spark, path, "id % 10 = 0")
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == {i for i in range(30) if i % 10 != 0}
