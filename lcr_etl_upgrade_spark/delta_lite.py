@@ -41,7 +41,10 @@ Deliberate limits (clear errors, not wrong answers):
   unimplemented features refuse with the feature named;
 - all three checkpoint layouts read (classic single-part, classic
   multi-part, v2 UUID-named parquet/json incl. ``sidecar`` files); the
-  writer emits single-part;
+  writer emits classic single-part — or, on tables listing the
+  ``v2Checkpoint`` feature (see ``enable_v2_checkpoint``), the v2
+  UUID-named manifest + add-action sidecar the feature's write rule
+  mandates (r9);
 - the writer is local-filesystem only; overwrite is single-writer, while
   append retries a lost version race at the next version (bounded
   optimistic concurrency — safe because append file sets are disjoint
@@ -1147,21 +1150,28 @@ def _partition_values_from_rel(
 # Everything else (constraints, CDF, rowTracking, ...) must refuse: a
 # writer must honor EVERY listed writerFeature.
 _SUPPORTED_WRITER_FEATURES = frozenset(
-    {"columnMapping", "deletionVectors", "appendOnly", "invariants"}
+    {"columnMapping", "deletionVectors", "appendOnly", "invariants",
+     # v2Checkpoint's writer obligation is writing the v2 LAYOUT when
+     # checkpointing — write_checkpoint does (r9)
+     "v2Checkpoint"}
 )
 
 # Legacy writer version 2 implicitly enables these; a protocol upgrade
 # to version 7 must list them or downstream writers stop enforcing them.
 _LEGACY_V2_WRITER_FEATURES = ("appendOnly", "invariants")
 
-# Writer features whose STATE the classic checkpoint schema represents
-# (files+DVs+metadata+protocol+txn+domainMetadata). rowTracking is the
-# notable exclusion: its per-file baseRowId/defaultRowCommitVersion live
-# on add actions this writer's checkpoint schema does not carry.
+# Writer features whose STATE the checkpoint schema represents
+# (files + DVs + optional add fields incl. rowTracking's per-file
+# baseRowId/defaultRowCommitVersion (r9) + metadata + protocol + txn +
+# domainMetadata). Anything else must refuse — a checkpoint that drops
+# a feature's state silently erases it once pre-checkpoint commits are
+# cleaned up.
 _CHECKPOINT_SAFE = frozenset(
     {
         "columnMapping",
         "deletionVectors",
+        "rowTracking",
+        "v2Checkpoint",
         "timestampNtz",
         "typeWidening",
         "typeWidening-preview",
@@ -1182,7 +1192,9 @@ _CHECKPOINT_SAFE = frozenset(
 # Exactly the fields write_checkpoint's fixed from_json structs carry;
 # anything beyond these in the replayed state makes the checkpoint
 # refuse (lossless-or-refuse) instead of silently dropping the field.
-_CP_ADD_OPTIONAL = frozenset({"stats", "tags"})
+_CP_ADD_OPTIONAL = frozenset(
+    {"stats", "tags", "baseRowId", "defaultRowCommitVersion"}
+)
 _CP_DV_KEYS = frozenset(
     {"storageType", "pathOrInlineDv", "offset", "sizeInBytes",
      "cardinality", "maxRowIndex"}
@@ -2076,41 +2088,116 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     return removed
 
 
+_CP_ADD_STRUCT = (
+    "struct<path:string,partitionValues:map<string,string>,"
+    "size:long,modificationTime:long,dataChange:boolean,"
+    "stats:string,tags:map<string,string>,"
+    "baseRowId:long,defaultRowCommitVersion:long,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:long,maxRowIndex:long>>"
+)
+_CP_STATE_STRUCTS = (
+    "metaData struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>,"
+    "createdTime:long>,"
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>,"
+    "txn struct<appId:string,version:long,lastUpdated:long>,"
+    "domainMetadata struct<domain:string,configuration:string,"
+    "removed:boolean>"
+)
+
+
+def _write_actions_parquet(
+    spark: SparkSession, log_dir: str, rows: list[dict], schema: str,
+    dest: str,
+) -> None:
+    """Serialize action dicts through from_json into ONE parquet file at
+    ``dest`` (stage-and-move, like every other commit artifact here)."""
+    staging = os.path.join(log_dir, f"_cp-staging-{uuid.uuid4().hex}")
+    (
+        spark.createDataFrame([(json.dumps(r),) for r in rows], "raw string")
+        .select(F.from_json("raw", schema).alias("a"))
+        .select("a.*")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), dest)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
+    """Commit a protocol upgrade adding the ``v2Checkpoint`` table
+    feature (reader AND writer lists, per the public protocol's table
+    features spec); subsequent ``write_checkpoint`` calls emit the
+    UUID-named v2 layout the feature's write rule mandates. Preserves
+    every feature already listed (a legacy writer-v2 protocol carries
+    its implicit appendOnly/invariants forward, like delete_rows'
+    upgrade). No-op returning the current version if already enabled."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    reader_feats = set(proto.get("readerFeatures") or ())
+    writer_feats = set(proto.get("writerFeatures") or ())
+    if "v2Checkpoint" in reader_feats and "v2Checkpoint" in writer_feats:
+        return state.version
+    reader_feats.add("v2Checkpoint")
+    writer_feats.add("v2Checkpoint")
+    if int(proto.get("minWriterVersion", 2)) <= 2:
+        writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+    version = state.version + 1
+    commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+    _write_commit_file(
+        commit_path,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(reader_feats),
+                    "writerFeatures": sorted(writer_feats),
+                }
+            }
+        ],
+    )
+    return version
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
-    """Materialize the current replayed state as a single-part parquet
-    checkpoint + ``_last_checkpoint`` pointer (the protocol's replay
-    shortcut): subsequent reads replay from here instead of from version
-    0, so log-replay cost stays bounded by CHECKPOINT_INTERVAL no matter
-    how many commits the table accumulates. Returns the checkpointed
+    """Materialize the current replayed state as a parquet checkpoint +
+    ``_last_checkpoint`` pointer (the protocol's replay shortcut):
+    subsequent reads replay from here instead of from version 0, so
+    log-replay cost stays bounded by CHECKPOINT_INTERVAL no matter how
+    many commits the table accumulates. Returns the checkpointed
     version.
 
-    This writer emits the CLASSIC layout, feature-aware (r8): the
-    protocol struct carries readerFeatures/writerFeatures and add
-    structs carry deletionVector descriptors, so 3/7 tables produced by
-    this module (columnMapping, deletionVectors) checkpoint and replay
-    losslessly — checkpoint state is just files+DVs+metadata+protocol,
-    which the classic layout represents for ANY feature except
-    ``v2Checkpoint``, whose own write rule MANDATES the v2 layout. Only
-    that case raises NotImplementedError (callers doing best-effort
-    auto-checkpointing swallow it)."""
+    Layout follows the protocol's own rule: tables listing the
+    ``v2Checkpoint`` reader feature get the V2 layout (r9) — a
+    UUID-named top-level ``{v}.checkpoint.{uuid}.parquet`` holding the
+    checkpointMetadata/protocol/metaData/txn/domainMetadata actions
+    plus ONE ``sidecar`` reference whose ``_sidecars/{uuid}.parquet``
+    carries the add actions — everything ``_read_checkpoint`` (and
+    delta-spark's v2 reader) resolves. Every other table gets the
+    feature-aware CLASSIC single-part layout (r8). Both carry the full
+    state: files + DVs (descriptors incl. maxRowIndex) + stats/tags +
+    rowTracking's per-file baseRowId/defaultRowCommitVersion + metadata
+    + protocol + txn + domainMetadata."""
     state = replay_log(spark, path)
     proto = state.protocol or {}
-    if "v2Checkpoint" in (proto.get("readerFeatures") or ()):
-        raise NotImplementedError(
-            "this table lists the v2Checkpoint reader feature, whose "
-            "write rule mandates the v2 checkpoint layout; "
-            "write_checkpoint emits classic (feature-aware) checkpoints "
-            "only (use delta-spark)"
-        )
+    use_v2 = "v2Checkpoint" in (proto.get("readerFeatures") or ())
     # state-bearing gate: a checkpoint must REPRESENT every feature's
-    # state. The classic schema here carries files+DVs+metadata+protocol
-    # +txn+domainMetadata; features whose state lives elsewhere (e.g.
-    # rowTracking's per-file baseRowId) or that we've never seen must
-    # refuse, or cleanup of pre-checkpoint commits silently erases them.
+    # state (files+DVs+optional add fields+metadata+protocol+txn+
+    # domainMetadata here); features whose state lives elsewhere or
+    # that we've never seen must refuse, or cleanup of pre-checkpoint
+    # commits silently erases them.
     unsafe = set(proto.get("writerFeatures") or ()) - _CHECKPOINT_SAFE
     if unsafe:
         raise NotImplementedError(
-            f"writerFeatures {sorted(unsafe)} carry state this classic "
+            f"writerFeatures {sorted(unsafe)} carry state this "
             "checkpoint writer does not represent (use delta-spark)"
         )
     # lossless-or-refuse gate (vs silent from_json field drops): every
@@ -2149,7 +2236,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         except OSError:
             return 0
 
-    rows = [
+    add_rows = [
         {
             "add": {
                 "path": urllib.parse.quote(rel, safe="/="),
@@ -2160,58 +2247,84 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 "deletionVector": state.dvs.get(rel),
                 **state.adds.get(rel, {}),
             },
-            "metaData": None,
-            "protocol": None,
         }
         for rel, pv in sorted(state.files.items())
     ]
-    rows.append({"metaData": state.metadata})
-    rows.append(
+    state_rows: list[dict] = [
+        {"metaData": state.metadata},
         {
             "protocol": state.protocol
             or {"minReaderVersion": 1, "minWriterVersion": 2},
-        }
-    )
+        },
+    ]
     for app_id in sorted(state.txns):
-        rows.append({"txn": state.txns[app_id]})
+        state_rows.append({"txn": state.txns[app_id]})
     for domain in sorted(state.domains):
-        rows.append({"domainMetadata": state.domains[domain]})
-    action_schema = (
-        "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean,"
-        "stats:string,tags:map<string,string>,"
-        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:long,maxRowIndex:long>>,"
-        "metaData struct<id:string,name:string,description:string,"
-        "format:struct<provider:string,"
-        "options:map<string,string>>,schemaString:string,"
-        "partitionColumns:array<string>,configuration:map<string,string>,"
-        "createdTime:long>,"
-        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
-        "readerFeatures:array<string>,writerFeatures:array<string>>,"
-        "txn struct<appId:string,version:long,lastUpdated:long>,"
-        "domainMetadata struct<domain:string,configuration:string,"
-        "removed:boolean>"
-    )
-    staging = os.path.join(log_dir, f"_cp-staging-{uuid.uuid4().hex}")
-    (
-        spark.createDataFrame([(json.dumps(r),) for r in rows], "raw string")
-        .select(F.from_json("raw", action_schema).alias("a"))
-        .select("a.*")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
-    part = next(
-        f for f in os.listdir(staging) if f.endswith(".parquet")
-    )
-    cp_path = os.path.join(
-        log_dir, _CHECKPOINT_SINGLE.format(v=state.version)
-    )
-    shutil.move(os.path.join(staging, part), cp_path)
-    shutil.rmtree(staging, ignore_errors=True)
+        state_rows.append({"domainMetadata": state.domains[domain]})
+
+    if use_v2:
+        sidecar_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        top_rows = [
+            {"checkpointMetadata": {"version": state.version}}
+        ] + state_rows
+        sidecar_written: str | None = None
+        if add_rows:
+            sidecar_name = f"{uuid.uuid4()}.parquet"
+            sidecar_path = os.path.join(sidecar_dir, sidecar_name)
+            _write_actions_parquet(
+                spark, log_dir,
+                [{**r, "remove": None} for r in add_rows],
+                f"add {_CP_ADD_STRUCT},"
+                "remove struct<path:string,deletionTimestamp:long,"
+                "dataChange:boolean>",
+                sidecar_path,
+            )
+            sidecar_written = sidecar_path
+            import time as _time
+
+            top_rows.append({
+                "sidecar": {
+                    "path": sidecar_name,
+                    "sizeInBytes": os.path.getsize(sidecar_path),
+                    "modificationTime": int(_time.time() * 1000),
+                }
+            })
+        cp_path = os.path.join(
+            log_dir,
+            f"{state.version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+        )
+        try:
+            _write_actions_parquet(
+                spark, log_dir, top_rows,
+                "checkpointMetadata struct<version:long,"
+                "tags:map<string,string>>,"
+                f"{_CP_STATE_STRUCTS},"
+                "sidecar struct<path:string,sizeInBytes:long,"
+                "modificationTime:long>",
+                cp_path,
+            )
+        except BaseException:
+            if sidecar_written:  # don't strand a referenced-by-nothing
+                try:             # sidecar on a failed manifest write
+                    os.remove(sidecar_written)
+                except OSError:
+                    pass
+            raise
+        size = len(top_rows) + len(add_rows)
+    else:
+        cp_path = os.path.join(
+            log_dir, _CHECKPOINT_SINGLE.format(v=state.version)
+        )
+        _write_actions_parquet(
+            spark, log_dir,
+            [{**r, "metaData": None} for r in add_rows] + state_rows,
+            f"add {_CP_ADD_STRUCT},{_CP_STATE_STRUCTS}",
+            cp_path,
+        )
+        size = len(add_rows) + len(state_rows)
     tmp = os.path.join(log_dir, f"_last_checkpoint.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
-        json.dump({"version": state.version, "size": len(rows)}, fh)
+        json.dump({"version": state.version, "size": size}, fh)
     os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
     return state.version

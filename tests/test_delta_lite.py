@@ -990,34 +990,64 @@ def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
 
 
 def test_writer_refuses_high_writer_version_table(spark, tmp_path):
-    """Review finding: reading v2Checkpoint tables must NOT have made
-    them writable — this writer is protocol writer-version 2 and a
-    table demanding minWriterVersion=7 with writerFeatures would be
-    corrupted by a non-compliant commit."""
+    """Reading v2Checkpoint tables must NOT blanket-open writes: a
+    table demanding an UNIMPLEMENTED writerFeature still refuses. (r9:
+    the v2Checkpoint feature itself became a supported writer feature
+    when write_checkpoint gained the v2 layout, so THAT table now
+    appends compliantly.)"""
     path = str(tmp_path / "t")
     write_delta_lite(_df(spark, [(1, "a")]), path)
     _author_v2_checkpoint(spark, path, "sidecar")
-    # v7 is now feature-gated: refusal names the unimplemented features
+    # r9: v2Checkpoint is implemented -> the append succeeds now
+    write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
+
+    # a feature this writer does NOT implement still refuses, named
+    path2 = str(tmp_path / "u")
+    write_delta_lite(_df(spark, [(1, "a")]), path2)
+    with open(os.path.join(path2, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["identityColumns"],
+        }}) + "\n")
     with pytest.raises(NotImplementedError, match="demands writerFeatures"):
-        write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
-    # still readable
-    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+        write_delta_lite(_df(spark, [(2, "b")]), path2, mode="append")
+    assert {r.id for r in read_delta_lite(spark, path2).collect()} == {1}
 
 
-def test_checkpoint_writer_refuses_feature_tables(spark, tmp_path):
-    """r8 narrowing of the old blanket refusal: the classic schema is
-    feature-aware now, so the ONE remaining refusal is a table listing
-    the v2Checkpoint reader feature — that feature's own write rule
-    mandates the v2 layout."""
+def test_checkpoint_writer_handles_v2_and_refuses_unknown_features(
+    spark, tmp_path
+):
+    """r9: a table listing the v2Checkpoint reader feature now
+    checkpoints in the MANDATED v2 layout instead of refusing; the
+    state-bearing refusal remains for writer features whose state the
+    schema does not represent."""
     from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
 
     path = str(tmp_path / "t")
     write_delta_lite(_df(spark, [(1, "a")]), path)
     _author_v2_checkpoint(spark, path, "json")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
-        write_checkpoint(spark, path)
-    # the v2 checkpoint pointer is untouched and the table still reads
+    v = write_checkpoint(spark, path)
+    log = os.listdir(os.path.join(path, "_delta_log"))
+    assert any(
+        f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+        and len(f) > len(f"{v:020d}.checkpoint.parquet")
+        for f in log
+    ), log
+    assert not any(f == f"{v:020d}.checkpoint.parquet" for f in log)
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+
+    path2 = str(tmp_path / "u")
+    write_delta_lite(_df(spark, [(1, "a")]), path2)
+    with open(os.path.join(path2, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["icebergCompatV2"],
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        write_checkpoint(spark, path2)
 
 
 def test_checkpoint_discovered_without_last_checkpoint(spark, tmp_path):
@@ -2032,8 +2062,9 @@ def test_checkpoint_preserves_txn_and_domain_metadata(spark, tmp_path):
     """r8 review: setTransaction watermarks and domainMetadata are
     checkpoint STATE - replay solely from the checkpoint must still see
     them, or idempotent writers re-apply batches and domain config is
-    erased. Also: unknown state-bearing writer features (rowTracking)
-    refuse checkpointing."""
+    erased. Also: unknown state-bearing writer features refuse
+    checkpointing (r9 moved rowTracking INTO the representable set, so
+    the refusal example is now a genuinely unknown feature)."""
     from lcr_etl_upgrade_spark.delta_lite import write_checkpoint
 
     path = str(tmp_path / "t")
@@ -2056,16 +2087,17 @@ def test_checkpoint_preserves_txn_and_domain_metadata(spark, tmp_path):
     assert state.domains["delta.example"]["configuration"] == '{"k":1}'
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
 
-    # rowTracking state (per-file baseRowId) is NOT representable
+    # a feature whose state this schema has never seen refuses
     path2 = str(tmp_path / "u")
     write_delta_lite(_df(spark, [(1, "a")]), path2)
     with open(os.path.join(path2, "_delta_log", f"{1:020d}.json"),
               "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["someFutureStatefulFeature"],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError,
+                       match="someFutureStatefulFeature"):
         write_checkpoint(spark, path2)
 
 

@@ -1,0 +1,196 @@
+"""Round-9 ask #3: v2 checkpoint WRITES (UUID-named manifest +
+add-action sidecar) and the rowTracking checkpoint gate opening.
+
+Layout per the public Delta protocol's "V2 spec": a table listing the
+``v2Checkpoint`` reader feature must be checkpointed as
+``{v}.checkpoint.{uuid}.parquet`` whose add/remove content may live in
+``_delta_log/_sidecars/*.parquet`` files referenced by ``sidecar``
+actions, with a ``checkpointMetadata`` action carrying the version.
+The reader half has existed since round 6 (delta_lite._read_checkpoint
+reads all three layouts); these tests close the write→read loop with
+everything engine-authored, plus log truncation (replay from the
+checkpoint ONLY) and vacuum interaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from lcr_etl_upgrade_spark.delta_lite import (
+    delete_rows,
+    enable_v2_checkpoint,
+    read_delta_lite,
+    replay_log,
+    vacuum,
+    write_checkpoint,
+    write_delta_lite,
+)
+
+V2_NAME = re.compile(
+    r"^\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet$"
+)
+
+
+def _log_files(path):
+    return sorted(os.listdir(os.path.join(path, "_delta_log")))
+
+
+def test_v2_checkpoint_round_trip_dv_mapped_table(spark, tmp_path):
+    """The headline round-trip: a column-mapped table with deletion
+    vectors, v2-checkpointed by this engine, replayed from the
+    checkpoint ALONE after every JSON commit is removed."""
+    path = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id", "id * 10 as v")
+    write_delta_lite(df, path, column_mapping="name")
+    delete_rows(spark, path, "id < 5")
+    v = enable_v2_checkpoint(spark, path)
+    cp_v = write_checkpoint(spark, path)
+    assert cp_v == v
+
+    log = _log_files(path)
+    v2 = [f for f in log if V2_NAME.match(f)]
+    assert len(v2) == 1, log
+    assert not any(
+        f.endswith(".checkpoint.parquet") for f in log
+    ), "classic layout must not be written for a v2Checkpoint table"
+    sidecars = os.listdir(os.path.join(path, "_delta_log", "_sidecars"))
+    assert len(sidecars) == 1 and sidecars[0].endswith(".parquet")
+
+    expected = {(r.id, r.v) for r in read_delta_lite(spark, path).collect()}
+    assert expected == {(i, i * 10) for i in range(5, 20)}
+
+    # log truncation: replay must come from the checkpoint only
+    for f in _log_files(path):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    state = replay_log(spark, path)
+    assert state.version == cp_v
+    got = {(r.id, r.v) for r in read_delta_lite(spark, path).collect()}
+    assert got == expected
+
+
+def test_v2_checkpoint_discovered_without_hint(spark, tmp_path):
+    """_last_checkpoint is a hint; a deleted hint must not orphan the
+    v2 files (listing-based discovery)."""
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(8).selectExpr("id"), path)
+    enable_v2_checkpoint(spark, path)
+    write_checkpoint(spark, path)
+    os.remove(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    for f in _log_files(path):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(8))
+
+
+def test_writes_continue_on_v2_checkpoint_table(spark, tmp_path):
+    """v2Checkpoint is in _SUPPORTED_WRITER_FEATURES: append and delete
+    keep working after the upgrade, and the auto-checkpoint hook emits
+    the v2 layout."""
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(10).selectExpr("id"), path)
+    enable_v2_checkpoint(spark, path)
+    write_delta_lite(
+        spark.range(10, 15).selectExpr("id"), path, mode="append"
+    )
+    delete_rows(spark, path, "id = 3")
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(15)) - {3}
+    write_checkpoint(spark, path)
+    assert any(V2_NAME.match(f) for f in _log_files(path))
+
+
+def test_enable_v2_checkpoint_idempotent_and_feature_preserving(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(5).selectExpr("id", "id * 2 as v"),
+        path,
+        column_mapping="id",
+    )
+    v1 = enable_v2_checkpoint(spark, path)
+    assert enable_v2_checkpoint(spark, path) == v1  # no second commit
+    proto = replay_log(spark, path).protocol
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    # the legacy implicit writer-v2 features came along on the upgrade
+    # path that starts from writer version 2
+    write_delta_lite(
+        spark.range(5).selectExpr("id", "id * 2 as v"), path,
+        mode="append",
+    )
+    assert read_delta_lite(spark, path).count() == 10
+
+
+def test_vacuum_keeps_v2_checkpoint_referenced_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(10).selectExpr("id"), path)
+    enable_v2_checkpoint(spark, path)
+    write_checkpoint(spark, path)
+    for f in _log_files(path):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    removed = vacuum(spark, path)
+    assert removed == []
+    assert read_delta_lite(spark, path).count() == 10
+
+
+def test_rowtracking_table_checkpoints_losslessly(spark, tmp_path):
+    """A foreign rowTracking table (per-file baseRowId /
+    defaultRowCommitVersion + the delta.rowTracking domain) now
+    checkpoints instead of refusing, and replay from the checkpoint
+    preserves those fields byte-for-byte. Data WRITES to such a table
+    still refuse (_SUPPORTED_WRITER_FEATURES excludes rowTracking)."""
+    path = tmp_path / "rt"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.range(6).selectExpr("id").coalesce(1).write.parquet(str(sub))
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["rowTracking", "domainMetadata"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "baseRowId": 42, "defaultRowCommitVersion": 0}}) + "\n")
+        fh.write(json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 47}),
+            "removed": False}}) + "\n")
+    p = str(path)
+    write_checkpoint(spark, p)
+    os.remove(path / "_delta_log" / f"{0:020d}.json")
+    state = replay_log(spark, p)
+    assert state.adds["part-0.parquet"]["baseRowId"] == 42
+    assert state.adds["part-0.parquet"]["defaultRowCommitVersion"] == 0
+    assert state.domains["delta.rowTracking"]["configuration"] == (
+        json.dumps({"rowIdHighWaterMark": 47})
+    )
+    assert set(r.id for r in read_delta_lite(spark, p).collect()) == set(
+        range(6)
+    )
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_delta_lite(
+            spark.range(3).selectExpr("id"), p, mode="append"
+        )

@@ -253,10 +253,13 @@ def test_checkpoint_carries_optional_action_fields(spark, tmp_path):
 
 
 def test_checkpoint_refuses_unrepresentable_add_field(spark, tmp_path):
+    # clusteringProvider: a real add field (liquid clustering) the
+    # checkpoint schema does not carry; baseRowId/defaultRowCommitVersion
+    # moved INTO the schema in r9 (rowTracking checkpoints)
     path = _author_table(
-        spark, tmp_path / "rt", add_extra={"baseRowId": 7}
+        spark, tmp_path / "rt", add_extra={"clusteringProvider": "liquid"}
     )
-    with pytest.raises(NotImplementedError, match="baseRowId"):
+    with pytest.raises(NotImplementedError, match="clusteringProvider"):
         write_checkpoint(spark, path)
 
 
