@@ -328,3 +328,23 @@ def test_delete_under_valve_still_works(spark, tmp_path):
     assert set(
         r.id for r in read_delta_lite(spark, path).collect()
     ) == {i for i in range(30) if i % 10 != 0}
+
+
+def test_delete_valve_mid_iteration_rolls_back_staged_bins(
+    spark, tmp_path, monkeypatch
+):
+    """The new-blob valve can trip AFTER some u-storage .bin files were
+    already staged (streaming writes them immediately): the rollback
+    must remove every staged file and leave the table state untouched."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    path = str(tmp_path / "valve_mid")
+    _multi_file_table(spark, path, files=5)
+    # inline_threshold=0 forces EVERY blob to u-storage; cap admits the
+    # first blob (~30-60 B) but not the sum of five
+    monkeypatch.setattr(dl, "DELETE_MAX_TOTAL_DV_BYTES", 70)
+    with pytest.raises(ValueError, match="DELETE_MAX_TOTAL_DV_BYTES"):
+        delete_rows(spark, path, "id % 10 < 2", inline_threshold=0)
+    assert not [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert replay_log(spark, path).dvs == {}
+    assert read_delta_lite(spark, path).count() == 50
