@@ -59,3 +59,28 @@ def test_pipeline_fuzz_slash_date_regression(spark, duck):
     assert run_case(
         spark, duck, cols, extra_srcs, cap_cols, as_of, pdf
     ) is None
+
+
+def test_residual_scrub_backfill_fuzz(spark, duck):
+    """F4-standalone (scrub_residual_garbage on string staging columns,
+    ETL_* -> as_of) composed with C10 (backfill_modify_date), vs the
+    DuckDB restatement (global-flag regexp_replace — DuckDB strips only
+    the first occurrence without 'g', a trap the mutation check in
+    FUZZ_r09.json proves this slice would catch)."""
+    from tools.pipeline_fuzz import (
+        gen_residual_case,
+        make_residual_raw,
+        run_residual_case,
+    )
+
+    failures = []
+    for i in range(12):
+        rng = np.random.default_rng(SEED * 1_000_003 + i)
+        cols, scrub_cols, as_of = gen_residual_case(rng)
+        pdf = make_residual_raw(rng, cols, 80)
+        rec = run_residual_case(spark, duck, cols, scrub_cols, as_of,
+                                pdf)
+        if rec is not None:
+            failures.append({"i": i, "cols": cols, "scrub": scrub_cols,
+                             **rec})
+    assert failures == []

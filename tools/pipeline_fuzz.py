@@ -466,6 +466,121 @@ def oracle_sql(cols, cap_cols, as_of: str, raw_cols: list[str]) -> str:
     return "SELECT " + ", ".join(exprs) + " FROM raw"
 
 
+# ------------------------------------------- F4/C10 standalone operators
+
+RESIDUE_POOL = [
+    "2024-01-02 03:04:05", "2024-01-02T03:04:05", "12:30:00",
+    "2024-01-02 03:04:05.123", "abc", "1,000", "2024/01/02", "  ",
+    "9.9", "2024-05-06", "x2024-01-02", "2024-01-02 03:04:05Z", "-", "",
+    "03:04", "garbage 123", "2024.01.02 03.04.05",
+]
+
+
+def gen_residual_case(rng):
+    """Random staging frame for scrub_residual_garbage (F4 standalone,
+    string-typed staging columns; ETL_* falls back to as_of) composed
+    with backfill_modify_date (C10)."""
+    n = int(rng.integers(1, 4))
+    cols = [f"TS_COL_{i}" for i in range(n)]
+    if rng.random() < 0.6:
+        cols.append("ETL_STAGE_TS")
+    scrub_cols = [c for c in cols if rng.random() < 0.8] or [cols[0]]
+    as_of = _rand_dt(rng, 2024, 2025).strftime("%Y-%m-%d %H:%M:%S")
+    return cols, scrub_cols, as_of
+
+
+def make_residual_raw(rng, cols, rows):
+    data = {
+        c: [
+            None if rng.random() < 0.1 else str(rng.choice(RESIDUE_POOL))
+            for _ in range(rows)
+        ]
+        for c in cols
+    }
+    for c in ("MODIFY_DATE", "CREATE_DATE"):
+        data[c] = [
+            None if rng.random() < 0.4 else str(rng.choice(RESIDUE_POOL))
+            for _ in range(rows)
+        ]
+    return pd.DataFrame(data, dtype=object)
+
+
+def residual_oracle_sql(cols, scrub_cols, as_of):
+    """DuckDB restatement: strip [0-9\\-:. ] globally (Spark's
+    regexp_replace is global by default — DuckDB needs the 'g' flag, a
+    trap in itself), non-empty residue -> NULL, ETL_* coalesces to
+    as_of rendered as the column's (string) type."""
+    exprs = []
+    for c in cols + ["MODIFY_DATE", "CREATE_DATE"]:
+        q = _q(c)
+        if c in scrub_cols:
+            e = (
+                f"(CASE WHEN regexp_replace({q}, '[0-9\\-:. ]', '', 'g')"
+                f" ~ '.+' THEN NULL ELSE {q} END)"
+            )
+            if c.startswith("ETL_"):
+                e = (
+                    f"COALESCE({e}, "
+                    f"cast(TIMESTAMP '{as_of}' as varchar))"
+                )
+        else:
+            e = q
+        exprs.append((c, e))
+    rendered = {c: e for c, e in exprs}
+    rendered["MODIFY_DATE"] = (
+        f"COALESCE({rendered['MODIFY_DATE']}, {rendered['CREATE_DATE']})"
+    )
+    return "SELECT " + ", ".join(
+        f"{e} AS {_q(c)}" for c, e in rendered.items()
+    ) + " FROM raw"
+
+
+def run_residual_case(spark, con, cols, scrub_cols, as_of,
+                      pdf) -> dict | None:
+    from lcr_etl_upgrade_spark.operators.cleanse import (
+        backfill_modify_date,
+        scrub_residual_garbage,
+    )
+
+    schema = ", ".join(f"`{c}` string" for c in pdf.columns)
+    sdf = spark.createDataFrame(pdf, schema)
+    try:
+        out = backfill_modify_date(
+            scrub_residual_garbage(sdf, scrub_cols, as_of=as_of)
+        )
+        srows = out.collect()
+        scols = out.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    con.register("raw", pdf)
+    try:
+        res = con.execute(residual_oracle_sql(cols, scrub_cols, as_of))
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as exc:
+        return {"side": "duckdb_error", "err": repr(exc)[:400]}
+    s_norm, s_cols = frame_to_rows([tuple(r) for r in srows], scols)
+    o_norm, o_cols = frame_to_rows(orows, ocols)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return {"side": "schema", "spark": s_cols, "duckdb": o_cols}
+    if s_norm != o_norm:
+        diff_idx = next(
+            (i for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b),
+            min(len(s_norm), len(o_norm)),
+        )
+        return {
+            "side": "values",
+            "first_diff": {
+                "cols": s_cols,
+                "spark": s_norm[diff_idx] if diff_idx < len(s_norm)
+                else None,
+                "duckdb": o_norm[diff_idx] if diff_idx < len(o_norm)
+                else None,
+            },
+        }
+    return None
+
+
 # --------------------------------------------------------------- the loop
 
 
@@ -572,6 +687,23 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
+        if i % 4 == 3:  # F4/C10 standalone-operator family
+            rcols, scrub_cols, r_as_of = gen_residual_case(rng)
+            rpdf = make_residual_raw(rng, rcols, args.rows)
+            rec = run_residual_case(
+                spark, con, rcols, scrub_cols, r_as_of, rpdf
+            )
+            if rec is not None:
+                failures.append({
+                    "i": i, "family": "residual", **rec,
+                    "cols": rcols, "scrub": scrub_cols,
+                    "as_of": r_as_of,
+                    "rows": rpdf.to_dict("records")[:20],
+                })
+                print(f"FAIL case {i}: "
+                      f"{json.dumps(failures[-1])[:800]}",
+                      file=sys.stderr)
+            continue
         cols, extra_srcs, cap_cols, as_of = gen_spec(rng)
         pdf = make_raw(rng, cols, extra_srcs, args.rows)
         rec = run_case(spark, con, cols, extra_srcs, cap_cols, as_of, pdf)
