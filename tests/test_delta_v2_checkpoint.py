@@ -194,3 +194,83 @@ def test_rowtracking_table_checkpoints_losslessly(spark, tmp_path):
         write_delta_lite(
             spark.range(3).selectExpr("id"), p, mode="append"
         )
+
+
+def test_v2_checkpoint_composes_with_later_commits_and_time_travel(
+    spark, tmp_path
+):
+    """A v2 checkpoint is a replay SHORTCUT, not a wall: commits after
+    it replay on top, and time travel both AT and BELOW the checkpoint
+    version still resolves."""
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(5).selectExpr("id"), path)        # v0
+    v_en = enable_v2_checkpoint(spark, path)                       # v1
+    cp_v = write_checkpoint(spark, path)
+    assert cp_v == v_en
+    write_delta_lite(
+        spark.range(5, 8).selectExpr("id"), path, mode="append"    # v2
+    )
+    delete_rows(spark, path, "id = 0")                             # v3
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(1, 8))
+    # at the checkpoint version
+    assert set(
+        r.id for r in read_delta_lite(spark, path, version=cp_v).collect()
+    ) == set(range(5))
+    # below it (JSON commits still present)
+    assert set(
+        r.id for r in read_delta_lite(spark, path, version=0).collect()
+    ) == set(range(5))
+
+
+def test_two_v2_checkpoints_discovery_picks_right_version(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(4).selectExpr("id"), path)        # v0
+    enable_v2_checkpoint(spark, path)                              # v1
+    v_a = write_checkpoint(spark, path)                            # cp@1
+    write_delta_lite(
+        spark.range(4, 9).selectExpr("id"), path, mode="overwrite"  # v2
+    )
+    v_b = write_checkpoint(spark, path)                            # cp@2
+    assert (v_a, v_b) == (1, 2)
+    log_dir = os.path.join(path, "_delta_log")
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    for f in list(os.listdir(log_dir)):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log_dir, f))
+    # latest from the newest discovered v2 checkpoint
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(4, 9))
+    # time travel to the OLDER checkpointed version, commits gone
+    assert set(
+        r.id for r in read_delta_lite(spark, path, version=v_a).collect()
+    ) == set(range(4))
+
+
+def test_auto_checkpoint_hook_writes_v2_on_upgraded_table(
+    spark, tmp_path, monkeypatch
+):
+    """write_delta_lite's best-effort every-CHECKPOINT_INTERVAL hook
+    must emit the v2 layout once the feature is on."""
+    import lcr_etl_upgrade_spark.delta_lite as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_INTERVAL", 3)
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(3).selectExpr("id"), path)        # v0
+    enable_v2_checkpoint(spark, path)                              # v1
+    write_delta_lite(
+        spark.range(3, 5).selectExpr("id"), path, mode="append"    # v2
+    )
+    write_delta_lite(
+        spark.range(5, 6).selectExpr("id"), path, mode="append"    # v3
+    )
+    log = os.listdir(os.path.join(path, "_delta_log"))
+    assert any(
+        f.startswith(f"{3:020d}.checkpoint.") and f.endswith(".parquet")
+        and V2_NAME.match(f)
+        for f in log
+    ), log
