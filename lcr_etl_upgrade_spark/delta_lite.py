@@ -2167,6 +2167,77 @@ def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
     return version
 
 
+def cleanup_log(spark: SparkSession, path: str) -> list[str]:
+    """The protocol's METADATA-CLEANUP counterpart to write_checkpoint:
+    delete JSON commits and checkpoint files strictly BELOW the newest
+    complete checkpoint, plus ``_sidecars/`` parquet files no retained
+    checkpoint references — so a long-lived table's ``_delta_log`` stays
+    bounded by checkpoint cadence instead of growing forever.
+
+    Safety contract, checked before anything is deleted: the newest
+    discovered checkpoint must actually PARSE (a present-but-corrupt
+    file must not become the only route to the state). After cleanup,
+    replay_log reconstructs (a) the latest state and (b) time travel AT
+    any retained checkpoint version from checkpoints alone; versions
+    below the horizon become unreachable with the existing clear
+    gap/missing-version errors — the same contract as delta-spark's log
+    cleanup, minus wall-clock retention (the caller decides WHEN).
+    Returns removed names relative to ``_delta_log``. No-op (``[]``)
+    when the table has no checkpoint."""
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    cp = _discover_checkpoint(log_dir, None)
+    if cp is None:
+        return []
+    horizon = cp[0]
+    _read_checkpoint(spark, log_dir, cp[0], cp[1])  # must parse
+    removed: list[str] = []
+    for f in sorted(os.listdir(log_dir)):
+        m = (
+            _COMMIT_RE.match(f)
+            or _CHECKPOINT_SINGLE_RE.match(f)
+            or _CHECKPOINT_MULTI_RE.match(f)
+            or _CHECKPOINT_V2_RE.match(f)
+        )
+        if m and int(m.group(1)) < horizon:
+            os.remove(os.path.join(log_dir, f))
+            removed.append(f)
+    # sidecar GC: keep exactly the files some RETAINED v2 checkpoint
+    # references (an older v2 checkpoint just deleted may have been the
+    # only referent of its sidecars)
+    side_dir = os.path.join(log_dir, "_sidecars")
+    if os.path.isdir(side_dir):
+        referenced: set[str] = set()
+        for f in os.listdir(log_dir):
+            m = _CHECKPOINT_V2_RE.match(f)
+            if not m or int(m.group(1)) < horizon:
+                continue
+            full = os.path.join(log_dir, f)
+            if f.endswith(".json"):
+                with open(full) as fh:
+                    actions = [
+                        json.loads(line) for line in fh if line.strip()
+                    ]
+            else:
+                actions = _parquet_actions(spark, [full], ("sidecar",))
+            for a in actions:
+                sc = a.get("sidecar")
+                if sc:
+                    p = urllib.parse.unquote(sc["path"])
+                    referenced.add(p)
+                    # a foreign manifest may reference by absolute path;
+                    # keep the file either way
+                    referenced.add(os.path.basename(p))
+        for f in sorted(os.listdir(side_dir)):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(side_dir, f))
+                removed.append(os.path.join("_sidecars", f))
+    return removed
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
     """Materialize the current replayed state as a parquet checkpoint +
     ``_last_checkpoint`` pointer (the protocol's replay shortcut):

@@ -274,3 +274,78 @@ def test_auto_checkpoint_hook_writes_v2_on_upgraded_table(
         and V2_NAME.match(f)
         for f in log
     ), log
+
+
+# ---- cleanup_log ----------------------------------------------------------
+
+
+def test_cleanup_log_bounds_the_log(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import cleanup_log
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(4).selectExpr("id"), path)         # v0
+    write_delta_lite(spark.range(4, 6).selectExpr("id"), path,
+                     mode="append")                                 # v1
+    write_checkpoint(spark, path)                                   # cp@1
+    write_delta_lite(spark.range(6, 9).selectExpr("id"), path,
+                     mode="append")                                 # v2
+    v_cp = write_checkpoint(spark, path)                            # cp@2
+    write_delta_lite(spark.range(9, 10).selectExpr("id"), path,
+                     mode="append")                                 # v3
+    removed = cleanup_log(spark, path)
+    log = _log_files(path)
+    # commits and checkpoint below the horizon (v2) are gone
+    assert f"{0:020d}.json" in removed and f"{1:020d}.json" in removed
+    assert f"{1:020d}.checkpoint.parquet" in removed
+    # the horizon checkpoint and the post-horizon commit remain
+    assert f"{v_cp:020d}.checkpoint.parquet" in log
+    assert f"{3:020d}.json" in log
+    # latest replays (checkpoint + retained commits)
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(10))
+    # time travel AT the horizon still works from the checkpoint alone
+    assert set(
+        r.id for r in read_delta_lite(spark, path, version=v_cp).collect()
+    ) == set(range(9))
+    # below the horizon: clear refusal, not silence
+    with pytest.raises(ValueError):
+        read_delta_lite(spark, path, version=0)
+    # idempotent
+    assert cleanup_log(spark, path) == []
+
+
+def test_cleanup_log_gc_unreferenced_sidecars_only(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import cleanup_log
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(5).selectExpr("id"), path)         # v0
+    enable_v2_checkpoint(spark, path)                               # v1
+    write_checkpoint(spark, path)                                   # v2 cp@1
+    write_delta_lite(spark.range(5, 7).selectExpr("id"), path,
+                     mode="append")                                 # v2
+    write_checkpoint(spark, path)                                   # cp@2
+    side_dir = os.path.join(path, "_delta_log", "_sidecars")
+    assert len(os.listdir(side_dir)) == 2
+    removed = cleanup_log(spark, path)
+    # the old checkpoint's sidecar is GC'd, the retained one survives
+    assert len(os.listdir(side_dir)) == 1
+    assert sum(1 for r in removed if r.startswith("_sidecars/")) == 1
+    assert set(
+        r.id for r in read_delta_lite(spark, path).collect()
+    ) == set(range(7))
+    # and the retained state survives full log truncation semantics:
+    # replay uses the horizon checkpoint
+    for f in _log_files(path):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    assert read_delta_lite(spark, path).count() == 7
+
+
+def test_cleanup_log_noop_without_checkpoint(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import cleanup_log
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(3).selectExpr("id"), path)
+    assert cleanup_log(spark, path) == []
+    assert read_delta_lite(spark, path).count() == 3
