@@ -2133,22 +2133,33 @@ def _write_actions_parquet(
 def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
     """Commit a protocol upgrade adding the ``v2Checkpoint`` table
     feature (reader AND writer lists, per the public protocol's table
-    features spec); subsequent ``write_checkpoint`` calls emit the
-    UUID-named v2 layout the feature's write rule mandates. Preserves
-    every feature already listed (a legacy writer-v2 protocol carries
-    its implicit appendOnly/invariants forward, like delete_rows'
-    upgrade). No-op returning the current version if already enabled."""
+    features spec) AND setting ``delta.checkpointPolicy=v2`` in the
+    table configuration — the property real writers key the layout off,
+    committed together the way delta-spark's enablement does;
+    subsequent ``write_checkpoint`` calls emit the UUID-named v2 layout
+    the policy mandates. Preserves every feature already listed (a
+    legacy writer-v2 protocol carries its implicit appendOnly/
+    invariants forward, like delete_rows' upgrade). No-op returning the
+    current version if both halves are already in place."""
     state = replay_log(spark, path)
     _check_writer_protocol(state.protocol, path)
     proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     reader_feats = set(proto.get("readerFeatures") or ())
     writer_feats = set(proto.get("writerFeatures") or ())
-    if "v2Checkpoint" in reader_feats and "v2Checkpoint" in writer_feats:
+    config = dict((state.metadata or {}).get("configuration") or {})
+    if (
+        "v2Checkpoint" in reader_feats
+        and "v2Checkpoint" in writer_feats
+        and config.get("delta.checkpointPolicy") == "v2"
+    ):
         return state.version
     reader_feats.add("v2Checkpoint")
     writer_feats.add("v2Checkpoint")
     if int(proto.get("minWriterVersion", 2)) <= 2:
         writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+    config["delta.checkpointPolicy"] = "v2"
+    metadata = dict(state.metadata)
+    metadata["configuration"] = config
     version = state.version + 1
     commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
     _write_commit_file(
@@ -2161,7 +2172,8 @@ def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
                     "readerFeatures": sorted(reader_feats),
                     "writerFeatures": sorted(writer_feats),
                 }
-            }
+            },
+            {"metaData": metadata},
         ],
     )
     return version
@@ -2259,7 +2271,20 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     + protocol + txn + domainMetadata."""
     state = replay_log(spark, path)
     proto = state.protocol or {}
-    use_v2 = "v2Checkpoint" in (proto.get("readerFeatures") or ())
+    # layout switch: delta.checkpointPolicy is the property real
+    # writers key off ('v2' mandates the v2 layout; 'classic' mandates
+    # classic even with the feature listed); a feature-listed table
+    # with NO explicit policy (some foreign enablements) defaults to v2
+    # — the layout every v2Checkpoint-supporting reader must handle
+    _policy = str(
+        ((state.metadata or {}).get("configuration") or {}).get(
+            "delta.checkpointPolicy", ""
+        )
+    )
+    use_v2 = _policy == "v2" or (
+        "v2Checkpoint" in (proto.get("readerFeatures") or ())
+        and _policy != "classic"
+    )
     # state-bearing gate: a checkpoint must REPRESENT every feature's
     # state (files+DVs+optional add fields+metadata+protocol+txn+
     # domainMetadata here); features whose state lives elsewhere or

@@ -349,3 +349,38 @@ def test_cleanup_log_noop_without_checkpoint(spark, tmp_path):
     write_delta_lite(spark.range(3).selectExpr("id"), path)
     assert cleanup_log(spark, path) == []
     assert read_delta_lite(spark, path).count() == 3
+
+
+def test_checkpoint_policy_property_governs_layout(spark, tmp_path):
+    """delta.checkpointPolicy is the switch real writers key off:
+    enable_v2_checkpoint sets it (verified), policy 'classic' on a
+    feature-listed table keeps the classic layout, and an explicit
+    'v2' policy alone (foreign enablement) selects v2."""
+    from lcr_etl_upgrade_spark.delta_lite import replay_log as _replay
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(4).selectExpr("id"), path)
+    enable_v2_checkpoint(spark, path)
+    st = _replay(spark, path)
+    assert st.metadata["configuration"]["delta.checkpointPolicy"] == "v2"
+    assert "v2Checkpoint" in st.protocol["readerFeatures"]
+
+    # feature listed but policy EXPLICITLY classic -> classic layout
+    path2 = str(tmp_path / "u")
+    write_delta_lite(spark.range(4).selectExpr("id"), path2)
+    enable_v2_checkpoint(spark, path2)
+    st2 = _replay(spark, path2)
+    meta = dict(st2.metadata)
+    meta["configuration"] = dict(
+        meta["configuration"], **{"delta.checkpointPolicy": "classic"}
+    )
+    with open(os.path.join(path2, "_delta_log",
+                           f"{st2.version + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+    v = write_checkpoint(spark, path2)
+    log = _log_files(path2)
+    assert f"{v:020d}.checkpoint.parquet" in log
+    assert not any(
+        V2_NAME.match(f) and f.startswith(f"{v:020d}.") for f in log
+    )
+    assert read_delta_lite(spark, path2).count() == 4
