@@ -8,7 +8,7 @@ generates random typed query trees over the engine's implemented
 relational surface
 
     scan -> filter/project -> join (equi / null-safe <=>)
-         -> agg / rollup / cube / grouping sets
+         -> agg / rollup / cube / grouping sets (incl. over joins)
          -> window (partition / ROWS / RANGE frames)
          -> orderBy/limit -> distinct
          -> union all / intersect [all] / except [all]
@@ -430,7 +430,7 @@ class Case:
             cols = ", ".join(f"{c} AS {p}{c}" for c in _COLS)
             return f"(SELECT {cols} FROM {t})"
 
-        if self.kind == "grouping":
+        if self.kind in ("grouping", "join_grouping"):
             return self._grouping_sql(prefixed)
 
         sql_hows = {"inner": "JOIN", "left": "LEFT JOIN",
@@ -547,7 +547,16 @@ class Case:
         inner_cols = ", ".join(
             f"{e.sql()} AS {a}" for a, e in self._grouping_inner()
         )
-        q = f"SELECT {inner_cols} FROM {prefixed(self.tables[0], 's0_')} s0"
+        if self.join:
+            how, key = self.join
+            hows = {"inner": "JOIN", "left": "LEFT JOIN",
+                    "full": "FULL JOIN"}
+            src = (f"{prefixed(self.tables[0], 's0_')} s0 {hows[how]} "
+                   f"{prefixed(self.tables[1], 's1_')} s1 "
+                   f"ON s0.s0_{key} = s1.s1_{key}")
+        else:
+            src = f"{prefixed(self.tables[0], 's0_')} s0"
+        q = f"SELECT {inner_cols} FROM {src}"
         if self.where is not None:
             q += f" WHERE {self.where.sql()}"
         return (
@@ -558,7 +567,13 @@ class Case:
     def _grouping_df(self, spark, sdfs):
         from pyspark.sql import functions as F
 
-        df = _prefix(sdfs[self.tables[0]], "s0_")
+        if self.join:
+            how, key = self.join
+            d0 = _prefix(sdfs[self.tables[0]], "s0_")
+            d1 = _prefix(sdfs[self.tables[1]], "s1_")
+            df = d0.join(d1, d0[f"s0_{key}"] == d1[f"s1_{key}"], how)
+        else:
+            df = _prefix(sdfs[self.tables[0]], "s0_")
         if self.where is not None:
             df = df.filter(self.where.col())
         df = df.select(
@@ -588,7 +603,7 @@ class Case:
     def to_df(self, spark, sdfs):
         from pyspark.sql import functions as F
 
-        if self.kind == "grouping":
+        if self.kind in ("grouping", "join_grouping"):
             return self._grouping_df(spark, sdfs)
 
         if self.kind == "join3":
@@ -722,7 +737,7 @@ def _win_col(F, spec):
 ALL_KINDS = ["filter_project", "agg", "join", "orderby_limit", "distinct",
              "window", "join_agg", "union_all", "having", "join3",
              "agg_orderby", "grouping", "setop", "window_frame",
-             "join_nullsafe"]
+             "join_nullsafe", "join_grouping"]
 
 
 def gen_case(rng: np.random.Generator, kinds=None) -> Case:
@@ -768,6 +783,36 @@ def gen_case(rng: np.random.Generator, kinds=None) -> Case:
             gsets = [subsets[i] for i in sorted(idx)]
         return Case(kind, [t0], [], where=where, group=group, aggs=aggs,
                     gkind=gkind, gsets=gsets)
+
+    if kind == "join_grouping":
+        # GROUPING SETS over a JOIN result — the interaction shape.
+        # Always ()-free sets: an inner/full join CAN legitimately come
+        # up empty (unlike the non-empty base tables), which would hit
+        # the empty-input grand-total trap documented above.
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_", "s1_"])
+        how = g.pick(["inner", "left", "full"])
+        key = g.pick(["a_int", "b_int", "d_str"])
+        n_keys = int(rng.integers(1, 3))
+        group = [(f"k{i}", g.expr(g.pick([INT, STR]), 1))
+                 for i in range(n_keys)]
+        aggs = [("a0", "count_star", None)]
+        if rng.random() < 0.7:
+            aggs.append(("a1", g.pick(["sum", "min", "max"]),
+                         g.expr(INT, 1)))
+        from itertools import chain, combinations
+
+        keys = [a for a, _ in group]
+        subsets = list(chain.from_iterable(
+            combinations(keys, r) for r in range(1, len(keys) + 1)
+        ))
+        take = int(rng.integers(1, len(subsets) + 1))
+        idx = rng.choice(len(subsets), size=take, replace=False)
+        gsets = [subsets[i] for i in sorted(idx)]
+        where = g.expr(BOOL, 2) if rng.random() < 0.4 else None
+        return Case(kind, [t0, t1], [], where=where, group=group,
+                    aggs=aggs, join=(how, key), gkind="gsets",
+                    gsets=gsets)
 
     if kind == "setop":
         t1 = f"t{int(rng.integers(0, 3))}"
