@@ -1528,12 +1528,21 @@ def write_delta_lite(
         actions.append(protocol_action)
     if prior is None or mode == "overwrite":
         meta_id = prior.metadata["id"] if prior else str(uuid.uuid4())
-        configuration = {}
+        # overwrite REPLACES schema and data but PRESERVES table
+        # configuration (delta.checkpointPolicy, user properties, ...)
+        # — the real overwriteSchema contract; rebuilding it from
+        # scratch silently stripped properties other components key off
+        # (found in the round-9 review pass)
+        configuration = dict(
+            (prior.metadata.get("configuration") or {})
+            if prior is not None
+            else {}
+        )
         if mapping != "none":
-            configuration = {
+            configuration.update({
                 "delta.columnMapping.mode": mapping,
                 "delta.columnMapping.maxColumnId": str(max_id),
-            }
+            })
         schema_json = (
             mapped.json() if mapping != "none" else df.schema.json()
         )

@@ -384,3 +384,37 @@ def test_checkpoint_policy_property_governs_layout(spark, tmp_path):
         V2_NAME.match(f) and f.startswith(f"{v:020d}.") for f in log
     )
     assert read_delta_lite(spark, path2).count() == 4
+
+
+def test_overwrite_preserves_table_configuration(spark, tmp_path):
+    """Overwrite replaces schema+data but must PRESERVE configuration
+    (delta.checkpointPolicy, user properties) — round-9 review finding:
+    the metaData rebuild used to strip every non-columnMapping key."""
+    from lcr_etl_upgrade_spark.delta_lite import replay_log as _replay
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(4).selectExpr("id"), path)
+    enable_v2_checkpoint(spark, path)
+    # inject a user property the way an external tool would
+    st = _replay(spark, path)
+    meta = dict(st.metadata)
+    meta["configuration"] = dict(
+        meta["configuration"], **{"user.prop": "keepme"}
+    )
+    with open(os.path.join(path, "_delta_log",
+                           f"{st.version + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+
+    write_delta_lite(
+        spark.range(9).selectExpr("id", "id * 2 as v"), path,
+        mode="overwrite",
+    )
+    cfg = _replay(spark, path).metadata["configuration"]
+    assert cfg["delta.checkpointPolicy"] == "v2"
+    assert cfg["user.prop"] == "keepme"
+    # and the checkpoint layout decision survives the overwrite
+    v = write_checkpoint(spark, path)
+    assert any(
+        V2_NAME.match(f) and f.startswith(f"{v:020d}.")
+        for f in _log_files(path)
+    )
