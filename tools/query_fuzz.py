@@ -26,8 +26,12 @@ divergence between the engines, not a bug in either):
  - sort null placement: Spark ASC defaults to NULLS FIRST, DuckDB to
    NULLS LAST -> every DuckDB ORDER BY carries an explicit
    NULLS FIRST/LAST matching Spark's default;
- - `/` and `%`: Spark yields NULL on zero divisors where DuckDB raises,
-   and `/` result types differ -> excluded from the grammar;
+ - `/` and `%`: Spark 4's ANSI-mode operators THROW on zero divisors
+   (DuckDB's yield NULL for `%` and raise for integer `/`) -> the
+   grammar fuzzes the engines' tolerant surfaces instead (round 9):
+   Spark try_divide/try_mod vs DuckDB `/` and `%` over a NULLIF'd
+   divisor — int/int division is DOUBLE in both, mod sign follows the
+   dividend in both, and -0.0 divisors are NULL in both (probed);
  - float reductions: SUM/AVG over doubles are partition-order-dependent
    in Spark -> aggregation is restricted to exact types (int64 sums,
    min/max/count over anything, avg over ints which both engines
@@ -260,6 +264,20 @@ def lit_date(y: int, m: int, d: int) -> E:
              lambda: _F().lit(v))
 
 
+def try_div_(a: E, b: E) -> E:
+    # Spark 4's ANSI `/` THROWS on zero divisors; the engine's tolerant
+    # surface is try_divide (NULL on 0, incl. -0.0 — probed) = DuckDB's
+    # non-raising `/` over a NULLIF'd divisor. int/int is DOUBLE in both.
+    return E(DBL, lambda: f"({a.sql()} / NULLIF({b.sql()}, 0))",
+             lambda: _F().try_divide(a.col(), b.col()), (a, b))
+
+
+def try_mod_(a: E, b: E) -> E:
+    # sign follows the dividend in BOTH engines (-7%3=-1, 7%-3=1, probed)
+    return E(INT, lambda: f"({a.sql()} % NULLIF({b.sql()}, 0))",
+             lambda: _F().try_mod(a.col(), b.col()), (a, b))
+
+
 def date_add_(x: E, n: int) -> E:
     # Spark date_add(d, n); DuckDB has date + integer-days
     return E(DATE, lambda: f"({x.sql()} + {n})",
@@ -301,15 +319,23 @@ class Gen:
             return self.leaf(typ)
         if typ == INT:
             k = self.pick(["bin", "bin", "case", "coalesce", "abs",
-                           "datediff", "year"])
+                           "datediff", "year", "mod"])
             if k == "datediff":
                 return datediff_(self.expr(DATE, depth - 1),
                                  self.expr(DATE, depth - 1))
             if k == "year":
                 return year_(self.expr(DATE, depth - 1))
+            if k == "mod":
+                return try_mod_(self.expr(INT, depth - 1),
+                                self.expr(INT, depth - 1))
         if typ in (INT, DBL):
             if typ == DBL:
-                k = self.pick(["bin", "bin", "case", "coalesce", "abs"])
+                k = self.pick(["bin", "bin", "case", "coalesce", "abs",
+                               "div"])
+            if k == "div":
+                t = self.pick([INT, DBL])
+                return try_div_(self.expr(t, depth - 1),
+                                self.expr(t, depth - 1))
             if k == "bin":
                 op = self.pick(["+", "-", "*"])
                 return binop(op, typ, self.expr(typ, depth - 1),
