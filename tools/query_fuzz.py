@@ -27,15 +27,16 @@ divergence between the engines, not a bug in either):
    NULLS LAST -> every DuckDB ORDER BY carries an explicit
    NULLS FIRST/LAST matching Spark's default;
  - `/` and `%`: Spark 4's ANSI-mode operators THROW on zero divisors
-   (DuckDB's yield NULL for `%` and raise for integer `/`) -> the
-   grammar fuzzes the engines' tolerant surfaces instead (round 9):
-   Spark try_divide/try_mod vs DuckDB `/` and `%` over a NULLIF'd
-   divisor — int/int division is DOUBLE in both, mod sign follows the
-   dividend in both, and -0.0 divisors are NULL in both (probed);
- - float reductions: SUM/AVG over doubles are partition-order-dependent
-   in Spark -> aggregation is restricted to exact types (int64 sums,
-   min/max/count over anything, avg over ints which both engines
-   compute as exact-int-sum / count);
+   where DuckDB's yield NULL -> the grammar fuzzes the engines'
+   tolerant surfaces instead (round 9): Spark try_divide/try_mod vs
+   DuckDB `/` and `%` over a (belt-and-suspenders) NULLIF'd divisor —
+   int/int division is DOUBLE in both, mod sign follows the dividend
+   in both, and -0.0 divisors are NULL in both (probed);
+ - float SUM/AVG: plain Spark doubles sums are partition-order
+   dependent, so the ENGINE's deterministic aggregates are fuzzed
+   instead (round 9): functions/numeric.dsum/davg vs their oracle
+   spelling CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) [/ COUNT(x)]
+   — fuzzing the exact fixed-point path the headline queries run;
  - LIMIT determinism: a LIMIT is only emitted under an ORDER BY whose
    key list ends with the table's unique id;
  - bare decimal literals are DECIMAL to DuckDB, DOUBLE to Spark's lit()
@@ -699,6 +700,12 @@ def _agg_sql(agg: str, arg) -> str:
         return "count(*)"
     if agg == "avg_int":
         return f"avg({arg.sql()})"
+    if agg == "dsum":
+        return (f"CAST(SUM(CAST({arg.sql()} AS DECIMAL(38,6))) "
+                f"AS DOUBLE)")
+    if agg == "davg":
+        return (f"(CAST(SUM(CAST({arg.sql()} AS DECIMAL(38,6))) "
+                f"AS DOUBLE) / COUNT({arg.sql()}))")
     return f"{agg}({arg.sql()})"
 
 
@@ -707,6 +714,10 @@ def _agg_col(F, agg: str, arg):
         return F.count(F.lit(1))
     if agg == "avg_int":
         return F.avg(arg.col())
+    if agg in ("dsum", "davg"):
+        from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+
+        return (dsum if agg == "dsum" else davg)(arg.col())
     return getattr(F, agg)(arg.col())
 
 
@@ -997,11 +1008,13 @@ def gen_case(rng: np.random.Generator, kinds=None) -> Case:
         aggs = []
         for i in range(n_aggs):
             a = g.pick(["sum", "count", "count_star", "min", "max",
-                        "avg_int", "min", "max"])
+                        "avg_int", "min", "max", "dsum", "davg"])
             if a == "count_star":
                 aggs.append((f"a{i}", a, None))
             elif a in ("sum", "avg_int"):
                 aggs.append((f"a{i}", a, g.expr(INT, 1)))
+            elif a in ("dsum", "davg"):  # the ENGINE's deterministic
+                aggs.append((f"a{i}", a, g.expr(DBL, 1)))  # double aggs
             else:  # count/min/max over any type
                 aggs.append((f"a{i}", a,
                              g.expr(g.pick([INT, DBL, STR, DATE]), 1)))
