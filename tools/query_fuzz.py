@@ -738,6 +738,9 @@ def _win_sql(spec) -> str:
         frame = (f"{spec['mode'].upper()} BETWEEN "
                  f"{_frame_bound_sql(spec['lo'], True)} AND "
                  f"{_frame_bound_sql(spec['hi'], False)}")
+        if spec["agg"] == "dsum":
+            return (f"CAST(SUM(CAST({spec['arg'].sql()} AS "
+                    f"DECIMAL(38,6))) OVER ({over} {frame}) AS DOUBLE)")
         return f"{spec['agg']}({spec['arg'].sql()}) OVER ({over} {frame})"
     if kind == "row_number":
         return f"row_number() OVER ({over})"
@@ -761,6 +764,10 @@ def _win_col(F, spec):
         w = w.rowsBetween(lo, hi) if spec["mode"] == "rows" else (
             w.rangeBetween(lo, hi)
         )
+        if spec["agg"] == "dsum":  # the ENGINE's windowed exact sum
+            from lcr_etl_upgrade_spark.functions.numeric import dsum_over
+
+            return dsum_over(spec["arg"].col(), w)
         return getattr(F, spec["agg"])(spec["arg"].col()).over(w)
     if kind == "row_number":
         return F.row_number().over(w)
@@ -868,10 +875,11 @@ def gen_case(rng: np.random.Generator, kinds=None) -> Case:
     if kind == "window_frame":
         g = Gen(rng, ["s0_"])
         part = g.column(g.pick([INT, STR]))
+        agg = g.pick(["sum", "min", "max", "count", "dsum"])
         spec = {
             "kind": "frame_agg", "part": part,
-            "agg": g.pick(["sum", "min", "max", "count"]),
-            "arg": g.expr(INT, 1),
+            "agg": agg,
+            "arg": g.expr(DBL if agg == "dsum" else INT, 1),
             "mode": g.pick(["rows", "range"]),
         }
         if spec["mode"] == "rows":
