@@ -84,3 +84,19 @@ def test_residual_scrub_backfill_fuzz(spark, duck):
             failures.append({"i": i, "cols": cols, "scrub": scrub_cols,
                              **rec})
     assert failures == []
+
+
+def test_pipeline_fuzz_native_only_mode(spark, duck):
+    """fuzzy=False (native-only parsing, the transform_table flag):
+    fuzzy-format values must come out NULL instead of NY-localized —
+    the oracle drops its strptime cascade accordingly."""
+    failures = []
+    for i in range(8):
+        rng = np.random.default_rng((SEED + 7) * 1_000_003 + i)
+        cols, extra_srcs, cap_cols, as_of = gen_spec(rng)
+        pdf = make_raw(rng, cols, extra_srcs, 80)
+        rec = run_case(spark, duck, cols, extra_srcs, cap_cols, as_of,
+                       pdf, fuzzy=False)
+        if rec is not None:
+            failures.append({"i": i, **rec})
+    assert failures == []

@@ -398,8 +398,12 @@ def _fuzzy_date(r: str) -> str:
     return f"cast(COALESCE({cascade}) as date)"
 
 
-def oracle_sql(cols, cap_cols, as_of: str, raw_cols: list[str]) -> str:
-    """DuckDB restatement of conform->cleanse->cap->enrich->project."""
+def oracle_sql(cols, cap_cols, as_of: str, raw_cols: list[str],
+               fuzzy: bool = True) -> str:
+    """DuckDB restatement of conform->cleanse->cap->enrich->project.
+    ``fuzzy=False`` restates the native-only mode (transform_table's
+    fuzzy flag): the strptime fuzzy cascade drops out entirely, while
+    scrub, future caps/nulls and the ETL_* fallback still apply."""
     # conform resolution, re-derived from the documented rules: mapping
     # entries resolve case-insensitively FIRST, then same-name
     # passthrough for still-unmapped targets
@@ -431,10 +435,12 @@ def oracle_sql(cols, cap_cols, as_of: str, raw_cols: list[str]) -> str:
                 f"ELSE {r} END)"
             )
         elif c.kind == "timestamp":
+            parse = _native_ts(r) if not fuzzy else (
+                f"COALESCE({_native_ts(r)}, {_fuzzy_ts(r, as_of)})"
+            )
             e = (
                 f"(CASE WHEN {r} IS NULL OR {_scrub(r)} THEN NULL "
-                f"ELSE COALESCE({_native_ts(r)}, {_fuzzy_ts(r, as_of)}) "
-                f"END)"
+                f"ELSE {parse} END)"
             )
             if c.name in cap_cols:
                 e = (
@@ -444,10 +450,13 @@ def oracle_sql(cols, cap_cols, as_of: str, raw_cols: list[str]) -> str:
             if c.name.startswith("ETL_"):
                 e = f"COALESCE({e}, TIMESTAMP '{as_of}')"
         elif c.kind == "date":
+            dparse = f"cast({_native_ts(r)} as date)" if not fuzzy else (
+                f"COALESCE(cast({_native_ts(r)} as date), "
+                f"{_fuzzy_date(r)})"
+            )
             parsed = (
                 f"(CASE WHEN {r} IS NULL OR {_scrub(r)} THEN NULL "
-                f"ELSE COALESCE(cast({_native_ts(r)} as date), "
-                f"{_fuzzy_date(r)}) END)"
+                f"ELSE {dparse} END)"
             )
             e = (
                 f"(CASE WHEN {parsed} > DATE '{as_of[:10]}' THEN NULL "
@@ -585,14 +594,14 @@ def run_residual_case(spark, con, cols, scrub_cols, as_of,
 
 
 def run_case(spark, con, cols, extra_srcs, cap_cols, as_of,
-             pdf) -> dict | None:
+             pdf, fuzzy: bool = True) -> dict | None:
     from lcr_etl_upgrade_spark.pipeline import transform_table
 
     spec = build_tablespec(cols, cap_cols)
     schema = ", ".join(f"`{c}` string" for c in pdf.columns)
     sdf = spark.createDataFrame(pdf, schema)
     try:
-        out = transform_table(sdf, spec, as_of=as_of, fuzzy=True)
+        out = transform_table(sdf, spec, as_of=as_of, fuzzy=fuzzy)
         srows = out.collect()
         scols = out.columns
     except Exception as exc:
@@ -600,7 +609,7 @@ def run_case(spark, con, cols, extra_srcs, cap_cols, as_of,
     con.register("raw", pdf)
     try:
         res = con.execute(oracle_sql(cols, cap_cols, as_of,
-                                     list(pdf.columns)))
+                                     list(pdf.columns), fuzzy=fuzzy))
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
     except Exception as exc:
@@ -706,7 +715,9 @@ def main() -> int:
             continue
         cols, extra_srcs, cap_cols, as_of = gen_spec(rng)
         pdf = make_raw(rng, cols, extra_srcs, args.rows)
-        rec = run_case(spark, con, cols, extra_srcs, cap_cols, as_of, pdf)
+        fuzzy = bool(rng.random() >= 0.25)  # 1 in 4 runs native-only
+        rec = run_case(spark, con, cols, extra_srcs, cap_cols, as_of,
+                       pdf, fuzzy=fuzzy)
         if args.case is not None:
             print("as_of:", as_of, "cap:", cap_cols)
             print("cols:", [(c.name, c.kind, c.src, c.mapped)
