@@ -1,0 +1,53 @@
+"""Bounded, seeded slice of the stateful-operator fuzzer (round 9).
+
+tools/stateful_fuzz.py randomizes the SHAPES the frozen oracle queries
+pin one instance of: sessionization (duplicate-ts ties, NULL
+timestamps, deltas landing EXACTLY on the gap boundary), MERGE upsert
+chains (latest-batch-wins restatement), and SCD2 application over
+dimensions with NULL IS_CURRENT rows — each vs a DuckDB restatement of
+the documented semantics. Mutation-detection evidence (gap > vs >=,
+batch order flip, NULL-flag hit) is recorded in FUZZ_r09.json.
+Reproduce a case with ``python tools/stateful_fuzz.py --seed S --case I``.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from tools.stateful_fuzz import (
+    gen_scd2_case,
+    gen_session_case,
+    gen_upsert_case,
+    run_scd2_case,
+    run_session_case,
+    run_upsert_case,
+)
+
+SEED = 20260815
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+    yield con
+    con.close()
+
+
+def test_stateful_fuzz_slice(spark, duck):
+    failures = []
+    for i in range(18):
+        rng = np.random.default_rng(SEED * 1_000_003 + i)
+        fam = ("sessionize", "upsert", "scd2")[i % 3]
+        if fam == "sessionize":
+            pdf, gap_us = gen_session_case(rng)
+            rec = run_session_case(spark, duck, pdf, gap_us)
+        elif fam == "upsert":
+            base, batches = gen_upsert_case(rng)
+            rec = run_upsert_case(spark, duck, base, batches)
+        else:
+            dim, upd, as_of = gen_scd2_case(rng)
+            rec = run_scd2_case(spark, duck, dim, upd, as_of)
+        if rec is not None:
+            failures.append({"i": i, "family": fam, **rec})
+    assert failures == []

@@ -1,0 +1,319 @@
+#!/usr/bin/env python
+"""Randomized differential for the STATEFUL operators: sessionization,
+MERGE upsert chains, SCD2 application — vs DuckDB restatements of
+their documented semantics (round-9 extension of the fuzzing
+machinery; the frozen oracle queries pin one shape of each, hypothesis
+pins composition laws, and this varies the SHAPES randomly).
+
+Families (each case seeded from (seed, index), index % 3 selects):
+
+- sessionize: random multi-user event sets with deliberate duplicate
+  (user_id, ts) TIES (the tiebreaker regression surface), NULL
+  timestamps (dropped by contract), random gap; engine =
+  plans.events.sessionize, oracle = the lag/cumsum restatement in
+  DuckDB SQL (epoch_us arithmetic, same (ts, event_id) total order,
+  exact fixed-point session_value). Whole-second timestamps only —
+  Spark and DuckDB render fractional seconds differently in the
+  VARCHAR casts the query returns (a presentation divergence, not
+  semantics).
+- upsert: a base table + N random update batches (keys deduped per
+  batch, the operator's documented caller contract) folded through
+  operators.merge.upsert; oracle = latest-batch-wins row_number
+  restatement over the union of all batches.
+- scd2: operators.merge.scd2_apply over a dimension that includes
+  NULL IS_CURRENT rows (the r5 fixed must-not-lose-rows class) and
+  already-closed versions; oracle = the hit-marking LEFT JOIN + union
+  restated in SQL.
+
+Usage:
+    python tools/stateful_fuzz.py [--seed N] [--n N] [--case I]
+
+Prints one JSON summary line; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import frame_to_rows  # noqa: E402
+
+BASE_TS = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _compare(srows, scols, con, sql) -> dict | None:
+    try:
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as exc:
+        return {"side": "duckdb_error", "err": repr(exc)[:400]}
+    s_norm, s_cols = frame_to_rows(srows, scols)
+    o_norm, o_cols = frame_to_rows(orows, ocols)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return {"side": "schema", "spark": s_cols, "duckdb": o_cols}
+    if s_norm != o_norm:
+        i = next(
+            (j for j, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b),
+            min(len(s_norm), len(o_norm)),
+        )
+        return {
+            "side": "values", "spark_rows": len(s_norm),
+            "duckdb_rows": len(o_norm),
+            "first_diff": {
+                "cols": s_cols,
+                "spark": s_norm[i] if i < len(s_norm) else None,
+                "duckdb": o_norm[i] if i < len(o_norm) else None,
+            },
+        }
+    return None
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def gen_session_case(rng):
+    n_users = int(rng.integers(1, 12))
+    gap_s = int(rng.choice([1, 37, 300, 1800]))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = BASE_TS + dt.timedelta(seconds=int(rng.integers(0, 3600)))
+        for _ in range(int(rng.integers(0, 30))):
+            # duplicate-ts TIES on ~25% of steps; ~20% land EXACTLY on
+            # the gap boundary (a strict-> vs >= off-by-one is invisible
+            # without boundary deltas — caught by this tool's own
+            # mutation check); occasional NULL ts
+            r = rng.random()
+            if r < 0.25:
+                pass  # tie: same ts as the previous event
+            elif r < 0.45:
+                t = t + dt.timedelta(seconds=gap_s)  # boundary: == gap
+            else:
+                t = t + dt.timedelta(seconds=int(rng.integers(0, 1200)))
+            ts = None if rng.random() < 0.06 else t
+            rows.append(
+                (u, eid, ts, float(int(rng.integers(-64, 65))) / 8.0)
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "value"]
+    )
+    return pdf, gap_s * 1_000_000
+
+
+def run_session_case(spark, con, pdf, gap_us) -> dict | None:
+    from lcr_etl_upgrade_spark.plans.events import sessionize
+
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "user_id long, event_id long, ts timestamp_ntz, value double",
+    )
+    try:
+        out = sessionize(sdf, gap_us=gap_us)
+        srows = [tuple(r) for r in out.collect()]
+        scols = out.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    con.register("raw_events", pdf)
+    sql = f"""
+    WITH clean AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM raw_events WHERE ts IS NOT NULL
+    ), marked AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {gap_us}
+                THEN 1 ELSE 0 END AS is_new
+      FROM clean
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) AS VARCHAR) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """
+    return _compare(srows, scols, con, sql)
+
+
+# --------------------------------------------------------------- upsert
+
+
+def gen_upsert_case(rng):
+    keyspace = int(rng.integers(5, 40))
+
+    def batch(bi, n):
+        ks = rng.choice(keyspace, size=min(n, keyspace), replace=False)
+        return pd.DataFrame({
+            "k": [int(x) for x in ks],
+            "v_int": [int(rng.integers(-100, 100)) for _ in ks],
+            "v_str": [f"b{bi}_{int(rng.integers(0, 10))}" for _ in ks],
+        })
+
+    base = batch(0, int(rng.integers(1, 25)))
+    batches = [
+        batch(bi + 1, int(rng.integers(1, 20)))
+        for bi in range(int(rng.integers(1, 5)))
+    ]
+    return base, batches
+
+
+def run_upsert_case(spark, con, base, batches) -> dict | None:
+    from lcr_etl_upgrade_spark.operators.merge import upsert
+
+    schema = "k long, v_int long, v_str string"
+    cur = spark.createDataFrame(base, schema)
+    try:
+        for b in batches:
+            cur = upsert(cur, spark.createDataFrame(b, schema), ["k"])
+        srows = [tuple(r) for r in cur.collect()]
+        scols = cur.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    stamped = pd.concat(
+        [df.assign(batch=i) for i, df in enumerate([base] + batches)],
+        ignore_index=True,
+    )
+    con.register("all_rows", stamped)
+    sql = """
+    SELECT k, v_int, v_str FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY batch DESC
+      ) AS rn FROM all_rows
+    ) WHERE rn = 1
+    """
+    return _compare(srows, scols, con, sql)
+
+
+# ----------------------------------------------------------------- scd2
+
+
+def gen_scd2_case(rng):
+    keyspace = int(rng.integers(4, 25))
+    dim_rows = []
+    for k in range(int(rng.integers(1, keyspace + 1))):
+        n_vers = int(rng.integers(1, 4))
+        for v in range(n_vers):
+            is_last = v == n_vers - 1
+            flag = (
+                None if (is_last and rng.random() < 0.15)
+                else bool(is_last)
+            )
+            vf = BASE_TS + dt.timedelta(days=v * 10)
+            vt = None if flag is not False else (
+                BASE_TS + dt.timedelta(days=(v + 1) * 10)
+            )
+            if flag is None:
+                vt = None  # NULL-flag rows: neither open nor closed
+            dim_rows.append((k, f"attr_{k}_{v}", vf, vt, flag))
+    dim = pd.DataFrame(
+        dim_rows,
+        columns=["k", "attr", "VALID_FROM", "VALID_TO", "IS_CURRENT"],
+    )
+    ks = rng.choice(keyspace, size=int(rng.integers(1, keyspace + 1)),
+                    replace=False)
+    upd = pd.DataFrame({
+        "k": [int(x) for x in ks],
+        "attr": [f"new_{int(x)}" for x in ks],
+    })
+    as_of = (BASE_TS + dt.timedelta(days=100)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    return dim, upd, as_of
+
+
+def run_scd2_case(spark, con, dim, upd, as_of) -> dict | None:
+    from lcr_etl_upgrade_spark.operators.merge import scd2_apply
+
+    sdim = spark.createDataFrame(
+        dim.astype(object).where(dim.notna(), None),
+        "k long, attr string, VALID_FROM timestamp_ntz, "
+        "VALID_TO timestamp_ntz, IS_CURRENT boolean",
+    )
+    supd = spark.createDataFrame(upd, "k long, attr string")
+    try:
+        out = scd2_apply(sdim, supd, ["k"], as_of=as_of)
+        srows = [tuple(r) for r in out.collect()]
+        scols = out.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    con.register("dim", dim)
+    con.register("upd", upd)
+    sql = f"""
+    SELECT k, attr,
+           CAST(VALID_FROM AS TIMESTAMP) AS VALID_FROM,
+           CASE WHEN hit THEN TIMESTAMP '{as_of}'
+                ELSE CAST(VALID_TO AS TIMESTAMP) END AS VALID_TO,
+           CASE WHEN hit THEN false ELSE IS_CURRENT END AS IS_CURRENT
+    FROM (
+      SELECT d.*, (u.k IS NOT NULL AND COALESCE(d.IS_CURRENT, false))
+               AS hit
+      FROM dim d LEFT JOIN (SELECT DISTINCT k FROM upd) u USING (k)
+    )
+    UNION ALL
+    SELECT k, attr, TIMESTAMP '{as_of}', NULL, true FROM upd
+    """
+    return _compare(srows, scols, con, sql)
+
+
+# --------------------------------------------------------------- driver
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=20260815)
+    ap.add_argument("--n", type=int, default=90)
+    ap.add_argument("--case", type=int, default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session("stateful_fuzz")
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+
+    failures = []
+    for i in range(args.n):
+        if args.case is not None and i != args.case:
+            continue
+        rng = np.random.default_rng(args.seed * 1_000_003 + i)
+        fam = ("sessionize", "upsert", "scd2")[i % 3]
+        if fam == "sessionize":
+            pdf, gap_us = gen_session_case(rng)
+            rec = run_session_case(spark, con, pdf, gap_us)
+        elif fam == "upsert":
+            base, batches = gen_upsert_case(rng)
+            rec = run_upsert_case(spark, con, base, batches)
+        else:
+            dim, upd, as_of = gen_scd2_case(rng)
+            rec = run_scd2_case(spark, con, dim, upd, as_of)
+        if rec is not None:
+            failures.append({"i": i, "family": fam, **rec})
+            print(f"FAIL case {i} [{fam}]: "
+                  f"{json.dumps(failures[-1])[:700]}", file=sys.stderr)
+    print(json.dumps({
+        "seed": args.seed, "n": args.n,
+        "failures": failures, "ok": not failures,
+    }))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
