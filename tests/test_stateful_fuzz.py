@@ -15,9 +15,11 @@ import numpy as np
 import pytest
 
 from tools.stateful_fuzz import (
+    gen_dyngap_case,
     gen_scd2_case,
     gen_session_case,
     gen_upsert_case,
+    run_dyngap_case,
     run_scd2_case,
     run_session_case,
     run_upsert_case,
@@ -36,15 +38,18 @@ def duck():
 
 def test_stateful_fuzz_slice(spark, duck):
     failures = []
-    for i in range(18):
+    for i in range(20):
         rng = np.random.default_rng(SEED * 1_000_003 + i)
-        fam = ("sessionize", "upsert", "scd2")[i % 3]
+        fam = ("sessionize", "upsert", "scd2", "dyngap")[i % 4]
         if fam == "sessionize":
             pdf, gap_us = gen_session_case(rng)
             rec = run_session_case(spark, duck, pdf, gap_us)
         elif fam == "upsert":
             base, batches = gen_upsert_case(rng)
             rec = run_upsert_case(spark, duck, base, batches)
+        elif fam == "dyngap":
+            (pdf,) = gen_dyngap_case(rng)
+            rec = run_dyngap_case(spark, duck, pdf)
         else:
             dim, upd, as_of = gen_scd2_case(rng)
             rec = run_scd2_case(spark, duck, dim, upd, as_of)

@@ -5,7 +5,7 @@ their documented semantics (round-9 extension of the fuzzing
 machinery; the frozen oracle queries pin one shape of each, hypothesis
 pins composition laws, and this varies the SHAPES randomly).
 
-Families (each case seeded from (seed, index), index % 3 selects):
+Families (each case seeded from (seed, index), index % 4 selects):
 
 - sessionize: random multi-user event sets with deliberate duplicate
   (user_id, ts) TIES (the tiebreaker regression surface), NULL
@@ -20,6 +20,9 @@ Families (each case seeded from (seed, index), index % 3 selects):
   batch, the operator's documented caller contract) folded through
   operators.merge.upsert; oracle = latest-batch-wins row_number
   restatement over the union of all batches.
+- dyngap: the dynamic-gap core (plans.events.session_ids with a
+  per-row gap_us column): the PREVIOUS row's allowance governs the
+  break, restated as lag(gap_us) in the DuckDB window.
 - scd2: operators.merge.scd2_apply over a dimension that includes
   NULL IS_CURRENT rows (the r5 fixed must-not-lose-rows class) and
   already-closed versions; oracle = the hit-marking LEFT JOIN + union
@@ -147,6 +150,55 @@ def run_session_case(spark, con, pdf, gap_us) -> dict | None:
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
              AS session_value
     FROM sess GROUP BY user_id, session_id
+    """
+    return _compare(srows, scols, con, sql)
+
+
+def gen_dyngap_case(rng):
+    """Per-row gap allowances (the dynamic-session-gap shape): the
+    PREVIOUS row's allowance governs whether the next event chains."""
+    pdf, _ = gen_session_case(rng)
+    gaps = [int(rng.choice([1, 37, 300, 1800])) * 1_000_000
+            for _ in range(len(pdf))]
+    pdf = pdf.assign(gap_us=gaps)
+    return (pdf,)
+
+
+def run_dyngap_case(spark, con, pdf) -> dict | None:
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.plans.events import session_ids
+
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "user_id long, event_id long, ts timestamp_ntz, value double, "
+        "gap_us long",
+    ).filter(F.col("ts").isNotNull())
+    try:
+        out = session_ids(sdf, F.col("gap_us")).select(
+            "user_id", "event_id", "session_id"
+        )
+        srows = [tuple(r) for r in out.collect()]
+        scols = out.columns
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    con.register("raw_dyn", pdf)
+    sql = """
+    WITH clean AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, gap_us
+      FROM raw_dyn WHERE ts IS NOT NULL
+    ), marked AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > lag(gap_us) OVER w
+                THEN 1 ELSE 0 END AS is_new
+      FROM clean
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id FROM marked
     """
     return _compare(srows, scols, con, sql)
 
@@ -294,13 +346,16 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
-        fam = ("sessionize", "upsert", "scd2")[i % 3]
+        fam = ("sessionize", "upsert", "scd2", "dyngap")[i % 4]
         if fam == "sessionize":
             pdf, gap_us = gen_session_case(rng)
             rec = run_session_case(spark, con, pdf, gap_us)
         elif fam == "upsert":
             base, batches = gen_upsert_case(rng)
             rec = run_upsert_case(spark, con, base, batches)
+        elif fam == "dyngap":
+            (pdf,) = gen_dyngap_case(rng)
+            rec = run_dyngap_case(spark, con, pdf)
         else:
             dim, upd, as_of = gen_scd2_case(rng)
             rec = run_scd2_case(spark, con, dim, upd, as_of)
