@@ -638,13 +638,15 @@ def run_case(spark, con, cols, extra_srcs, cap_cols, as_of,
     return None
 
 
-def minimize(spark, con, cols, extra_srcs, cap_cols, as_of, pdf):
-    """Greedy shrink: fewer target columns, fewer rows."""
+def minimize(spark, con, cols, extra_srcs, cap_cols, as_of, pdf,
+             fuzzy: bool = True):
+    """Greedy shrink: fewer target columns, fewer rows — under the SAME
+    fuzzy mode the failure occurred in."""
 
     def fails(cs, frame):
         caps = tuple(c for c in cap_cols if c in {x.name for x in cs})
         return run_case(
-            spark, con, cs, extra_srcs, caps, as_of, frame
+            spark, con, cs, extra_srcs, caps, as_of, frame, fuzzy=fuzzy
         ) is not None
 
     changed = True
@@ -726,7 +728,8 @@ def main() -> int:
                                      list(pdf.columns))[:2000])
         if rec is not None:
             mcols, mcaps, mpdf = minimize(
-                spark, con, cols, extra_srcs, cap_cols, as_of, pdf
+                spark, con, cols, extra_srcs, cap_cols, as_of, pdf,
+                fuzzy=fuzzy,
             )
             failures.append({
                 "i": i, **rec,
