@@ -944,3 +944,35 @@ def test_session_window_equals_lag_cumsum_formulation(spark, events):
         for r in sessionize(df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))).collect()
     }
     assert via_window == via_cumsum, events
+
+
+def test_dsum_tie_rounding_matches_duckdb_cast(spark):
+    """Round-9 fuzzer find: odd/2^k doubles (the only binary-exact
+    values whose 6-dp expansion ends in ...5) quantize to an EXACT
+    half-unit tie, where DuckDB's double->decimal cast rounds AWAY from
+    zero and Java's rint rounds half-to-even. dsum/davg must follow the
+    oracle spelling. 1/128 -> 0.007813 (not ...12), -1/128 -> -0.007813."""
+    import duckdb
+
+    from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+
+    vals = [1.0 / 128, -1.0 / 128, 3.0 / 128, -3.0 / 128, 5.0 / 512,
+            -20.0 / 512, 1.25, -1.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_sum = df.agg(dsum("x", "s")).collect()[0].s
+    got_avg = df.agg(davg("x", "a")).collect()[0].a
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+        + ") v(x)"
+    )
+    want_sum, want_avg = con.execute(
+        "SELECT CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), "
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x) FROM t"
+    ).fetchone()
+    assert got_sum == want_sum
+    assert got_avg == want_avg
+    # and the tie itself went AWAY from zero
+    one = spark.createDataFrame([(1.0 / 128,)], "x double")
+    assert one.agg(dsum("x", "s")).collect()[0].s == 0.007813
