@@ -208,6 +208,11 @@ _ADD_CORE = frozenset(
     {"path", "partitionValues", "size", "modificationTime", "dataChange",
      "deletionVector"}
 )
+# checkpoint-only DERIVED columns delta-spark materializes alongside the
+# raw fields they duplicate (stats/partitionValues); dropping them is
+# lossless by construction, so they must not trip the lossless-or-refuse
+# checkpoint gate as unknown state
+_ADD_DERIVED = frozenset({"stats_parsed", "partitionValues_parsed"})
 
 
 def _apply_action(state: TableState, action: dict) -> None:
@@ -229,7 +234,9 @@ def _apply_action(state: TableState, action: dict) -> None:
         # latest-add-wins rule; explicit nulls from checkpoint structs
         # are absence
         extra = {
-            k: v for k, v in a.items() if k not in _ADD_CORE and v is not None
+            k: v
+            for k, v in a.items()
+            if k not in _ADD_CORE and k not in _ADD_DERIVED and v is not None
         }
         if extra:
             state.adds[rel] = extra
@@ -2166,6 +2173,17 @@ def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
     writer_feats.add("v2Checkpoint")
     if int(proto.get("minWriterVersion", 2)) <= 2:
         writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+    if (
+        _column_mapping_mode(state.metadata) != "none"
+        or int(proto.get("minReaderVersion", 1)) == 2
+    ):
+        # A legacy minReaderVersion=2 table carries an IMPLICIT
+        # columnMapping reader requirement; upgrading to reader v3
+        # with only v2Checkpoint listed would let a feature-gated
+        # reader resolve columns by logical name and read NULLs.
+        # Mirror delete_rows' upgrade and make it explicit.
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
     config["delta.checkpointPolicy"] = "v2"
     metadata = dict(state.metadata)
     metadata["configuration"] = config
@@ -2290,10 +2308,19 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             "delta.checkpointPolicy", ""
         )
     )
-    use_v2 = _policy == "v2" or (
-        "v2Checkpoint" in (proto.get("readerFeatures") or ())
-        and _policy != "classic"
-    )
+    _has_v2_feature = "v2Checkpoint" in (proto.get("readerFeatures") or ())
+    if _policy == "v2" and not _has_v2_feature:
+        # the protocol gates WRITING v2 checkpoints on the table
+        # feature; a foreign/malformed table saying policy=v2 without
+        # listing it would strand feature-gated readers on a layout the
+        # protocol never told them to support — refuse, don't guess
+        raise NotImplementedError(
+            "delta.checkpointPolicy=v2 is set but the v2Checkpoint "
+            "reader feature is not listed; refusing to emit a v2 "
+            "checkpoint the protocol does not authorize (run "
+            "enable_v2_checkpoint, or fix the table's protocol)"
+        )
+    use_v2 = _has_v2_feature and _policy != "classic"
     # state-bearing gate: a checkpoint must REPRESENT every feature's
     # state (files+DVs+optional add fields+metadata+protocol+txn+
     # domainMetadata here); features whose state lives elsewhere or
