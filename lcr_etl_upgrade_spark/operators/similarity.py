@@ -443,6 +443,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     n_assign: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: seeded spherical k-means (trained
     driver-side on a bounded sample — see _spherical_kmeans and the
@@ -518,11 +519,26 @@ def ivf_topk(
         if not rows:
             # raw corpus was non-empty but EVERY row is unscorable
             return _empty()
-    # the index dimension is the first sampled row's; rows of any other
-    # length would make the training matrix ragged — they are excluded
-    # from training and masked to NULL cells by _top_cells_udf, the same
-    # unscorable contract as NULL vectors
-    index_dim = len(rows[0][0])
+    # the index dimension: the explicit ``dim`` argument when given,
+    # else the MODAL length of the sampled rows (ties -> the smaller).
+    # Rows of any other length would make the training matrix ragged —
+    # they are excluded from training and masked to NULL cells by
+    # _top_cells_udf, the same unscorable contract as NULL vectors.
+    # (Round 10, found by tools/similarity_fuzz.py: inferring from the
+    # FIRST sampled row made the choice depend on physical partition
+    # order — one stray wrong-dimension row sampled first silently
+    # emptied the result for an entire valid query set.)
+    if dim is not None:
+        index_dim = dim
+        if not any(len(r[0]) == index_dim for r in rows):
+            return _empty()
+    else:
+        counts: dict[int, int] = {}
+        for r in rows:
+            counts[len(r[0])] = counts.get(len(r[0]), 0) + 1
+        index_dim = min(
+            counts, key=lambda length: (-counts[length], length)
+        )
     sample = np.array(
         [r[0] for r in rows if len(r[0]) == index_dim], dtype=np.float64
     )

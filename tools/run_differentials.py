@@ -8,6 +8,8 @@ Harnesses (each also runnable standalone with richer options):
   - pipeline_fuzz   dirty-value conform/cleanse vs DuckDB
   - stateful_fuzz   sessionize / upsert / SCD2 / dynamic gaps vs DuckDB
   - curation_fuzz   chunk / pack / sample vs Python restatements
+  - similarity_fuzz LSH/minhash/simhash/IVF vs exact Python
+                    restatements (from-spec XXH64) + recall floors
   - codec_differential  jpeg_lite/png_lite vs the JDK's javax.imageio
 
 Usage:
@@ -29,6 +31,7 @@ SPECS = [
     ("pipeline_fuzz", ["--n"], 100, 36),
     ("stateful_fuzz", ["--n"], 80, 24),
     ("curation_fuzz", ["--n"], 60, 18),
+    ("similarity_fuzz", ["--n"], 60, 16),
     ("codec_differential", ["--png", "--jpeg"], (30, 18), (10, 6)),
 ]
 
