@@ -3,9 +3,11 @@
 tools/stateful_fuzz.py randomizes the SHAPES the frozen oracle queries
 pin one instance of: sessionization (duplicate-ts ties, NULL
 timestamps, deltas landing EXACTLY on the gap boundary), MERGE upsert
-chains (latest-batch-wins restatement), and SCD2 application over
-dimensions with NULL IS_CURRENT rows — each vs a DuckDB restatement of
-the documented semantics. Mutation-detection evidence (gap > vs >=,
+chains (latest-batch-wins restatement), SCD2 application over
+dimensions with NULL IS_CURRENT rows, and (round 10) the watermark
+incremental LOOP (multi-cycle cumulative sources with standing
+watermarks, boundary collisions and NULL keys) — each vs an independent
+restatement of the documented semantics. Mutation-detection evidence (gap > vs >=,
 batch order flip, NULL-flag hit) is recorded in FUZZ_r09.json.
 Reproduce a case with ``python tools/stateful_fuzz.py --seed S --case I``.
 """
@@ -19,10 +21,12 @@ from tools.stateful_fuzz import (
     gen_scd2_case,
     gen_session_case,
     gen_upsert_case,
+    gen_watermark_case,
     run_dyngap_case,
     run_scd2_case,
     run_session_case,
     run_upsert_case,
+    run_watermark_case,
 )
 
 SEED = 20260815
@@ -40,7 +44,8 @@ def test_stateful_fuzz_slice(spark, duck):
     failures = []
     for i in range(20):
         rng = np.random.default_rng(SEED * 1_000_003 + i)
-        fam = ("sessionize", "upsert", "scd2", "dyngap")[i % 4]
+        fam = ("sessionize", "upsert", "scd2", "dyngap",
+               "watermark")[i % 5]
         if fam == "sessionize":
             pdf, gap_us = gen_session_case(rng)
             rec = run_session_case(spark, duck, pdf, gap_us)
@@ -50,6 +55,9 @@ def test_stateful_fuzz_slice(spark, duck):
         elif fam == "dyngap":
             (pdf,) = gen_dyngap_case(rng)
             rec = run_dyngap_case(spark, duck, pdf)
+        elif fam == "watermark":
+            batches, use_key = gen_watermark_case(rng)
+            rec = run_watermark_case(spark, batches, use_key)
         else:
             dim, upd, as_of = gen_scd2_case(rng)
             rec = run_scd2_case(spark, duck, dim, upd, as_of)

@@ -27,9 +27,19 @@ Families (each case seeded from (seed, index), index % 4 selects):
   NULL IS_CURRENT rows (the r5 fixed must-not-lose-rows class) and
   already-closed versions; oracle = the hit-marking LEFT JOIN + union
   restated in SQL.
+- watermark (round 10): the F1/F2/C10 incremental LOOP
+  (operators.incremental.run_incremental) over random multi-cycle
+  cumulative sources — backdated rows, duplicate keys across cycles,
+  boundary-timestamp collisions, NULL keys at the boundary (kept +
+  re-selected by contract), NULL MODIFY backfill, empty cycles,
+  standing watermarks (boundary-key UNION semantics) — vs an
+  independent Python restatement of the documented exactly-once /
+  boundary-cap contract. --mutate wm_strict_gt | wm_clear_on_stand |
+  wm_null_key_excluded are the detection-power probes.
 
 Usage:
     python tools/stateful_fuzz.py [--seed N] [--n N] [--case I]
+                                  [--mutate NAME]
 
 Prints one JSON summary line; exit 1 on any mismatch.
 """
@@ -323,15 +333,174 @@ def run_scd2_case(spark, con, dim, upd, as_of) -> dict | None:
     return _compare(srows, scols, con, sql)
 
 
+# ------------------------------------------------------------ watermark
+
+MUTATE = None  # --mutate: deliberate oracle-side bug for evidence runs
+
+
+def gen_watermark_case(rng):
+    """Random multi-cycle incremental-load scenario: a cumulative source
+    with backdated rows, duplicate keys, NULL keys, boundary-timestamp
+    collisions (a small whole-second grid forces them), NULL MODIFY_DATE
+    backfilled from CREATE_DATE, rows with neither (dropped), empty
+    cycles, and standing watermarks (later batches landing at exactly
+    the current max instant)."""
+    n_cycles = int(rng.integers(2, 6))
+    use_key = rng.random() < 0.75
+    keyspace = int(rng.integers(2, 10))
+    # a TIGHT grid (sometimes just 3 instants) makes standing
+    # watermarks and boundary collisions common instead of incidental —
+    # the union-on-stand and NULL-key-kept rules need them to be
+    # observable at all
+    grid = [
+        BASE_TS + dt.timedelta(seconds=int(s))
+        for s in sorted(rng.choice(
+            3600, size=int(rng.choice([3, 6])), replace=False))
+    ]
+    batches = []
+    rid = 0
+    for _ in range(n_cycles):
+        rows = []
+        for _ in range(int(rng.integers(0, 14))):
+            k = (
+                None if rng.random() < 0.10
+                else int(rng.integers(0, keyspace))
+            )
+            ts = grid[int(rng.integers(0, len(grid)))]
+            if rng.random() < 0.15:
+                ts = ts + dt.timedelta(
+                    microseconds=int(rng.integers(1, 1_000_000))
+                )
+            modify, create = ts, None
+            q = rng.random()
+            if q < 0.15:
+                modify, create = None, ts  # C10 backfill path
+            elif q < 0.22:
+                modify, create = None, None  # effective-ts NULL: dropped
+            elif q < 0.40:
+                create = grid[int(rng.integers(0, len(grid)))]  # modify wins
+            rows.append((rid, k, modify, create))
+            rid += 1
+        batches.append(rows)
+    return batches, use_key
+
+
+def _wm_oracle(batches, use_key):
+    """Independent Python restatement of the documented incremental
+    contract (operators/incremental.py): effective ts = coalesce(modify,
+    create); NULL-effective rows never select; plain >= when no boundary
+    keys are recorded, else ts > wm OR (ts == wm AND key not recorded) —
+    NULL keys always KEPT at the boundary (and never recorded, so they
+    re-select: the documented duplicate allowance); new watermark =
+    max(effective) of the written batch; a standing watermark UNIONS
+    prior boundary keys with the newly fetched ones; an empty selection
+    leaves the state untouched."""
+    wm = dt.datetime(1900, 1, 1)
+    wm_str = "1900-01-01 00:00:00"
+    boundary: set[str] = set()
+    cumulative = []
+    per_cycle = []
+    for rows in batches:
+        cumulative = cumulative + list(rows)
+        sel = []
+        for rid, k, modify, create in cumulative:
+            eff = modify if modify is not None else create
+            if eff is None:
+                continue
+            if use_key and boundary:
+                if MUTATE == "wm_null_key_excluded":
+                    at_boundary_keep = (
+                        k is not None and str(k) not in boundary
+                    )
+                else:
+                    at_boundary_keep = (
+                        k is None or str(k) not in boundary
+                    )
+                keep = eff > wm or (eff == wm and at_boundary_keep)
+            else:
+                keep = eff > wm if MUTATE == "wm_strict_gt" else eff >= wm
+            if keep:
+                sel.append((rid, k, eff))
+        if not sel:
+            per_cycle.append(([], wm_str, set(boundary)))
+            continue
+        new_wm = max(e for _, _, e in sel)
+        new_wm_str = str(new_wm)
+        if use_key:
+            fetched = {
+                str(k) for _, k, e in sel if e == new_wm and k is not None
+            }
+            if new_wm_str == wm_str and MUTATE != "wm_clear_on_stand":
+                boundary = boundary | fetched
+            else:
+                boundary = fetched
+        else:
+            boundary = set()
+        wm, wm_str = new_wm, new_wm_str
+        per_cycle.append((sorted(r for r, _, _ in sel), wm_str,
+                          set(boundary)))
+    return per_cycle
+
+
+def run_watermark_case(spark, batches, use_key) -> dict | None:
+    import tempfile
+
+    from lcr_etl_upgrade_spark.operators.incremental import (
+        WatermarkStore,
+        run_incremental,
+    )
+
+    want = _wm_oracle(batches, use_key)
+    with tempfile.TemporaryDirectory() as td:
+        store = WatermarkStore(td)
+        cumulative = []
+        for c, rows in enumerate(batches):
+            cumulative = cumulative + list(rows)
+            df = spark.createDataFrame(
+                cumulative,
+                "rid long, k long, MODIFY_DATE timestamp_ntz, "
+                "CREATE_DATE timestamp_ntz",
+            )
+            written: list[int] = []
+            n = run_incremental(
+                spark, df, "t", store,
+                lambda d: written.extend(r.rid for r in d.collect()),
+                key_col="k" if use_key else None,
+            )
+            got_wm, got_keys = store.read_state("t")
+            want_rids, want_wm, want_keys = want[c]
+            if sorted(written) != want_rids:
+                return {
+                    "kind": "written_set", "cycle": c, "use_key": use_key,
+                    "got": sorted(written)[:20], "want": want_rids[:20],
+                }
+            if n != len(want_rids):
+                return {"kind": "row_count", "cycle": c, "got": n,
+                        "want": len(want_rids)}
+            if got_wm != want_wm:
+                return {"kind": "watermark", "cycle": c,
+                        "got": got_wm, "want": want_wm}
+            if set(got_keys) != want_keys:
+                return {
+                    "kind": "boundary_keys", "cycle": c,
+                    "got": sorted(got_keys)[:20],
+                    "want": sorted(want_keys)[:20],
+                }
+    return None
+
+
 # --------------------------------------------------------------- driver
 
 
 def main() -> int:
+    global MUTATE
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=20260815)
     ap.add_argument("--n", type=int, default=90)
+    ap.add_argument("--mutate", default=None)
     ap.add_argument("--case", type=int, default=None)
     args = ap.parse_args()
+    MUTATE = args.mutate
 
     import duckdb
 
@@ -346,7 +515,8 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
-        fam = ("sessionize", "upsert", "scd2", "dyngap")[i % 4]
+        fam = ("sessionize", "upsert", "scd2", "dyngap",
+               "watermark")[i % 5]
         if fam == "sessionize":
             pdf, gap_us = gen_session_case(rng)
             rec = run_session_case(spark, con, pdf, gap_us)
@@ -356,6 +526,9 @@ def main() -> int:
         elif fam == "dyngap":
             (pdf,) = gen_dyngap_case(rng)
             rec = run_dyngap_case(spark, con, pdf)
+        elif fam == "watermark":
+            batches, use_key = gen_watermark_case(rng)
+            rec = run_watermark_case(spark, batches, use_key)
         else:
             dim, upd, as_of = gen_scd2_case(rng)
             rec = run_scd2_case(spark, con, dim, upd, as_of)
