@@ -58,6 +58,21 @@ divergence between the engines, not a bug in either):
    renderer appends the all-keys set when a sampled list leaves a key
    uncovered; per-key single-argument GROUPING() flags are used instead
    of GROUPING_ID (whose bit order could diverge between engines);
+ - pivot (round 10): Spark pivot(values) leaves EMPTY cells NULL for
+   every aggregate including count -> count(*) cells restate as
+   NULLIF(COUNT(CASE..), 0), exact because the probe argument is the
+   literal 1; value lists stay lowercase-distinct (the comparator
+   lowercases column names);
+ - unpivot (round 10): Spark's unpivot KEEPS NULL measure values where
+   DuckDB's UNPIVOT drops them by default -> restated as UNION ALL
+   branches, pinning include-nulls semantics;
+ - JSON (round 10): get_json_object on MALFORMED documents degrades to
+   NULL where DuckDB's json_extract_string THROWS -> json_valid() CASE
+   guard; scalar extraction parity probed exhaustively (numbers
+   normalize identically: 1.50 -> '1.5', 1e2 -> '100.0'); a JSON null
+   ARRAY ELEMENT is the one true divergence (Spark: the STRING 'null';
+   DuckDB: SQL NULL, indistinguishable from a null OBJECT FIELD where
+   Spark gives SQL NULL too) -> generated arrays exclude null elements;
  - RANGE window frames: rows whose ORDER BY key is NULL get
    engine-subtle offset-frame semantics -> the RANGE order key is
    wrapped in coalesce() so both engines see identical non-null data
@@ -90,6 +105,51 @@ from tools.check_oracle import frame_to_rows  # noqa: E402
 # --------------------------------------------------------------- datagen
 
 _ALPHABET = list("abcxyz")
+
+_JSON_SCALARS = [1, -7, 42, 0, 1.5, 100.0, "x", "ha\"q", "a\\b", "é", "",
+                 True, False, None]
+# array elements exclude JSON null: probed REAL divergence — Spark's
+# get_json_object returns the STRING 'null' for a null ARRAY ELEMENT
+# ({"arr":[null]} $.arr[0] -> 'null') while returning SQL NULL for a
+# null OBJECT FIELD ({"a":null} $.a -> NULL); DuckDB returns SQL NULL
+# for both and json_extract cannot distinguish the two cases, so no
+# oracle spelling can restate Spark's asymmetry — generator exclusion,
+# documented like pipeline_fuzz's DST hours
+_JSON_ARR_SCALARS = [v for v in _JSON_SCALARS if v is not None]
+_BAD_JSON = ["{oops", "not json", "", "[1,", '{"a":}', "{{}}"]
+
+
+def _rand_json(rng) -> str | None:
+    """Random JSON document for the json_extract kind: nested object /
+    array structure with randomly absent keys, plus NULL cells and
+    INVALID documents (get_json_object degrades them to NULL; the
+    DuckDB oracle restates that with a json_valid() guard because
+    json_extract_string THROWS on malformed input)."""
+    import json as _json
+
+    r = rng.random()
+    if r < 0.08:
+        return None
+    if r < 0.16:
+        return _BAD_JSON[int(rng.integers(0, len(_BAD_JSON)))]
+    doc: dict = {}
+    pick = lambda: _JSON_SCALARS[int(rng.integers(0, len(_JSON_SCALARS)))]  # noqa: E731
+    if rng.random() < 0.8:
+        doc["a"] = pick()
+    if rng.random() < 0.7:
+        b: dict = {}
+        if rng.random() < 0.8:
+            b["c"] = pick()
+        if rng.random() < 0.7:
+            b["d"] = [int(rng.integers(-9, 10))
+                      for _ in range(int(rng.integers(0, 4)))]
+        doc["b"] = b
+    if rng.random() < 0.6:
+        doc["arr"] = [
+            _JSON_ARR_SCALARS[int(rng.integers(0, len(_JSON_ARR_SCALARS)))]
+            for _ in range(int(rng.integers(0, 5)))
+        ]
+    return _json.dumps(doc, ensure_ascii=False)
 
 
 def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
@@ -136,6 +196,9 @@ def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
                     dtype="boolean",
                 ),
                 "f_date": f,
+                "g_json": np.array(
+                    [_rand_json(rng) for _ in range(n)], dtype=object
+                ),
             }
         )
     return out
@@ -143,14 +206,18 @@ def make_tables(rng: np.random.Generator, rows: int) -> dict[str, pd.DataFrame]:
 
 _SPARK_SCHEMA = (
     "id long, a_int long, b_int long, c_dbl double, d_str string, "
-    "e_bool boolean, f_date date"
+    "e_bool boolean, f_date date, g_json string"
 )
 
 # ----------------------------------------------------------- expression AST
 
 INT, DBL, STR, BOOL, DATE = "int", "dbl", "str", "bool", "date"
+# g_json's type tag "json" is never in a Gen type pool, so random
+# expressions don't touch it (JSON text in string ops would drag in
+# collation-order questions); only the json_extract kind (and the
+# typeless IS NULL leaf, which is dialect-safe) reaches it
 _COLS = {"a_int": INT, "b_int": INT, "c_dbl": DBL, "d_str": STR,
-         "e_bool": BOOL, "id": INT, "f_date": DATE}
+         "e_bool": BOOL, "id": INT, "f_date": DATE, "g_json": "json"}
 
 
 class E:
@@ -431,7 +498,7 @@ class Case:
                  aggs=None, join=None, order=None, limit=None,
                  distinct=False, window=None, union=None, having=None,
                  setop="union_all", gkind=None, gsets=None,
-                 nullsafe=False):
+                 nullsafe=False, pivot_values=None):
         self.kind = kind
         self.tables = tables          # list of table names used
         self.projections = projections  # list[(alias, E)]
@@ -450,6 +517,7 @@ class Case:
         self.gkind = gkind            # rollup|cube|gsets (kind 'grouping')
         self.gsets = gsets            # list[tuple[str,...]] of key aliases
         self.nullsafe = nullsafe      # join key compares <=> not =
+        self.pivot_values = pivot_values  # kind 'pivot': value list
 
     # ---- DuckDB side
     def to_sql(self) -> str:
@@ -459,6 +527,49 @@ class Case:
 
         if self.kind in ("grouping", "join_grouping"):
             return self._grouping_sql(prefixed)
+
+        if self.kind == "pivot":
+            # Spark pivot(values) == conditional aggregation (the
+            # documented semantics with an explicit value list); empty
+            # cells are NULL for EVERY aggregate in Spark — count(*)
+            # restates as NULLIF(COUNT(CASE..),0), which is exact here
+            # because the probe argument is the literal 1 (a matched
+            # group always counts >= 1)
+            (kalias, kexpr), = self.group
+            (_, agg, arg), = self.aggs
+            cells = []
+            for v in self.pivot_values:
+                vq = v.replace("'", "''")
+                if agg == "count_star":
+                    cells.append(
+                        f"NULLIF(COUNT(CASE WHEN s0_d_str = '{vq}' "
+                        f"THEN 1 END), 0) AS \"{v}\""
+                    )
+                else:
+                    cells.append(
+                        f"{agg}(CASE WHEN s0_d_str = '{vq}' THEN "
+                        f"{arg.sql()} END) AS \"{v}\""
+                    )
+            q = (f"SELECT {kexpr.sql()} AS {kalias}, {', '.join(cells)} "
+                 f"FROM {prefixed(self.tables[0], 's0_')} s0")
+            if self.where is not None:
+                q += f" WHERE {self.where.sql()}"
+            return q + " GROUP BY 1"
+
+        if self.kind == "unpivot":
+            # Spark's unpivot KEEPS NULL measure values (probed; DuckDB
+            # UNPIVOT drops them by default) -> restated as UNION ALL
+            # branches, which pin the include-nulls semantics exactly
+            (ialias, iexpr) = self.projections[0]
+            branches = []
+            for valias, vexpr in self.projections[1:]:
+                b = (f"SELECT {iexpr.sql()} AS {ialias}, '{valias}' AS "
+                     f"var, {vexpr.sql()} AS val FROM "
+                     f"{prefixed(self.tables[0], 's0_')} s0")
+                if self.where is not None:
+                    b += f" WHERE {self.where.sql()}"
+                branches.append(b)
+            return " UNION ALL ".join(branches)
 
         sql_hows = {"inner": "JOIN", "left": "LEFT JOIN",
                     "right": "RIGHT JOIN", "full": "FULL JOIN",
@@ -633,6 +744,31 @@ class Case:
         if self.kind in ("grouping", "join_grouping"):
             return self._grouping_df(spark, sdfs)
 
+        if self.kind == "pivot":
+            (kalias, kexpr), = self.group
+            (_, agg, arg), = self.aggs
+            df = _prefix(sdfs[self.tables[0]], "s0_")
+            if self.where is not None:
+                df = df.filter(self.where.col())
+            return (
+                df.groupBy(kexpr.col().alias(kalias))
+                .pivot("s0_d_str", self.pivot_values)
+                .agg(_agg_col(F, agg, arg))
+            )
+
+        if self.kind == "unpivot":
+            df = _prefix(sdfs[self.tables[0]], "s0_")
+            if self.where is not None:
+                df = df.filter(self.where.col())
+            base = df.select(
+                *[e.col().alias(a) for a, e in self.projections]
+            )
+            return base.unpivot(
+                [self.projections[0][0]],
+                [a for a, _ in self.projections[1:]],
+                "var", "val",
+            )
+
         if self.kind == "join3":
             hows, keys = self.join
             d0 = _prefix(sdfs[self.tables[0]], "s0_")
@@ -781,13 +917,82 @@ def _win_col(F, spec):
 ALL_KINDS = ["filter_project", "agg", "join", "orderby_limit", "distinct",
              "window", "join_agg", "union_all", "having", "join3",
              "agg_orderby", "grouping", "setop", "window_frame",
-             "join_nullsafe", "join_grouping"]
+             "join_nullsafe", "join_grouping", "pivot", "unpivot",
+             "json_extract"]
+
+# pivot value pool: same alphabet as d_str's data, so sampled lists mix
+# PRESENT values (real cells) and ABSENT ones (all-NULL columns); all
+# lowercase-distinct (the comparator lowercases column names, so a
+# case-colliding pair like 'a'/'A' would pair ambiguously)
+_PIVOT_POOL = ["a", "b", "c", "x", "y", "z", "ab", "xy", "zz", "abc",
+               "qqqq"]
+
+_JSON_PATHS = ["$.a", "$.b.c", "$.b.d[0]", "$.b.d[1]", "$.b.d[2]",
+               "$.arr[0]", "$.arr[1]", "$.arr[3]", "$.missing",
+               "$.b.missing"]
+
+
+def _json_extract(path: str) -> E:
+    """get_json_object vs json_extract_string: scalar extraction parity
+    probed exhaustively (numbers NORMALIZE identically in both — 1.50 ->
+    '1.5', 1e2 -> '100.0'; quotes/escapes/unicode/empty-string equal;
+    missing paths and JSON nulls -> NULL). Malformed documents: Spark
+    degrades to NULL, DuckDB THROWS -> the oracle guards with
+    json_valid(). Paths stay scalar-valued (object/array extraction
+    would compare engine re-rendering, not semantics) and dot-simple
+    (quoted-key syntax diverges: Spark $['k'] vs DuckDB $.\"k\")."""
+    return E(
+        STR,
+        lambda: ("CASE WHEN json_valid(s0_g_json) THEN "
+                 f"json_extract_string(s0_g_json, '{path}') END"),
+        lambda: _F().get_json_object(_F().col("s0_g_json"), path),
+    )
 
 
 def gen_case(rng: np.random.Generator, kinds=None) -> Case:
     pool = kinds or ALL_KINDS
     kind = pool[int(rng.integers(0, len(pool)))]
     t0 = f"t{int(rng.integers(0, 3))}"
+
+    if kind == "pivot":
+        g = Gen(rng, ["s0_"])
+        kexpr = g.expr(g.pick([INT, STR]), 1)
+        agg = g.pick(["sum", "min", "max", "count_star"])
+        arg = None if agg == "count_star" else g.expr(INT, 1)
+        n_vals = int(rng.integers(2, 5))
+        idx = rng.choice(len(_PIVOT_POOL), size=n_vals, replace=False)
+        values = [_PIVOT_POOL[i] for i in sorted(idx)]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0], [], where=where,
+                    group=[("k0", kexpr)], aggs=[("a0", agg, arg)],
+                    pivot_values=values)
+
+    if kind == "unpivot":
+        g = Gen(rng, ["s0_"])
+        projections = [("p0", col_ref("id", "s0_"))]
+        for i in range(int(rng.integers(1, 4))):
+            projections.append((f"v{i}", g.expr(INT, 2)))
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0], projections, where=where)
+
+    if kind == "json_extract":
+        g = Gen(rng, ["s0_"])
+        projections = [("p0", col_ref("id", "s0_"))]
+        n_paths = int(rng.integers(1, 4))
+        for i in range(n_paths):
+            projections.append(
+                (f"j{i}",
+                 _json_extract(g.pick(_JSON_PATHS)))
+            )
+        where = None
+        if rng.random() < 0.4:
+            jx = _json_extract(g.pick(_JSON_PATHS))
+            where = E(
+                BOOL,
+                lambda jx=jx: f"({jx.sql()}) IS NOT NULL",
+                lambda jx=jx: jx.col().isNotNull(),
+            )
+        return Case(kind, [t0], projections, where=where)
 
     if kind == "grouping":
         # rollup / cube / grouping sets with per-key GROUPING() flags
