@@ -109,8 +109,18 @@ HEADLINE = [
 
 
 def main() -> None:
+    global HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # optional subset (scale runs time a scan-heavy slice at big SFs
+    # without paying the full battery); unknown names fail loudly
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [s for s in names if s not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        HEADLINE = names
 
     # Machine-contention guard: a loaded box inflates single-shot times up
     # to ~8x on identical plans (BENCH_r02 recorded ~15% total noise from

@@ -134,3 +134,22 @@ def test_minhash_has_no_cartesian(spark):
     anti-pattern crept back in."""
     plan = _plan(spark, "doc_minhash_near_dup")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_partial_agg_below_expand_shuffle(spark):
+    """agg_rollup's scale bound (round 10): the Expand x(sets) row
+    multiplication must be absorbed by a PARTIAL HashAggregate BEFORE
+    the exchange — i.e. plan order (top-down) final agg < Exchange <
+    partial agg < Expand. If Spark ever shuffled the raw Expand output,
+    the shuffle would carry sets-times the input and the sf10 memory
+    bound in BENCH_sf10_r10.json would no longer hold."""
+    plan = _plan(spark, "agg_rollup")
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    expand = plan.find("Expand")
+    exchange = plan.find("Exchange")
+    assert expand != -1 and exchange != -1 and len(aggs) >= 2, plan
+    partial = [a for a in aggs if exchange < a < expand]
+    assert partial, (
+        "no partial HashAggregate between the shuffle and Expand:\n"
+        + plan
+    )

@@ -43,7 +43,7 @@ import tempfile
 sys.path.insert(0, "/root/repo")
 
 BASE = "/root/testdata/sf0.1"
-FACTOR = 10
+FACTOR = 10  # default; --factor 100 gives the sf10 point (round 10)
 SHIFT = 10_000_000
 
 KEY_COLS = {
@@ -56,13 +56,13 @@ KEY_COLS = {
 }
 
 
-def build(spark, out_dir: str) -> None:
+def build(spark, out_dir: str, factor: int = FACTOR) -> None:
     from pyspark.sql import functions as F
 
     from lcr_etl_upgrade_spark.sources.testdata import TABLES, load_table
 
     rep = F.broadcast(
-        spark.range(FACTOR).select(F.col("id").alias("__rep"))
+        spark.range(factor).select(F.col("id").alias("__rep"))
     )
     for t in TABLES:
         df = load_table(spark, BASE, t)
@@ -116,7 +116,51 @@ def build(spark, out_dir: str) -> None:
             )
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     n = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
-    print(f"sf1.0 lineitem rows: {n}", file=sys.stderr)
+    print(f"replica lineitem rows: {n}", file=sys.stderr)
+
+
+def rollup_peak_memory(out_dir: str) -> dict:
+    """Run agg_rollup once with the Spark UI on and report the max
+    per-stage peakExecutionMemory (execution-memory high-water across
+    the stage's tasks) plus per-stage spill counters — the round-10
+    bound check on the Expand x3 multiplier. A fresh session, so the
+    measurement is not polluted by bench state."""
+    import urllib.request
+
+    from lcr_etl_upgrade_spark.plans import QUERIES
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session(
+        "rollup_mem", extra_conf={"spark.ui.enabled": "true"}
+    )
+    try:
+        QUERIES["agg_rollup"](spark, out_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        ) as resp:
+            stages = json.loads(resp.read())
+        rec = {
+            "peak_execution_memory_bytes": max(
+                (s.get("peakExecutionMemory", 0) for s in stages),
+                default=0,
+            ),
+            "memory_spilled_bytes": sum(
+                s.get("memoryBytesSpilled", 0) for s in stages
+            ),
+            "disk_spilled_bytes": sum(
+                s.get("diskBytesSpilled", 0) for s in stages
+            ),
+            "n_stages": len(stages),
+        }
+        return rec
+    except Exception as exc:  # metric capture must never fail the bench
+        return {"error": repr(exc)[:300]}
+    finally:
+        spark.stop()
 
 
 def main() -> int:
@@ -124,6 +168,15 @@ def main() -> int:
     ap.add_argument("--out", default="BENCH_sf1_r09.json")
     ap.add_argument("--baseline", default=None,
                     help="sf0.1 bench json for per-query ratios")
+    ap.add_argument("--factor", type=int, default=FACTOR,
+                    help="replication factor over sf0.1 (10 = sf1, "
+                         "100 = sf10)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated bench subset (passed through "
+                         "as SPARK_GRAFT_BENCH_QUERIES)")
+    ap.add_argument("--rollup-mem", action="store_true",
+                    help="also capture agg_rollup peak-memory/spill "
+                         "stage metrics at this SF")
     ap.add_argument("--keep", action="store_true",
                     help="keep the replica directory")
     args = ap.parse_args()
@@ -131,15 +184,18 @@ def main() -> int:
     from lcr_etl_upgrade_spark.session import get_session
 
     parent = tempfile.mkdtemp(prefix="spark_graft_")
-    out_dir = os.path.join(parent, "sf1.0")  # bench.py parses sf from it
+    sf_label = args.factor / 10.0
+    out_dir = os.path.join(parent, f"sf{sf_label}")  # bench.py parses sf
     os.makedirs(out_dir)
     spark = get_session("bench_sf1_build")
     try:
-        build(spark, out_dir)
+        build(spark, out_dir, args.factor)
     finally:
         spark.stop()
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
+    if args.queries:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = args.queries
     proc = subprocess.run(
         [sys.executable, "bench.py"], env=env, cwd="/root/repo",
         capture_output=True, text=True, timeout=3600,
@@ -153,8 +209,10 @@ def main() -> int:
         (json.loads(ln) for ln in reversed(lines)
          if ln.startswith("{")), None,
     )
-    record: dict = {"factor": FACTOR, "summary": summary, "detail": detail,
-                    "rc": proc.returncode}
+    record: dict = {"factor": args.factor, "summary": summary,
+                    "detail": detail, "rc": proc.returncode}
+    if args.rollup_mem:
+        record["rollup_memory"] = rollup_peak_memory(out_dir)
     if args.baseline and summary:
         base = json.load(open(args.baseline))
         bq = (base.get("summary") or base).get("queries") or {}
