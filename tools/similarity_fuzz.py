@@ -321,10 +321,6 @@ def run_lsh_case(spark, corpus, queries, p):
         }
     if p["registered"]:
         # tie-aware recall@k vs exact brute force, floor 0.8
-        exact = {
-            r.query_id: r
-            for r in []
-        }
         ex = {}
         for r in cosine_topk(
             cdf, qdf, k=p["k"], query_id="query_id"
@@ -702,7 +698,7 @@ def run_ivf_case(spark, corpus, queries, dup_map, p):
         exact = sorted(
             (
                 _exact_cosine(cv, qv)
-                for cid, cv in corpus.__iter__()
+                for _, cv in corpus
                 if _scorable_vec(cv, p["dim"])
                 and _exact_cosine(cv, qv) is not None
             ),
