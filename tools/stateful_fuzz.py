@@ -36,6 +36,13 @@ Families (each case seeded from (seed, index), index % 4 selects):
   independent Python restatement of the documented exactly-once /
   boundary-cap contract. --mutate wm_strict_gt | wm_clear_on_stand |
   wm_null_key_excluded are the detection-power probes.
+- asof (round 10): asof_join_backward over random multi-key streams
+  with duplicate instants, exact left==right collisions (the <= vs <
+  boundary under allow_exact_match), and NULLs inside value columns
+  (the atomic-struct guarantee: NO per-column backfill) vs the
+  documented-contract restatement (max candidate under (rts, v1, v2),
+  NULL fields smallest). --mutate asof_strict_flip | asof_tie_min |
+  asof_frankenrow.
 
 Usage:
     python tools/stateful_fuzz.py [--seed N] [--n N] [--case I]
@@ -489,6 +496,116 @@ def run_watermark_case(spark, batches, use_key) -> dict | None:
     return None
 
 
+# ----------------------------------------------------------------- asof
+
+
+def gen_asof_case(rng):
+    """Random as-of-join shapes: multi-key left/right with duplicate
+    timestamps (incl. exact left==right collisions — the <= vs <
+    boundary), NULLs inside value columns (the atomic-struct /
+    frankenrow surface), keys present on one side only, empty right
+    partitions, and both allow_exact_match settings. Timestamps stay
+    non-NULL: the documented contract ('latest right row with
+    right_ts <= left_ts') doesn't define NULL-instant ordering — that
+    corner belongs to the window formulation, not the spec."""
+    n_keys = int(rng.integers(1, 7))
+    grid = [
+        BASE_TS + dt.timedelta(seconds=int(s))
+        for s in sorted(rng.choice(600, size=5, replace=False))
+    ]
+    tick = lambda: (  # noqa: E731
+        grid[int(rng.integers(0, len(grid)))]
+        + (dt.timedelta(microseconds=int(rng.integers(0, 3)) * 500_000))
+    )
+    left = []
+    for lid in range(int(rng.integers(1, 25))):
+        left.append((int(rng.integers(0, n_keys)), lid, tick()))
+    right = []
+    for _ in range(int(rng.integers(0, 30))):
+        v1 = None if rng.random() < 0.2 else int(rng.integers(-9, 10))
+        v2 = None if rng.random() < 0.2 else int(rng.integers(0, 100))
+        right.append((int(rng.integers(0, n_keys)), tick(), v1, v2))
+    exact = bool(rng.integers(0, 2))
+    return left, right, exact
+
+
+def _asof_oracle(left, right, exact):
+    """Independent restatement of the documented contract: per left
+    row, the candidate set is same-key right rows with rts <= lts
+    (strict < when exact=False); the match is the MAX candidate under
+    (rts, v1, v2) with NULL fields ordering SMALLEST (Spark's struct
+    ordering) and the WHOLE row travels atomically."""
+    def null_low(v):
+        return (v is not None, 0 if v is None else v)
+
+    out = []
+    for k, lid, lts in left:
+        cands = [
+            r for r in right
+            if r[0] == k and (r[1] <= lts if exact else r[1] < lts)
+        ]
+        if MUTATE == "asof_strict_flip":
+            cands = [
+                r for r in right
+                if r[0] == k and (r[1] < lts if exact else r[1] <= lts)
+            ]
+        if not cands:
+            out.append((k, lid, lts, None, None, None))
+            continue
+        keyf = lambda r: (r[1], null_low(r[2]), null_low(r[3]))  # noqa: E731
+        best = min(cands, key=keyf) if MUTATE == "asof_tie_min" else max(
+            cands, key=keyf
+        )
+        if MUTATE == "asof_frankenrow":
+            # per-column last-non-null: the bug class the atomic struct
+            # exists to prevent
+            srt = sorted(cands, key=keyf)
+            v1 = next((r[2] for r in reversed(srt) if r[2] is not None),
+                      None)
+            v2 = next((r[3] for r in reversed(srt) if r[3] is not None),
+                      None)
+            out.append((k, lid, lts, best[1], v1, v2))
+        else:
+            out.append((k, lid, lts, best[1], best[2], best[3]))
+    return sorted(out)
+
+
+def run_asof_case(spark, left, right, exact) -> dict | None:
+    from lcr_etl_upgrade_spark.operators.joins import asof_join_backward
+
+    ldf = spark.createDataFrame(
+        left, "k long, lid long, lts timestamp_ntz"
+    )
+    rdf = spark.createDataFrame(
+        right, "k long, rts timestamp_ntz, v1 long, v2 long"
+    )
+    try:
+        got = sorted(
+            (r.k, r.lid, r.lts, r.rts, r.v1, r.v2)
+            for r in asof_join_backward(
+                ldf, rdf, "k", "lts", "rts", ["v1", "v2"],
+                allow_exact_match=exact,
+            ).collect()
+        )
+    except Exception as exc:
+        return {"side": "spark_error", "err": repr(exc)[:400]}
+    want = _asof_oracle(left, right, exact)
+    if got != want:
+        i = next(
+            (j for j, (a, b) in enumerate(zip(got, want)) if a != b),
+            min(len(got), len(want)),
+        )
+        return {
+            "side": "values", "exact": exact,
+            "spark_rows": len(got), "oracle_rows": len(want),
+            "first_diff": {
+                "spark": repr(got[i]) if i < len(got) else None,
+                "oracle": repr(want[i]) if i < len(want) else None,
+            },
+        }
+    return None
+
+
 # --------------------------------------------------------------- driver
 
 
@@ -516,7 +633,7 @@ def main() -> int:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
         fam = ("sessionize", "upsert", "scd2", "dyngap",
-               "watermark")[i % 5]
+               "watermark", "asof")[i % 6]
         if fam == "sessionize":
             pdf, gap_us = gen_session_case(rng)
             rec = run_session_case(spark, con, pdf, gap_us)
@@ -529,6 +646,9 @@ def main() -> int:
         elif fam == "watermark":
             batches, use_key = gen_watermark_case(rng)
             rec = run_watermark_case(spark, batches, use_key)
+        elif fam == "asof":
+            la, ra, exact = gen_asof_case(rng)
+            rec = run_asof_case(spark, la, ra, exact)
         else:
             dim, upd, as_of = gen_scd2_case(rng)
             rec = run_scd2_case(spark, con, dim, upd, as_of)
