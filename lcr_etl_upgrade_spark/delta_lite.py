@@ -210,9 +210,20 @@ _ADD_CORE = frozenset(
 )
 # checkpoint-only DERIVED columns delta-spark materializes alongside the
 # raw fields they duplicate (stats/partitionValues); dropping them is
-# lossless by construction, so they must not trip the lossless-or-refuse
-# checkpoint gate as unknown state
+# lossless ONLY while the duplicated raw field is present — see
+# _drop_derived (a checkpoint written with writeStatsAsJson=false
+# carries stats_parsed WITHOUT stats, and dropping it there would
+# silently erase per-file statistics, the exact class the
+# lossless-or-refuse gate refuses)
 _ADD_DERIVED = frozenset({"stats_parsed", "partitionValues_parsed"})
+
+
+def _derived_droppable(a: dict, k: str) -> bool:
+    if k == "stats_parsed":
+        return a.get("stats") is not None
+    # partitionValues is a REQUIRED add field: its parsed twin is
+    # always a duplicate
+    return k == "partitionValues_parsed"
 
 
 def _apply_action(state: TableState, action: dict) -> None:
@@ -236,7 +247,9 @@ def _apply_action(state: TableState, action: dict) -> None:
         extra = {
             k: v
             for k, v in a.items()
-            if k not in _ADD_CORE and k not in _ADD_DERIVED and v is not None
+            if k not in _ADD_CORE
+            and v is not None
+            and not (k in _ADD_DERIVED and _derived_droppable(a, k))
         }
         if extra:
             state.adds[rel] = extra
@@ -2163,25 +2176,33 @@ def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
     reader_feats = set(proto.get("readerFeatures") or ())
     writer_feats = set(proto.get("writerFeatures") or ())
     config = dict((state.metadata or {}).get("configuration") or {})
+    needs_cm = (
+        _column_mapping_mode(state.metadata) != "none"
+        or int(proto.get("minReaderVersion", 1)) == 2
+    )
     if (
         "v2Checkpoint" in reader_feats
         and "v2Checkpoint" in writer_feats
         and config.get("delta.checkpointPolicy") == "v2"
+        and (not needs_cm or (
+            "columnMapping" in reader_feats
+            and "columnMapping" in writer_feats
+        ))
     ):
         return state.version
     reader_feats.add("v2Checkpoint")
     writer_feats.add("v2Checkpoint")
     if int(proto.get("minWriterVersion", 2)) <= 2:
         writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
-    if (
-        _column_mapping_mode(state.metadata) != "none"
-        or int(proto.get("minReaderVersion", 1)) == 2
-    ):
-        # A legacy minReaderVersion=2 table carries an IMPLICIT
-        # columnMapping reader requirement; upgrading to reader v3
-        # with only v2Checkpoint listed would let a feature-gated
-        # reader resolve columns by logical name and read NULLs.
-        # Mirror delete_rows' upgrade and make it explicit.
+    if needs_cm:
+        # A legacy minReaderVersion=2 table (or any column-mapped one)
+        # carries an IMPLICIT columnMapping reader requirement;
+        # upgrading to reader v3 with only v2Checkpoint listed would
+        # let a feature-gated reader resolve columns by logical name
+        # and read NULLs. Mirror delete_rows' upgrade and make it
+        # explicit. The no-op early return above ALSO requires this
+        # half, so a table upgraded by the pre-fix code is repairable
+        # by calling enable_v2_checkpoint again.
         reader_feats.add("columnMapping")
         writer_feats.add("columnMapping")
     config["delta.checkpointPolicy"] = "v2"

@@ -531,7 +531,19 @@ def ivf_topk(
     if dim is not None:
         index_dim = dim
         if not any(len(r[0]) == index_dim for r in rows):
-            return _empty()
+            # the Bernoulli sample can miss every dim-length row when
+            # stray wrong-dimension rows dominate the corpus — a
+            # nondeterministic silent-empty would be the same bug class
+            # the explicit dim exists to close; fetch a bounded
+            # dim-filtered training set before giving up
+            rows = (
+                corpus.filter(F.size(F.col(vec_col)) == index_dim)
+                .select(vec_col)
+                .limit(n_train_target)
+                .collect()
+            )
+            if not rows:
+                return _empty()
     else:
         counts: dict[int, int] = {}
         for r in rows:

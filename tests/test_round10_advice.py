@@ -238,3 +238,118 @@ def test_unknown_add_fields_still_refuse_checkpoint(spark, tmp_path):
             "someForeignField": {"x": 1}}}) + "\n")
     with pytest.raises(NotImplementedError, match="someForeignField"):
         write_checkpoint(spark, path)
+
+
+# ---- review-pass fixes (round 10, post-verdict code review) ---------------
+
+
+def test_stats_parsed_without_stats_refuses_checkpoint(spark, tmp_path):
+    """stats_parsed is droppable ONLY as a duplicate: a delta-spark
+    checkpoint written with writeStatsAsJson=false carries stats_parsed
+    WITHOUT the raw stats field, and dropping it there would silently
+    erase per-file statistics — the lossless-or-refuse gate must fire."""
+    path = str(tmp_path / "structonly")
+    write_delta_lite(_df(spark, [(1, "a")]), path)
+    st = replay_log(spark, path)
+    rel = next(iter(st.files))
+    rows = [
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats_parsed": {"numRecords": 1}},  # NO raw stats
+         "metaData": None, "protocol": None},
+        {"add": None, "metaData": st.metadata, "protocol": None},
+        {"add": None, "metaData": None, "protocol": st.protocol},
+    ]
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean,"
+        "stats_parsed:struct<numRecords:long>>,"
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    cp = os.path.join(log_dir, f"{st.version:020d}.checkpoint.parquet")
+    (
+        spark.createDataFrame([(json.dumps(r),) for r in rows], "raw string")
+        .select(F.from_json("raw", schema).alias("a")).select("a.*")
+        .coalesce(1).write.mode("overwrite").parquet(cp + ".d")
+    )
+    part = next(f for f in os.listdir(cp + ".d") if f.endswith(".parquet"))
+    os.rename(os.path.join(cp + ".d", part), cp)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": st.version, "size": len(rows)}, fh)
+    for v in range(st.version + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    # replay keeps it as unknown optional state...
+    st2 = replay_log(spark, path)
+    assert any("stats_parsed" in extra for extra in st2.adds.values())
+    # ...and the gate refuses BY NAME instead of silently dropping it
+    with pytest.raises(NotImplementedError, match="stats_parsed"):
+        write_checkpoint(spark, path)
+
+
+def test_enable_v2_checkpoint_repairs_prefix_upgraded_table(
+    spark, tmp_path
+):
+    """A column-mapped table upgraded by the PRE-fix enable (reader
+    features [v2Checkpoint] only, policy already v2) must not hit the
+    no-op early return: calling enable again repairs the protocol."""
+    path = tmp_path / "prefix"
+    (path / "_delta_log").mkdir(parents=True)
+    sub = path / "stage"
+    spark.createDataFrame([(1,)], "`col-aaa` long").coalesce(1).write.parquet(
+        str(sub)
+    )
+    f = next(n for n in os.listdir(sub) if n.endswith(".parquet"))
+    os.rename(sub / f, path / "part-0.parquet")
+    meta = {
+        "id": "0000", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ]}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.checkpointPolicy": "v2"},
+    }
+    with open(path / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],  # columnMapping MISSING
+            "writerFeatures": ["columnMapping", "v2Checkpoint"]}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    v = enable_v2_checkpoint(spark, str(path))
+    assert v == 1  # repaired, not no-op'd
+    proto = replay_log(spark, str(path)).protocol
+    assert "columnMapping" in proto["readerFeatures"]
+    # and a second call IS the no-op now
+    assert enable_v2_checkpoint(spark, str(path)) == 1
+
+
+def test_ivf_explicit_dim_survives_sample_miss(spark):
+    """With dim= explicit, a Bernoulli training sample that contains no
+    dim-length row (seed 9 misses all 3 here, verified) must fall back
+    to a dim-filtered bounded fetch — not return a silent empty."""
+    from lcr_etl_upgrade_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(2000)]  # stray 3-dim
+    rows += [(2000 + i, [float(i + 1), 1.0, 0.5, -1.0])
+             for i in range(3)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(9000, [5.0, 1.0, 0.5, -1.0])],
+        "query_id int, embedding array<float>",
+    )
+    got = ivf_topk(
+        corpus, queries, k=3, n_centroids=2, n_probe=2,
+        query_id="query_id", seed=9, dim=4,
+    ).collect()
+    assert len(got) == 3, got

@@ -190,6 +190,15 @@ def gen_lsh_case(rng, i):
     if tables == 1 and not registered:
         kind = int(rng.choice([0, 2]))  # clustered shapes: neighbors
         # sit across nearby planes, which is where probe choice matters
+    if registered:
+        # recall floors are a NEAR-neighbor contract: hyperplane-LSH
+        # collision probability is 1 - theta/pi per bit, which degrades
+        # to chance for orthogonal corpora (theta -> pi/2) — exactly as
+        # designed, so the floor is only asserted on neighbor-rich
+        # shapes (found by seed 90210: an orthogonal one-hot corpus
+        # measured recall 0.0 with the engine output matching the
+        # exact restatement bit-for-bit)
+        kind = int(rng.choice([0, 1, 2]))
     if kind == 0:  # clustered Gaussians
         n_clusters = int(rng.integers(2, 6))
         centers = rng.normal(0, 1, (n_clusters, dim))
@@ -234,8 +243,11 @@ def gen_lsh_case(rng, i):
     all_planes = np.vstack([_planes(bits, dim, t) for t in range(tables)])
     for r in range(n):
         v = vecs[r]
-        if not (v is not None and len(v) == dim
-                and all(math.isfinite(x) for x in v)):
+        if not _scorable_vec(v, dim):
+            # NULL/wrong-dim/NaN/inf AND all-zero vectors are exempt:
+            # they cannot reach the output (the scorability contract),
+            # and perturbing a planted zero vector would silently
+            # remove zero-norm coverage from the family
             continue
         for _ in range(50):
             proj = np.abs(all_planes @ np.array(v, dtype=np.float64))
@@ -259,6 +271,7 @@ def gen_lsh_case(rng, i):
 def _oracle_lsh_topk(corpus, queries, p):
     bits, tables, probes = p["bits"], p["tables"], p["probes"]
     dim, k = p["dim"], p["k"]
+    cvecs = dict(corpus)
     c_buckets = {}
     for cid, v in corpus:
         bk = _bucket_ids(v, bits, dim, tables, 1)
@@ -282,7 +295,7 @@ def _oracle_lsh_topk(corpus, queries, p):
                 cand.add(cid)
         scored = []
         for cid in cand:
-            cv = dict(corpus)[cid]
+            cv = cvecs[cid]
             cos = _exact_cosine(cv, qv)
             if cos is None or math.isnan(cos):
                 continue
@@ -330,6 +343,11 @@ def run_lsh_case(spark, corpus, queries, p):
             if len(cosines) < p["k"]:
                 continue  # fewer scorable rows than k: recall undefined
             kth = min(cosines)
+            if kth < 0.5:
+                # the floor is a near-neighbor contract; below cosine
+                # 0.5 per-bit agreement approaches chance and recall is
+                # governed by luck, not correctness (see gen_lsh_case)
+                continue
             mine = [c for (q, _, c, _) in got if q == qid]
             hits = sum(1 for c in mine if c >= kth)
             if hits / p["k"] < 0.8:
