@@ -130,10 +130,14 @@ def rollup_peak_memory(out_dir: str) -> dict:
     from lcr_etl_upgrade_spark.plans import QUERIES
     from lcr_etl_upgrade_spark.session import get_session
 
-    spark = get_session(
-        "rollup_mem", extra_conf={"spark.ui.enabled": "true"}
-    )
+    spark = None
     try:
+        # session construction INSIDE the try: a JVM-spawn/port failure
+        # here must degrade to an error record, not discard the whole
+        # just-measured bench run
+        spark = get_session(
+            "rollup_mem", extra_conf={"spark.ui.enabled": "true"}
+        )
         QUERIES["agg_rollup"](spark, out_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -160,7 +164,8 @@ def rollup_peak_memory(out_dir: str) -> dict:
     except Exception as exc:  # metric capture must never fail the bench
         return {"error": repr(exc)[:300]}
     finally:
-        spark.stop()
+        if spark is not None:
+            spark.stop()
 
 
 def main() -> int:

@@ -123,9 +123,17 @@ def _scorable_vec(v, dim):
 # lsh_topk
 # --------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _planes(bits, dim, table):
     """The documented plane contract: MT stream seeded by
-    (table*1_000_003 + bit), uniform [-1, 1), dim coefficients."""
+    (table*1_000_003 + bit), uniform [-1, 1), dim coefficients.
+    Memoized: planes depend only on (bits, dim, table) and _bucket_ids
+    is called once per row — regenerating the MT draws per row made the
+    oracle O(rows x tables x bits x dim) in pure-Python rng calls.
+    Callers treat the returned array as read-only."""
     out = []
     for b in range(bits):
         rng = random.Random(table * 1_000_003 + b)
@@ -236,7 +244,15 @@ def gen_lsh_case(rng, i):
             v = vecs[r][:]
             v[int(rng.integers(0, dim))] = float("nan")
             vecs[r] = v
-        elif p < 0.13:
+        elif p < 0.12:
+            # INFINITE coordinate: passes a dot(v,v)>0 scorability
+            # probe but must surface as NaN cosine and be dropped
+            v = vecs[r][:]
+            v[int(rng.integers(0, dim))] = float(
+                rng.choice([float("inf"), float("-inf")])
+            )
+            vecs[r] = v
+        elif p < 0.15:
             vecs[r] = vecs[r][: dim - 1]  # wrong dimension
     # margin guard: regenerate scorable vectors whose probe order is
     # numerically ambiguous (see module docstring)
@@ -629,6 +645,13 @@ def gen_ivf_case(rng):
             vecs[r] = None
         elif p < 0.07:
             vecs[r] = vecs[r][: dim - 1]
+        elif p < 0.09:
+            # infinite coordinate: survives scorable()'s dot(v,v) > 0
+            # probe, must be excluded from k-means training and never
+            # reach the output (NaN cosine)
+            v = vecs[r][:]
+            v[int(rng.integers(0, dim))] = float("inf")
+            vecs[r] = v
     n_q = int(rng.integers(1, 4))
     q_idx = [int(x) for x in rng.choice(n, size=n_q, replace=False)]
     queries = []

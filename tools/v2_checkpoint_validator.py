@@ -197,11 +197,16 @@ def validate_table(path: str) -> dict:
     if not os.path.exists(lc_path):
         return {"path": path, "ok": False,
                 "violations": ["no _last_checkpoint"]}
-    with open(lc_path) as fh:
-        lc = json.load(fh)
+    try:
+        with open(lc_path) as fh:
+            lc = json.load(fh)
+        v = int(lc["version"])
+    except (ValueError, KeyError, TypeError, OSError) as exc:
+        # a malformed pointer is a C1 violation, not a validator crash
+        return {"path": path, "ok": False, "violations": [
+            f"C1: _last_checkpoint unparseable: {exc!r}"]}
     if "parts" in lc:
         violations.append("C1: unexpected multi-part `parts` field")
-    v = int(lc["version"])
 
     names = os.listdir(log_dir)
     classic = [n for n in names
@@ -240,9 +245,14 @@ def validate_table(path: str) -> dict:
         )
     if use_v2 and policy == "classic":
         violations.append("C3: v2 layout despite checkpointPolicy=classic")
-    if not use_v2 and "v2Checkpoint" in feats and policy not in ("", "classic"):
+    if not use_v2 and "v2Checkpoint" in feats and policy != "classic":
+        # the writer contract under validation: a feature-listed table
+        # gets the v2 layout unless policy says classic EXPLICITLY — an
+        # unset policy defaults to v2 (write_checkpoint's use_v2 rule),
+        # so a classic layout there is the layout-switch bug class
         violations.append(
-            "C3: classic layout on a feature-listed policy!=classic table"
+            "C3: classic layout on a feature-listed table whose policy "
+            "does not say classic"
         )
 
     # ---- load checkpoint actions ------------------------------------
@@ -378,8 +388,16 @@ def validate_table(path: str) -> dict:
             "n_files": len(cp_files), "violations": violations}
 
 
+def _validate_safe(p: str) -> dict:
+    try:
+        return validate_table(p)
+    except Exception as exc:  # one broken table must not abort the audit
+        return {"path": p, "ok": False,
+                "violations": [f"validator error: {exc!r}"]}
+
+
 def main() -> int:
-    results = [validate_table(p) for p in sys.argv[1:]]
+    results = [_validate_safe(p) for p in sys.argv[1:]]
     ok = all(r["ok"] for r in results)
     for r in results:
         print(json.dumps(r))
