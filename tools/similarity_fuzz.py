@@ -13,7 +13,10 @@ Families ((seed, index)-reproducible; index % 4 selects):
   bucketing, multi-probe lowest-|proj| bit flips (stable ties), the
   bucket join, sequential-fold cosine (bit-exact vs zip_with/aggregate),
   and row_number ranking (cosine desc, id asc). Result rows must match
-  EXACTLY — float-for-float. Every 4th lsh_topk case additionally runs
+  EXACTLY — float-for-float. Each case ALSO drives
+  cosine_near_dup_pairs(bits>0) — the LSH-bucketed near-dup surface —
+  on the same corpus against an exact single-table restatement
+  (precomputed-norm float path, NaN-pair drop). Every 4th lsh_topk case additionally runs
   the REGISTERED config (bits=4, tables=8, probes=4) and asserts
   tie-aware recall@k >= 0.8 vs brute force (the plans/llm.py contract
   floor; tie-aware: a returned row counts as a hit when its exact
@@ -52,7 +55,8 @@ Usage:
 
 --mutate injects a deliberate oracle-side bug (detection-power
 evidence): lsh_probe_highest, lsh_table_mod, lsh_tie_desc,
-mh_bands_minus_one, mh_max_bucket_plus, mh_jaccard_multiset,
+nd_keep_nan (the NaN-above-threshold trap in the LSH near-dup pair
+filter), mh_bands_minus_one, mh_max_bucket_plus, mh_jaccard_multiset,
 mh_seed_shift, sh_sign_ge, ivf_pairwise_sum. (A sign >= 0 vs > 0
 bucketing mutation is undetectable BY CONSTRUCTION here — the margin
 guard excludes |proj| < 1e-7 — so it is deliberately not offered.)
@@ -281,7 +285,49 @@ def gen_lsh_case(rng, i):
     return corpus, queries, dict(
         bits=bits, tables=tables, probes=probes, dim=dim, k=k,
         registered=registered,
+        nd_threshold=float(rng.choice([0.5, 0.8, 0.95])),
     )
+
+
+def _oracle_near_dup(corpus, p, threshold):
+    """Exact restatement of cosine_near_dup_pairs(bits>0): single-table
+    hyperplane bucket (table 0), same-bucket pairs a < b, cosine =
+    seq_dot / (norm_a * norm_b) with the norms computed ONCE per row
+    (sqrt of the sequential self-dot — the engine's precomputed-__norm
+    float path, distinct from cosine_expr's), NaN cosines dropped
+    (Spark's NaN-above-everything would otherwise pass >= threshold),
+    zero/NaN-norm rows excluded by the __norm > 0 filter."""
+    rows = []
+    for cid, v in corpus:
+        if v is None:
+            continue
+        # NaN-coordinate rows: self-dot is NaN, sqrt NaN, and NaN > 0
+        # is False — excluded exactly like Spark's __norm > 0 filter
+        try:
+            na = math.sqrt(_seq_dot(v, v))
+        except ValueError:
+            continue  # negative-NaN corner can't happen; belt/braces
+        if not na > 0:
+            continue
+        bk = _bucket_ids(v, p["bits"], p["dim"], 1, 1)
+        if bk is None:
+            continue  # wrong-dim: NULL bucket joins nothing
+        rows.append((cid, v, na, bk[0][0]))
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[3] != b[3]:
+                continue
+            lo, hi = (a, b) if a[0] < b[0] else (b, a)
+            cos = _seq_dot(lo[1], hi[1]) / (lo[2] * hi[2])
+            if math.isnan(cos):
+                if MUTATE == "nd_keep_nan":
+                    out.add((lo[0], hi[0], cos))
+                continue
+            if cos >= threshold:
+                out.add((lo[0], hi[0], cos))
+    return out
 
 
 def _oracle_lsh_topk(corpus, queries, p):
@@ -325,6 +371,7 @@ def _oracle_lsh_topk(corpus, queries, p):
 
 def run_lsh_case(spark, corpus, queries, p):
     from lcr_etl_upgrade_spark.operators.similarity import (
+        cosine_near_dup_pairs,
         cosine_topk,
         cosine_topk_lsh,
     )
@@ -347,6 +394,23 @@ def run_lsh_case(spark, corpus, queries, p):
             "kind": "lsh_exact_mismatch", "params": p,
             "got": got[:8], "want": want[:8],
             "n_got": len(got), "n_want": len(want),
+        }
+    # LSH-bucketed near-dup pairs on the SAME corpus (the 5th no_oracle
+    # surface, embedding_cosine_near_dup_lsh's operator): exact set
+    # compare against the single-table restatement
+    nd_got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs(
+            cdf, threshold=p["nd_threshold"], bits=p["bits"],
+            dim=p["dim"],
+        ).collect()
+    }
+    nd_want = _oracle_near_dup(corpus, p, p["nd_threshold"])
+    if nd_got != nd_want:
+        return {
+            "kind": "near_dup_lsh_mismatch", "params": p,
+            "only_engine": sorted(nd_got - nd_want)[:5],
+            "only_oracle": sorted(nd_want - nd_got)[:5],
         }
     if p["registered"]:
         # tie-aware recall@k vs exact brute force, floor 0.8
