@@ -19,10 +19,12 @@ from tools.similarity_fuzz import (
     gen_lsh_case,
     gen_minhash_case,
     gen_simhash_case,
+    gen_sketch_case,
     run_ivf_case,
     run_lsh_case,
     run_minhash_case,
     run_simhash_case,
+    run_sketch_case,
 )
 from tools.xxh64_oracle import spark_xxhash64
 
@@ -31,9 +33,10 @@ SEED = 20260815
 
 def test_similarity_fuzz_slice(spark):
     failures = []
-    for i in range(12):
+    for i in range(15):
         rng = np.random.default_rng(SEED * 1_000_003 + i)
-        fam = ("lsh_topk", "minhash", "simhash", "ivf")[i % 4]
+        fam = ("lsh_topk", "minhash", "simhash", "ivf",
+               "sketch")[i % 5]
         if fam == "lsh_topk":
             corpus, queries, p = gen_lsh_case(rng, i)
             rec = run_lsh_case(spark, corpus, queries, p)
@@ -43,6 +46,9 @@ def test_similarity_fuzz_slice(spark):
         elif fam == "simhash":
             docs, bits = gen_simhash_case(rng)
             rec = run_simhash_case(spark, docs, bits)
+        elif fam == "sketch":
+            rows, rsd, accuracy, q = gen_sketch_case(rng)
+            rec = run_sketch_case(spark, rows, rsd, accuracy, q)
         else:
             corpus, queries, dup_map, p = gen_ivf_case(rng)
             rec = run_ivf_case(spark, corpus, queries, dup_map, p)

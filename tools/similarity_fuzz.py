@@ -3,7 +3,7 @@
 (round 10) — the last operator family whose evidence was goldens +
 fixed-corpus sweeps only (the 6 `no_oracle` rows in CORRECTNESS_r09).
 
-Families ((seed, index)-reproducible; index % 4 selects):
+Families ((seed, index)-reproducible; index % 5 selects):
 
 - lsh_topk: random embedding corpora (clustered Gaussians, duplicate
   floods, near-tie neighbors, orthogonal one-hots, zero/NaN/inf/
@@ -39,6 +39,12 @@ Families ((seed, index)-reproducible; index % 4 selects):
   clustered corpora with in-corpus queries at the registered
   n_probe/n_centroids ratio, tie-aware recall@k >= 0.7 (the plans/llm.py
   floor).
+- sketch: deterministic properties of the A3 approximate aggregates —
+  approx_count_distinct's HLL sketch is a SET function (3x-duplicated
+  input and any repartitioning give the IDENTICAL estimate) and must
+  sit within the registered 4*rsd envelope of countDistinct;
+  approx_percentile must return an OBSERVED value whose exact rank is
+  within the sketch's deterministic N/accuracy rank-error guarantee.
 
 Known generator exclusions (documented, same pattern as
 pipeline_fuzz's DST avoidance): hyperplane projections with |proj| <
@@ -57,7 +63,8 @@ Usage:
 evidence): lsh_probe_highest, lsh_table_mod, lsh_tie_desc,
 nd_keep_nan (the NaN-above-threshold trap in the LSH near-dup pair
 filter), mh_bands_minus_one, mh_max_bucket_plus, mh_jaccard_multiset,
-mh_seed_shift, sh_sign_ge, ivf_pairwise_sum. (A sign >= 0 vs > 0
+mh_seed_shift, sh_sign_ge, ivf_pairwise_sum, sk_rel_bound_tight,
+sk_rank_err_zero. (A sign >= 0 vs > 0
 bucketing mutation is undetectable BY CONSTRUCTION here — the margin
 guard excludes |proj| < 1e-7 — so it is deliberately not offered.)
 
@@ -174,7 +181,9 @@ def _bucket_ids(vec, bits, dim, tables, probes):
 
 
 def gen_lsh_case(rng, i):
-    registered = i % 16 == 0  # every 4th lsh case: registered config
+    # every 4th lsh case runs the registered config (lsh cases land on
+    # i % 5 == 0, so the 4th of those is i % 20 == 0)
+    registered = i % 20 == 0
     if registered:
         bits, tables, probes = 4, 8, 4
         dim = int(rng.choice([8, 16]))
@@ -821,6 +830,110 @@ def run_ivf_case(spark, corpus, queries, dup_map, p):
 
 
 # --------------------------------------------------------------------------
+# sketch: approx_count_distinct / approx_percentile properties
+# --------------------------------------------------------------------------
+
+def gen_sketch_case(rng):
+    """Random value sets for the A3 sketch aggregates: controlled
+    distinct cardinality (1..4000) with skewed repetition, NULLs, and
+    2-4 groups; random rsd / percentile accuracy / quantile."""
+    n_groups = int(rng.integers(1, 5))
+    card = int(rng.choice([1, 3, 17, 200, 1500, 4000]))
+    rows = []
+    for g in range(n_groups):
+        n_vals = int(rng.integers(20, 1200))
+        vals = rng.integers(0, card, n_vals)
+        if rng.random() < 0.5:  # skew: one hot value dominates
+            hot = int(rng.integers(0, card))
+            mask = rng.random(n_vals) < 0.4
+            vals[mask] = hot
+        for v in vals:
+            rows.append((g, None if rng.random() < 0.05 else int(v)))
+    rsd = float(rng.choice([0.02, 0.05, 0.1]))
+    accuracy = int(rng.choice([100, 1000, 10000]))
+    q = float(rng.choice([0.1, 0.25, 0.5, 0.9, 0.99]))
+    return rows, rsd, accuracy, q
+
+
+def run_sketch_case(spark, rows, rsd, accuracy, q) -> dict | None:
+    """Deterministic properties of the approximate aggregates:
+
+    - HLL duplication invariance: the sketch is a SET function — a
+      3x-duplicated input must give the IDENTICAL estimate per group.
+    - HLL partition invariance: register merge is per-register max
+      (commutative/associative) — repartition(2) == repartition(13).
+    - the registered 4*rsd relative-error envelope vs countDistinct.
+    - approx_percentile's rank contract: the returned value is an
+      OBSERVED element whose rank sits within q*N +/- (N/accuracy + 2)
+      (the sketch's deterministic rank-error guarantee, +2 slack for
+      boundary conventions)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g int, v long")
+    base = {
+        r.g: (r.a, r.e)
+        for r in df.groupBy("g").agg(
+            F.approx_count_distinct("v", rsd).alias("a"),
+            F.countDistinct("v").alias("e"),
+        ).collect()
+    }
+    tripled = {
+        r.g: r.a
+        for r in df.unionAll(df).unionAll(df).groupBy("g").agg(
+            F.approx_count_distinct("v", rsd).alias("a")
+        ).collect()
+    }
+    for g, (a, e) in base.items():
+        if tripled[g] != a:
+            return {"kind": "hll_duplication_variant", "g": g,
+                    "base": a, "tripled": tripled[g]}
+    for parts in (2, 13):
+        rep = {
+            r.g: r.a
+            for r in df.repartition(parts).groupBy("g").agg(
+                F.approx_count_distinct("v", rsd).alias("a")
+            ).collect()
+        }
+        if rep != {g: a for g, (a, _) in base.items()}:
+            return {"kind": "hll_partition_variant", "parts": parts}
+    bound = 4 * rsd if MUTATE != "sk_rel_bound_tight" else 0.5 * rsd
+    for g, (a, e) in base.items():
+        if e > 0 and abs(a - e) / e > bound:
+            return {"kind": "hll_rel_error", "g": g, "approx": a,
+                    "exact": e, "rel": abs(a - e) / e, "bound": bound}
+    # percentile rank contract, per group, python-exact
+    pct = {
+        r.g: r.p
+        for r in df.groupBy("g").agg(
+            F.expr(
+                f"approx_percentile(v, {q}, {accuracy})"
+            ).alias("p")
+        ).collect()
+    }
+    by_g: dict[int, list[int]] = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        p = pct.get(g)
+        if p is None:
+            return {"kind": "pct_null", "g": g}
+        if p not in set(vals):
+            return {"kind": "pct_not_observed", "g": g, "p": p}
+        vals.sort()
+        n = len(vals)
+        lo = sum(1 for x in vals if x < p)   # min rank (0-based)
+        hi = sum(1 for x in vals if x <= p)  # max rank
+        err = 0 if MUTATE == "sk_rank_err_zero" else n / accuracy + 2
+        target = q * (n - 1)
+        if not (lo - err <= target <= hi - 1 + err):
+            return {"kind": "pct_rank_out_of_bound", "g": g, "p": p,
+                    "lo": lo, "hi": hi, "target": target, "n": n,
+                    "err": err}
+    return None
+
+
+# --------------------------------------------------------------------------
 
 def main() -> int:
     global MUTATE
@@ -841,7 +954,8 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
-        fam = ("lsh_topk", "minhash", "simhash", "ivf")[i % 4]
+        fam = ("lsh_topk", "minhash", "simhash", "ivf",
+               "sketch")[i % 5]
         if fam == "lsh_topk":
             corpus, queries, p = gen_lsh_case(rng, i)
             rec = run_lsh_case(spark, corpus, queries, p)
@@ -851,6 +965,9 @@ def main() -> int:
         elif fam == "simhash":
             docs, bits = gen_simhash_case(rng)
             rec = run_simhash_case(spark, docs, bits)
+        elif fam == "sketch":
+            rows, rsd, accuracy, q = gen_sketch_case(rng)
+            rec = run_sketch_case(spark, rows, rsd, accuracy, q)
         else:
             corpus, queries, dup_map, p = gen_ivf_case(rng)
             rec = run_ivf_case(spark, corpus, queries, dup_map, p)
