@@ -6,9 +6,15 @@ becomes linestatus). Each exercises a distinct plan shape:
 
 - q4:  EXISTS-correlated subquery -> left-semi join with a non-equi term
 - q6:  single-scan selective aggregate (the pushdown showcase)
+- q8:  seven-relation market-share join with CASE-ratio aggregate
 - q12: join + conditional aggregation (CASE inside SUM)
+- q13: outer join with ON-clause filter -> aggregate-of-aggregate
 - q14: broadcast dim join + ratio-of-sums
 - q18: HAVING-filtered aggregate subquery joined back to facts, top-k
+- q21: EXISTS + NOT EXISTS self-correlation, restated as per-order
+       distinct-supplier stats (no commit/receipt dates in the schema,
+       so "late" is restated as shipped >90 days after the order date;
+       q13's comment filter becomes an order-priority filter)
 
 All double sums route through decimal (functions/numeric.py) so results
 hash-match DuckDB bit-for-bit regardless of partitioning.
@@ -462,4 +468,236 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+                                   ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)
+                AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS nation
+      FROM part p, lineitem l, supplier s, orders o, customer c,
+           nation cn, nation sn, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = cn.n_nationkey
+        AND cn.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA' AND s.s_nationkey = sn.n_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    ) shares
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the widest join graph in
+    the suite — seven relations, nation aliased twice. The region filter
+    shrinks the customer side THROUGH the region->nation->customer dim
+    chain before it ever meets orders (region/nation broadcast into their
+    consumers); part is filtered to one p_type and prunes lineitem at the
+    first probe; the supplier->nation alias carries the numerator label.
+    The share is a ratio of two decimal-routed sums per year, so the
+    division is double/double exactly as the oracle spells it."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.join(
+        F.broadcast(region), nation.n_regionkey == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    # part/supp/cust scale with SF: no forced hints here, AQE decides
+    # (the forced broadcasts above are the fixed-size region/nation dims)
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+    )
+    num = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(num) / dsum("volume")).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a filter INSIDE the ON clause (pushing it to WHERE would
+    silently drop the zero-order customers the query exists to count),
+    then an aggregate OF an aggregate. The outer join preserves every
+    customer; COUNT(o_orderkey) — not COUNT(*) — makes the unmatched
+    rows count 0. Both aggregates shuffle on shrinking keys (customers,
+    then distinct counts), so the second is near-free."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n, region r
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late supplier on a multi-supplier
+    order (TPC-H Q21 shape; "late" restated on shipdate, see module
+    docstring). The oracle spells the EXISTS / NOT EXISTS correlation
+    directly; this plan restates both subqueries as ONE per-order
+    aggregate — countDistinct(supplier) > 1 covers the EXISTS,
+    countDistinct(late supplier) = 1 plus "this row is late" covers the
+    NOT EXISTS — because a correlated-per-row formulation would rescan
+    lineitem twice. One extra shuffle on l_orderkey replaces two
+    self-joins; both sides of the stats join share that key, so the
+    join itself reuses the aggregation's partitioning. The
+    region-filtered supplier dim shrinks the final probe to one region's
+    suppliers."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lo.filter(F.col("is_late"))
+        .join(
+            stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_suppkey")
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(rn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
