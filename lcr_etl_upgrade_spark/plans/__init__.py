@@ -23,5 +23,6 @@ from lcr_etl_upgrade_spark.plans import merge_queries  # noqa: E402,F401
 from lcr_etl_upgrade_spark.plans import lifecycle  # noqa: E402,F401
 from lcr_etl_upgrade_spark.plans import multimodal  # noqa: E402,F401
 from lcr_etl_upgrade_spark.plans import tpch_extra  # noqa: E402,F401
+from lcr_etl_upgrade_spark.plans import layout_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -6,8 +6,8 @@ pins down locally:
 
 1. Registry drift — a rename/addition silently changes the key set the
    driver sees (round-2 verdict froze the registry; round 10 extended it
-   to these 90 names with TPC-H q8/q13/q21 — the last three queries
-   expressible without a partsupp table).
+   to these 91 names: TPC-H q8/q13/q21 — the last three queries
+   expressible without a partsupp table — plus layout_zorder_key).
 2. A query whose PLAN no longer builds (schema error, missing column)
    that would only surface minutes into the full oracle gate.
 
@@ -38,7 +38,7 @@ FROZEN_QUERY_NAMES = sorted(
     events_incremental_filter events_json_advanced events_json_extract
     events_json_roundtrip events_sessionization events_sliding_window
     events_tumbling_window join_anti join_full_outer join_left_outer
-    join_null_safe join_range join_salted join_semi merge_scd2 merge_upsert
+    join_null_safe join_range join_salted join_semi layout_zorder_key merge_scd2 merge_upsert
     multimodal_feature_extract multimodal_frame_sample orderby_limit_topk
     pipeline_lead_assignment_end_to_end pipeline_lead_end_to_end
     pipeline_lead_xref_end_to_end pivot_status_by_priority q10_returned_items
@@ -56,9 +56,9 @@ FROZEN_QUERY_NAMES = sorted(
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_registry_frozen_at_90_names():
+def test_registry_frozen_at_91_names():
     assert sorted(entry_mod.queries()) == FROZEN_QUERY_NAMES
-    assert len(FROZEN_QUERY_NAMES) == 90
+    assert len(FROZEN_QUERY_NAMES) == 91
 
 
 def test_every_oracle_key_has_a_query():
