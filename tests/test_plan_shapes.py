@@ -1,6 +1,6 @@
 """Physical-plan shape regression tests for headline queries.
 
-tools/plan_audit.py scans all 87 registered queries for red flags as an
+tools/plan_audit.py scans all 91 registered queries for red flags as an
 offline artifact; these tests pin the STRONGER per-query properties the
 bench relies on — shuffle-exchange budgets, dimension broadcasts, parquet
 filter pushdown, and the no-row-at-a-time-Python invariant — so an edit
@@ -153,3 +153,50 @@ def test_rollup_partial_agg_below_expand_shuffle(spark):
         "no partial HashAggregate between the shuffle and Expand:\n"
         + plan
     )
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """The 100 TB shuffle-join pruning path: when a join's build side is
+    selectively filtered and the probe side is too big to broadcast,
+    Spark injects a runtime bloom filter (bloom_filter_agg on the build
+    keys, might_contain on the probe scan) so probe rows that cannot
+    match are dropped BEFORE the shuffle. Locally the probe scan is far
+    below the 10 GB applicationSideScanSizeThreshold, so this test
+    lowers that threshold to 0 and disables broadcast to reproduce the
+    at-scale decision; at real scale the defaults fire organically.
+    Pinned because the engine RELIES on this: the scale story for
+    selective fact-fact joins (SCALE.md) assumes probe-side pruning."""
+    from lcr_etl_upgrade_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+        assert "might_contain" in optimized, optimized
+        # and the filter lands on the PROBE (lineitem) side key
+        assert re.search(r"might_contain.*l_orderkey", optimized), optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
