@@ -498,7 +498,7 @@ class Case:
                  aggs=None, join=None, order=None, limit=None,
                  distinct=False, window=None, union=None, having=None,
                  setop="union_all", gkind=None, gsets=None,
-                 nullsafe=False, pivot_values=None):
+                 nullsafe=False, pivot_values=None, on_extra=None):
         self.kind = kind
         self.tables = tables          # list of table names used
         self.projections = projections  # list[(alias, E)]
@@ -518,6 +518,7 @@ class Case:
         self.gsets = gsets            # list[tuple[str,...]] of key aliases
         self.nullsafe = nullsafe      # join key compares <=> not =
         self.pivot_values = pivot_values  # kind 'pivot': value list
+        self.on_extra = on_extra      # E inside the join ON clause | None
 
     # ---- DuckDB side
     def to_sql(self) -> str:
@@ -589,6 +590,8 @@ class Case:
             src = (f"{prefixed(t0, 's0_')} s0 {sql_hows[how]} "
                    f"{prefixed(t1, 's1_')} s1 "
                    f"ON s0.s0_{key} {eq} s1.s1_{key}")
+            if self.on_extra is not None:
+                src += f" AND ({self.on_extra.sql()})"
         else:
             src = f"{prefixed(self.tables[0], 's0_')} s0"
         cols = []
@@ -786,6 +789,8 @@ class Case:
                 cond = d0[f"s0_{key}"].eqNullSafe(d1[f"s1_{key}"])
             else:
                 cond = d0[f"s0_{key}"] == d1[f"s1_{key}"]
+            if self.on_extra is not None:
+                cond = cond & self.on_extra.col()
             spark_how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
             df = d0.join(d1, cond, spark_how)
         else:
@@ -918,7 +923,7 @@ ALL_KINDS = ["filter_project", "agg", "join", "orderby_limit", "distinct",
              "window", "join_agg", "union_all", "having", "join3",
              "agg_orderby", "grouping", "setop", "window_frame",
              "join_nullsafe", "join_grouping", "pivot", "unpivot",
-             "json_extract"]
+             "json_extract", "join_onfilter"]
 
 # pivot value pool: same alphabet as d_str's data, so sampled lists mix
 # PRESENT values (real cells) and ABSENT ones (all-NULL columns); all
@@ -1159,6 +1164,34 @@ def gen_case(rng: np.random.Generator, kinds=None) -> Case:
         return Case(kind, [t0], [], where=where, group=group, aggs=aggs,
                     order=order, limit=int(rng.integers(1, 20)))
 
+    if kind == "join_onfilter":
+        # Extra predicate INSIDE an outer/semi/anti join's ON clause —
+        # the q13 shape, and the classic semantics trap: an ON-filter
+        # on the non-preserved side changes which rows MATCH but never
+        # drops a preserved-side row (it NULL-pads instead), where the
+        # same predicate in WHERE would drop it. Both engines must
+        # agree on the preserved-row set and the NULL padding.
+        t1 = f"t{int(rng.integers(0, 3))}"
+        g = Gen(rng, ["s0_", "s1_"])
+        how = g.pick(["left", "right", "full", "semi", "anti"])
+        key = g.pick(["a_int", "b_int", "d_str"])
+        # the extra term targets the non-preserved side (both for full;
+        # for semi/anti the right side is visible inside ON only)
+        side = {"left": ["s1_"], "right": ["s0_"]}.get(how, ["s0_", "s1_"])
+        if how in ("semi", "anti"):
+            side = ["s1_"]
+        on_extra = Gen(rng, side).expr(BOOL, 2)
+        if how in ("semi", "anti"):
+            g = Gen(rng, ["s0_"])  # only left side visible downstream
+        n_proj = int(rng.integers(1, 4))
+        projections = [
+            (f"p{i}", g.expr(g.pick([INT, DBL, STR, BOOL]), 2))
+            for i in range(n_proj)
+        ]
+        where = g.expr(BOOL, 2) if rng.random() < 0.5 else None
+        return Case(kind, [t0, t1], projections, where=where,
+                    join=(how, key), on_extra=on_extra)
+
     if kind in ("join", "join_agg"):
         t1 = f"t{int(rng.integers(0, 3))}"
         g = Gen(rng, ["s0_", "s1_"])
@@ -1363,7 +1396,7 @@ def minimize(case: Case, spark, sdfs, con) -> Case:
                 changed = True
         for attr, val in (("limit", None), ("where", None),
                           ("distinct", False), ("having", None),
-                          ("union", None)):
+                          ("union", None), ("on_extra", None)):
             if getattr(case, attr):
                 c = copy.copy(case)
                 setattr(c, attr, val)
