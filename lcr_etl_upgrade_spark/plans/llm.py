@@ -702,3 +702,42 @@ def doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+@query(
+    "doc_heavy_hitter_tokens",
+    oracle=r"""
+    WITH toks AS (
+      -- tokenization MUST match operators/text.py::tokens_expr: \s+
+      -- split with empty tokens dropped
+      SELECT unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> ''
+             )) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) > 900
+    ORDER BY token
+    """,
+)
+def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens via the two-pass sketch pattern
+    (operators/frequent.py): per-partition Misra-Gries summaries (at
+    most k counters each, no shuffle of the vocabulary), merged into a
+    GUARANTEED candidate superset, then an exact broadcast-semi-join
+    recount of candidates only. The oracle is the plain HAVING
+    spelling — the sketch path must land on the identical exact answer
+    or the valve raises. k=4096 bounds the error budget at n/4097,
+    far under the 900 threshold at every gate SF."""
+    from lcr_etl_upgrade_spark.operators.frequent import heavy_hitters
+    from lcr_etl_upgrade_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", threshold=900, k=4096).orderBy(
+        "token"
+    )

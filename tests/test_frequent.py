@@ -1,0 +1,89 @@
+"""Misra-Gries frequent items (operators/frequent.py): the mergeable-
+summaries guarantees, checked against exact counts on randomized
+skewed data, plus the two-pass heavy_hitters exactness and its valve.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.operators.frequent import (
+    frequent_item_candidates,
+    heavy_hitters,
+    mg_summaries,
+)
+
+
+def _zipf_items(spark, seed: int, n: int = 30_000, vocab: int = 2_000,
+                parts: int = 7):
+    rng = np.random.default_rng(seed)
+    vals = rng.zipf(1.3, size=n) % vocab
+    pdf = pd.DataFrame({"item": [f"w{v}" for v in vals]})
+    return spark.createDataFrame(pdf).repartition(parts)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_mg_bounds_and_superset(spark, seed):
+    items = _zipf_items(spark, seed)
+    exact = {
+        r["item"]: r["c"]
+        for r in items.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    k = 64
+    cands, d_total = frequent_item_candidates(items, "item", k, threshold=0)
+    got = {r["item"]: r["lo"] for r in cands.collect()}
+    # error budget bound: D <= n/(k+1) summed over partitions
+    assert d_total <= n // (k + 1) + 7  # one rounding per partition
+    # lo <= f <= lo + D for every reported item
+    for item, lo in got.items():
+        f = exact.get(item, 0)
+        assert lo <= f <= lo + d_total, (item, lo, f, d_total)
+    # superset: every item with f > D is reported
+    for item, f in exact.items():
+        if f > d_total:
+            assert item in got, (item, f, d_total)
+
+
+def test_summary_size_is_bounded(spark):
+    items = _zipf_items(spark, 3, parts=5)
+    k = 32
+    rows = mg_summaries(items, "item", k).count()
+    # at most k counters + 1 sentinel per partition
+    assert rows <= 5 * (k + 1)
+
+
+@pytest.mark.parametrize("threshold", [50, 300])
+def test_heavy_hitters_exact_vs_groupby(spark, threshold):
+    items = _zipf_items(spark, 11)
+    expected = sorted(
+        (r["item"], r["c"])
+        for r in items.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > threshold)
+        .collect()
+    )
+    got = sorted(
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(items, "item", threshold, k=256).collect()
+    )
+    assert got == expected
+    assert len(got) > 0  # zipf guarantees some heavy tokens
+
+
+def test_valve_raises_when_sketch_too_small(spark):
+    # k=2 over a diffuse vocabulary: D blows past a tiny threshold and
+    # the operator must refuse rather than under-report.
+    items = _zipf_items(spark, 5, n=20_000, vocab=5_000)
+    with pytest.raises(ValueError, match="error budget"):
+        heavy_hitters(items, "item", threshold=3, k=2)
+
+
+def test_nulls_are_not_items(spark):
+    pdf = pd.DataFrame({"item": ["a", "a", None, "b", None, "a"]})
+    items = spark.createDataFrame(pdf)
+    got = heavy_hitters(items, "item", threshold=1, k=8).collect()
+    assert {(r["item"], r["cnt"]) for r in got} == {("a", 3)}
