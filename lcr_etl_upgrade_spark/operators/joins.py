@@ -170,3 +170,53 @@ def salted_aggregate(
     )
     stage1 = salted.groupBy(*keys, "__salt").agg(*aggs)
     return stage1.groupBy(*keys).agg(*partial_aggs)
+
+
+def hot_key_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    threshold: int,
+    salt: int = 8,
+    how: str = "inner",
+    k: int = 4096,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Targeted skew join: salt ONLY the measured hot keys.
+
+    Blanket ``salted_join`` replicates the whole right side ``salt``
+    times — at 100 TB that multiplies a big shuffle to fix a few keys.
+    This operator runs the Misra-Gries heavy-hitter sketch over the
+    left key column (operators/frequent.py: the vocabulary never
+    shuffles, only ~partitions x k counter rows), broadcasts the
+    detected hot-key set, splits BOTH sides into hot/cold partitions of
+    the key space, joins the cold majority with the plain (AQE-managed)
+    join, salts only the hot slice, and unions. Each key lives in
+    exactly one branch, so the union of the two joins is exactly the
+    plain join (pinned by tests/test_joins_skew.py against the
+    unsplit join on data with a planted hot key).
+
+    ``hot_keys`` (a 1-column DataFrame of key values) overrides the
+    sketch when the caller already knows the skew — e.g. from a
+    previous run's detection, the nightly profile, or AQE skew stats.
+
+    Same how-restriction as ``salted_join`` (left-preserving only),
+    plus the same exactness argument applied per key-partition: the
+    hot/cold split is a partition of the key space, each side's rows
+    land in the branch their key belongs to, and unmatched left rows
+    are preserved by their own branch.
+    """
+    if hot_keys is None:
+        from lcr_etl_upgrade_spark.operators.frequent import heavy_hitters
+
+        hot_keys = heavy_hitters(
+            left.select(key), key, threshold=threshold, k=k
+        ).select(key)
+    hot = F.broadcast(hot_keys.select(key))
+    left_hot = left.join(hot, key, "left_semi")
+    left_cold = left.join(hot, key, "left_anti")
+    right_hot = right.join(hot, key, "left_semi")
+    right_cold = right.join(hot, key, "left_anti")
+    cold = left_cold.join(right_cold, key, how)
+    hot_joined = salted_join(left_hot, right_hot, key, salt=salt, how=how)
+    return cold.unionByName(hot_joined)

@@ -27,6 +27,50 @@ def test_salted_join_left_outer(spark):
     assert got == {0: "hit", 9: None}
 
 
+def test_hot_key_salted_join_matches_plain_join(spark):
+    """The targeted variant: hot keys detected by the MG sketch, salted
+    branch + plain cold branch, union == the unsplit join exactly."""
+    from lcr_etl_upgrade_spark.operators.joins import hot_key_salted_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(800)]            # planted hot key
+        + [(k, k * 10) for k in range(1, 30)],  # cold tail
+        ["k", "lv"],
+    ).repartition(6)
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(25)], ["k", "rv"]
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = left.join(right, "k", how)
+        split = hot_key_salted_join(
+            left, right, "k", threshold=100, salt=4, how=how, k=64
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, split.collect())
+        ), how
+    # the sketch really did route key 0 to the hot branch
+    from lcr_etl_upgrade_spark.operators.frequent import heavy_hitters
+
+    hot = {r.k for r in heavy_hitters(
+        left.select("k"), "k", threshold=100, k=64).collect()}
+    assert hot == {0}
+
+
+def test_hot_key_salted_join_caller_supplied_keys(spark):
+    from lcr_etl_upgrade_spark.operators.joins import hot_key_salted_join
+
+    left = spark.createDataFrame([(0, 1), (0, 2), (5, 3)], ["k", "lv"])
+    right = spark.createDataFrame([(0, "a"), (5, "b")], ["k", "rv"])
+    hot = spark.createDataFrame([(0,)], ["k"])
+    got = hot_key_salted_join(
+        left, right, "k", threshold=10**9, salt=2, hot_keys=hot
+    )
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_salted_join_rejects_right_preserving_how(spark):
     """Right/full outer would emit unmatched right rows once per salt
     bucket — the operator must refuse, not silently duplicate."""
