@@ -935,6 +935,84 @@ def run_sketch_case(spark, rows, rsd, accuracy, q) -> dict | None:
 
 # --------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------- frequent
+
+
+def gen_frequent_case(rng):
+    """Randomized zipf-ish corpora for the Misra-Gries operator: vocab,
+    skew, partitioning, sketch size and threshold all sampled; ~30% of
+    cases sprinkle NULLs (must not count as items)."""
+    n = int(rng.integers(3_000, 15_000))
+    vocab = int(rng.integers(50, 3_000))
+    alpha = float(rng.uniform(1.1, 2.2))
+    parts = int(rng.integers(2, 10))
+    k = int(rng.integers(8, 257))
+    vals = rng.zipf(alpha, size=n) % vocab
+    items = [f"w{v}" for v in vals]
+    if rng.random() < 0.3:
+        for j in rng.integers(0, n, size=n // 50):
+            items[int(j)] = None
+    threshold = int(rng.integers(1, max(2, n // 20)))
+    return items, parts, k, threshold
+
+
+def run_frequent_case(spark, items, parts, k, threshold) -> dict | None:
+    """The mergeable-summaries contract vs exact Python counts:
+
+    - realized error budget D <= n/(k+1) + one rounding per partition;
+    - lo <= f <= lo + D for every reported candidate;
+    - superset: every item with f > D is reported;
+    - heavy_hitters == exact HAVING-count filter whenever the valve
+      precondition (D <= threshold) holds; when it does not, the
+      operator must RAISE, never silently under-report."""
+    import collections
+
+    from lcr_etl_upgrade_spark.operators.frequent import (
+        frequent_item_candidates,
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(parts)
+    exact = collections.Counter(x for x in items if x is not None)
+    n = sum(exact.values())
+    cands, d = frequent_item_candidates(df, "item", k, 0)
+    if MUTATE == "mg_err_zero":
+        d = 0  # pretend the sketch were exact: bounds must now fire
+    if d > n // (k + 1) + parts:
+        return {"kind": "mg_budget_exceeded", "d": d, "n": n, "k": k}
+    got = {r.item: r.lo for r in cands.collect()}
+    for item, lo in got.items():
+        f = exact.get(item, 0)
+        if not (lo <= f <= lo + d):
+            return {"kind": "mg_bound_violated", "item": item,
+                    "lo": lo, "f": f, "d": d}
+    for item, f in exact.items():
+        if f > d and item not in got:
+            return {"kind": "mg_superset_violated", "item": item,
+                    "f": f, "d": d}
+    expected = sorted(
+        (i, c) for i, c in exact.items() if c > threshold
+    )
+    try:
+        hh = sorted(
+            (r[0], r["cnt"])
+            for r in heavy_hitters(df, "item", threshold, k).collect()
+        )
+    except ValueError:
+        if d <= threshold and MUTATE != "mg_err_zero":
+            return {"kind": "mg_valve_false_positive", "d": d,
+                    "threshold": threshold}
+        return None  # correctly refused: budget exceeds the threshold
+    if hh != expected:
+        diff = set(hh) ^ set(expected)
+        return {"kind": "mg_exactness", "diff": sorted(diff)[:5],
+                "threshold": threshold, "d": d}
+    return None
+
+
 def main() -> int:
     global MUTATE
     ap = argparse.ArgumentParser()
@@ -955,7 +1033,7 @@ def main() -> int:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
         fam = ("lsh_topk", "minhash", "simhash", "ivf",
-               "sketch")[i % 5]
+               "sketch", "frequent")[i % 6]
         if fam == "lsh_topk":
             corpus, queries, p = gen_lsh_case(rng, i)
             rec = run_lsh_case(spark, corpus, queries, p)
@@ -968,6 +1046,9 @@ def main() -> int:
         elif fam == "sketch":
             rows, rsd, accuracy, q = gen_sketch_case(rng)
             rec = run_sketch_case(spark, rows, rsd, accuracy, q)
+        elif fam == "frequent":
+            items, parts, k, threshold = gen_frequent_case(rng)
+            rec = run_frequent_case(spark, items, parts, k, threshold)
         else:
             corpus, queries, dup_map, p = gen_ivf_case(rng)
             rec = run_ivf_case(spark, corpus, queries, dup_map, p)
