@@ -128,8 +128,13 @@ def heavy_hitters(
             f"threshold={threshold}: the candidate superset guarantee "
             f"is void. Use k >= n/threshold (got k={k})."
         )
-    # reserved-name alias: the caller's column may itself be "item"
-    cand_keys = cands.select(F.col("item").alias("__mg_item"))
+    # reserved-name alias (the caller's column may itself be "item"),
+    # cast back to the caller's key type: the sketch tracked the STRING
+    # rendering, and a string-vs-native comparison would make Catalyst
+    # pick a common type instead of probing on the native key
+    cand_keys = cands.select(
+        F.col("item").cast(items.schema[col].dataType).alias("__mg_item")
+    )
     return (
         items.join(
             F.broadcast(cand_keys),

@@ -729,8 +729,10 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     GUARANTEED candidate superset, then an exact broadcast-semi-join
     recount of candidates only. The oracle is the plain HAVING
     spelling — the sketch path must land on the identical exact answer
-    or the valve raises. k=4096 bounds the error budget at n/4097,
-    far under the 900 threshold at every gate SF."""
+    or the valve raises. k=16384 bounds the error budget at n/16385 —
+    under the 900 threshold through sf1 (~10M tokens -> D <= 610);
+    beyond that an absolute-count threshold needs k scaled with
+    n/threshold, and the valve says so instead of answering wrong."""
     from lcr_etl_upgrade_spark.operators.frequent import heavy_hitters
     from lcr_etl_upgrade_spark.operators.text import tokens_expr
 
@@ -738,6 +740,6 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(tokens_expr(F.col("text"))).alias("token")
     )
-    return heavy_hitters(toks, "token", threshold=900, k=4096).orderBy(
+    return heavy_hitters(toks, "token", threshold=900, k=16384).orderBy(
         "token"
     )

@@ -30,8 +30,18 @@ class Sink:
     mode: str = "append"
     options: dict[str, str] = field(default_factory=dict)
     partition_by: tuple[str, ...] = ()
+    zorder_by: tuple[str, ...] = ()   # K6 layout directive: cluster on
+    zorder_files: int = 32            # the Morton curve before writing
 
     def __call__(self, df: DataFrame, path: str | None = None) -> None:
+        if self.zorder_by:
+            from lcr_etl_upgrade_spark.operators.layout import (
+                optimize_layout,
+            )
+
+            df = optimize_layout(
+                df, list(self.zorder_by), self.zorder_files
+            )
         writer = df.write.format(self.fmt).mode(self.mode).options(**self.options)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -67,6 +77,20 @@ def _parquet_overwrite(**options) -> Sink:
 def _parquet_truncate(**options) -> Sink:
     """K3 truncate-then-load: end state == overwrite of the new batch."""
     return Sink("parquet", "overwrite", options)
+
+
+@register("parquet_zorder")
+def _parquet_zorder(**options) -> Sink:
+    """K6 [EXT, r10]: overwrite write clustered on the Z-order curve of
+    ``zorder_by`` (comma-separated) into ``zorder_files`` files —
+    OPTIMIZE-at-write-time so footer stats prune on every listed column
+    (operators/layout.py; quantile bucketing, skew-robust)."""
+    cols = tuple(c for c in options.pop("zorder_by", "").split(",") if c)
+    if not cols:
+        raise ValueError("parquet_zorder requires zorder_by=<col,...>")
+    n = int(options.pop("zorder_files", "32"))
+    return Sink("parquet", "overwrite", options, zorder_by=cols,
+                zorder_files=n)
 
 
 @register("csv")

@@ -170,3 +170,48 @@ def test_zorder_key_bit_layout(spark):
 def test_zorder_key_rejects_oversized_keys():
     with pytest.raises(ValueError):
         zorder_key([F.lit(0)] * 8, 8)  # 64 bits > 63
+
+
+def test_parquet_zorder_sink_clusters_files(spark, tmp_path):
+    """The K6 sink: registry-built writer z-orders before writing.
+    Clustering evidence: per-file footer ranges on BOTH columns are
+    narrow slices of the global range (a natural write spans ~all of
+    it), using the skew-robust quantile bucketing default."""
+    from lcr_etl_upgrade_spark.sinks.registry import get_sink
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.pmod(F.hash(F.col("id") * 2 + 1), 10_000)).cast("double").alias("x"),
+        (F.pmod(F.hash(F.col("id") * 2), 10_000)).cast("double").alias("y"),
+    )
+    sink = get_sink("parquet_zorder", zorder_by="x,y", zorder_files="16")
+    sink(df, str(tmp_path / "zs"))
+
+    def mean_span(path, col):
+        spans, n = 0.0, 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                r = md.row_group(rg)
+                for i in range(r.num_columns):
+                    c = r.column(i)
+                    if c.path_in_schema == col and c.statistics:
+                        spans += c.statistics.max - c.statistics.min
+                        n += 1
+        return spans / n
+
+    # 16 files over a 2-dim curve -> 4x4 blocks: each file should span
+    # roughly a quarter of each dimension, far under the full range
+    assert mean_span(str(tmp_path / "zs"), "x") < 10_000 * 0.45
+    assert mean_span(str(tmp_path / "zs"), "y") < 10_000 * 0.45
+    # and the write is a permutation
+    back = spark.read.parquet(str(tmp_path / "zs"))
+    assert back.count() == 20_000
+    assert back.select("id").distinct().count() == 20_000
+
+
+def test_parquet_zorder_sink_requires_columns():
+    from lcr_etl_upgrade_spark.sinks.registry import get_sink
+
+    with pytest.raises(ValueError, match="zorder_by"):
+        get_sink("parquet_zorder")
