@@ -659,30 +659,16 @@ def _dv_verify(base: str, dvs: dict[str, dict]) -> dict[str, tuple[dict, int]]:
     return out
 
 
-def _apply_dv_filter(
+def _dv_positions(
     spark: SparkSession,
-    df: DataFrame,
     base: str,
     verified: dict[str, tuple[dict, int]],
     files_in_scan: list[str],
-) -> DataFrame:
-    """Drop deleted rows: anti-join (file URI, row index) pairs against
-    ``_metadata`` columns. The deleted-row relation is built EXECUTOR-
-    side — a tiny descriptor DataFrame (one row per deletion vector,
-    already integrity-verified by ``_dv_verify``) expands to positions
-    inside ``mapInPandas``, one task per DV, so positions of arbitrary
-    cardinality never materialize on the driver. Requires the table
-    root to be reachable from executors — the same shared-storage
-    assumption the whole reader already makes for the parquet files.
-
-    Below MAX_DV_POSITIONS total cardinality the relation is hinted
-    broadcast (no shuffle of the fact side — the common case); above
-    it, an explicit shuffle_hash hint forces a shuffled hash join.
-    The hint must be explicit: Catalyst's size estimate for the
-    mapInPandas output derives from the tiny one-row-per-DV descriptor
-    relation, so merely DROPPING the broadcast hint would still
-    statically plan a broadcast join of the expanded positions — the
-    exact oversized build table the valve exists to prevent."""
+):
+    """The (encoded file URI, row index) relation of all marked rows in
+    ``files_in_scan``'s deletion vectors, expanded EXECUTOR-side (see
+    _apply_dv_filter for the full story), with the broadcast-vs-shuffle
+    hint already applied. None when no in-scan vector marks any row."""
     in_scan = set(files_in_scan)
     relevant = {
         rel: dv
@@ -690,7 +676,7 @@ def _apply_dv_filter(
         if rel in in_scan and n > 0
     }
     if not relevant:
-        return df
+        return None
     # abspath, NOT realpath: Spark qualifies the path it was given
     # without resolving symlinks, so resolving here would desync the
     # join key for tables reached through a symlink. The path is then
@@ -724,7 +710,7 @@ def _apply_dv_filter(
             for key, dv_json, card in zip(
                 pdf["__dv_file"], pdf["__dv_json"], pdf["__dv_card"]
             ):
-                # STREAMED expansion: per-container batches (≤65,536
+                # STREAMED expansion: per-container batches (<=65,536
                 # values each) re-chunked into bounded Arrow frames, so
                 # even a single multi-hundred-million-row DV never
                 # materializes whole in this worker. The cardinality was
@@ -760,6 +746,40 @@ def _apply_dv_filter(
         deleted = F.broadcast(deleted)
     else:
         deleted = deleted.hint("shuffle_hash")
+    return deleted
+
+
+def _apply_dv_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    verified: dict[str, tuple[dict, int]],
+    files_in_scan: list[str],
+    how: str = "left_anti",
+) -> DataFrame:
+    """Drop deleted rows: anti-join (file URI, row index) pairs against
+    ``_metadata`` columns. (``how="left_semi"`` inverts the filter —
+    KEEP only the rows the vectors mark — which is how the change-feed
+    reader materializes the rows a DV update deleted.) The deleted-row relation is built EXECUTOR-
+    side — a tiny descriptor DataFrame (one row per deletion vector,
+    already integrity-verified by ``_dv_verify``) expands to positions
+    inside ``mapInPandas``, one task per DV, so positions of arbitrary
+    cardinality never materialize on the driver. Requires the table
+    root to be reachable from executors — the same shared-storage
+    assumption the whole reader already makes for the parquet files.
+
+    Below MAX_DV_POSITIONS total cardinality the relation is hinted
+    broadcast (no shuffle of the fact side — the common case); above
+    it, an explicit shuffle_hash hint forces a shuffled hash join.
+    The hint must be explicit: Catalyst's size estimate for the
+    mapInPandas output derives from the tiny one-row-per-DV descriptor
+    relation, so merely DROPPING the broadcast hint would still
+    statically plan a broadcast join of the expanded positions — the
+    exact oversized build table the valve exists to prevent."""
+    deleted = _dv_positions(spark, base, verified, files_in_scan)
+    if deleted is None:
+        # no marked rows: anti keeps everything, semi keeps nothing
+        return df if how == "left_anti" else df.filter(F.lit(False))
     scan = df.select(
         "*",
         # Hadoop renders local paths as file:/abs or file:///abs
@@ -773,7 +793,7 @@ def _apply_dv_filter(
         deleted,
         (scan["__dv_scan_file"] == deleted["__dv_file"])
         & (scan["__dv_scan_idx"] == deleted["__dv_idx"]),
-        "left_anti",
+        how,
     )
     return joined.drop("__dv_scan_file", "__dv_scan_idx")
 
@@ -2481,3 +2501,306 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         json.dump({"version": state.version, "size": size}, fh)
     os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
     return state.version
+
+
+# ---- change data feed (emulated reader) ----------------------------------
+
+
+def _schema_identity(schema_str: str) -> str:
+    """Schema identity for change-window compatibility: field NAMES and
+    TYPES, positionally, with nullability and field metadata stripped —
+    a nullable-widened rewrite of the same columns is read-compatible
+    and must not split a change window."""
+
+    def strip(node):
+        if isinstance(node, dict):
+            return {
+                k: strip(v)
+                for k, v in node.items()
+                if k not in ("nullable", "metadata")
+            }
+        if isinstance(node, list):
+            return [strip(x) for x in node]
+        return node
+
+    return json.dumps(strip(json.loads(schema_str)), sort_keys=True)
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes in ``[start_version, end_version]`` — the CDC
+    primitive an incremental 100 TB consumer needs: read ONLY what a
+    commit touched instead of diffing full snapshots.
+
+    Computed from add/remove actions (the Delta spec's own fallback
+    semantics for insert-only/delete-only commits), refined with
+    deletion-vector diffs so a DV update yields exactly the rows it
+    deleted (or restored), not a whole-file churn:
+
+    - new file (dataChange)            -> its live rows as ``insert``
+    - retired file (dataChange)        -> its previously-live rows as
+      ``delete``
+    - same file, DV changed            -> rows in (new minus old) as
+      ``delete``; rows in (old minus new) as ``insert`` (restore)
+    - ``dataChange=false`` actions (compaction/optimize rewrites) are
+      layout moves, not changes: skipped entirely.
+
+    Output: the table columns plus ``_change_type`` ('insert'|'delete'),
+    ``_commit_version`` and ``_commit_timestamp`` (commitInfo timestamp,
+    else the commit file's mtime). This writer never produces UPDATE
+    semantics in place (merge rewrites are remove+add), so the
+    preimage/postimage types do not arise; a commit carrying writer-
+    materialized ``cdc`` actions (a foreign CDF writer) is REFUSED —
+    serving add/remove-derived rows for it could double-count against
+    its change files.
+
+    Refuses on schema / partitioning / column-mapping changes inside a
+    window that produces rows (per-commit schemas would otherwise union
+    incoherently): split the read at the schema-change commit.
+
+    Scale shape: one parquet scan per (commit, change class, partition
+    tuple) over ONLY the changed files; DV diffs reuse the executor-side
+    position expansion and broadcast-vs-shuffle valve of the main
+    reader. Nothing driver-side grows beyond the file/DV descriptors —
+    the same contract as replay_log itself.
+    """
+    base = _local(path)
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    commit_map = {
+        int(m.group(1)): os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    }
+    if not commit_map:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    latest = max(commit_map)
+    end = latest if end_version is None else end_version
+    if not (0 <= start_version <= end <= latest):
+        raise ValueError(
+            f"invalid change window [{start_version}, {end}] "
+            f"(latest commit: {latest})"
+        )
+    state = (
+        replay_log(spark, path, start_version - 1)
+        if start_version > 0
+        else TableState()
+    )
+
+    def _key(meta):
+        return (
+            _schema_identity(meta["schemaString"]),
+            meta["schemaString"],
+            tuple(meta.get("partitionColumns") or []),
+            _column_mapping_mode(meta),
+        )
+
+    branches: list[tuple] = []
+    schema_keys: set[tuple] = set()
+    for v in range(start_version, end + 1):
+        cpath = commit_map.get(v)
+        if cpath is None:
+            raise ValueError(
+                f"commit {v} is missing from {log_dir} (cleaned up?) — "
+                "row-level changes for it are unrecoverable"
+            )
+        with open(cpath) as fh:
+            actions = [json.loads(ln) for ln in fh if ln.strip()]
+        if any("cdc" in a for a in actions):
+            raise NotImplementedError(
+                f"commit {v} carries writer-materialized cdc actions; "
+                "this reader derives changes from add/remove only and "
+                "refusing beats double-counting against change files"
+            )
+        ts_ms = next(
+            (
+                a["commitInfo"]["timestamp"]
+                for a in actions
+                if "commitInfo" in a
+                and a["commitInfo"].get("timestamp") is not None
+            ),
+            None,
+        )
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(cpath) * 1000)
+        files_b, dvs_b = dict(state.files), dict(state.dvs)
+        key_before = _key(state.metadata) if state.metadata else None
+        data_change: dict[str, bool] = {}
+        for a in actions:
+            act = a.get("add") or a.get("remove")
+            if act is not None:
+                rel = urllib.parse.unquote(act["path"])
+                data_change[rel] = data_change.get(rel, False) or bool(
+                    act.get("dataChange", True)
+                )
+            _apply_action(state, a)
+        state.version = v
+        inserted: dict[str, tuple] = {}
+        deleted: dict[str, tuple] = {}
+        dv_changed: dict[str, tuple] = {}
+        for rel in state.files.keys() - files_b.keys():
+            if data_change.get(rel):
+                inserted[rel] = (state.files[rel], state.dvs.get(rel))
+        for rel in files_b.keys() - state.files.keys():
+            if data_change.get(rel):
+                deleted[rel] = (files_b[rel], dvs_b.get(rel))
+        for rel in state.files.keys() & files_b.keys():
+            if data_change.get(rel) and _dv_uid(
+                state.dvs.get(rel)
+            ) != _dv_uid(dvs_b.get(rel)):
+                dv_changed[rel] = (
+                    state.files[rel],
+                    dvs_b.get(rel),
+                    state.dvs.get(rel),
+                )
+        if not (inserted or deleted or dv_changed):
+            continue
+        assert state.metadata is not None
+        # each change class reads files written under a specific schema:
+        # inserts under the post-commit one, deletes/DV-diffs under the
+        # pre-commit one (those files predate this commit)
+        if inserted:
+            schema_keys.add(_key(state.metadata))
+        if deleted or dv_changed:
+            assert key_before is not None
+            schema_keys.add(key_before)
+        branches.append((v, ts_ms, inserted, deleted, dv_changed))
+
+    if not branches:
+        meta = state.metadata
+        if meta is None:
+            raise ValueError(f"no metaData action found in {log_dir}")
+        empty_schema = T.StructType(
+            list(T.StructType.fromJson(json.loads(meta["schemaString"])))
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+
+    if len({(sid, pc, mm) for sid, _, pc, mm in schema_keys}) > 1:
+        raise NotImplementedError(
+            "schema / partitioning / column-mapping changed inside the "
+            "change window (nullability-insensitive compare); split the "
+            "read at the metadata-change commit"
+        )
+    _, schema_str, part_cols, mapping = next(iter(schema_keys))
+    schema = T.StructType.fromJson(json.loads(schema_str))
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_part_cols = [
+        pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name in part_cols
+    ]
+    data_schema = T.StructType(
+        [f for f in phys_schema.fields if f.name not in phys_part_cols]
+    )
+    types = {f.name: f.dataType for f in phys_schema.fields}
+
+    def _scan(entries: dict[str, dict]) -> DataFrame:
+        """Physical-schema scan of the given rel->partitionValues files
+        with (__f, __i) keys materialized for DV joins."""
+        by_group: dict[tuple, list[str]] = {}
+        for rel, pvals in entries.items():
+            key = tuple((pvals or {}).get(c) for c in phys_part_cols)
+            by_group.setdefault(key, []).append(rel)
+        parts = []
+        for key, rels in sorted(by_group.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(data_schema).parquet(
+                *[os.path.join(base, rel) for rel in sorted(rels)]
+            )
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__f"),
+                F.col("_metadata.row_index").alias("__i"),
+            )
+            for c, vv in zip(phys_part_cols, key):
+                df = df.withColumn(c, _typed_partition_lit(vv, types[c]))
+            parts.append(
+                df.select(
+                    *[_quoted(f.name) for f in phys_schema.fields],
+                    "__f",
+                    "__i",
+                )
+            )
+        out = parts[0]
+        for b in parts[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def _dv_join(df: DataFrame, dv_map: dict[str, dict | None], how: str):
+        present = {r: d for r, d in dv_map.items() if d}
+        pos = _dv_positions(
+            spark, base, _dv_verify(base, present), list(present)
+        )
+        if pos is None:
+            return df if how == "left_anti" else df.filter(F.lit(False))
+        return df.join(
+            pos,
+            (F.col("__f") == pos["__dv_file"])
+            & (F.col("__i") == pos["__dv_idx"]),
+            how,
+        )
+
+    def _finish(df: DataFrame, ctype: str, v: int, ts_ms: int) -> DataFrame:
+        df = df.drop("__f", "__i")
+        if mapping != "none":
+            df = df.select(
+                *[
+                    _quoted(pf.name).cast(f.dataType).alias(f.name)
+                    for f, pf in zip(schema.fields, phys_schema.fields)
+                ]
+            )
+        return df.select(
+            "*",
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(int(ts_ms))).alias(
+                "_commit_timestamp"
+            ),
+        )
+
+    out_parts: list[DataFrame] = []
+    for v, ts_ms, inserted, deleted, dv_changed in branches:
+        if inserted:
+            df = _scan({r: pv for r, (pv, _) in inserted.items()})
+            df = _dv_join(
+                df, {r: dv for r, (_, dv) in inserted.items()}, "left_anti"
+            )
+            out_parts.append(_finish(df, "insert", v, ts_ms))
+        if deleted:
+            df = _scan({r: pv for r, (pv, _) in deleted.items()})
+            df = _dv_join(
+                df, {r: dv for r, (_, dv) in deleted.items()}, "left_anti"
+            )
+            out_parts.append(_finish(df, "delete", v, ts_ms))
+        if dv_changed:
+            pvals = {r: pv for r, (pv, _, _) in dv_changed.items()}
+            old = {r: o for r, (_, o, _) in dv_changed.items()}
+            new = {r: nw for r, (_, _, nw) in dv_changed.items()}
+            dels = _dv_join(
+                _dv_join(_scan(pvals), new, "left_semi"), old, "left_anti"
+            )
+            out_parts.append(_finish(dels, "delete", v, ts_ms))
+            if any(old.values()):
+                restores = _dv_join(
+                    _dv_join(_scan(pvals), old, "left_semi"),
+                    new,
+                    "left_anti",
+                )
+                out_parts.append(_finish(restores, "insert", v, ts_ms))
+    out = out_parts[0]
+    for b in out_parts[1:]:
+        out = out.unionByName(b)
+    return out
