@@ -120,8 +120,6 @@ def test_empty_window_returns_empty_with_schema(spark, tmp_path):
 
     # v1: a metadata-only commit (no data change)
     log = os.path.join(path, "_delta_log")
-    v0 = json.load(open(os.path.join(log, "00000000000000000000.json"))) \
-        if False else None  # placeholder, not used
     with open(os.path.join(log, "00000000000000000000.json")) as fh:
         meta = next(
             json.loads(ln)["metaData"]
@@ -276,3 +274,35 @@ def test_invalid_windows_raise(spark, tmp_path):
         read_delta_changes(spark, path, 1, 0)
     with pytest.raises(ValueError, match="invalid change window"):
         read_delta_changes(spark, path, 0, 99)
+
+
+def test_dv_shrink_reports_restored_rows_as_inserts(spark, tmp_path):
+    """A commit that REPLACES a file's DV with nothing (a restore)
+    yields the previously-deleted rows as inserts (old minus new)."""
+    import json
+    import os
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(6).coalesce(1).select("id"), path
+    )  # v0: one file
+    delete_rows(spark, path, F.col("id") < 2)  # v1: DV marks 0,1
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "00000000000000000001.json")) as fh:
+        add = next(
+            json.loads(ln)["add"] for ln in fh if '"add"' in ln
+        )
+    restore = [
+        {"remove": {"path": add["path"], "dataChange": True,
+                    "deletionTimestamp": 9,
+                    "deletionVector": add["deletionVector"]}},
+        {"add": {**{k: v for k, v in add.items()
+                    if k != "deletionVector"}, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000002.json"), "w") as fh:
+        for a in restore:
+            fh.write(json.dumps(a) + "\n")
+    _, ins, dels = _changes(spark, path, 2, 2, ["id"])
+    assert not dels
+    assert ins == Counter({(0,): 1, (1,): 1})
+    _snapshot_algebra_holds(spark, path, 2, 2, ["id"])

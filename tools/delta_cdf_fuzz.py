@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Randomized differential for the change-data-feed reader.
+
+Each case builds a fresh delta_lite table and drives a random operation
+sequence — overwrite, append, DV delete, dataChange=false compaction,
+DV-clearing restore — then checks SNAPSHOT ALGEBRA for every window
+[i, j] of the history:
+
+    multiset(read @ i-1) + window inserts - window deletes
+        == multiset(read @ j)
+
+The oracle is the snapshot reader itself (log replay + DV filtering), a
+code path that never touches the CDF diff logic — so an error in either
+direction (missed delete, phantom insert, DV-diff off-by-one,
+compaction visibility) breaks the equation. Rows are compared as full
+tuples (multiset), so value corruption is caught, not just counts.
+
+Extra pins per case: change rows only carry _change_type in
+{insert, delete}; _commit_version stays inside the window; compaction
+commits contribute zero rows.
+
+--mutate ignore_dv_diff simulates a reader that treats DV updates as
+invisible (drops their change rows in the checker): the battery must
+detect it on every case whose sequence contains an effective delete —
+harness-power evidence, same convention as the other fuzzers.
+
+Usage: python tools/delta_cdf_fuzz.py [--seed N] [--n CASES] [--mutate M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+from collections import Counter
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+MUTATE: str | None = None
+
+
+def _rand_df(spark, rng, lo: int):
+    n = int(rng.integers(1, 40))
+    rows = [
+        (
+            int(rng.integers(lo, lo + 60)),
+            int(rng.integers(0, 5)),
+            str(rng.integers(0, 3)),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, v long, s string")
+
+
+def _compact(path: str) -> bool:
+    """Rewrite one active DV-free file under a new name with
+    dataChange=false (what OPTIMIZE emits). Returns False when no
+    eligible file exists."""
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    log = os.path.join(path, "_delta_log")
+    # replay via the module to find active files + their DVs
+    import pyspark
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    state = replay_log(spark, path)
+    eligible = [r for r in sorted(state.files) if r not in state.dvs]
+    if not eligible:
+        return False
+    rel = eligible[0]
+    new_rel = f"compact_{state.version + 1}.parquet"
+    shutil.copy(os.path.join(path, rel), os.path.join(path, new_rel))
+    size = os.path.getsize(os.path.join(path, new_rel))
+    actions = [
+        {"remove": {"path": rel, "dataChange": False,
+                    "deletionTimestamp": 1}},
+        {"add": {"path": new_rel,
+                 "partitionValues": dict(state.files[rel]),
+                 "size": size, "modificationTime": 1,
+                 "dataChange": False}},
+    ]
+    with open(os.path.join(
+            log, f"{state.version + 1:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return True
+
+
+def _restore(path: str) -> bool:
+    """Clear one file's deletion vector (remove+add with dataChange),
+    restoring its deleted rows. Returns False when no file carries a
+    DV."""
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    import pyspark
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    state = replay_log(spark, path)
+    if not state.dvs:
+        return False
+    rel = sorted(state.dvs)[0]
+    size = os.path.getsize(os.path.join(path, rel))
+    actions = [
+        {"remove": {"path": rel, "dataChange": True,
+                    "deletionTimestamp": 1,
+                    "deletionVector": state.dvs[rel]}},
+        {"add": {"path": rel,
+                 "partitionValues": dict(state.files[rel]),
+                 "size": size, "modificationTime": 1,
+                 "dataChange": True}},
+    ]
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(
+            log, f"{state.version + 1:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return True
+
+
+def run_case(spark, rng, i: int) -> dict | None:
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.delta_lite import (
+        delete_rows,
+        read_delta_changes,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdf_fuzz_")
+    path = os.path.join(tmp, "t")
+    try:
+        part = bool(rng.random() < 0.3)
+        mapping = "name" if rng.random() < 0.25 else None
+        write_delta_lite(
+            _rand_df(spark, rng, 0),
+            path,
+            partition_by=("s",) if part else (),
+            column_mapping=mapping,
+        )
+        ops = ["op:create"]
+        n_ops = int(rng.integers(2, 7))
+        for _ in range(n_ops):
+            op = ["append", "delete", "compact", "restore"][
+                int(rng.integers(0, 4))
+            ]
+            if op == "append":
+                write_delta_lite(
+                    _rand_df(spark, rng, int(rng.integers(0, 100))),
+                    path, mode="append",
+                )
+            elif op == "delete":
+                pred = (F.col("id") % int(rng.integers(2, 6))) == 0
+                delete_rows(spark, path, pred)
+            elif op == "compact":
+                if not _compact(path):
+                    continue
+            elif op == "restore":
+                if not _restore(path):
+                    continue
+            ops.append(f"op:{op}")
+        log = os.path.join(path, "_delta_log")
+        latest = max(
+            int(f[:20]) for f in os.listdir(log) if f.endswith(".json")
+        )
+        cols = ["id", "v", "s"]
+
+        def snap(v):
+            if v < 0:
+                return Counter()
+            df = read_delta_lite(spark, path, version=v)
+            return Counter(
+                tuple(r[c] for c in cols) for r in df.collect()
+            )
+
+        snaps = {v: snap(v) for v in range(-1, latest + 1)}
+        # every window, single-commit ones first (best localization)
+        windows = [(v, v) for v in range(latest + 1)]
+        windows += [(0, latest)]
+        if latest >= 2:
+            lo = int(rng.integers(0, latest))
+            hi = int(rng.integers(lo, latest + 1))
+            windows.append((lo, hi))
+        for lo, hi in windows:
+            ch = read_delta_changes(spark, path, lo, hi).collect()
+            bad_type = [
+                r for r in ch
+                if r["_change_type"] not in ("insert", "delete")
+            ]
+            if bad_type:
+                return {"kind": "bad_change_type", "ops": ops,
+                        "window": [lo, hi]}
+            if any(
+                not (lo <= r["_commit_version"] <= hi) for r in ch
+            ):
+                return {"kind": "version_out_of_window", "ops": ops,
+                        "window": [lo, hi]}
+            if MUTATE == "ignore_dv_diff":
+                # simulate a reader blind to DV updates: drop change
+                # rows from commits that were pure DV updates
+                dv_commits = {
+                    r["_commit_version"] for r in ch
+                } - {0}  # crude: non-create commits may be DV updates
+                ch = [
+                    r for r in ch
+                    if not (
+                        r["_change_type"] == "delete"
+                        and r["_commit_version"] in dv_commits
+                    )
+                ]
+            ins = Counter(
+                tuple(r[c] for c in cols)
+                for r in ch if r["_change_type"] == "insert"
+            )
+            dels = Counter(
+                tuple(r[c] for c in cols)
+                for r in ch if r["_change_type"] == "delete"
+            )
+            if snaps[lo - 1] + ins - dels != snaps[hi]:
+                return {
+                    "kind": "snapshot_algebra", "ops": ops,
+                    "window": [lo, hi],
+                    "before": sum(snaps[lo - 1].values()),
+                    "after": sum(snaps[hi].values()),
+                    "ins": sum(ins.values()),
+                    "dels": sum(dels.values()),
+                }
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    global MUTATE
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=20260816)
+    ap.add_argument("--n", type=int, default=25)
+    ap.add_argument("--mutate", default=None)
+    ap.add_argument("--case", type=int, default=None)
+    args = ap.parse_args()
+    MUTATE = args.mutate
+
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session("delta_cdf_fuzz")
+    failures = []
+    for i in range(args.n):
+        if args.case is not None and i != args.case:
+            continue
+        rng = np.random.default_rng(args.seed * 1_000_003 + i)
+        rec = run_case(spark, rng, i)
+        if rec is not None:
+            failures.append({"i": i, **rec})
+            print(f"FAIL case {i}: {json.dumps(failures[-1])[:500]}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "seed": args.seed, "n": args.n, "mutate": MUTATE,
+        "failures": failures, "ok": not failures,
+    }))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

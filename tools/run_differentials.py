@@ -9,6 +9,7 @@ Harnesses (each also runnable standalone with richer options):
   - stateful_fuzz   sessionize / upsert / SCD2 / dynamic gaps vs DuckDB
   - curation_fuzz   chunk / pack / sample vs Python restatements
   - similarity_fuzz LSH/minhash/simhash/IVF vs exact Python
+  - delta_cdf_fuzz  change-feed snapshot algebra vs the snapshot reader
                     restatements (from-spec XXH64) + recall floors
   - codec_differential  jpeg_lite/png_lite vs the JDK's javax.imageio
 
@@ -32,6 +33,7 @@ SPECS = [
     ("stateful_fuzz", ["--n"], 80, 24),
     ("curation_fuzz", ["--n"], 60, 18),
     ("similarity_fuzz", ["--n"], 60, 16),
+    ("delta_cdf_fuzz", ["--n"], 25, 8),
     ("codec_differential", ["--png", "--jpeg"], (30, 18), (10, 6)),
 ]
 
