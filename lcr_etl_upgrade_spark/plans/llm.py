@@ -743,3 +743,50 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", threshold=900, k=16384).orderBy(
         "token"
     )
+
+
+@query("doc_bpe_train_stats")  # rows-only: BPE training is not SQL-expressible
+def doc_bpe_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real BPE tokenizer on the corpus (operators/bpe.py:
+    distributed word counts -> vocab-bounded driver merge loop) and
+    apply it: per-language totals with an IN-RESULT contract column —
+    every word encodes to between 1 and len(word)+1 symbols, so
+    ``contract_ok`` (ws_tokens <= bpe_tokens <= word_chars + ws_tokens)
+    must be true on every row; a violation marks a broken merge table
+    or encoder, visible to the rows-only driver check."""
+    from lcr_etl_upgrade_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+    from lcr_etl_upgrade_spark.operators.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=60, max_words=10_000)
+    counted = bpe_token_count(docs, "text", merges).select(
+        "lang",
+        "bpe_tokens",
+        token_count_expr(F.col("text")).alias("ws"),
+        F.length(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s", ""))
+        .cast("long")
+        .alias("chars"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("chars").alias("word_chars"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("ws_tokens") <= F.col("bpe_tokens"))
+                & (
+                    F.col("bpe_tokens")
+                    <= F.col("word_chars") + F.col("ws_tokens")
+                )
+            ).alias("contract_ok"),
+        )
+        .orderBy("lang")
+    )

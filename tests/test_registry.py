@@ -6,9 +6,9 @@ pins down locally:
 
 1. Registry drift — a rename/addition silently changes the key set the
    driver sees (round-2 verdict froze the registry; round 10 extended it
-   to these 92 names: TPC-H q8/q13/q21 — the last three queries
-   expressible without a partsupp table — plus layout_zorder_key and
-   doc_heavy_hitter_tokens).
+   to these 93 names: TPC-H q8/q13/q21 — the last three queries
+   expressible without a partsupp table — plus layout_zorder_key,
+   doc_heavy_hitter_tokens and doc_bpe_train_stats).
 2. A query whose PLAN no longer builds (schema error, missing column)
    that would only surface minutes into the full oracle gate.
 
@@ -29,8 +29,8 @@ FROZEN_QUERY_NAMES = sorted(
     agg_salted_two_stage agg_variance_manual cleanse_boolean
     cleanse_boolean_string cleanse_future_cap cleanse_numeric_coercion
     cleanse_timestamp_scrub conform_metadata_enrichment conform_rename_project
-    distinct_keys doc_array_functions doc_dedup_exact doc_edit_distance
-    doc_heavy_hitter_tokens
+    distinct_keys doc_array_functions doc_bpe_train_stats doc_dedup_exact
+    doc_edit_distance doc_heavy_hitter_tokens
     doc_fingerprint doc_lang_summary doc_language_id doc_minhash_near_dup
     doc_ngram_jaccard doc_quality_scores doc_simhash doc_text_stats
     doc_token_bpe embedding_cosine_near_dup embedding_cosine_near_dup_lsh
@@ -58,9 +58,9 @@ FROZEN_QUERY_NAMES = sorted(
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_registry_frozen_at_92_names():
+def test_registry_frozen_at_93_names():
     assert sorted(entry_mod.queries()) == FROZEN_QUERY_NAMES
-    assert len(FROZEN_QUERY_NAMES) == 92
+    assert len(FROZEN_QUERY_NAMES) == 93
 
 
 def test_every_oracle_key_has_a_query():
@@ -71,6 +71,7 @@ def test_every_oracle_key_has_a_query():
     assert sorted(q - o) == [
         "agg_approx_distinct",
         "agg_approx_percentiles",
+        "doc_bpe_train_stats",
         "doc_minhash_near_dup",
         "doc_simhash",
         "embedding_cosine_near_dup_lsh",
