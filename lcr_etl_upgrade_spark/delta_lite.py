@@ -2804,3 +2804,20 @@ def read_delta_changes(
     for b in out_parts[1:]:
         out = out.unionByName(b)
     return out
+
+
+def latest_version(path: str) -> int:
+    """Newest commit version present in the log (no replay)."""
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    ]
+    if not versions:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    return max(versions)

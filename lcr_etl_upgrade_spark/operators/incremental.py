@@ -243,3 +243,34 @@ def run_incremental(
     finally:
         if persist_batch:
             filtered.unpersist()
+
+
+def consume_delta_changes(spark, path, store, name, process):
+    """CDC consumption loop: compose the change-feed reader with the
+    reference's watermark pattern (F1/F2 shape, a VERSION cursor instead
+    of a timestamp). The watermark stores the last PROCESSED commit;
+    each cycle reads ``read_delta_changes(last+1, latest)``, hands the
+    frame to ``process(df, (lo, hi))``, and advances the watermark only
+    AFTER process returns — so a crash replays the whole window
+    (at-least-once in whole commits; consumers needing exactly-once
+    dedup on ``_commit_version``, which is monotone and gap-free).
+
+    Returns the (lo, hi) window processed, or None when there was
+    nothing new. At 100 TB this is the consumption shape that replaces
+    full-table diffs: each cycle scans only the files the window's
+    commits touched.
+    """
+    from lcr_etl_upgrade_spark.delta_lite import (
+        latest_version,
+        read_delta_changes,
+    )
+
+    raw = store.read(name)
+    last = int(raw) if raw.strip().lstrip("-").isdigit() else -1
+    latest = latest_version(path)
+    if latest <= last:
+        return None
+    lo, hi = last + 1, latest
+    process(read_delta_changes(spark, path, lo, hi), (lo, hi))
+    store.write(name, str(hi))
+    return (lo, hi)

@@ -306,3 +306,66 @@ def test_dv_shrink_reports_restored_rows_as_inserts(spark, tmp_path):
     assert not dels
     assert ins == Counter({(0,): 1, (1,): 1})
     _snapshot_algebra_holds(spark, path, 2, 2, ["id"])
+
+
+def test_cdf_scans_only_changed_files(spark, tmp_path):
+    """Plan-level scale evidence: a window's change scan reads ONLY the
+    files its commits touched — an append's change feed must not input
+    the base table's files."""
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(1000).select("id").repartition(4), path
+    )  # v0: 4 files
+    write_delta_lite(
+        spark.range(1000, 1010).select("id").coalesce(1),
+        path,
+        mode="append",
+    )  # v1: 1 file
+    ch = read_delta_changes(spark, path, 1, 1)
+    files = ch.inputFiles()
+    assert len(files) == 1, files
+    base_files = read_delta_lite(spark, path, version=0).inputFiles()
+    assert not set(files) & set(base_files)
+
+
+def test_consume_delta_changes_loop(spark, tmp_path):
+    """The CDC consumption composition: version-cursor watermark, whole
+    windows, advance-after-process, crash replay."""
+    from lcr_etl_upgrade_spark.operators.incremental import (
+        WatermarkStore,
+        consume_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    store = WatermarkStore(str(tmp_path / "wm"))
+    seen: list[tuple] = []
+
+    def collect(df, window):
+        seen.append((window, _rows(df, ["id", "_change_type"])))
+
+    write_delta_lite(spark.range(3).select("id"), path)  # v0
+    assert consume_delta_changes(spark, path, store, "t", collect) == (0, 0)
+    assert seen[-1][1] == Counter({(i, "insert"): 1 for i in range(3)})
+    # nothing new -> no-op, process not called
+    assert consume_delta_changes(spark, path, store, "t", collect) is None
+    assert len(seen) == 1
+    # two more commits consumed as one window
+    write_delta_lite(spark.range(3, 5).select("id"), path, mode="append")
+    delete_rows(spark, path, F.col("id") == 0)
+    assert consume_delta_changes(spark, path, store, "t", collect) == (1, 2)
+    assert seen[-1][1] == Counter(
+        {(3, "insert"): 1, (4, "insert"): 1, (0, "delete"): 1}
+    )
+    # a crashing processor must NOT advance the cursor; the retry
+    # replays the same window
+    write_delta_lite(spark.range(5, 6).select("id"), path, mode="append")
+
+    def boom(df, window):
+        raise RuntimeError("consumer crash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        consume_delta_changes(spark, path, store, "t", boom)
+    assert consume_delta_changes(spark, path, store, "t", collect) == (3, 3)
+    assert seen[-1][1] == Counter({(5, "insert"): 1})
