@@ -78,6 +78,21 @@ SHUFFLE_BUDGET = {
     "events_tumbling_window": 2,
     "agg_rollup": 2,
     "join_semi": 1,
+    # r10 additions — measured shapes at sf0.001:
+    # 7-relation join: region/nation broadcast; part/orders/cust/supp
+    # joins under AQE carry the exchanges + final agg/sort
+    "q8_market_share": 4,
+    # outer join + agg-of-agg + presentation sort on shrinking keys
+    "q13_customer_distribution": 3,
+    # order-date join + per-order stats agg + stats join (shares the
+    # l_orderkey key) + supplier probe + final agg/sort
+    "q21_suppliers_kept_waiting": 6,
+    # ONE exchange: the Morton-key range repartition doubling as the
+    # presentation sort — the whole point of the operator
+    "layout_zorder_key": 1,
+    # token explode is narrow; summaries merge + candidate recount +
+    # result ordering carry the shuffles (candidates broadcast)
+    "doc_heavy_hitter_tokens": 3,
 }
 
 
