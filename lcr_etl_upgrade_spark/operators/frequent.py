@@ -104,12 +104,26 @@ def frequent_item_candidates(
     (absent implies f <= D) and passes the lo + D filter (lo >= f - D >
     threshold - D). ``heavy_hitters`` enforces that precondition."""
     summaries = mg_summaries(items, col, k).cache()
-    d_total = summaries.agg(F.sum("dec").alias("d")).first()["d"] or 0
-    cands = (
-        summaries.filter(F.col("item").isNotNull())
-        .groupBy("item")
-        .agg(F.sum("cnt").alias("lo"))
-        .filter(F.col("lo") + F.lit(int(d_total)) > threshold)
+    try:
+        d_total = (
+            summaries.agg(F.sum("dec").alias("d")).first()["d"] or 0
+        )
+        # Materialize the candidates and release the cache: the rows are
+        # bounded by the sketch itself (<= partitions x k even at
+        # threshold 0), and repeated calls (benches, fuzz batteries)
+        # must not accumulate cached summary RDDs for the session's
+        # lifetime.
+        rows = (
+            summaries.filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("lo"))
+            .filter(F.col("lo") + F.lit(int(d_total)) > threshold)
+            .collect()
+        )
+    finally:
+        summaries.unpersist()
+    cands = items.sparkSession.createDataFrame(
+        [(r["item"], r["lo"]) for r in rows], "item string, lo bigint"
     )
     return cands, int(d_total)
 

@@ -70,7 +70,8 @@ def quantile_buckets(
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
     bounds = df.stat.approxQuantile(col, probs, rel_err)
-    # Deduplicate (heavy ties collapse boundaries; fewer cells is fine).
+    # Heavy ties produce repeated boundaries; the fold then skips
+    # straight past them (fewer distinct cells, which is fine).
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     c = F.col(col).cast("double")
     idx = F.aggregate(

@@ -73,7 +73,13 @@ def _compact(path: str) -> bool:
     if not eligible:
         return False
     rel = eligible[0]
-    new_rel = f"compact_{state.version + 1}.parquet"
+    # keep the rewrite inside the source's partition directory: on a
+    # partitioned table a root-level copy would break the hive layout
+    # the engine's delete_rows contract requires (correct refusal the
+    # first battery run hit)
+    new_rel = os.path.join(
+        os.path.dirname(rel), f"compact_{state.version + 1}.parquet"
+    ).lstrip("/")
     shutil.copy(os.path.join(path, rel), os.path.join(path, new_rel))
     size = os.path.getsize(os.path.join(path, new_rel))
     actions = [
