@@ -2821,3 +2821,186 @@ def latest_version(path: str) -> int:
     if not versions:
         raise FileNotFoundError(f"empty _delta_log in {path!r}")
     return max(versions)
+
+
+# ---- OPTIMIZE (bin-packing compaction + Z-order clustering) --------------
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
+) -> dict:
+    """Rewrite the table's physical layout without changing its rows:
+    small files bin-pack toward ``target_file_bytes`` per partition, and
+    with ``zorder_by`` every partition rewrites clustered on the Morton
+    curve of those (logical) columns (operators/layout.py — the
+    OPTIMIZE ZORDER composition). Deletion vectors are MATERIALIZED:
+    rewritten files carry only live rows and drop their DVs.
+
+    The commit is remove+add with ``dataChange=false`` — invisible to
+    the change feed (read_delta_changes skips it, by test), snapshots
+    identical before and after, and the retired files stay on disk for
+    time travel until a cleanup. At 100 TB this is the small-files
+    remedy: scans pay per-file open cost and footer round trips, so a
+    drip-fed table degrades until someone compacts it.
+
+    Refuses (with the reason) on tables whose candidate files carry
+    optional add state it cannot regenerate (rowTracking's baseRowId /
+    defaultRowCommitVersion — rewriting those files would silently
+    change row identity); derived stats/tags are droppable. Only
+    same-partitionValues files ever merge. Returns
+    ``{"version", "rewritten", "added"}`` (version None = nothing to
+    do).
+    """
+    base = _local(path)
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    mapping = _column_mapping_mode(state.metadata)
+    schema = state.schema
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_part_cols = [
+        pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name in state.partition_columns
+    ]
+    data_schema = T.StructType(
+        [f for f in phys_schema.fields if f.name not in phys_part_cols]
+    )
+    logical_to_phys = {
+        f.name: pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    if zorder_by:
+        bad = [c for c in zorder_by if c not in logical_to_phys]
+        if bad:
+            raise ValueError(f"zorder_by columns not in schema: {bad}")
+        in_part = [c for c in zorder_by if c in state.partition_columns]
+        if in_part:
+            raise ValueError(
+                f"zorder_by columns {in_part} are partition columns — "
+                "they are constant within every rewrite group"
+            )
+
+    sizes = {
+        rel: int((state.adds.get(rel) or {}).get("size", 0))
+        for rel in state.files
+    }
+    # fall back to the filesystem when the add didn't carry size
+    for rel in sizes:
+        if sizes[rel] <= 0:
+            try:
+                sizes[rel] = os.path.getsize(os.path.join(base, rel))
+            except OSError:
+                sizes[rel] = 0
+
+    by_part: dict[tuple, list[str]] = {}
+    for rel, pvals in state.files.items():
+        key = tuple(sorted((pvals or {}).items()))
+        by_part.setdefault(key, []).append(rel)
+
+    groups: list[tuple[dict, list[str]]] = []  # (pvals, rels to rewrite)
+    for key, rels in sorted(by_part.items()):
+        pvals = dict(key)
+        if zorder_by:
+            if len(rels) >= 1:
+                groups.append((pvals, sorted(rels)))
+            continue
+        small = sorted(
+            r for r in rels
+            if sizes[r] < target_file_bytes or r in state.dvs
+        )
+        # bin-pack: rewrite when something merges or a DV materializes
+        if len(small) >= 2 or any(r in state.dvs for r in small):
+            groups.append((pvals, small))
+
+    if not groups:
+        return {"version": None, "rewritten": 0, "added": 0}
+
+    undroppable = ("baseRowId", "defaultRowCommitVersion")
+    for _, rels in groups:
+        for rel in rels:
+            extras = state.adds.get(rel) or {}
+            carried = [k for k in undroppable if k in extras]
+            if carried:
+                raise NotImplementedError(
+                    f"optimize would rewrite {rel!r}, which carries "
+                    f"{carried} (rowTracking state this writer cannot "
+                    "regenerate without changing row identity)"
+                )
+
+    dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
+    now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
+    actions: list[dict] = []
+    n_added = 0
+    n_rewritten = 0
+    for pvals, rels in groups:
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(base, r) for r in rels]
+        )
+        df = _apply_dv_filter(spark, df, base, dv_ver, rels)
+        total = sum(sizes[r] for r in rels)
+        n_out = max(1, -(-total // target_file_bytes))
+        if zorder_by:
+            from lcr_etl_upgrade_spark.operators.layout import (
+                quantile_buckets,
+                zorder_key,
+            )
+
+            buckets = [
+                quantile_buckets(df, logical_to_phys[c], zorder_bits)
+                for c in zorder_by
+            ]
+            df = (
+                df.withColumn("__zkey", zorder_key(buckets, zorder_bits))
+                .repartitionByRange(n_out, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            df = df.coalesce(n_out)
+        # stage flat, then move into this partition's hive directory so
+        # the layout invariant every reader fast-path relies on holds
+        part_dir = os.path.dirname(rels[0])
+        staging = os.path.join(base, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, name)
+                rel_new = os.path.join(part_dir, name) if part_dir else name
+                dst = os.path.join(base, rel_new)
+                os.makedirs(os.path.dirname(dst) or base, exist_ok=True)
+                size = os.path.getsize(src)
+                shutil.move(src, dst)
+                actions.append(
+                    {
+                        "add": {
+                            "path": urllib.parse.quote(rel_new, safe="/="),
+                            "partitionValues": pvals,
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+                n_added += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        for rel in rels:
+            remove = {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+            if rel in state.dvs:
+                remove["deletionVector"] = state.dvs[rel]
+            actions.append({"remove": remove})
+            n_rewritten += 1
+    version = state.version + 1
+    commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+    _write_commit_file(commit_path, actions)
+    return {"version": version, "rewritten": n_rewritten, "added": n_added}
