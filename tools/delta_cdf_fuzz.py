@@ -3,7 +3,8 @@
 
 Each case builds a fresh delta_lite table and drives a random operation
 sequence — overwrite, append, DV delete, dataChange=false compaction,
-DV-clearing restore — then checks SNAPSHOT ALGEBRA for every window
+DV-clearing restore, and the engine's own OPTIMIZE (bin-pack +
+DV-materializing rewrite) — then checks SNAPSHOT ALGEBRA for every window
 [i, j] of the history:
 
     multiset(read @ i-1) + window inserts - window deletes
@@ -152,8 +153,8 @@ def run_case(spark, rng, i: int) -> dict | None:
         ops = ["op:create"]
         n_ops = int(rng.integers(2, 7))
         for _ in range(n_ops):
-            op = ["append", "delete", "compact", "restore"][
-                int(rng.integers(0, 4))
+            op = ["append", "delete", "compact", "restore", "optimize"][
+                int(rng.integers(0, 5))
             ]
             if op == "append":
                 write_delta_lite(
@@ -168,6 +169,14 @@ def run_case(spark, rng, i: int) -> dict | None:
                     continue
             elif op == "restore":
                 if not _restore(path):
+                    continue
+            elif op == "optimize":
+                # the ENGINE's own dataChange=false rewrite (bin-pack +
+                # DV materialization) — change feed must stay blind to it
+                from lcr_etl_upgrade_spark.delta_lite import optimize
+
+                if optimize(spark, path,
+                            target_file_bytes=1 << 20)["version"] is None:
                     continue
             ops.append(f"op:{op}")
         log = os.path.join(path, "_delta_log")
