@@ -1,0 +1,272 @@
+"""Pure-Python (pyarrow) change-feed materializer — no SparkSession.
+
+Two consumers:
+
+- the ``delta_cdf_lite`` STREAMING source (streaming/cdf_source.py):
+  Spark's Python Data Source simple stream reader materializes each
+  micro-batch driver-side, where no SparkSession is available, so the
+  rows must come straight from parquet + the transaction log;
+- ``tools/delta_cdf_fuzz.py``: a SECOND, independently-built CDF
+  implementation (pyarrow row filtering vs Spark anti/semi joins) to
+  differential-test ``read_delta_changes`` against.
+
+Shares the LOG layer with delta_lite (TableState / _apply_action /
+_diff_commit — the protocol semantics must be identical by
+construction) and reimplements the ROW layer: pyarrow parquet reads,
+deletion-vector position sets from roaring_lite, partition-literal
+injection, physical->logical renames.
+
+Scope: JSON-commit replay only. A table whose early commits were
+cleaned up behind a checkpoint raises with the remedy (read through
+the Spark reader, which replays checkpoints) — streaming from a table
+and cleaning its log past the consumer's cursor is an operational
+error this surfaces instead of hiding.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import urllib.parse
+
+from lcr_etl_upgrade_spark.delta_lite import (
+    _COMMIT_RE,
+    TableState,
+    _apply_action,
+    _column_mapping_mode,
+    _diff_commit,
+    _local,
+    _log_dir,
+    _physicalize,
+    _resolve_dv_blob,
+    _schema_identity,
+)
+from lcr_etl_upgrade_spark.roaring_lite import iter_roaring_bitmap_array
+
+
+def _commit_files(path: str) -> dict[int, str]:
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    return {
+        int(m.group(1)): os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    }
+
+
+def _read_actions(cpath: str) -> list[dict]:
+    with open(cpath) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def replay_json_state(path: str, version: int) -> TableState:
+    """JSON-only replay to ``version`` (-1 = empty pre-table state)."""
+    state = TableState()
+    if version < 0:
+        return state
+    commits = _commit_files(path)
+    for v in range(0, version + 1):
+        if v not in commits:
+            raise NotImplementedError(
+                f"commit {v} of {path!r} is not in the JSON log (cleaned "
+                "up behind a checkpoint?) — the arrow change reader "
+                "replays JSON only; use the Spark reader for "
+                "checkpointed histories"
+            )
+        for a in _read_actions(commits[v]):
+            _apply_action(state, a)
+        state.version = v
+    return state
+
+
+def _dv_positions_set(base: str, dv: dict | None) -> set[int]:
+    if not dv:
+        return set()
+    out: set[int] = set()
+    for container in iter_roaring_bitmap_array(_resolve_dv_blob(base, dv)):
+        out.update(int(x) for x in container)
+    return out
+
+
+def _typed_partition_value(value: str | None, dtype):
+    from pyspark.sql import types as T
+
+    if value is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(value)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(dtype, T.StringType):
+        return value
+    if isinstance(dtype, T.BooleanType):
+        return value == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime.fromisoformat(value)
+    raise NotImplementedError(
+        f"partition value type {dtype.simpleString()} not supported by "
+        "the arrow change reader"
+    )
+
+
+def change_schema(path: str):
+    """The logical table schema + CDF columns, from the latest JSON
+    metadata."""
+    from pyspark.sql import types as T
+
+    commits = _commit_files(path)
+    if not commits:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    state = replay_json_state(path, max(commits))
+    if state.metadata is None:
+        raise ValueError(f"no metaData action found in {path!r}")
+    fields = list(
+        T.StructType.fromJson(json.loads(state.metadata["schemaString"]))
+    )
+    return T.StructType(
+        fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+
+
+def arrow_changes(
+    path: str, start_version: int, end_version: int
+) -> list[tuple]:
+    """Row-level changes in [start_version, end_version] as plain Python
+    tuples in ``change_schema`` order. Same semantics as
+    delta_lite.read_delta_changes (same _diff_commit classification;
+    independent row materialization)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    base = _local(path)
+    commits = _commit_files(path)
+    if not commits:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    latest = max(commits)
+    if not (0 <= start_version <= end_version <= latest):
+        raise ValueError(
+            f"invalid change window [{start_version}, {end_version}] "
+            f"(latest commit: {latest})"
+        )
+    state = replay_json_state(path, start_version - 1)
+
+    def _key(meta):
+        return (
+            _schema_identity(meta["schemaString"]),
+            meta["schemaString"],
+            tuple(meta.get("partitionColumns") or []),
+            _column_mapping_mode(meta),
+        )
+
+    branches = []
+    schema_keys = set()
+    for v in range(start_version, end_version + 1):
+        if v not in commits:
+            raise ValueError(
+                f"commit {v} is missing from {path!r}'s log"
+            )
+        actions = _read_actions(commits[v])
+        if any("cdc" in a for a in actions):
+            raise NotImplementedError(
+                f"commit {v} carries writer-materialized cdc actions"
+            )
+        key_before = (
+            _key(state.metadata) if state.metadata is not None else None
+        )
+        inserted, deleted, dv_changed, ts_ms = _diff_commit(state, actions)
+        state.version = v
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(commits[v]) * 1000)
+        if not (inserted or deleted or dv_changed):
+            continue
+        assert state.metadata is not None
+        if inserted:
+            schema_keys.add(_key(state.metadata))
+        if deleted or dv_changed:
+            assert key_before is not None
+            schema_keys.add(key_before)
+        branches.append((v, ts_ms, inserted, deleted, dv_changed))
+    if not branches:
+        return []
+    if len({(sid, pc, mm) for sid, _, pc, mm in schema_keys}) > 1:
+        raise NotImplementedError(
+            "schema / partitioning / column-mapping changed inside the "
+            "change window; split the read at the metadata-change commit"
+        )
+    _, schema_str, part_cols, mapping = next(iter(schema_keys))
+    schema = T.StructType.fromJson(json.loads(schema_str))
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_by_logical = {
+        f.name: pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    types_by_logical = {f.name: f.dataType for f in schema.fields}
+    out_names = [f.name for f in schema.fields]
+
+    def _file_rows(rel: str, pvals: dict, keep: set[int] | None,
+                   drop: set[int]) -> list[dict]:
+        """Live rows of one file as logical-name dicts; ``keep`` (when
+        given) restricts to those positions, ``drop`` removes."""
+        table = pq.read_table(os.path.join(base, urllib.parse.unquote(rel)))
+        records = table.to_pylist()
+        rows = []
+        for idx, rec in enumerate(records):
+            if keep is not None and idx not in keep:
+                continue
+            if idx in drop:
+                continue
+            row = {}
+            for name in out_names:
+                if name in part_cols:
+                    row[name] = _typed_partition_value(
+                        (pvals or {}).get(phys_by_logical[name]),
+                        types_by_logical[name],
+                    )
+                else:
+                    row[name] = rec.get(phys_by_logical[name])
+            rows.append(row)
+        return rows
+
+    out: list[tuple] = []
+
+    def _emit(rows: list[dict], ctype: str, v: int, ts_ms: int) -> None:
+        ts = _dt.datetime.fromtimestamp(ts_ms / 1000.0)
+        for row in rows:
+            out.append(
+                tuple(row[n] for n in out_names) + (ctype, v, ts)
+            )
+
+    for v, ts_ms, inserted, deleted, dv_changed in branches:
+        for rel, (pvals, dv) in sorted(inserted.items()):
+            _emit(
+                _file_rows(rel, pvals, None, _dv_positions_set(base, dv)),
+                "insert", v, ts_ms,
+            )
+        for rel, (pvals, dv) in sorted(deleted.items()):
+            _emit(
+                _file_rows(rel, pvals, None, _dv_positions_set(base, dv)),
+                "delete", v, ts_ms,
+            )
+        for rel, (pvals, old, new) in sorted(dv_changed.items()):
+            old_set = _dv_positions_set(base, old)
+            new_set = _dv_positions_set(base, new)
+            _emit(
+                _file_rows(rel, pvals, new_set - old_set, set()),
+                "delete", v, ts_ms,
+            )
+            _emit(
+                _file_rows(rel, pvals, old_set - new_set, set()),
+                "insert", v, ts_ms,
+            )
+    return out

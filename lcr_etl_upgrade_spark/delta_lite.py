@@ -2506,6 +2506,53 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
 # ---- change data feed (emulated reader) ----------------------------------
 
 
+def _diff_commit(state: TableState, actions: list[dict]) -> tuple:
+    """Apply one commit's actions to ``state`` and categorize its
+    row-level file changes (pure Python, no Spark):
+
+    returns (inserted {rel: (pvals, new_dv)}, deleted {rel: (pvals,
+    old_dv)}, dv_changed {rel: (pvals, old_dv, new_dv)}, ts_ms|None).
+    dataChange=false actions (layout rewrites) never contribute."""
+    ts_ms = next(
+        (
+            a["commitInfo"]["timestamp"]
+            for a in actions
+            if "commitInfo" in a
+            and a["commitInfo"].get("timestamp") is not None
+        ),
+        None,
+    )
+    files_b, dvs_b = dict(state.files), dict(state.dvs)
+    data_change: dict[str, bool] = {}
+    for a in actions:
+        act = a.get("add") or a.get("remove")
+        if act is not None:
+            rel = urllib.parse.unquote(act["path"])
+            data_change[rel] = data_change.get(rel, False) or bool(
+                act.get("dataChange", True)
+            )
+        _apply_action(state, a)
+    inserted: dict[str, tuple] = {}
+    deleted: dict[str, tuple] = {}
+    dv_changed: dict[str, tuple] = {}
+    for rel in state.files.keys() - files_b.keys():
+        if data_change.get(rel):
+            inserted[rel] = (state.files[rel], state.dvs.get(rel))
+    for rel in files_b.keys() - state.files.keys():
+        if data_change.get(rel):
+            deleted[rel] = (files_b[rel], dvs_b.get(rel))
+    for rel in state.files.keys() & files_b.keys():
+        if data_change.get(rel) and _dv_uid(
+            state.dvs.get(rel)
+        ) != _dv_uid(dvs_b.get(rel)):
+            dv_changed[rel] = (
+                state.files[rel],
+                dvs_b.get(rel),
+                state.dvs.get(rel),
+            )
+    return inserted, deleted, dv_changed, ts_ms
+
+
 def _schema_identity(schema_str: str) -> str:
     """Schema identity for change-window compatibility: field NAMES and
     TYPES, positionally, with nullability and field metadata stripped —
@@ -2619,47 +2666,11 @@ def read_delta_changes(
                 "this reader derives changes from add/remove only and "
                 "refusing beats double-counting against change files"
             )
-        ts_ms = next(
-            (
-                a["commitInfo"]["timestamp"]
-                for a in actions
-                if "commitInfo" in a
-                and a["commitInfo"].get("timestamp") is not None
-            ),
-            None,
-        )
+        key_before = _key(state.metadata) if state.metadata else None
+        inserted, deleted, dv_changed, ts_ms = _diff_commit(state, actions)
+        state.version = v
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(cpath) * 1000)
-        files_b, dvs_b = dict(state.files), dict(state.dvs)
-        key_before = _key(state.metadata) if state.metadata else None
-        data_change: dict[str, bool] = {}
-        for a in actions:
-            act = a.get("add") or a.get("remove")
-            if act is not None:
-                rel = urllib.parse.unquote(act["path"])
-                data_change[rel] = data_change.get(rel, False) or bool(
-                    act.get("dataChange", True)
-                )
-            _apply_action(state, a)
-        state.version = v
-        inserted: dict[str, tuple] = {}
-        deleted: dict[str, tuple] = {}
-        dv_changed: dict[str, tuple] = {}
-        for rel in state.files.keys() - files_b.keys():
-            if data_change.get(rel):
-                inserted[rel] = (state.files[rel], state.dvs.get(rel))
-        for rel in files_b.keys() - state.files.keys():
-            if data_change.get(rel):
-                deleted[rel] = (files_b[rel], dvs_b.get(rel))
-        for rel in state.files.keys() & files_b.keys():
-            if data_change.get(rel) and _dv_uid(
-                state.dvs.get(rel)
-            ) != _dv_uid(dvs_b.get(rel)):
-                dv_changed[rel] = (
-                    state.files[rel],
-                    dvs_b.get(rel),
-                    state.dvs.get(rel),
-                )
         if not (inserted or deleted or dv_changed):
             continue
         assert state.metadata is not None

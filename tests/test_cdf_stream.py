@@ -1,0 +1,139 @@
+"""The delta_cdf_lite streaming source + the arrow materializer.
+
+cdf_arrow is differential-tested against the Spark batch reader
+(identical multisets per window); the streaming source is driven with
+memory-sink micro-batches across appends, deletes and an engine
+OPTIMIZE, including a checkpointed restart.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcr_etl_upgrade_spark.cdf_arrow import arrow_changes, change_schema
+from lcr_etl_upgrade_spark.delta_lite import (
+    delete_rows,
+    optimize,
+    read_delta_changes,
+    write_delta_lite,
+)
+from lcr_etl_upgrade_spark.streaming.cdf_source import DeltaCdfLiteDataSource
+
+COLS = ["id", "g", "_change_type", "_commit_version"]
+
+
+def _table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(8).select("id", (F.col("id") % 2).alias("g")), path
+    )  # v0
+    write_delta_lite(
+        spark.range(8, 12).select("id", (F.col("id") % 2).alias("g")),
+        path,
+        mode="append",
+    )  # v1
+    delete_rows(spark, path, F.col("id") % 3 == 0)  # v2
+    return path
+
+
+def _spark_side(spark, path, lo, hi):
+    df = read_delta_changes(spark, path, lo, hi)
+    return Counter(tuple(r[c] for c in COLS) for r in df.collect())
+
+
+def _arrow_side(path, lo, hi):
+    schema = change_schema(path)
+    names = [f.name for f in schema.fields]
+    idx = [names.index(c) for c in COLS]
+    return Counter(tuple(t[i] for i in idx) for t in arrow_changes(path, lo, hi))
+
+
+def test_arrow_changes_match_spark_reader(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    for lo, hi in [(0, 0), (1, 1), (2, 2), (0, 2), (1, 2)]:
+        assert _arrow_side(path, lo, hi) == _spark_side(
+            spark, path, lo, hi
+        ), (lo, hi)
+
+
+def test_arrow_changes_partitioned_and_mapped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(10).select("id", (F.col("id") % 2).alias("g")),
+        path,
+        partition_by=("g",),
+        column_mapping="name",
+    )
+    delete_rows(spark, path, F.col("id") < 3)
+    for lo, hi in [(0, 1), (1, 1)]:
+        assert _arrow_side(path, lo, hi) == _spark_side(
+            spark, path, lo, hi
+        ), (lo, hi)
+
+
+def _run_stream_once(spark, path, checkpoint, out_dir):
+    stream = (
+        spark.readStream.format("delta_cdf_lite")
+        .option("path", path)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_source_end_to_end_with_restart(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    spark.dataSource.register(DeltaCdfLiteDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def sink_rows():
+        df = spark.read.parquet(out)
+        return Counter(tuple(r[c] for c in COLS) for r in df.collect())
+
+    _run_stream_once(spark, path, ckpt, out)
+    assert sink_rows() == _spark_side(spark, path, 0, 2)
+
+    # new commits while the stream is DOWN: an append and an OPTIMIZE
+    # (which must contribute nothing)
+    write_delta_lite(
+        spark.range(100, 103).select("id", F.lit(7).cast("long").alias("g")),
+        path,
+        mode="append",
+    )  # v3
+    optimize(spark, path, target_file_bytes=1 << 30)  # v4, dataChange=false
+    _run_stream_once(spark, path, ckpt, out)
+    # restart resumed AFTER the checkpointed version: exactly the v3
+    # inserts arrived, nothing replayed, nothing from the optimize
+    expected = _spark_side(spark, path, 0, 2) + Counter(
+        {(i, 7, "insert", 3): 1 for i in range(100, 103)}
+    )
+    assert sink_rows() == expected
+
+
+def test_streaming_source_requires_path(spark):
+    spark.dataSource.register(DeltaCdfLiteDataSource)
+    with pytest.raises(Exception, match="path"):
+        spark.readStream.format("delta_cdf_lite").load().printSchema()
+
+
+def test_arrow_reader_refuses_checkpoint_cleaned_logs(spark, tmp_path):
+    import os
+
+    path = _table(spark, tmp_path)
+    os.remove(
+        os.path.join(path, "_delta_log", "00000000000000000000.json")
+    )
+    with pytest.raises(NotImplementedError, match="JSON"):
+        arrow_changes(path, 1, 2)

@@ -10,8 +10,10 @@ DV-materializing rewrite) — then checks SNAPSHOT ALGEBRA for every window
     multiset(read @ i-1) + window inserts - window deletes
         == multiset(read @ j)
 
-The oracle is the snapshot reader itself (log replay + DV filtering), a
-code path that never touches the CDF diff logic — so an error in either
+TWO oracles: the snapshot reader itself (log replay + DV filtering, a
+code path that never touches the CDF diff logic), and cdf_arrow — the
+pure-pyarrow change materializer, whose row layer shares nothing with
+the Spark reader — so an error in either
 direction (missed delete, phantom insert, DV-diff off-by-one,
 compaction visibility) breaks the equation. Rows are compared as full
 tuples (multiset), so value corruption is caught, not just counts.
@@ -201,8 +203,30 @@ def run_case(spark, rng, i: int) -> dict | None:
             lo = int(rng.integers(0, latest))
             hi = int(rng.integers(lo, latest + 1))
             windows.append((lo, hi))
+        from lcr_etl_upgrade_spark.cdf_arrow import (
+            arrow_changes,
+            change_schema,
+        )
+
+        arrow_names = [f.name for f in change_schema(path).fields]
         for lo, hi in windows:
             ch = read_delta_changes(spark, path, lo, hi).collect()
+            # SECOND oracle: the pure-pyarrow materializer must emit the
+            # identical multiset (data cols + type + version)
+            key_cols = cols + ["_change_type", "_commit_version"]
+            spark_ms = Counter(
+                tuple(r[c] for c in key_cols) for r in ch
+            )
+            aidx = [arrow_names.index(c) for c in key_cols]
+            arrow_ms = Counter(
+                tuple(t[i] for i in aidx)
+                for t in arrow_changes(path, lo, hi)
+            )
+            if spark_ms != arrow_ms:
+                diff = set(spark_ms.items()) ^ set(arrow_ms.items())
+                return {"kind": "arrow_divergence", "ops": ops,
+                        "window": [lo, hi],
+                        "diff": sorted(map(str, diff))[:5]}
             bad_type = [
                 r for r in ch
                 if r["_change_type"] not in ("insert", "delete")
