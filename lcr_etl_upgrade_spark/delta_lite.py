@@ -1356,6 +1356,7 @@ def write_delta_lite(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
     column_mapping: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the committed version.
 
@@ -1402,6 +1403,14 @@ def write_delta_lite(
     if prior is not None:
         _check_writer_protocol(prior.protocol, path)
         _check_write_obligations(prior, path, mode)
+    if txn is not None and prior is not None:
+        # idempotent-writer watermark (the protocol's setTransaction):
+        # a (appId, version) at or below the table's recorded watermark
+        # was ALREADY applied — skip without staging anything. This is
+        # what makes a foreachBatch sink exactly-once across restarts.
+        seen = prior.txns.get(txn[0])
+        if seen is not None and int(seen.get("version", -1)) >= int(txn[1]):
+            return prior.version
     if (prior is None or mode == "overwrite") and (
         _schema_declares_invariants(df.schema)
     ):
@@ -1627,6 +1636,17 @@ def write_delta_lite(
             }
         )
 
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
+
     def _rollback() -> None:
         for rel, _size in moved:
             try:
@@ -1704,10 +1724,21 @@ def write_delta_lite(
                     "no longer applies cleanly — re-read the table and "
                     "retry"
                 )
+            if txn is not None:
+                # the race may have been OUR OWN appId (a concurrent
+                # instance of the same idempotent writer): if its commit
+                # advanced the watermark past this version, this batch
+                # is already in the table — unstage and report success
+                seen = current.txns.get(txn[0])
+                if seen is not None and int(
+                    seen.get("version", -1)
+                ) >= int(txn[1]):
+                    _rollback()
+                    return current.version
             version = current.version + 1
             # the table definitely exists now; a retried append is pure
-            # add actions (never protocol/metaData)
-            actions = [a for a in actions if "add" in a]
+            # add actions (never protocol/metaData) plus the txn stamp
+            actions = [a for a in actions if "add" in a or "txn" in a]
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         # best-effort (a failed checkpoint never fails the commit — the
         # JSON log alone is authoritative); bounds replay to at most

@@ -254,3 +254,29 @@ def write_single_text_file(df: DataFrame, path: str) -> None:
     (sync/ingest write a 1-row text file via coalesce(1), ingest.py:499-502).
     coalesce(1) is ONLY acceptable because the frame is known to be tiny."""
     df.coalesce(1).write.mode("overwrite").text(path)
+
+
+def exactly_once_delta_sink(path: str, app_id: str):
+    """foreachBatch factory for EXACTLY-ONCE streaming appends into a
+    delta_lite table: each micro-batch commits with the protocol's
+    setTransaction stamp ``(app_id, batch_id)``, so a batch replayed
+    after a crash between the table commit and the stream checkpoint —
+    the window at-least-once sinks duplicate in — is recognized by the
+    table's own txn watermark and skipped without staging a byte.
+
+        q = (stream.writeStream
+             .foreachBatch(exactly_once_delta_sink(out_path, "my-app"))
+             .option("checkpointLocation", ckpt).start())
+
+    Composes with the ``delta_cdf_lite`` source into an end-to-end
+    exactly-once delta->delta CDC pipeline (tests/test_delta_txn.py).
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        from lcr_etl_upgrade_spark.delta_lite import write_delta_lite
+
+        write_delta_lite(
+            df, path, mode="append", txn=(app_id, int(batch_id))
+        )
+
+    return write_batch
