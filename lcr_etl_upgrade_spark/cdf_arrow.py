@@ -16,11 +16,14 @@ construction) and reimplements the ROW layer: pyarrow parquet reads,
 deletion-vector position sets from roaring_lite, partition-literal
 injection, physical->logical renames.
 
-Scope: JSON-commit replay only. A table whose early commits were
-cleaned up behind a checkpoint raises with the remedy (read through
-the Spark reader, which replays checkpoints) — streaming from a table
-and cleaning its log past the consumer's cursor is an operational
-error this surfaces instead of hiding.
+State replay (including CLASSIC AND V2 CHECKPOINTS) runs through
+delta_lite.replay_log itself, driven by a pyarrow-backed duck type of
+the two Spark calls it makes (``spark.read.parquet(...).collect()`` +
+``Row.asDict``) — zero protocol logic is duplicated, so the two
+readers cannot drift. Windows whose JSON commits were cleaned up
+still refuse (their row-level changes are genuinely unrecoverable),
+but a checkpointed HISTORY no longer blocks replaying the pre-window
+state.
 """
 
 from __future__ import annotations
@@ -33,7 +36,6 @@ import urllib.parse
 from lcr_etl_upgrade_spark.delta_lite import (
     _COMMIT_RE,
     TableState,
-    _apply_action,
     _column_mapping_mode,
     _diff_commit,
     _local,
@@ -41,6 +43,7 @@ from lcr_etl_upgrade_spark.delta_lite import (
     _physicalize,
     _resolve_dv_blob,
     _schema_identity,
+    replay_log,
 )
 from lcr_etl_upgrade_spark.roaring_lite import iter_roaring_bitmap_array
 
@@ -63,24 +66,80 @@ def _read_actions(cpath: str) -> list[dict]:
         return [json.loads(ln) for ln in fh if ln.strip()]
 
 
+def _arrow_value(obj, atype):
+    """pyarrow -> Spark-Row-shaped python: MapArray pylists are
+    key/value pair lists, but _apply_action (via Row.asDict) expects
+    dicts — convert by the ARROW type, recursively."""
+    import pyarrow as pa
+
+    if obj is None:
+        return None
+    if pa.types.is_map(atype):
+        return {
+            k: _arrow_value(v, atype.item_type) for k, v in obj
+        }
+    if pa.types.is_struct(atype):
+        return {
+            f.name: _arrow_value(obj.get(f.name), f.type) for f in atype
+        }
+    if pa.types.is_list(atype) or pa.types.is_large_list(atype):
+        return [_arrow_value(x, atype.value_type) for x in obj]
+    return obj
+
+
+class _ArrowRow:
+    def __init__(self, d: dict):
+        self._d = d
+
+    def asDict(self, recursive: bool = False) -> dict:
+        return self._d
+
+
+class _ArrowRelation:
+    def __init__(self, files):
+        self._files = files
+
+    def collect(self):
+        import pyarrow.parquet as pq
+
+        rows = []
+        for f in self._files:
+            table = pq.read_table(f)
+            raw = table.to_pylist()
+            for rec in raw:
+                rows.append(
+                    _ArrowRow(
+                        {
+                            field.name: _arrow_value(
+                                rec.get(field.name), field.type
+                            )
+                            for field in table.schema
+                        }
+                    )
+                )
+        return rows
+
+
+class _ArrowSparkShim:
+    """Duck type of the TWO SparkSession touchpoints replay_log uses
+    (checkpoint parquet reads), backed by pyarrow — lets the full
+    protocol replay (checkpoint discovery, sidecars, gap errors) run
+    without a SparkSession."""
+
+    class _Reader:
+        def parquet(self, *files):
+            return _ArrowRelation(files)
+
+    read = _Reader()
+
+
 def replay_json_state(path: str, version: int) -> TableState:
-    """JSON-only replay to ``version`` (-1 = empty pre-table state)."""
-    state = TableState()
+    """Replay to ``version`` (-1 = empty pre-table state) without a
+    SparkSession — delta_lite.replay_log over the pyarrow shim, so
+    checkpointed histories replay too."""
     if version < 0:
-        return state
-    commits = _commit_files(path)
-    for v in range(0, version + 1):
-        if v not in commits:
-            raise NotImplementedError(
-                f"commit {v} of {path!r} is not in the JSON log (cleaned "
-                "up behind a checkpoint?) — the arrow change reader "
-                "replays JSON only; use the Spark reader for "
-                "checkpointed histories"
-            )
-        for a in _read_actions(commits[v]):
-            _apply_action(state, a)
-        state.version = v
-    return state
+        return TableState()
+    return replay_log(_ArrowSparkShim(), path, version)
 
 
 def _dv_positions_set(base: str, dv: dict | None) -> set[int]:

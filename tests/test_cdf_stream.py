@@ -128,12 +128,34 @@ def test_streaming_source_requires_path(spark):
         spark.readStream.format("delta_cdf_lite").load().printSchema()
 
 
-def test_arrow_reader_refuses_checkpoint_cleaned_logs(spark, tmp_path):
+def test_arrow_reader_replays_checkpointed_histories(spark, tmp_path):
+    """The pre-window STATE may come from a checkpoint (pyarrow-shimmed
+    replay_log): after write_checkpoint + cleanup_log the early JSON
+    commits are gone, yet changes for retained commits still read and
+    still match the Spark reader."""
+    from lcr_etl_upgrade_spark.delta_lite import cleanup_log, write_checkpoint
+
+    path = _table(spark, tmp_path)  # v0..v2
+    write_checkpoint(spark, path)
+    removed = cleanup_log(spark, path)
+    assert any(r.endswith(".json") for r in removed)
+    write_delta_lite(
+        spark.range(50, 53).select("id", F.lit(9).cast("long").alias("g")),
+        path,
+        mode="append",
+    )  # v3
+    assert _arrow_side(path, 3, 3) == _spark_side(spark, path, 3, 3)
+    got = _arrow_side(path, 3, 3)
+    assert got == Counter({(i, 9, "insert", 3): 1 for i in range(50, 53)})
+
+
+def test_arrow_reader_refuses_unrecoverable_windows(spark, tmp_path):
     import os
 
     path = _table(spark, tmp_path)
     os.remove(
         os.path.join(path, "_delta_log", "00000000000000000000.json")
     )
-    with pytest.raises(NotImplementedError, match="JSON"):
+    # no checkpoint exists: the pre-window state is unreconstructable
+    with pytest.raises(ValueError, match="not found|missing"):
         arrow_changes(path, 1, 2)
