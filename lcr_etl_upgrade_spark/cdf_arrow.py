@@ -198,17 +198,14 @@ def change_schema(path: str):
     )
 
 
-def arrow_changes(
+def change_plan(
     path: str, start_version: int, end_version: int
-) -> list[tuple]:
-    """Row-level changes in [start_version, end_version] as plain Python
-    tuples in ``change_schema`` order. Same semantics as
-    delta_lite.read_delta_changes (same _diff_commit classification;
-    independent row materialization)."""
-    import pyarrow.parquet as pq
-    from pyspark.sql import types as T
-
-    base = _local(path)
+) -> list[dict]:
+    """The window's changes as PER-FILE TASKS — each a picklable dict
+    (file, partition values, change type, keep/drop DV descriptors,
+    commit version/timestamp, schema context) that ``materialize_rows``
+    turns into tuples. One task = one parquet file = one unit of
+    parallelism for the partition-planned stream reader."""
     commits = _commit_files(path)
     if not commits:
         raise FileNotFoundError(f"empty _delta_log in {path!r}")
@@ -264,7 +261,53 @@ def arrow_changes(
             "change window; split the read at the metadata-change commit"
         )
     _, schema_str, part_cols, mapping = next(iter(schema_keys))
-    schema = T.StructType.fromJson(json.loads(schema_str))
+    ctx = {
+        "schema_str": schema_str,
+        "part_cols": list(part_cols),
+        "mapping": mapping,
+    }
+    tasks: list[dict] = []
+
+    def _task(rel, pvals, ctype, keep, drop, v, ts_ms):
+        tasks.append(
+            {
+                "rel": rel,
+                "pvals": dict(pvals or {}),
+                "ctype": ctype,
+                "keep_dv": keep,
+                "drop_dv": drop,
+                "version": v,
+                "ts_ms": ts_ms,
+                **ctx,
+            }
+        )
+
+    for v, ts_ms, inserted, deleted, dv_changed in branches:
+        for rel, (pvals, dv) in sorted(inserted.items()):
+            _task(rel, pvals, "insert", None, dv, v, ts_ms)
+        for rel, (pvals, dv) in sorted(deleted.items()):
+            _task(rel, pvals, "delete", None, dv, v, ts_ms)
+        for rel, (pvals, old, new) in sorted(dv_changed.items()):
+            _task(rel, pvals, "delete", new, old, v, ts_ms)
+            if old:
+                _task(rel, pvals, "insert", old, new, v, ts_ms)
+    return tasks
+
+
+def materialize_rows(path: str, task: dict) -> list[tuple]:
+    """One task -> output tuples in ``change_schema`` order. Runs
+    anywhere the table path is reachable (driver for the simple stream
+    reader and the batch helper; EXECUTORS for the partition-planned
+    reader)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    base = _local(path)
+    schema = T.StructType.fromJson(_json.loads(task["schema_str"]))
+    mapping = task["mapping"]
+    part_cols = task["part_cols"]
     phys_schema = _physicalize(schema) if mapping != "none" else schema
     phys_by_logical = {
         f.name: pf.name
@@ -273,59 +316,53 @@ def arrow_changes(
     types_by_logical = {f.name: f.dataType for f in schema.fields}
     out_names = [f.name for f in schema.fields]
 
-    def _file_rows(rel: str, pvals: dict, keep: set[int] | None,
-                   drop: set[int]) -> list[dict]:
-        """Live rows of one file as logical-name dicts; ``keep`` (when
-        given) restricts to those positions, ``drop`` removes."""
-        table = pq.read_table(os.path.join(base, urllib.parse.unquote(rel)))
-        records = table.to_pylist()
-        rows = []
-        for idx, rec in enumerate(records):
-            if keep is not None and idx not in keep:
+    keep = (
+        _dv_positions_set(base, task["keep_dv"])
+        if task["keep_dv"]
+        else None
+    )
+    drop = _dv_positions_set(base, task["drop_dv"])
+    if keep is not None:
+        keep = keep - drop
+        if not keep:
+            return []
+    table = pq.read_table(
+        os.path.join(base, urllib.parse.unquote(task["rel"]))
+    )
+    records = table.to_pylist()
+    ts = _dt.datetime.fromtimestamp(task["ts_ms"] / 1000.0)
+    out: list[tuple] = []
+    for idx, rec in enumerate(records):
+        if keep is not None:
+            if idx not in keep:
                 continue
-            if idx in drop:
-                continue
-            row = {}
-            for name in out_names:
-                if name in part_cols:
-                    row[name] = _typed_partition_value(
-                        (pvals or {}).get(phys_by_logical[name]),
+        elif idx in drop:
+            continue
+        row = []
+        for name in out_names:
+            if name in part_cols:
+                row.append(
+                    _typed_partition_value(
+                        task["pvals"].get(phys_by_logical[name]),
                         types_by_logical[name],
                     )
-                else:
-                    row[name] = rec.get(phys_by_logical[name])
-            rows.append(row)
-        return rows
+                )
+            else:
+                row.append(rec.get(phys_by_logical[name]))
+        out.append(
+            tuple(row) + (task["ctype"], task["version"], ts)
+        )
+    return out
 
+
+def arrow_changes(
+    path: str, start_version: int, end_version: int
+) -> list[tuple]:
+    """Row-level changes in [start_version, end_version] as plain Python
+    tuples in ``change_schema`` order. Same semantics as
+    delta_lite.read_delta_changes (same _diff_commit classification;
+    independent row materialization)."""
     out: list[tuple] = []
-
-    def _emit(rows: list[dict], ctype: str, v: int, ts_ms: int) -> None:
-        ts = _dt.datetime.fromtimestamp(ts_ms / 1000.0)
-        for row in rows:
-            out.append(
-                tuple(row[n] for n in out_names) + (ctype, v, ts)
-            )
-
-    for v, ts_ms, inserted, deleted, dv_changed in branches:
-        for rel, (pvals, dv) in sorted(inserted.items()):
-            _emit(
-                _file_rows(rel, pvals, None, _dv_positions_set(base, dv)),
-                "insert", v, ts_ms,
-            )
-        for rel, (pvals, dv) in sorted(deleted.items()):
-            _emit(
-                _file_rows(rel, pvals, None, _dv_positions_set(base, dv)),
-                "delete", v, ts_ms,
-            )
-        for rel, (pvals, old, new) in sorted(dv_changed.items()):
-            old_set = _dv_positions_set(base, old)
-            new_set = _dv_positions_set(base, new)
-            _emit(
-                _file_rows(rel, pvals, new_set - old_set, set()),
-                "delete", v, ts_ms,
-            )
-            _emit(
-                _file_rows(rel, pvals, old_set - new_set, set()),
-                "insert", v, ts_ms,
-            )
+    for task in change_plan(path, start_version, end_version):
+        out.extend(materialize_rows(path, task))
     return out

@@ -15,18 +15,23 @@ so replays are deterministic), and the change rows carry
 ``_change_type`` / ``_commit_version`` / ``_commit_timestamp`` exactly
 like the batch reader.
 
-Rows materialize through cdf_arrow (pure pyarrow — the simple stream
-reader runs driver-side with no SparkSession). That is the documented
-scale seam: a SimpleDataSourceStreamReader funnels each batch through
-the driver, which is the right shape for CDC streams (bounded by
-change rate, not table size) but not for replaying a 100 TB initial
-snapshot — start the stream from a recent version and backfill with
-the batch reader (``read_delta_changes``) instead.
+Rows materialize through cdf_arrow (pure pyarrow). Two readers share
+that code: the PARTITION-PLANNED DataSourceStreamReader (the default —
+the driver plans one InputPartition per changed file carrying
+descriptors only, executors expand deletion vectors and read parquet
+in parallel: the shape that scales to wide commit windows) and a
+SimpleDataSourceStreamReader fallback kept for engines that ask for
+it (driver-funnel; right for change-rate-bounded CDC only).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _CdfSimpleReader(SimpleDataSourceStreamReader):
@@ -60,6 +65,47 @@ class _CdfSimpleReader(SimpleDataSourceStreamReader):
         pass  # the log is the source of truth; nothing to acknowledge
 
 
+class _CdfPartitionedReader(DataSourceStreamReader):
+    """The scale path: the driver plans ONE InputPartition per changed
+    file (descriptors only — deletion vectors expand executor-side),
+    and executors materialize rows in parallel. This is what replaces
+    the simple reader's driver funnel when a commit window touches many
+    files."""
+
+    def __init__(self, options):
+        self._path = options["path"]
+        self._start = int(options.get("startingVersion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        from lcr_etl_upgrade_spark.delta_lite import latest_version
+
+        return {"version": latest_version(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        from lcr_etl_upgrade_spark.cdf_arrow import change_plan
+
+        lo, hi = int(start["version"]) + 1, int(end["version"])
+        if hi < lo:
+            return [InputPartition(None)]  # Spark requires >=1 partition
+        tasks = change_plan(self._path, lo, hi)
+        if not tasks:
+            return [InputPartition(None)]
+        return [InputPartition(t) for t in tasks]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return iter([])
+        from lcr_etl_upgrade_spark.cdf_arrow import materialize_rows
+
+        return iter(materialize_rows(self._path, partition.value))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DeltaCdfLiteDataSource(DataSource):
     """Python Data Source wrapper (register with
     ``spark.dataSource.register``)."""
@@ -77,3 +123,9 @@ class DeltaCdfLiteDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _CdfSimpleReader(self.options)
+
+    def streamReader(self, schema):
+        # Spark picks this over simpleStreamReader when present: the
+        # partition-planned reader distributes row materialization
+        # across executors, one task per changed file
+        return _CdfPartitionedReader(self.options)
