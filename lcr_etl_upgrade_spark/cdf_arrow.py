@@ -288,7 +288,15 @@ def change_plan(
         for rel, (pvals, dv) in sorted(deleted.items()):
             _task(rel, pvals, "delete", None, dv, v, ts_ms)
         for rel, (pvals, old, new) in sorted(dv_changed.items()):
-            _task(rel, pvals, "delete", new, old, v, ts_ms)
+            # keep_dv=None means "keep ALL rows" in materialize_rows
+            # (the case-A/B shape), so an EMPTY side must skip its task
+            # instead of passing None: a DV-clearing restore has no
+            # newly-deleted rows, and a first DV has no restores.
+            # (The fuzzer's arrow-vs-spark oracle caught exactly this:
+            # a restore commit emitted every live row as a phantom
+            # delete on the arrow side — seed 20260817 case 16.)
+            if new:
+                _task(rel, pvals, "delete", new, old, v, ts_ms)
             if old:
                 _task(rel, pvals, "insert", old, new, v, ts_ms)
     return tasks

@@ -159,3 +159,38 @@ def test_arrow_reader_refuses_unrecoverable_windows(spark, tmp_path):
     # no checkpoint exists: the pre-window state is unreconstructable
     with pytest.raises(ValueError, match="not found|missing"):
         arrow_changes(path, 1, 2)
+
+
+def test_arrow_matches_spark_on_dv_restore(spark, tmp_path):
+    """Regression (fuzzer find, seed 20260817 case 16): a DV-CLEARING
+    restore commit must emit only the restored rows as inserts on the
+    arrow side too — keep_dv=None means keep-ALL in materialize_rows,
+    so an empty new-DV side must skip its delete task, not pass None."""
+    import json
+    import os
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(6)
+        .coalesce(1)
+        .select("id", (F.col("id") % 2).alias("g")),
+        path,
+    )  # v0: one file
+    delete_rows(spark, path, F.col("id") < 2)  # v1: DV marks 0,1
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "00000000000000000001.json")) as fh:
+        add = next(json.loads(ln)["add"] for ln in fh if '"add"' in ln)
+    restore = [
+        {"remove": {"path": add["path"], "dataChange": True,
+                    "deletionTimestamp": 9,
+                    "deletionVector": add["deletionVector"]}},
+        {"add": {**{k: v for k, v in add.items()
+                    if k != "deletionVector"}, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000002.json"), "w") as fh:
+        for a in restore:
+            fh.write(json.dumps(a) + "\n")
+    assert _arrow_side(path, 2, 2) == _spark_side(spark, path, 2, 2)
+    assert _arrow_side(path, 2, 2) == Counter(
+        {(0, 0, "insert", 2): 1, (1, 1, "insert", 2): 1}
+    )
