@@ -1,14 +1,13 @@
 """The delta_cdf_lite streaming source + the arrow materializer.
 
 cdf_arrow is differential-tested against the Spark batch reader
-(identical multisets per window); the streaming source is driven with
-memory-sink micro-batches across appends, deletes and an engine
+(identical multisets per window); the streaming source is driven
+end-to-end into a parquet sink across appends, deletes and an engine
 OPTIMIZE, including a checkpointed restart.
 """
 
 from __future__ import annotations
 
-import time
 from collections import Counter
 
 import pytest
