@@ -1646,6 +1646,17 @@ def write_delta_lite(
                 }
             }
         )
+    # commitInfo first, delta-spark's convention: makes the commit's
+    # operation and timestamp log-authoritative (DESCRIBE HISTORY via
+    # table_history; the change feed's _commit_timestamp no longer
+    # depends on file mtimes surviving copies)
+    actions.insert(0, {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": mode},
+        }
+    })
 
     def _rollback() -> None:
         for rel, _size in moved:
@@ -1738,7 +1749,11 @@ def write_delta_lite(
             version = current.version + 1
             # the table definitely exists now; a retried append is pure
             # add actions (never protocol/metaData) plus the txn stamp
-            actions = [a for a in actions if "add" in a or "txn" in a]
+            # and the commitInfo header
+            actions = [
+                a for a in actions
+                if "add" in a or "txn" in a or "commitInfo" in a
+            ]
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         # best-effort (a failed checkpoint never fails the commit — the
         # JSON log alone is authoritative); bounds replay to at most
@@ -1974,7 +1989,13 @@ def delete_rows(
     import time
 
     now_ms = int(time.time() * 1000)
-    actions: list[dict] = []
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "operationParameters": {},
+        }
+    }]
 
     proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     reader_feats = set(proto.get("readerFeatures") or ())
@@ -2973,9 +2994,20 @@ def optimize(
                     "regenerate without changing row identity)"
                 )
 
+    import time as _time
+
     dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
-    now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
-    actions: list[dict] = []
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "OPTIMIZE",
+            "operationParameters": {
+                "targetFileBytes": int(target_file_bytes),
+                "zorderBy": list(zorder_by or []),
+            },
+        }
+    }]
     n_added = 0
     n_rewritten = 0
     for pvals, rels in groups:
@@ -3046,3 +3078,46 @@ def optimize(
     commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
     _write_commit_file(commit_path, actions)
     return {"version": version, "rewritten": n_rewritten, "added": n_added}
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY parity: one record per commit, newest first,
+    from each commit's commitInfo header (operation, timestamp,
+    operationParameters). Commits without one (older tables, foreign
+    writers) report operation None with the commit file's mtime — the
+    same fallback the change feed uses. Pure metadata: no data files
+    are touched."""
+    log_dir = _log_dir(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(
+            f"not a Delta table: {path!r} has no _delta_log directory"
+        )
+    out: list[dict] = []
+    for f in sorted(os.listdir(log_dir), reverse=True):
+        m = _COMMIT_RE.match(f)
+        if not m:
+            continue
+        cpath = os.path.join(log_dir, f)
+        info = None
+        with open(cpath) as fh:
+            for ln in fh:
+                if ln.strip():
+                    a = json.loads(ln)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+                        break
+        out.append(
+            {
+                "version": int(m.group(1)),
+                "timestamp": int(
+                    info.get("timestamp")
+                    if info and info.get("timestamp") is not None
+                    else os.path.getmtime(cpath) * 1000
+                ),
+                "operation": (info or {}).get("operation"),
+                "operationParameters": (info or {}).get(
+                    "operationParameters"
+                ),
+            }
+        )
+    return out

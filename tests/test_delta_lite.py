@@ -34,13 +34,18 @@ def test_roundtrip_unpartitioned(spark, tmp_path):
     got = read_delta_lite(spark, path)
     assert got.schema.simpleString() == "struct<id:bigint,name:string>"
     assert sorted((r.id, r.name) for r in got.collect()) == [(1, "a"), (2, "b")]
-    # the log is real protocol v1: one commit with protocol+metaData+adds
+    # the log is real protocol v1: one commit with commitInfo (r10) +
+    # protocol + metaData + adds (keyed lookup — the protocol does not
+    # mandate action order within a commit)
     with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
         actions = [json.loads(l) for l in fh if l.strip()]
-    assert actions[0]["protocol"] == {
+    assert next(a["protocol"] for a in actions if "protocol" in a) == {
         "minReaderVersion": 1,
         "minWriterVersion": 2,
     }
+    assert next(
+        a["commitInfo"] for a in actions if "commitInfo" in a
+    )["operation"] == "WRITE"
     assert any("metaData" in a for a in actions)
     assert all(
         a["add"]["size"] > 0 for a in actions if "add" in a
