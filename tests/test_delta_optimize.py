@@ -186,3 +186,51 @@ def test_optimize_refuses_row_tracking_extras(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="baseRowId"):
         optimize(spark, path)
+
+
+def test_full_maintenance_lifecycle(spark, tmp_path):
+    """The whole long-lived-table cycle composed: drip appends -> DV
+    delete -> OPTIMIZE -> checkpoint -> log cleanup -> vacuum. The
+    optimize-retired small files are referenced only by cleaned-up
+    commits, so vacuum reclaims them; live files survive; the latest
+    snapshot and checkpoint-version time travel keep working."""
+    from lcr_etl_upgrade_spark.delta_lite import (
+        cleanup_log,
+        vacuum,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    _drip(spark, path, n_appends=3)  # v0..v2: 3 small files
+    delete_rows(spark, path, F.col("id") % 5 == 0)  # v3: DVs
+    expected = _snap(spark, path, ["id"])
+    res = optimize(spark, path)  # v4: rewrites + materializes DVs
+    assert res["version"] == 4
+    write_checkpoint(spark, path)
+    assert cleanup_log(spark, path)  # drops commits < 4
+    # FIRST vacuum is conservative-correct: the optimize commit itself
+    # (v4) survived cleanup and its remove actions still reference the
+    # retired files, so nothing is reclaimed yet
+    assert not any(
+        r.endswith(".parquet") for r in vacuum(spark, path)
+    )
+    # the NEXT maintenance cycle retires commit 4 itself...
+    write_delta_lite(
+        spark.range(900, 903).select("id").coalesce(1), path, mode="append"
+    )  # v5
+    expected = expected + Counter({(i,): 1 for i in range(900, 903)})
+    # change feed readable while v4's checkpoint still exists (after
+    # the next cleanup, windows must start AT the new horizon — the
+    # pre-horizon snapshot is retired with its checkpoint)
+    assert read_delta_changes(spark, path, 5, 5).count() == 3
+    cp_v = write_checkpoint(spark, path)
+    assert cleanup_log(spark, path)
+    pre_files = set(replay_log(spark, path).files)
+    removed = vacuum(spark, path)
+    # ...and NOW the three retired originals are reclaimable
+    assert sum(r.endswith(".parquet") for r in removed) >= 3
+    # live set untouched, snapshot identical, time travel to the
+    # checkpointed version works
+    assert set(replay_log(spark, path).files) == pre_files
+    assert _snap(spark, path, ["id"]) == expected
+    assert _snap(spark, path, ["id"], version=cp_v) == expected
