@@ -193,3 +193,29 @@ def test_arrow_matches_spark_on_dv_restore(spark, tmp_path):
     assert _arrow_side(path, 2, 2) == Counter(
         {(0, 0, "insert", 2): 1, (1, 1, "insert", 2): 1}
     )
+
+
+def test_arrow_matches_spark_with_ustorage_dvs(spark, tmp_path):
+    """Deletion vectors in u-storage .bin files (inline_threshold=0
+    forces the file path) flow through BOTH change readers and
+    OPTIMIZE's materialization identically."""
+    from lcr_etl_upgrade_spark.delta_lite import optimize, read_delta_lite
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(200).select("id", (F.col("id") % 2).alias("g")), path
+    )  # v0
+    delete_rows(spark, path, F.col("id") % 3 == 0, inline_threshold=0)  # v1
+    delete_rows(spark, path, F.col("id") % 4 == 0, inline_threshold=0)  # v2
+    for lo, hi in [(1, 1), (2, 2), (0, 2)]:
+        assert _arrow_side(path, lo, hi) == _spark_side(
+            spark, path, lo, hi
+        ), (lo, hi)
+    live_before = spark.createDataFrame(
+        read_delta_lite(spark, path).collect()
+    ).count()
+    res = optimize(spark, path)  # materializes the u-storage DVs
+    assert read_delta_lite(spark, path).count() == live_before
+    assert read_delta_changes(
+        spark, path, res["version"], res["version"]
+    ).count() == 0
