@@ -1013,6 +1013,91 @@ def run_frequent_case(spark, items, parts, k, threshold) -> dict | None:
     return None
 
 
+
+# ------------------------------------------------------------------- bpe
+
+
+def gen_bpe_case(rng):
+    alphabet = list("abcdefgh")
+    vocab = int(rng.integers(30, 200))
+    counts: dict = {}
+    for _ in range(vocab):
+        w = "".join(
+            alphabet[int(rng.integers(0, len(alphabet)))]
+            for _ in range(int(rng.integers(1, 9)))
+        )
+        counts[w] = counts.get(w, 0) + int(rng.integers(1, 60))
+    n_merges = int(rng.integers(3, 80))
+    return sorted(counts.items()), n_merges
+
+
+def run_bpe_case(spark, counts, n_merges) -> dict | None:
+    """The indexed merge loop vs the unindexed recount-everything
+    restatement: identical merge SEQUENCES on random weighted vocabs
+    (the index maintenance — remove/re-add pair contributions per
+    affected word — is where an off-by-one silently reorders merges),
+    then encode parity on sampled words under the learned ranks."""
+    from collections import Counter as _Counter
+
+    from lcr_etl_upgrade_spark.operators.bpe import (
+        END,
+        encode_word,
+        learn_merges,
+    )
+
+    got = learn_merges(counts, n_merges)
+    # unindexed restatement
+    words = [list(w) + [END] for w, _ in counts]
+    freqs = [c for _, c in counts]
+    ref = []
+    for _ in range(n_merges):
+        pc: _Counter = _Counter()
+        for sym, f in zip(words, freqs):
+            for pair in zip(sym, sym[1:]):
+                pc[pair] += f
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if MUTATE == "bpe_tie_reversed":
+            best = max(
+                pc.items(),
+                key=lambda kv: (kv[1], tuple(-ord(c) for c in "".join(kv[0]))),
+            )[0]
+        ref.append(best)
+        for i, sym in enumerate(words):
+            out, j = [], 0
+            while j < len(sym):
+                if (
+                    j + 1 < len(sym)
+                    and sym[j] == best[0]
+                    and sym[j + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            words[i] = out
+    if got != ref:
+        first = next(
+            (i for i, (a, b) in enumerate(zip(got, ref)) if a != b),
+            min(len(got), len(ref)),
+        )
+        return {"kind": "bpe_merge_divergence", "at": first,
+                "got": got[first] if first < len(got) else None,
+                "ref": ref[first] if first < len(ref) else None,
+                "n_merges": n_merges, "vocab": len(counts)}
+    # encode parity: token count under ranks == symbols left in the
+    # restatement's fully-merged word table
+    ranks = {p: i for i, p in enumerate(got)}
+    for (w, _), merged in zip(counts, words):
+        enc = encode_word(w, ranks)
+        if len(enc) != len(merged):
+            return {"kind": "bpe_encode_divergence", "word": w,
+                    "enc": enc, "train_final": merged}
+    return None
+
+
 def main() -> int:
     global MUTATE
     ap = argparse.ArgumentParser()
@@ -1033,7 +1118,7 @@ def main() -> int:
             continue
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
         fam = ("lsh_topk", "minhash", "simhash", "ivf",
-               "sketch", "frequent")[i % 6]
+               "sketch", "frequent", "bpe")[i % 7]
         if fam == "lsh_topk":
             corpus, queries, p = gen_lsh_case(rng, i)
             rec = run_lsh_case(spark, corpus, queries, p)
@@ -1049,6 +1134,9 @@ def main() -> int:
         elif fam == "frequent":
             items, parts, k, threshold = gen_frequent_case(rng)
             rec = run_frequent_case(spark, items, parts, k, threshold)
+        elif fam == "bpe":
+            counts, n_merges = gen_bpe_case(rng)
+            rec = run_bpe_case(spark, counts, n_merges)
         else:
             corpus, queries, dup_map, p = gen_ivf_case(rng)
             rec = run_ivf_case(spark, corpus, queries, dup_map, p)
