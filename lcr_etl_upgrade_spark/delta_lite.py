@@ -1017,10 +1017,49 @@ def _all_files_hive_layout(
     return True
 
 
+def _stats_exclude(stats_json: str | None, bounds: dict) -> bool:
+    """True iff the file's stats PROVE it holds no row in ``bounds``
+    ({phys col: (lo|None, hi|None)} inclusive intervals). Missing or
+    unparsable stats keep the file — skipping must fail open."""
+    if not stats_json:
+        return False
+    try:
+        st = json.loads(stats_json)
+        mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+    except (ValueError, AttributeError):
+        return False
+    for col, (lo, hi) in bounds.items():
+        fmin, fmax = mins.get(col), maxs.get(col)
+        if fmin is None or fmax is None:
+            continue
+        try:
+            if hi is not None and fmin > hi:
+                return True
+            if lo is not None and fmax < lo:
+                return True
+        except TypeError:
+            continue  # incomparable caller value: fail open
+    return False
+
+
 def read_delta_lite(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Scan a Delta table via log replay (time travel via ``version``).
+
+    ``prune`` is LOG-LEVEL DATA SKIPPING: {logical column: (lo, hi)}
+    inclusive intervals (None = unbounded side) evaluated against each
+    file's add-action ``stats`` — files provably outside every interval
+    are dropped before the scan is even planned, so a z-ordered table
+    (optimize(zorder_by=...)) skips files on ANY clustered column
+    without opening a footer. A SKIPPING HINT, not a filter: files
+    without stats are kept, so the caller must still apply the real
+    predicate (which then also prunes row groups inside kept files).
+    Values compare as the stats were written: numbers natively,
+    strings lexicographically, dates/timestamps as ISO strings.
 
     Partitioned tables, fast path: when every active file sits at a
     hive-layout path matching its logged ``partitionValues`` (always true
@@ -1046,6 +1085,25 @@ def read_delta_lite(
         raise NotImplementedError(
             f"unknown delta.columnMapping.mode {mapping!r}"
         )
+    if prune:
+        unknown = [c for c in prune if c not in {f.name for f in schema}]
+        if unknown:
+            raise ValueError(f"prune columns not in schema: {unknown}")
+        phys_names = {
+            f.name: pf.name
+            for f, pf in zip(
+                schema.fields,
+                (_physicalize(schema) if mapping != "none" else schema).fields,
+            )
+        }
+        bounds = {phys_names[c]: v for c, v in prune.items()}
+        state.files = {
+            rel: pvals
+            for rel, pvals in state.files.items()
+            if not _stats_exclude(
+                (state.adds.get(rel) or {}).get("stats"), bounds
+            )
+        }
     # With column mapping on, the parquet files, the hive path segments
     # AND the log's partitionValues keys all use PHYSICAL names (the
     # public protocol's contract; delta-spark writes physicalName
@@ -1327,6 +1385,78 @@ def _check_writer_protocol(protocol: dict | None, path: str) -> None:
             f"(writerFeatures={protocol.get('writerFeatures')}). "
             "Use delta-spark to write it."
         )
+
+
+def _file_stats_json(full_path: str) -> str | None:
+    """Per-file Delta ``stats`` (numRecords / minValues / maxValues /
+    nullCount) from the parquet footer — the log-level data-skipping
+    input (``read_delta_lite(prune=...)`` and real Delta readers prune
+    files on these BEFORE opening any footer). Top-level primitive
+    columns only; None when the footer has nothing usable.
+
+    Scale note: computed on the committing node with one footer read
+    per NEW file — bounded by the commit's own output, not table size
+    (delta-spark collects the same stats from write-task metrics)."""
+    import datetime as _dt2
+
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (_dt2.datetime, _dt2.date)):
+            return v.isoformat()
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return None  # NaN/inf are not orderable stats
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    ok_cols: set[str] = set()
+    for rg in range(md.num_row_groups):
+        r = md.row_group(rg)
+        for i in range(r.num_columns):
+            c = r.column(i)
+            name = c.path_in_schema
+            if "." in name:
+                continue  # nested leaves: skip (top-level only)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok_cols.discard(name)
+                continue
+            lo, hi = _plain(st.min), _plain(st.max)
+            if lo is None or hi is None:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok_cols.discard(name)
+                continue
+            if rg == 0 or name in ok_cols:
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+                ok_cols.add(name)
+    if not ok_cols:
+        return None
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: mins[k] for k in sorted(ok_cols)},
+            "maxValues": {k: maxs[k] for k in sorted(ok_cols)},
+            "nullCount": {k: nulls.get(k, 0) for k in sorted(ok_cols)},
+        }
+    )
 
 
 def _write_commit_file(commit_path: str, actions: list[dict]) -> None:
@@ -1622,19 +1752,19 @@ def write_delta_lite(
                 remove["deletionVector"] = prior.dvs[rel]
             actions.append({"remove": remove})
     for rel, size in moved:
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel, safe="/="),
-                    "partitionValues": _partition_values_from_rel(
-                        rel, stage_part_cols
-                    ),
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": _partition_values_from_rel(
+                rel, stage_part_cols
+            ),
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        stats = _file_stats_json(os.path.join(base, rel))
+        if stats is not None:
+            add["stats"] = stats
+        actions.append({"add": add})
 
     if txn is not None:
         actions.append(
@@ -3050,17 +3180,17 @@ def optimize(
                 os.makedirs(os.path.dirname(dst) or base, exist_ok=True)
                 size = os.path.getsize(src)
                 shutil.move(src, dst)
-                actions.append(
-                    {
-                        "add": {
-                            "path": urllib.parse.quote(rel_new, safe="/="),
-                            "partitionValues": pvals,
-                            "size": size,
-                            "modificationTime": now_ms,
-                            "dataChange": False,
-                        }
-                    }
-                )
+                add = {
+                    "path": urllib.parse.quote(rel_new, safe="/="),
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+                stats = _file_stats_json(dst)
+                if stats is not None:
+                    add["stats"] = stats
+                actions.append({"add": add})
                 n_added += 1
         finally:
             shutil.rmtree(staging, ignore_errors=True)
