@@ -279,7 +279,10 @@ def read_text_documents(
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """S2: Delta scan (reference reads Delta RAW, ingest.py:644-650).
 
@@ -287,13 +290,19 @@ def read_delta(
     to the protocol-native log-replay reader (``delta_lite`` — public
     PROTOCOL.md semantics over plain parquet scans, incl. time travel
     via ``version``), so the Delta runtime path executes here even
-    though the package cannot be installed in this container."""
+    though the package cannot be installed in this container.
+
+    ``prune`` (log-level data skipping on per-file stats, see
+    ``read_delta_lite``) is a delta_lite-path optimization: on the
+    delta-spark path the datasource performs its own stats skipping
+    from the pushed-down predicate, so the hint is simply ignored
+    there — callers always apply the real filter either way."""
     try:
         import delta  # noqa: F401
     except ImportError:
         from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
 
-        return read_delta_lite(spark, path, version)
+        return read_delta_lite(spark, path, version, prune=prune)
     reader = spark.read.format("delta").option("inferSchema", "false")
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
