@@ -3251,3 +3251,152 @@ def table_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` — revert the
+    table's LATEST state to an earlier snapshot with ONE forward commit
+    (delta-spark's RestoreTableCommand semantics, re-expressed on the
+    public protocol): files in the target snapshot but absent from the
+    current one are re-added, files only in the current one are removed,
+    and the target ``metaData`` is re-committed when it changed. Every
+    action is ``dataChange=true``, so the change feed sees exactly the
+    row-level revert, and nothing is deleted from the log — every
+    intermediate version stays time-travelable until a later
+    ``cleanup_log``/``vacuum`` retires it.
+
+    File identity is ``(path, deletionVector uniqueId)`` — the key the
+    log-replay reconciliation itself uses — so a file whose DV changed
+    since the target version reverts via remove(current DV) +
+    add(target DV) in the same commit, and the re-add carries the
+    target's optional add state (stats, tags, rowTracking ids) so a
+    restore loses nothing a checkpoint would have to represent.
+
+    Refuses when: the target snapshot references data files or DV blobs
+    no longer on disk (vacuumed — committing would leave dangling
+    references); the table sets ``delta.appendOnly=true`` (restore
+    removes files); the column-mapping mode differs between target and
+    current metadata (mapping can never be disabled or switched, per the
+    protocol's physical-name stability rule); or the current writer
+    protocol demands features this writer does not implement. Restoring
+    to the current version (or a byte-identical state) is a no-op and
+    commits nothing.
+
+    Returns ``{"version", "added", "removed", "metadata_restored"}``
+    (``version`` None = no-op). Scale shape: pure log metadata plus one
+    ``os.path.getsize`` per re-added file — no data file is read or
+    moved, so a 100 TB revert costs what the log costs.
+    """
+    cur = replay_log(spark, path)
+    _check_writer_protocol(cur.protocol, path)
+    _check_write_obligations(cur, path, "restore")
+    version = int(version)
+    if version > cur.version:
+        raise ValueError(
+            f"cannot restore {path!r} to version {version}: latest is "
+            f"{cur.version} (restore only goes backward)"
+        )
+    tgt = cur if version == cur.version else replay_log(
+        spark, path, version=version
+    )
+    cur_map = _column_mapping_mode(cur.metadata)
+    tgt_map = _column_mapping_mode(tgt.metadata)
+    if cur_map != tgt_map:
+        raise ValueError(
+            f"restoring {path!r} to version {version} would change "
+            f"delta.columnMapping.mode from {cur_map!r} back to "
+            f"{tgt_map!r}; the protocol forbids disabling or switching "
+            "column mapping once enabled (physical-name stability)"
+        )
+
+    cur_ids = {(rel, _dv_uid(cur.dvs.get(rel))) for rel in cur.files}
+    tgt_ids = {(rel, _dv_uid(tgt.dvs.get(rel))) for rel in tgt.files}
+    to_add = sorted(
+        rel for rel in tgt.files
+        if (rel, _dv_uid(tgt.dvs.get(rel))) not in cur_ids
+    )
+    to_remove = sorted(
+        rel for rel in cur.files
+        if (rel, _dv_uid(cur.dvs.get(rel))) not in tgt_ids
+    )
+    meta_changed = tgt.metadata != cur.metadata
+    if not to_add and not to_remove and not meta_changed:
+        return {
+            "version": None, "added": 0, "removed": 0,
+            "metadata_restored": False,
+        }
+
+    base = _local(path)
+    missing = [
+        rel for rel in to_add
+        if not os.path.exists(os.path.join(base, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path!r} to version {version}: data files "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} referenced "
+            "by that snapshot are no longer on disk (vacuumed?); the "
+            "restore would commit dangling file references"
+        )
+    for rel in to_add:
+        dv = tgt.dvs.get(rel)
+        if dv:
+            try:
+                _resolve_dv_blob(base, dv)
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot restore {path!r} to version {version}: the "
+                    f"deletion vector for {rel!r} at that snapshot is "
+                    f"unresolvable ({exc}); was it vacuumed?"
+                ) from exc
+
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "RESTORE",
+            "operationParameters": {"version": version},
+        }
+    }]
+    if meta_changed:
+        actions.append({"metaData": tgt.metadata})
+    # removes first, adds second: _apply_action retires a file only when
+    # the remove's DV identity matches the tracked one, so either order
+    # reconciles to the same state — this one also nets correctly under
+    # a naive sequential applier
+    for rel in to_remove:
+        remove = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }
+        if rel in cur.dvs:
+            remove["deletionVector"] = cur.dvs[rel]
+        actions.append({"remove": remove})
+    for rel in to_add:
+        add = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": dict(tgt.files[rel]),
+            "size": os.path.getsize(os.path.join(base, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if rel in tgt.dvs:
+            add["deletionVector"] = tgt.dvs[rel]
+        # the target snapshot's optional add state (stats, tags,
+        # baseRowId, ...) travels with the re-add — latest-add-wins
+        # replay would otherwise erase it relative to the snapshot
+        # being restored
+        add.update(tgt.adds.get(rel) or {})
+        actions.append({"add": add})
+    new_version = cur.version + 1
+    commit_path = os.path.join(_log_dir(path), f"{new_version:020d}.json")
+    _write_commit_file(commit_path, actions)
+    return {
+        "version": new_version,
+        "added": len(to_add),
+        "removed": len(to_remove),
+        "metadata_restored": meta_changed,
+    }

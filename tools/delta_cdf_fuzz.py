@@ -3,9 +3,10 @@
 
 Each case builds a fresh delta_lite table and drives a random operation
 sequence — overwrite, append, DV delete, dataChange=false compaction,
-DV-clearing restore, and the engine's own OPTIMIZE (bin-pack +
-DV-materializing rewrite) — then checks SNAPSHOT ALGEBRA for every window
-[i, j] of the history:
+DV-clearing restore, the engine's own OPTIMIZE (bin-pack +
+DV-materializing rewrite), and the engine's RESTORE TO VERSION AS OF
+aimed at a random prior version — then checks SNAPSHOT ALGEBRA for every
+window [i, j] of the history:
 
     multiset(read @ i-1) + window inserts - window deletes
         == multiset(read @ j)
@@ -26,6 +27,10 @@ commits contribute zero rows.
 invisible (drops their change rows in the checker): the battery must
 detect it on every case whose sequence contains an effective delete —
 harness-power evidence, same convention as the other fuzzers.
+--mutate restore_skip_remove simulates a restore_table that forgot one
+remove action (post-edits the commit it wrote): the rollback
+state-equality pin must flag the divergence on cases where the dropped
+remove is not superseded by a same-path re-add.
 
 Usage: python tools/delta_cdf_fuzz.py [--seed N] [--n CASES] [--mutate M]
 """
@@ -153,11 +158,17 @@ def run_case(spark, rng, i: int) -> dict | None:
             column_mapping=mapping,
         )
         ops = ["op:create"]
+        # (restored_to, committed_version) pairs from rollback ops: the
+        # post-restore snapshot must EQUAL the target snapshot — checked
+        # against the snapshot reader after snaps are materialized, the
+        # one property the windowed CDF algebra alone cannot see (it
+        # validates changes against whatever the log says, not against
+        # the state restore_table INTENDED to produce)
+        rollbacks: list[tuple[int, int]] = []
         n_ops = int(rng.integers(2, 7))
         for _ in range(n_ops):
-            op = ["append", "delete", "compact", "restore", "optimize"][
-                int(rng.integers(0, 5))
-            ]
+            op = ["append", "delete", "compact", "restore", "optimize",
+                  "rollback"][int(rng.integers(0, 6))]
             if op == "append":
                 write_delta_lite(
                     _rand_df(spark, rng, int(rng.integers(0, 100))),
@@ -180,6 +191,39 @@ def run_case(spark, rng, i: int) -> dict | None:
                 if optimize(spark, path,
                             target_file_bytes=1 << 20)["version"] is None:
                     continue
+            elif op == "rollback":
+                # the engine's RESTORE TO VERSION AS OF, aimed at a
+                # random prior version
+                from lcr_etl_upgrade_spark.delta_lite import (
+                    latest_version,
+                    restore_table,
+                )
+
+                cur_v = latest_version(path)
+                if cur_v < 1:
+                    continue
+                target = int(rng.integers(0, cur_v))
+                res = restore_table(spark, path, target)
+                if res["version"] is None:  # byte-identical state
+                    continue
+                if MUTATE == "restore_skip_remove":
+                    # simulate a restore that forgot one remove: drop
+                    # the first remove action from the commit it wrote
+                    cpath = os.path.join(
+                        path, "_delta_log", f"{res['version']:020d}.json"
+                    )
+                    with open(cpath) as fh:
+                        lines = [json.loads(l) for l in fh if l.strip()]
+                    keep, dropped = [], False
+                    for a in lines:
+                        if "remove" in a and not dropped:
+                            dropped = True
+                            continue
+                        keep.append(a)
+                    with open(cpath, "w") as fh:
+                        for a in keep:
+                            fh.write(json.dumps(a) + "\n")
+                rollbacks.append((target, res["version"]))
             ops.append(f"op:{op}")
         log = os.path.join(path, "_delta_log")
         latest = max(
@@ -196,6 +240,12 @@ def run_case(spark, rng, i: int) -> dict | None:
             )
 
         snaps = {v: snap(v) for v in range(-1, latest + 1)}
+        for target, committed in rollbacks:
+            if snaps[committed] != snaps[target]:
+                return {"kind": "rollback_state_mismatch", "ops": ops,
+                        "target": target, "committed": committed,
+                        "want": sum(snaps[target].values()),
+                        "got": sum(snaps[committed].values())}
         # every window, single-commit ones first (best localization)
         windows = [(v, v) for v in range(latest + 1)]
         windows += [(0, latest)]
