@@ -961,16 +961,24 @@ def _physicalize_df(df: DataFrame, mapped: T.StructType) -> DataFrame:
 def _verify_physical_names(
     spark: SparkSession, sample_file: str, expect: list[str]
 ) -> None:
-    """One driver-side parquet-footer peek: the expected physical DATA
-    column names must actually appear in the files. delta-spark writes
-    physicalName-named parquet for both 'name' and 'id' modes, but a
-    foreign id-mode writer may store different column names (resolving
-    by parquet field id, which this reader does not implement) — Spark's
-    schema-by-name read would then return silent all-NULL columns, so
-    verify and refuse loudly instead."""
+    """One driver-side parquet-footer peek: the physical DATA column
+    names the file carries must come from the table's expected set.
+    delta-spark writes physicalName-named parquet for both 'name' and
+    'id' modes, but a foreign id-mode writer may store different column
+    names (resolving by parquet field id, which this reader does not
+    implement) — Spark's schema-by-name read would then return silent
+    all-NULL columns, so verify and refuse loudly instead.
+
+    A file carrying a strict SUBSET of the expected names is fine: a
+    merge_schema evolution adds columns the pre-evolution files
+    legitimately lack (they read as null, the evolution contract). The
+    foreign-writer hazard shows as names OUTSIDE the expected set while
+    expected ones are missing — physical names are col-<uuid>, so a
+    subset match can only come from this table's own lineage."""
     actual = set(spark.read.parquet(sample_file).schema.fieldNames())
     missing = [c for c in expect if c not in actual]
-    if missing:
+    foreign = sorted(actual - set(expect))
+    if missing and foreign:
         raise NotImplementedError(
             f"column-mapped table's parquet files do not carry the "
             f"expected physical column names (missing {missing}, file has "
@@ -1487,6 +1495,7 @@ def write_delta_lite(
     partition_by: tuple[str, ...] = (),
     column_mapping: str | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the committed version.
 
@@ -1495,6 +1504,23 @@ def write_delta_lite(
     active file removed, metaData rewritten from ``df``'s schema.
     append = K2/K4: files added under the EXISTING table schema; a column
     -name mismatch raises instead of silently writing an unreadable mix.
+
+    merge_schema=True (append only — overwrite already replaces the
+    schema) is delta-spark's mergeSchema: columns in ``df`` that the
+    table lacks are ADDED to the table schema as nullable in the same
+    commit (old files read them as null), and ``df`` may OMIT nullable
+    non-partition table columns (the written files simply lack them; the
+    declared-schema scan fills null — under column mapping they are
+    staged as typed nulls instead, because the physicalizing select is
+    positional over the full mapped field list). Type CHANGES still
+    refuse — widening is a separate protocol feature (typeWidening) this
+    writer does not commit. New columns that differ only in case from
+    existing ones refuse (Delta resolves names case-insensitively), as
+    do omitted non-nullable columns and new columns declaring
+    delta.invariants. A schema-evolving append carries a metaData
+    action, so it is single-writer: losing the commit race refuses
+    instead of retrying (a retried add-only commit would silently drop
+    the evolution).
 
     column_mapping: ``"name"`` or ``"id"`` writes a COLUMN-MAPPED table
     (protocol 3/7 with the columnMapping table feature): parquet files,
@@ -1519,6 +1545,11 @@ def write_delta_lite(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if merge_schema and mode != "append":
+        raise ValueError(
+            "merge_schema only applies to mode='append'; overwrite "
+            "already replaces the schema"
+        )
     if column_mapping not in (None, "name", "id"):
         raise ValueError(
             f"column_mapping must be None|'name'|'id', got {column_mapping!r}"
@@ -1577,22 +1608,78 @@ def write_delta_lite(
             )
         mapping = column_mapping
 
+    evolved: list[T.StructField] = []  # merge_schema: columns to ADD
     if prior is not None and mode == "append":
         partition_by = tuple(prior.partition_columns)
         want = [f.name for f in prior.schema.fields]
         got = df.columns
-        if sorted(want) != sorted(got):
+        if not merge_schema and sorted(want) != sorted(got):
             raise ValueError(
                 f"append schema mismatch: table has columns {sorted(want)}, "
                 f"DataFrame has {sorted(got)}; use mode='overwrite' to "
-                "replace the schema"
+                "replace the schema, or merge_schema=True to evolve it"
             )
+        if merge_schema:
+            first_lower: dict[str, str] = {}
+            for c in want:
+                first_lower.setdefault(c.lower(), c)
+            clash = sorted(
+                c for c in got
+                if c not in want and c.lower() in first_lower
+            )
+            if clash:
+                raise ValueError(
+                    f"merge_schema: new columns {clash} differ only in "
+                    "case from existing table columns "
+                    f"{[first_lower[c.lower()] for c in clash]}; Delta "
+                    "resolves column names case-insensitively — rename "
+                    "them or match the table's casing"
+                )
+            missing_parts = sorted(
+                c for c in partition_by if c not in got
+            )
+            if missing_parts:
+                raise ValueError(
+                    f"append is missing partition columns {missing_parts}"
+                )
+            non_null_missing = sorted(
+                f.name for f in prior.schema.fields
+                if f.name not in got and not f.nullable
+            )
+            if non_null_missing:
+                raise ValueError(
+                    "merge_schema append omits non-nullable table "
+                    f"columns {non_null_missing}; old rows could not be "
+                    "distinguished from the nulls this write would imply"
+                )
+            evolved = [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in df.schema.fields
+                if f.name not in want
+            ]
+            if evolved and _schema_declares_invariants(
+                T.StructType(evolved)
+            ):
+                raise NotImplementedError(
+                    f"the new columns this merge_schema append adds to "
+                    f"{path!r} carry delta.invariants field metadata "
+                    "this writer cannot evaluate; strip the metadata or "
+                    "use delta-spark"
+                )
         # names AND types (nullability aside), mirroring the retry-path
         # gate: under mapping, _physicalize_df casts to the table type,
         # which would turn a wrong-typed append into silent NULLs
-        # instead of the documented refusal
-        want_types = {f.name: f.dataType for f in prior.schema.fields}
-        got_types = {f.name: f.dataType for f in df.schema.fields}
+        # instead of the documented refusal; under merge_schema the
+        # check runs on the SHARED columns (new ones have no table type
+        # yet, omitted ones no incoming type)
+        want_types = {
+            f.name: f.dataType for f in prior.schema.fields
+            if f.name in got
+        }
+        got_types = {
+            f.name: f.dataType for f in df.schema.fields
+            if f.name in want_types
+        }
         mismatched = sorted(
             n for n in want_types if want_types[n] != got_types[n]
         )
@@ -1608,7 +1695,11 @@ def write_delta_lite(
                 )
                 + " — cast explicitly or use mode='overwrite'"
             )
-        df = df.select(*want)  # name-based mapping, like the K2 sink
+        # name-based mapping, like the K2 sink: table order for the
+        # shared columns, evolved columns after (their schema position)
+        df = df.select(
+            *[c for c in want if c in got], *[f.name for f in evolved]
+        )
 
     import time
 
@@ -1616,19 +1707,54 @@ def write_delta_lite(
     os.makedirs(_log_dir(path), exist_ok=True)
     part_cols = list(partition_by)
 
+    # the LOGICAL schema the table's metaData declares after this
+    # commit: the incoming schema for create/overwrite; for appends the
+    # prior schema, extended (nullable) by merge_schema's new columns
+    if prior is not None and mode == "append":
+        table_schema = (
+            T.StructType(list(prior.schema.fields) + evolved)
+            if evolved
+            else prior.schema
+        )
+    else:
+        table_schema = df.schema
+
     # Column mapping: everything the FILES see (parquet schema, hive
     # partition dirs, partitionValues keys) is physical; everything the
     # LOG's metaData sees (schemaString field names, partitionColumns)
     # stays logical — mirroring read_delta_lite's contract exactly.
     if mapping != "none":
         if mode == "append" and prior is not None:
-            mapped = prior.schema  # assignments live in the table schema
-            max_id = int(
+            prior_max = int(
                 (prior.metadata.get("configuration") or {}).get(
                     "delta.columnMapping.maxColumnId",
-                    _max_mapped_id(mapped),
+                    _max_mapped_id(prior.schema),
                 )
             )
+            if evolved:
+                # extend the prior assignments: existing fields KEEP
+                # their ids/physical names (stability rule), evolved
+                # columns draw fresh ids above the recorded maxColumnId
+                counter = [prior_max + 1]
+                mapped = _mapped_schema(table_schema, prior.schema, counter)
+                max_id = max(_max_mapped_id(mapped), prior_max)
+            else:
+                mapped = prior.schema  # assignments live in the schema
+                max_id = prior_max
+            # merge_schema may OMIT nullable columns, but the
+            # physicalizing select is positional over the full mapped
+            # field list — stage the absent ones as typed nulls
+            present = set(df.columns)
+            absent = [f for f in mapped.fields if f.name not in present]
+            if absent:
+                df = df.select(
+                    *[
+                        _quoted(f.name)
+                        if f.name in present
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in mapped.fields
+                    ]
+                )
         else:
             counter = [1]
             prior_mapped = (
@@ -1723,7 +1849,7 @@ def write_delta_lite(
                 "delta.columnMapping.maxColumnId": str(max_id),
             })
         schema_json = (
-            mapped.json() if mapping != "none" else df.schema.json()
+            mapped.json() if mapping != "none" else table_schema.json()
         )
         actions.append(
             {
@@ -1737,6 +1863,19 @@ def write_delta_lite(
                 }
             }
         )
+    elif evolved:
+        # schema-evolving append: the prior metaData verbatim except the
+        # extended schemaString (and maxColumnId under mapping) — id,
+        # createdTime, partitioning and every configuration key survive
+        meta = dict(prior.metadata)
+        configuration = dict(prior.metadata.get("configuration") or {})
+        if mapping != "none":
+            configuration["delta.columnMapping.maxColumnId"] = str(max_id)
+        meta["schemaString"] = (
+            mapped.json() if mapping != "none" else table_schema.json()
+        )
+        meta["configuration"] = configuration
+        actions.append({"metaData": meta})
     if prior is not None and mode == "overwrite":
         for rel in prior.files:
             remove = {
@@ -1812,13 +1951,17 @@ def write_delta_lite(
             _rollback()  # disk-full/interrupt mid-commit: unstage
             raise
         if lost_race:
-            if mode != "append" or attempt >= _APPEND_RETRIES:
+            if mode != "append" or evolved or attempt >= _APPEND_RETRIES:
                 _rollback()
                 raise FileExistsError(
                     f"concurrent commit to {path!r} at version {version}; "
                     + (
-                        "append retries exhausted — retry after the "
-                        "other commits settle"
+                        "a schema-evolving append carries a metaData "
+                        "action and is single-writer — re-read the "
+                        "table and retry"
+                        if evolved
+                        else "append retries exhausted — retry after "
+                        "the other commits settle"
                         if mode == "append"
                         else "overwrite is single-writer — retry after "
                         "the other commit"
@@ -1838,10 +1981,24 @@ def write_delta_lite(
             # compare names AND types: a racing overwrite that changed a
             # column's TYPE must refuse too, or the retried append would
             # commit parquet files whose physical type contradicts the
-            # table's metaData schema (nullability aside)
-            same_schema = {
+            # table's metaData schema (nullability aside). A merge_schema
+            # append that OMITTED nullable columns retries as long as its
+            # columns are a type-matching subset and every column it
+            # lacks is still nullable
+            cur_types = {
                 f.name: f.dataType for f in current.schema.fields
-            } == {f.name: f.dataType for f in df.schema.fields}
+            }
+            df_types = {f.name: f.dataType for f in df.schema.fields}
+            if merge_schema:
+                same_schema = all(
+                    cur_types.get(n) == t for n, t in df_types.items()
+                ) and all(
+                    f.nullable
+                    for f in current.schema.fields
+                    if f.name not in df_types
+                )
+            else:
+                same_schema = cur_types == df_types
             # the racing commit may also have changed the COLUMN-MAPPING
             # state (enabled it, or reassigned physical names via an
             # overwrite): our staged files carry the OLD physical layout
