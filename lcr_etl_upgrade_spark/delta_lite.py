@@ -1050,13 +1050,63 @@ def _stats_exclude(stats_json: str | None, bounds: dict) -> bool:
     return False
 
 
+def version_at_timestamp(path: str, timestamp) -> int:
+    """TIMESTAMP AS OF resolution: the greatest version whose commit
+    timestamp is <= ``timestamp`` (delta-spark's rule). Commit times
+    come from each commit's commitInfo header when present, else the
+    commit file's mtime — the same log-authoritative fallback
+    table_history and the change feed use — and are CANONICALIZED to be
+    non-decreasing across versions (running max), mirroring delta-spark's
+    adjustment for clock skew between writers so the mapping
+    timestamp -> version is well-defined.
+
+    ``timestamp`` accepts epoch MILLISECONDS (int/float — the log's own
+    unit), an ISO-8601 string (naive = UTC), or a datetime (naive =
+    UTC). Raises when it precedes version 0's commit (nothing existed)
+    — asking for a future time returns the latest version, as
+    delta-spark does for RESTORE (its read path errors instead; the
+    permissive choice loses nothing and keeps one rule)."""
+    import datetime as _dt
+
+    if isinstance(timestamp, str):
+        ts = _dt.datetime.fromisoformat(timestamp)
+    else:
+        ts = timestamp
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = int(ts.timestamp() * 1000)
+    else:
+        ts_ms = int(ts)
+    hist = sorted(table_history(path), key=lambda r: r["version"])
+    if not hist:
+        raise FileNotFoundError(f"empty _delta_log in {path!r}")
+    best: int | None = None
+    running = -(1 << 62)
+    for rec in hist:
+        running = max(running, int(rec["timestamp"]))
+        if running <= ts_ms:
+            best = rec["version"]
+    if best is None:
+        first = hist[0]
+        raise ValueError(
+            f"timestamp {ts_ms} (epoch ms) precedes the first commit to "
+            f"{path!r} (version {first['version']} at "
+            f"{first['timestamp']} ms); nothing existed to read"
+        )
+    return best
+
+
 def read_delta_lite(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Scan a Delta table via log replay (time travel via ``version``).
+    """Scan a Delta table via log replay (time travel via ``version``
+    or ``timestamp`` — TIMESTAMP AS OF, resolved by
+    ``version_at_timestamp``; passing both raises).
 
     ``prune`` is LOG-LEVEL DATA SKIPPING: {logical column: (lo, hi)}
     inclusive intervals (None = unbounded side) evaluated against each
@@ -1085,6 +1135,12 @@ def read_delta_lite(
     literals, unioned; a partition-column filter constant-folds per
     branch and Catalyst prunes non-matching scans at plan time.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or timestamp, not both"
+            )
+        version = version_at_timestamp(path, timestamp)
     base = _local(path)
     state = replay_log(spark, path, version)
     schema = state.schema
@@ -1259,7 +1315,10 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
     {"columnMapping", "deletionVectors", "appendOnly", "invariants",
      # v2Checkpoint's writer obligation is writing the v2 LAYOUT when
      # checkpointing — write_checkpoint does (r9)
-     "v2Checkpoint"}
+     "v2Checkpoint",
+     # delta.constraints.* expressions are EVALUATED on every write
+     # (_attach_constraint_observer), violations roll the staging back
+     "checkConstraints"}
 )
 
 # Legacy writer version 2 implicitly enables these; a protocol upgrade
@@ -1331,14 +1390,102 @@ def _schema_declares_invariants(dt: T.DataType) -> bool:
     return False
 
 
+def _table_constraints(
+    metadata: dict | None, schema: T.StructType
+) -> list[tuple[str, str]]:
+    """Every row-level write obligation the table declares, as
+    ``(name, SQL expression)`` pairs: CHECK constraints from
+    ``delta.constraints.<name>`` configuration keys (the
+    ``checkConstraints`` feature / legacy writer version 3) plus legacy
+    column invariants from ``delta.invariants`` field metadata (the
+    JSON ``{"expression": {"expression": "<sql>"}}`` envelope, per the
+    protocol)."""
+    out: list[tuple[str, str]] = []
+    config = (metadata or {}).get("configuration") or {}
+    for k in sorted(config):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], config[k]))
+
+    def walk(dt: T.DataType, prefix: str) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                inv = (f.metadata or {}).get("delta.invariants")
+                if inv:
+                    expr = json.loads(inv)["expression"]["expression"]
+                    out.append((f"invariant({prefix}{f.name})", expr))
+                walk(f.dataType, f"{prefix}{f.name}.")
+
+    walk(schema, "")
+    return out
+
+
+def _attach_constraint_observer(
+    df: DataFrame,
+    table_schema: T.StructType,
+    constraints: list[tuple[str, str]],
+    path: str,
+):
+    """Wire write-time constraint VALIDATION into the staging plan: one
+    ``observe()`` metric per constraint counting rows where the
+    expression is not <=> TRUE — delta-spark's semantics (a NULL result
+    VIOLATES, for both CHECK constraints and invariants; SQL-standard
+    CHECK would pass nulls — deviation matches the reference
+    implementation, not the standard). Columns the incoming frame omits
+    (merge_schema) evaluate as the nulls they will read back as. The
+    metrics ride the staging write itself — enforcement costs ZERO extra
+    passes over the data; the caller checks the observation after the
+    write and rolls the staged files back on any violation.
+
+    Returns ``(df_with_observer, observation, metric_name -> constraint
+    name)``. Raises with the constraint named when its expression no
+    longer analyzes against the table schema (e.g. an overwrite dropped
+    a referenced column — drop the constraint first, as delta-spark
+    requires)."""
+    from pyspark.sql import Observation
+
+    present = set(df.columns)
+    aug = df
+    for f in table_schema.fields:
+        if f.name not in present:
+            aug = aug.withColumn(f.name, F.lit(None).cast(f.dataType))
+    metrics = []
+    name_map: dict[str, str] = {}
+    for i, (name, sql) in enumerate(constraints):
+        key = f"c{i}"
+        name_map[key] = name
+        try:
+            metric = F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.expr(sql).eqNullSafe(F.lit(True)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias(key)
+            obs_test = aug.select(F.expr(sql))  # eager analysis check
+            del obs_test
+        except Exception as exc:
+            raise ValueError(
+                f"constraint {name!r} on {path!r} ({sql!r}) does not "
+                f"analyze against the write's schema: {exc}. Drop the "
+                "constraint before changing the columns it references."
+            ) from exc
+        metrics.append(metric)
+    obs = Observation()
+    observed = aug.observe(obs, *metrics).select(*df.columns)
+    return observed, obs, name_map
+
+
 def _check_write_obligations(state: TableState, path: str,
                              operation: str) -> None:
     """Enforce the legacy/listed features whose semantics this writer
     honors by REFUSAL: appendOnly (delta.appendOnly=true forbids every
-    non-append operation) and invariants (new rows must satisfy
-    expressions we cannot evaluate, so appends refuse when any are
-    declared; overwrites replace the schema and deletes add no rows, so
-    neither can violate an invariant)."""
+    non-append operation). Row-level obligations — delta.invariants
+    field metadata and delta.constraints.* CHECK constraints — are
+    EVALUATED, not refused: write_delta_lite wires them as observe()
+    metrics into the staging write (_attach_constraint_observer) and
+    rolls back on violation; deletes add no rows, so delete_rows and
+    restore_table have nothing to evaluate."""
     config = (state.metadata or {}).get("configuration") or {}
     if str(config.get("delta.appendOnly", "")).lower() == "true" and (
         operation != "append"
@@ -1347,25 +1494,17 @@ def _check_write_obligations(state: TableState, path: str,
             f"the table at {path!r} sets delta.appendOnly=true; "
             f"{operation} is not an append"
         )
-    if operation == "append" and state.metadata is not None and (
-        _schema_declares_invariants(state.schema)
-    ):
-        raise NotImplementedError(
-            f"the table at {path!r} declares delta.invariants "
-            "expressions this writer cannot evaluate; refusing the "
-            "append rather than committing unvalidated rows (use "
-            "delta-spark)"
-        )
 
 
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
     """WRITER compliance is separate from reader compliance: a
     v2Checkpoint table is READABLE here (reader feature implemented) but
-    this writer behaves as protocol writer version 2 — committing to a
-    table that demands minWriterVersion > 2 (legacy cumulative feature
-    sets: invariants, constraints, …) would violate the protocol's "a
-    writer must support every writerFeature" rule and produce a log real
-    Delta tooling may reject. The ONE exception is version 7 (table
+    this writer behaves as protocol writer version 3 (appendOnly +
+    invariants + CHECK constraints, each enforced) — committing to a
+    table that demands minWriterVersion > 3 (legacy cumulative feature
+    sets: changeDataFeed, generatedColumns, …) would violate the
+    protocol's "a writer must support every writerFeature" rule and
+    produce a log real Delta tooling may reject. The ONE exception is version 7 (table
     features), where the demanded capabilities are listed explicitly —
     writable iff every listed feature is implemented here
     (_SUPPORTED_WRITER_FEATURES). Checked on the initial replay AND on
@@ -1386,10 +1525,12 @@ def _check_writer_protocol(protocol: dict | None, path: str) -> None:
                 "Use delta-spark to write it."
             )
         return
-    if writer_v > 2:
+    if writer_v > 3:
         raise NotImplementedError(
-            "delta_lite writes as protocol writer version 2; the table "
-            f"at {path!r} requires minWriterVersion={writer_v} "
+            "delta_lite writes as protocol writer version 3 (v2's "
+            "appendOnly/invariants plus CHECK constraints, all "
+            f"enforced); the table at {path!r} requires "
+            f"minWriterVersion={writer_v} "
             f"(writerFeatures={protocol.get('writerFeatures')}). "
             "Use delta-spark to write it."
         )
@@ -1539,6 +1680,16 @@ def write_delta_lite(
     documented seam is foreign readers that resolve NESTED columns
     strictly by field id).
 
+    Row-level obligations are ENFORCED, not refused: delta.constraints.*
+    CHECK constraints (table configuration, preserved across overwrites)
+    and delta.invariants field metadata are evaluated as observe()
+    metrics riding the staging write itself (zero extra data passes);
+    any violating row unstages everything and raises with the constraint
+    named, before a commit is attempted. NULL expression results count
+    as violations — delta-spark's semantics for both kinds, not SQL-
+    standard CHECK. This makes legacy minWriterVersion=3 tables and
+    v7 tables listing checkConstraints writable here.
+
     The commit file is created with ``open(.., "x")`` — creation is the
     commit point, and a concurrent writer gets FileExistsError (single-
     writer semantics made explicit rather than log corruption).
@@ -1572,19 +1723,12 @@ def write_delta_lite(
         seen = prior.txns.get(txn[0])
         if seen is not None and int(seen.get("version", -1)) >= int(txn[1]):
             return prior.version
-    if (prior is None or mode == "overwrite") and (
-        _schema_declares_invariants(df.schema)
-    ):
-        # an overwrite (or fresh create) rewrites metaData from df's
-        # schema — committing rows under field metadata that DECLARES
-        # delta.invariants we never evaluated would hand real readers an
-        # enforcement promise nobody kept; same refusal as append-onto-
-        # invariant-bearing-table in _check_write_obligations
-        raise NotImplementedError(
-            f"the incoming DataFrame schema for {path!r} carries "
-            "delta.invariants field metadata this writer cannot "
-            "evaluate; strip the metadata or use delta-spark"
-        )
+    # an overwrite (or fresh create) whose incoming schema DECLARES
+    # delta.invariants commits that metadata into the table — legal,
+    # because this writer now EVALUATES invariants and CHECK constraints
+    # on every write (_attach_constraint_observer below); the rows of
+    # THIS write are validated too, so the enforcement promise the
+    # metadata makes to real readers is kept from version one
 
     prior_mapping = (
         _column_mapping_mode(prior.metadata) if prior is not None else "none"
@@ -1660,11 +1804,13 @@ def write_delta_lite(
             if evolved and _schema_declares_invariants(
                 T.StructType(evolved)
             ):
-                raise NotImplementedError(
+                raise ValueError(
                     f"the new columns this merge_schema append adds to "
-                    f"{path!r} carry delta.invariants field metadata "
-                    "this writer cannot evaluate; strip the metadata or "
-                    "use delta-spark"
+                    f"{path!r} carry delta.invariants field metadata; "
+                    "the table's EXISTING rows read the new columns as "
+                    "null and would retroactively violate them — add "
+                    "the column first, backfill, then add the invariant "
+                    "(delta-spark refuses this too)"
                 )
         # names AND types (nullability aside), mirroring the retry-path
         # gate: under mapping, _physicalize_df casts to the table type,
@@ -1718,6 +1864,20 @@ def write_delta_lite(
         )
     else:
         table_schema = df.schema
+
+    # row-level write obligations: CHECK constraints come from the
+    # table CONFIGURATION (preserved across overwrites), invariants
+    # from the post-write schema — evaluated as observe() metrics
+    # riding the staging write (zero extra passes), checked after it
+    constraints = _table_constraints(
+        prior.metadata if prior is not None else None, table_schema
+    )
+    constraint_obs = None
+    constraint_names: dict[str, str] = {}
+    if constraints:
+        df, constraint_obs, constraint_names = _attach_constraint_observer(
+            df, table_schema, constraints, path
+        )
 
     # Column mapping: everything the FILES see (parquet schema, hive
     # partition dirs, partitionValues keys) is physical; everything the
@@ -1791,6 +1951,32 @@ def write_delta_lite(
         stage_df, stage_part_cols = df, part_cols
 
     moved = _stage_and_move(stage_df, base, tuple(stage_part_cols))
+
+    if constraint_obs is not None:
+        # the staging write executed the observed plan; a violation
+        # unstages everything BEFORE any commit is attempted
+        counts = constraint_obs.get
+        violated = {
+            constraint_names[k]: int(v)
+            for k, v in counts.items()
+            if v
+        }
+        if violated:
+            for rel, _size in moved:
+                try:
+                    os.remove(os.path.join(base, rel))
+                except OSError:
+                    pass
+            by_name = dict(constraints)
+            detail = "; ".join(
+                f"{n!r} ({by_name[n]!r}): {c} row(s)"
+                for n, c in sorted(violated.items())
+            )
+            raise ValueError(
+                f"write to {path!r} violates table constraints — "
+                f"{detail}. NULL results count as violations "
+                "(delta-spark semantics)."
+            )
 
     actions: list[dict] = []
     version = 0 if prior is None else prior.version + 1
@@ -2010,17 +2196,24 @@ def write_delta_lite(
                 or [f.name for f in _physicalize(current.schema).fields]
                 == [f.name for f in _physicalize(mapped).fields]
             )
+            # a racing commit may also have ADDED or changed row-level
+            # obligations (delta.constraints.*, delta.invariants): our
+            # staged rows were validated against the PRIOR set only
+            same_constraints = _table_constraints(
+                current.metadata, current.schema
+            ) == constraints
             if (
                 not same_schema
                 or current.partition_columns != part_cols
                 or not same_mapping
+                or not same_constraints
             ):
                 _rollback()
                 raise FileExistsError(
                     f"concurrent commit to {path!r} changed the table's "
-                    "schema, partitioning or column mapping; this append "
-                    "no longer applies cleanly — re-read the table and "
-                    "retry"
+                    "schema, partitioning, column mapping or "
+                    "constraints; this append no longer applies cleanly "
+                    "— re-read the table and retry"
                 )
             if txn is not None:
                 # the race may have been OUR OWN appId (a concurrent
@@ -3410,8 +3603,15 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
-def restore_table(spark: SparkSession, path: str, version: int) -> dict:
-    """RESTORE TABLE ... TO VERSION AS OF ``version`` — revert the
+def restore_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (or TO TIMESTAMP
+    AS OF ``timestamp``, resolved by ``version_at_timestamp``; exactly
+    one of the two must be given) — revert the
     table's LATEST state to an earlier snapshot with ONE forward commit
     (delta-spark's RestoreTableCommand semantics, re-expressed on the
     public protocol): files in the target snapshot but absent from the
@@ -3444,6 +3644,12 @@ def restore_table(spark: SparkSession, path: str, version: int) -> dict:
     ``os.path.getsize`` per re-added file — no data file is read or
     moved, so a 100 TB revert costs what the log costs.
     """
+    if (version is None) == (timestamp is None):
+        raise ValueError(
+            "pass exactly one of version or timestamp"
+        )
+    if timestamp is not None:
+        version = version_at_timestamp(path, timestamp)
     cur = replay_log(spark, path)
     _check_writer_protocol(cur.protocol, path)
     _check_write_obligations(cur, path, "restore")

@@ -283,14 +283,16 @@ def read_delta(
     path: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """S2: Delta scan (reference reads Delta RAW, ingest.py:644-650).
 
     Uses the delta-spark datasource when importable; otherwise falls back
     to the protocol-native log-replay reader (``delta_lite`` — public
     PROTOCOL.md semantics over plain parquet scans, incl. time travel
-    via ``version``), so the Delta runtime path executes here even
-    though the package cannot be installed in this container.
+    via ``version`` or ``timestamp``), so the Delta runtime path
+    executes here even though the package cannot be installed in this
+    container.
 
     ``prune`` (log-level data skipping on per-file stats, see
     ``read_delta_lite``) is a delta_lite-path optimization: on the
@@ -302,10 +304,14 @@ def read_delta(
     except ImportError:
         from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
 
-        return read_delta_lite(spark, path, version, prune=prune)
+        return read_delta_lite(
+            spark, path, version, prune=prune, timestamp=timestamp
+        )
     reader = spark.read.format("delta").option("inferSchema", "false")
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
+    if timestamp is not None:
+        reader = reader.option("timestampAsOf", str(timestamp))
     return reader.load(path)
 
 

@@ -442,7 +442,7 @@ def test_concurrent_append_schema_change_refused(spark, tmp_path, monkeypatch):
         return real_replay(*a, **k)
 
     monkeypatch.setattr(dl, "replay_log", racing_replay)
-    with pytest.raises(FileExistsError, match="schema, partitioning or column mapping"):
+    with pytest.raises(FileExistsError, match="schema, partitioning, column mapping or"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {9}
@@ -815,7 +815,7 @@ def test_concurrent_append_type_change_refused(spark, tmp_path, monkeypatch):
         return real_replay(*a, **k)
 
     monkeypatch.setattr(dl, "replay_log", racing_replay)
-    with pytest.raises(FileExistsError, match="schema, partitioning or column mapping"):
+    with pytest.raises(FileExistsError, match="schema, partitioning, column mapping or"):
         dl.write_delta_lite(_df(spark, [(2, "b")]), path, mode="append")
     monkeypatch.undo()
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {"9"}
@@ -2011,10 +2011,11 @@ def test_append_only_table_refuses_non_appends(spark, tmp_path):
     assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 2}
 
 
-def test_invariants_refuse_appends_not_deletes(spark, tmp_path):
-    """r8 review: a schema declaring delta.invariants expressions makes
-    appends refuse (we cannot evaluate them) while deletes still work
-    (removing rows cannot violate an invariant)."""
+def test_invariants_enforced_on_appends_deletes_untouched(spark, tmp_path):
+    """r8 review originally made invariant-bearing appends REFUSE; round
+    10 upgraded the refusal to ENFORCEMENT: rows satisfying the
+    expression append fine, a violating row unstages and raises, and
+    deletes still work (removing rows cannot violate an invariant)."""
     import lcr_etl_upgrade_spark.delta_lite as dl
 
     path = str(tmp_path / "t")
@@ -2029,10 +2030,14 @@ def test_invariants_refuse_appends_not_deletes(spark, tmp_path):
     with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"metaData": meta}) + "\n")
 
-    with pytest.raises(NotImplementedError, match="invariants"):
-        write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    write_delta_lite(_df(spark, [(3, "c")]), path, mode="append")
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta_lite(_df(spark, [(-1, "x")]), path, mode="append")
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {
+        1, 2, 3,
+    }
     dl.delete_rows(spark, path, "id = 2")
-    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1}
+    assert {r.id for r in read_delta_lite(spark, path).collect()} == {1, 3}
 
 
 def test_legacy_upgrade_carries_implicit_features(spark, tmp_path):

@@ -8,9 +8,10 @@
    be a no-op (same version, no commit, no new .bin files), not a
    byte-identical DV rewrite under a fresh uuid.
 3. An overwrite (or fresh create) whose incoming DataFrame schema
-   carries delta.invariants field metadata must refuse — committing
-   unvalidated rows under a metaData that declares invariants would
-   hand real readers an enforcement promise nobody kept.
+   carries delta.invariants field metadata must never commit
+   UNVALIDATED rows under it — originally by refusal; since round 10
+   the writer evaluates the expressions on the incoming rows, so the
+   test asserts enforce-or-unstage instead.
 4. write_checkpoint must carry metaData name/description, add.stats,
    add.tags and deletionVector.maxRowIndex losslessly, and REFUSE on
    state fields its fixed schema cannot represent (e.g. rowTracking's
@@ -199,7 +200,14 @@ def test_delete_already_masked_rows_is_a_noop(spark, tmp_path):
 # ---- 3: overwrite/create with invariant-bearing incoming schema ----------
 
 
-def test_write_refuses_incoming_invariants_metadata(spark, tmp_path):
+def test_incoming_invariants_metadata_enforced_not_refused(spark, tmp_path):
+    """The r9 rule was refuse-on-unevaluated-invariants; round 10 keeps
+    the PRINCIPLE (never commit rows under an enforcement promise nobody
+    kept) by EVALUATING the invariant on the incoming rows instead:
+    satisfying frames commit with the metadata intact, violating frames
+    unstage and raise before any commit."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite, replay_log
+
     schema = T.StructType([
         T.StructField(
             "a", T.LongType(), True,
@@ -207,16 +215,29 @@ def test_write_refuses_incoming_invariants_metadata(spark, tmp_path):
              '{"expression": {"expression": "a > 0"}}'},
         )
     ])
-    df = spark.createDataFrame([(1,)], schema)
-    with pytest.raises(NotImplementedError, match="delta.invariants"):
-        write_delta_lite(df, str(tmp_path / "fresh"))
-    # existing plain table, overwritten with an invariant-bearing frame
+    ok = spark.createDataFrame([(1,)], schema)
+    bad = spark.createDataFrame([(1,), (-5,)], schema)
+    fresh = str(tmp_path / "fresh")
+    write_delta_lite(ok, fresh)  # satisfying create commits
+    state = replay_log(spark, fresh)
+    assert "delta.invariants" in (state.schema["a"].metadata or {})
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta_lite(bad, str(tmp_path / "fresh2"))
+    # existing plain table: a violating overwrite raises BEFORE commit,
+    # a satisfying one commits the invariant-bearing schema
     path = str(tmp_path / "existing")
     write_delta_lite(spark.range(3).selectExpr("id as a"), path)
-    with pytest.raises(NotImplementedError, match="delta.invariants"):
-        write_delta_lite(df, path, mode="overwrite")
-    # a metadata-free frame still writes fine
-    write_delta_lite(spark.range(3).selectExpr("id as a"), path)
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta_lite(bad, path, mode="overwrite")
+    assert {r.a for r in read_delta_lite(spark, path).collect()} == {
+        0, 1, 2,
+    }
+    write_delta_lite(ok, path, mode="overwrite")
+    # and the invariant now binds future appends
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta_lite(
+            spark.createDataFrame([(-1,)], "a long"), path, mode="append"
+        )
 
 
 # ---- 4: checkpoint losslessness ------------------------------------------
