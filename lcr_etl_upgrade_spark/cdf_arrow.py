@@ -233,10 +233,13 @@ def change_plan(
                 f"commit {v} is missing from {path!r}'s log"
             )
         actions = _read_actions(commits[v])
-        if any("cdc" in a for a in actions):
-            raise NotImplementedError(
-                f"commit {v} carries writer-materialized cdc actions"
+        cdc_files = {
+            urllib.parse.unquote(a["cdc"]["path"]): (
+                a["cdc"].get("partitionValues") or {}
             )
+            for a in actions
+            if "cdc" in a
+        }
         key_before = (
             _key(state.metadata) if state.metadata is not None else None
         )
@@ -244,6 +247,13 @@ def change_plan(
         state.version = v
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(commits[v]) * 1000)
+        if cdc_files:
+            # cdc actions are authoritative for their commit: serve the
+            # change files, skip derivation (mirrors read_delta_changes)
+            assert state.metadata is not None
+            schema_keys.add(_key(state.metadata))
+            branches.append((v, ts_ms, None, None, None, cdc_files))
+            continue
         if not (inserted or deleted or dv_changed):
             continue
         assert state.metadata is not None
@@ -252,7 +262,7 @@ def change_plan(
         if deleted or dv_changed:
             assert key_before is not None
             schema_keys.add(key_before)
-        branches.append((v, ts_ms, inserted, deleted, dv_changed))
+        branches.append((v, ts_ms, inserted, deleted, dv_changed, None))
     if not branches:
         return []
     if len({(sid, pc, mm) for sid, _, pc, mm in schema_keys}) > 1:
@@ -282,7 +292,12 @@ def change_plan(
             }
         )
 
-    for v, ts_ms, inserted, deleted, dv_changed in branches:
+    for v, ts_ms, inserted, deleted, dv_changed, cdc_files in branches:
+        if cdc_files:
+            # ctype=None = "read _change_type from the change file"
+            for rel, pvals in sorted(cdc_files.items()):
+                _task(rel, pvals, None, None, None, v, ts_ms)
+            continue
         for rel, (pvals, dv) in sorted(inserted.items()):
             _task(rel, pvals, "insert", None, dv, v, ts_ms)
         for rel, (pvals, dv) in sorted(deleted.items()):
@@ -340,12 +355,14 @@ def materialize_rows(path: str, task: dict) -> list[tuple]:
     records = table.to_pylist()
     ts = _dt.datetime.fromtimestamp(task["ts_ms"] / 1000.0)
     out: list[tuple] = []
+    is_cdc = task["ctype"] is None  # change file: _change_type per row
     for idx, rec in enumerate(records):
-        if keep is not None:
-            if idx not in keep:
+        if not is_cdc:
+            if keep is not None:
+                if idx not in keep:
+                    continue
+            elif idx in drop:
                 continue
-        elif idx in drop:
-            continue
         row = []
         for name in out_names:
             if name in part_cols:
@@ -357,9 +374,8 @@ def materialize_rows(path: str, task: dict) -> list[tuple]:
                 )
             else:
                 row.append(rec.get(phys_by_logical[name]))
-        out.append(
-            tuple(row) + (task["ctype"], task["version"], ts)
-        )
+        ctype = rec.get("_change_type") if is_cdc else task["ctype"]
+        out.append(tuple(row) + (ctype, task["version"], ts))
     return out
 
 

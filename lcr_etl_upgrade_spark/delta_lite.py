@@ -1318,7 +1318,14 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      "v2Checkpoint",
      # delta.constraints.* expressions are EVALUATED on every write
      # (_attach_constraint_observer), violations roll the staging back
-     "checkConstraints"}
+     "checkConstraints",
+     # provided values validated against delta.generationExpression via
+     # the same observer; omitted generated columns are COMPUTED
+     "generatedColumns",
+     # CDF writer obligations: appends/overwrites derive exactly from
+     # add/remove; delete_rows writes _change_data files + cdc actions;
+     # the one unsupported shape (DV-reverting restore) refuses
+     "changeDataFeed"}
 )
 
 # Legacy writer version 2 implicitly enables these; a protocol upgrade
@@ -1416,7 +1423,24 @@ def _table_constraints(
                 walk(f.dataType, f"{prefix}{f.name}.")
 
     walk(schema, "")
+    # generated columns (delta.generationExpression, top-level like
+    # delta-spark): a PROVIDED value must equal the expression — <=> so
+    # a null generated value only passes when the expression is null too
+    for name, expr in _generated_columns(schema):
+        quoted = name.replace("`", "``")
+        out.append((f"generated({name})", f"`{quoted}` <=> ({expr})"))
     return out
+
+
+def _generated_columns(schema: T.StructType) -> list[tuple[str, str]]:
+    """Top-level ``delta.generationExpression`` declarations as
+    (column, SQL) pairs — nested generated columns do not exist in the
+    protocol (delta-spark rejects them at declaration time)."""
+    return [
+        (f.name, (f.metadata or {})["delta.generationExpression"])
+        for f in schema.fields
+        if "delta.generationExpression" in (f.metadata or {})
+    ]
 
 
 def _attach_constraint_observer(
@@ -1499,10 +1523,10 @@ def _check_write_obligations(state: TableState, path: str,
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
     """WRITER compliance is separate from reader compliance: a
     v2Checkpoint table is READABLE here (reader feature implemented) but
-    this writer behaves as protocol writer version 3 (appendOnly +
-    invariants + CHECK constraints, each enforced) — committing to a
-    table that demands minWriterVersion > 3 (legacy cumulative feature
-    sets: changeDataFeed, generatedColumns, …) would violate the
+    this writer behaves as protocol writer version 5 (appendOnly,
+    invariants, CHECK constraints, change data feed, generated columns,
+    column mapping) — committing to a table that demands
+    minWriterVersion > 5 (identityColumns and beyond) would violate the
     protocol's "a writer must support every writerFeature" rule and
     produce a log real Delta tooling may reject. The ONE exception is version 7 (table
     features), where the demanded capabilities are listed explicitly —
@@ -1525,13 +1549,15 @@ def _check_writer_protocol(protocol: dict | None, path: str) -> None:
                 "Use delta-spark to write it."
             )
         return
-    if writer_v > 3:
+    if writer_v > 5:
         raise NotImplementedError(
-            "delta_lite writes as protocol writer version 3 (v2's "
-            "appendOnly/invariants plus CHECK constraints, all "
-            f"enforced); the table at {path!r} requires "
+            "delta_lite writes as protocol writer version 5 "
+            "(appendOnly, invariants, CHECK constraints, change data "
+            "feed, generated columns, column mapping — all enforced or "
+            f"implemented); the table at {path!r} requires "
             f"minWriterVersion={writer_v} "
-            f"(writerFeatures={protocol.get('writerFeatures')}). "
+            f"(writerFeatures={protocol.get('writerFeatures')}; "
+            "identityColumns arrives at legacy version 6). "
             "Use delta-spark to write it."
         )
 
@@ -1755,6 +1781,17 @@ def write_delta_lite(
     evolved: list[T.StructField] = []  # merge_schema: columns to ADD
     if prior is not None and mode == "append":
         partition_by = tuple(prior.partition_columns)
+        # generated columns the frame omits are COMPUTED (delta-spark
+        # parity) before any schema check, so generated partition
+        # columns and plain appends work without the caller
+        # materializing them; provided values are validated against the
+        # expression by the constraint observer below
+        for gname, gexpr in _generated_columns(prior.schema):
+            if gname not in df.columns:
+                df = df.withColumn(
+                    gname,
+                    F.expr(gexpr).cast(prior.schema[gname].dataType),
+                )
         want = [f.name for f in prior.schema.fields]
         got = df.columns
         if not merge_schema and sorted(want) != sorted(got):
@@ -1817,13 +1854,19 @@ def write_delta_lite(
         # which would turn a wrong-typed append into silent NULLs
         # instead of the documented refusal; under merge_schema the
         # check runs on the SHARED columns (new ones have no table type
-        # yet, omitted ones no incoming type)
+        # yet, omitted ones no incoming type). Compare simpleString, not
+        # DataType equality: a mapped table's nested struct fields carry
+        # columnMapping METADATA the incoming frame never has, and
+        # DataType equality includes nested metadata (latent false
+        # refusal, found when legacy-v5 appends unlocked)
         want_types = {
-            f.name: f.dataType for f in prior.schema.fields
+            f.name: f.dataType.simpleString()
+            for f in prior.schema.fields
             if f.name in got
         }
         got_types = {
-            f.name: f.dataType for f in df.schema.fields
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
             if f.name in want_types
         }
         mismatched = sorted(
@@ -1832,13 +1875,9 @@ def write_delta_lite(
         if mismatched:
             raise ValueError(
                 f"append type mismatch on columns {mismatched}: table has "
-                + ", ".join(
-                    f"{n}:{want_types[n].simpleString()}" for n in mismatched
-                )
+                + ", ".join(f"{n}:{want_types[n]}" for n in mismatched)
                 + "; DataFrame has "
-                + ", ".join(
-                    f"{n}:{got_types[n].simpleString()}" for n in mismatched
-                )
+                + ", ".join(f"{n}:{got_types[n]}" for n in mismatched)
                 + " — cast explicitly or use mode='overwrite'"
             )
         # name-based mapping, like the K2 sink: table order for the
@@ -2172,9 +2211,13 @@ def write_delta_lite(
             # columns are a type-matching subset and every column it
             # lacks is still nullable
             cur_types = {
-                f.name: f.dataType for f in current.schema.fields
+                f.name: f.dataType.simpleString()
+                for f in current.schema.fields
             }
-            df_types = {f.name: f.dataType for f in df.schema.fields}
+            df_types = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+            }
             if merge_schema:
                 same_schema = all(
                     cur_types.get(n) == t for n, t in df_types.items()
@@ -2558,6 +2601,81 @@ def delete_rows(
             per_file.append((rel, descriptor))
         if not per_file:
             return state.version
+
+        if str(
+            (state.metadata.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower() == "true":
+            # CDF writer obligation: a DV delete is remove+add of the
+            # SAME path, where naive add/remove derivation double-counts
+            # — the one commit shape the protocol says must carry cdc
+            # actions. Materialize the newly-deleted rows (matched minus
+            # already-masked) as change files under _change_data/,
+            # scanning ONLY the files this delete actually touched.
+            touched_rels = sorted(r for r, _ in per_file)
+            touched_abs = [os.path.join(base, r) for r in touched_rels]
+            if phys_part_cols:
+                cdc_scan = (
+                    spark.read.option("basePath", base)
+                    .schema(phys_schema)
+                    .parquet(*touched_abs)
+                )
+            else:
+                cdc_scan = spark.read.schema(phys_schema).parquet(
+                    *touched_abs
+                )
+            cdc_src = cdc_scan.select(
+                *[
+                    _quoted(pf.name).cast(f.dataType).alias(f.name)
+                    for f, pf in zip(schema.fields, phys_schema.fields)
+                ],
+                *meta_cols,
+            ).filter(pred)
+            old_touched = {
+                r: state.dvs[r] for r in touched_rels if r in state.dvs
+            }
+            if old_touched:
+                posdf = _dv_positions(
+                    spark,
+                    base,
+                    _dv_verify(base, old_touched),
+                    list(old_touched),
+                )
+                if posdf is not None:
+                    cdc_src = cdc_src.join(
+                        posdf,
+                        (F.col("__file") == posdf["__dv_file"])
+                        & (F.col("__pos") == posdf["__dv_idx"]),
+                        "left_anti",
+                    )
+            cdc_out = cdc_src.select(
+                *[
+                    _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                    for f, pf in zip(schema.fields, phys_schema.fields)
+                ]
+            ).withColumn("_change_type", F.lit("delete"))
+            cdc_dir = os.path.join(base, "_change_data")
+            os.makedirs(cdc_dir, exist_ok=True)
+            for rel_cdc, size in _stage_and_move(
+                cdc_out, cdc_dir, tuple(phys_part_cols)
+            ):
+                full_rel = f"_change_data/{rel_cdc}"
+                dv_written.append(full_rel)  # same rollback funnel
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": urllib.parse.quote(
+                                full_rel, safe="/="
+                            ),
+                            "partitionValues": _partition_values_from_rel(
+                                rel_cdc, tuple(phys_part_cols)
+                            ),
+                            "size": size,
+                            "dataChange": False,
+                        }
+                    }
+                )
 
         for rel, descriptor in sorted(per_file):
             quoted = urllib.parse.quote(rel, safe="/=")
@@ -3128,14 +3246,18 @@ def read_delta_changes(
     - ``dataChange=false`` actions (compaction/optimize rewrites) are
       layout moves, not changes: skipped entirely.
 
-    Output: the table columns plus ``_change_type`` ('insert'|'delete'),
-    ``_commit_version`` and ``_commit_timestamp`` (commitInfo timestamp,
-    else the commit file's mtime). This writer never produces UPDATE
-    semantics in place (merge rewrites are remove+add), so the
-    preimage/postimage types do not arise; a commit carrying writer-
-    materialized ``cdc`` actions (a foreign CDF writer) is REFUSED —
-    serving add/remove-derived rows for it could double-count against
-    its change files.
+    Output: the table columns plus ``_change_type``, ``_commit_version``
+    and ``_commit_timestamp`` (commitInfo timestamp, else the commit
+    file's mtime). Commits carrying writer-materialized ``cdc`` actions
+    (delta-spark UPDATE/MERGE/DELETE on a CDF-enabled table, or this
+    writer's own delete_rows when delta.enableChangeDataFeed=true) are
+    served FROM their change files exclusively — the spec's rule; their
+    add/remove actions advance state but contribute no derived rows, so
+    nothing double-counts. Change-file rows pass their ``_change_type``
+    through verbatim, so ``update_preimage``/``update_postimage`` appear
+    for foreign updates; commits WITHOUT cdc actions derive
+    'insert'|'delete' as below (this writer's own appends/overwrites
+    never need change files — their add/remove derivation is exact).
 
     Refuses on schema / partitioning / column-mapping changes inside a
     window that produces rows (per-commit schemas would otherwise union
@@ -3192,17 +3314,26 @@ def read_delta_changes(
             )
         with open(cpath) as fh:
             actions = [json.loads(ln) for ln in fh if ln.strip()]
-        if any("cdc" in a for a in actions):
-            raise NotImplementedError(
-                f"commit {v} carries writer-materialized cdc actions; "
-                "this reader derives changes from add/remove only and "
-                "refusing beats double-counting against change files"
+        cdc_files = {
+            urllib.parse.unquote(a["cdc"]["path"]): (
+                a["cdc"].get("partitionValues") or {}
             )
+            for a in actions
+            if "cdc" in a
+        }
         key_before = _key(state.metadata) if state.metadata else None
         inserted, deleted, dv_changed, ts_ms = _diff_commit(state, actions)
         state.version = v
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(cpath) * 1000)
+        if cdc_files:
+            # cdc actions are AUTHORITATIVE for their commit (the
+            # spec's rule): serve the change files, ignore derivation —
+            # deriving too would double-count
+            assert state.metadata is not None
+            schema_keys.add(_key(state.metadata))
+            branches.append((v, ts_ms, None, None, None, cdc_files))
+            continue
         if not (inserted or deleted or dv_changed):
             continue
         assert state.metadata is not None
@@ -3214,7 +3345,7 @@ def read_delta_changes(
         if deleted or dv_changed:
             assert key_before is not None
             schema_keys.add(key_before)
-        branches.append((v, ts_ms, inserted, deleted, dv_changed))
+        branches.append((v, ts_ms, inserted, deleted, dv_changed, None))
 
     if not branches:
         meta = state.metadata
@@ -3314,8 +3445,60 @@ def read_delta_changes(
             ),
         )
 
+    def _scan_cdc(entries: dict[str, dict]) -> DataFrame:
+        """Change-file scan: the data columns (physical names, like the
+        data files they sit beside) plus the file-resident _change_type
+        column; partition values injected from the cdc action, exactly
+        like the data-file scan."""
+        cdc_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        )
+        by_group: dict[tuple, list[str]] = {}
+        for rel, pvals in entries.items():
+            key = tuple((pvals or {}).get(c) for c in phys_part_cols)
+            by_group.setdefault(key, []).append(rel)
+        parts = []
+        for key, rels in sorted(by_group.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(cdc_schema).parquet(
+                *[os.path.join(base, rel) for rel in sorted(rels)]
+            )
+            for c, vv in zip(phys_part_cols, key):
+                df = df.withColumn(c, _typed_partition_lit(vv, types[c]))
+            parts.append(
+                df.select(
+                    *[_quoted(f.name) for f in phys_schema.fields],
+                    "_change_type",
+                )
+            )
+        out = parts[0]
+        for b in parts[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def _finish_cdc(df: DataFrame, v: int, ts_ms: int) -> DataFrame:
+        if mapping != "none":
+            df = df.select(
+                *[
+                    _quoted(pf.name).cast(f.dataType).alias(f.name)
+                    for f, pf in zip(schema.fields, phys_schema.fields)
+                ],
+                "_change_type",
+            )
+        return df.select(
+            *[_quoted(f.name) for f in schema.fields],
+            F.col("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(int(ts_ms))).alias(
+                "_commit_timestamp"
+            ),
+        )
+
     out_parts: list[DataFrame] = []
-    for v, ts_ms, inserted, deleted, dv_changed in branches:
+    for v, ts_ms, inserted, deleted, dv_changed, cdc_files in branches:
+        if cdc_files:
+            out_parts.append(_finish_cdc(_scan_cdc(cdc_files), v, ts_ms))
+            continue
         if inserted:
             df = _scan({r: pv for r, (pv, _) in inserted.items()})
             df = _dv_join(
@@ -3682,6 +3865,23 @@ def restore_table(
         rel for rel in cur.files
         if (rel, _dv_uid(cur.dvs.get(rel))) not in tgt_ids
     )
+    overlap = set(to_add) & set(to_remove)
+    if overlap and str(
+        (cur.metadata.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )
+    ).lower() == "true":
+        # same-path DV-changed re-adds are the one restore shape whose
+        # add/remove derivation double-counts for CDF readers — the
+        # protocol wants change files for it, which this restore does
+        # not materialize (delete_rows does; its rows are in hand there)
+        raise NotImplementedError(
+            f"restoring {path!r} to version {version} reverts deletion "
+            f"vectors on {len(overlap)} file(s) of a CDF-enabled table; "
+            "that commit shape requires change files this restore does "
+            "not write — unset delta.enableChangeDataFeed or use "
+            "delta-spark"
+        )
     meta_changed = tgt.metadata != cur.metadata
     if not to_add and not to_remove and not meta_changed:
         return {

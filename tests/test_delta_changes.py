@@ -19,6 +19,7 @@ from lcr_etl_upgrade_spark.delta_lite import (
     delete_rows,
     read_delta_changes,
     read_delta_lite,
+    replay_log,
     write_delta_lite,
 )
 
@@ -178,20 +179,69 @@ def test_datachange_false_commits_are_invisible(spark, tmp_path):
     assert read_delta_lite(spark, path).count() == 6
 
 
-def test_cdc_actions_are_refused(spark, tmp_path):
+def test_foreign_cdc_actions_consumed_not_derived(spark, tmp_path):
+    """A delta-spark UPDATE on a CDF table commits remove+add of the
+    rewritten file PLUS cdc actions carrying the precise pre/postimage
+    rows; the reader must serve the change files exclusively — deriving
+    from add/remove too would report every carried-over row as
+    delete+insert (round 10 upgraded the old refusal to consumption)."""
     import json
     import os
 
     path = str(tmp_path / "t")
-    write_delta_lite(spark.range(3).select("id"), path)
+    write_delta_lite(spark.range(3).select("id").coalesce(1), path)
+    # the foreign UPDATE: id=1 -> id=11; rewritten data file + cdc file
+    new_rel = "part-update.parquet"
+    spark.createDataFrame([(0,), (11,), (2,)], "id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import shutil
+
+    part = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    shutil.copy(tmp_path / "stage" / part, os.path.join(path, new_rel))
+    cdc_rel = "_change_data/cdc-0.parquet"
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    spark.createDataFrame(
+        [(1, "update_preimage"), (11, "update_postimage")],
+        "id long, _change_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    part2 = next(
+        f for f in os.listdir(tmp_path / "stage2")
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        tmp_path / "stage2" / part2, os.path.join(path, cdc_rel)
+    )
+    old_rel = sorted(replay_log(spark, path).files)[0]
     log = os.path.join(path, "_delta_log")
     with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
-        fh.write(json.dumps(
-            {"cdc": {"path": "x.parquet", "partitionValues": {},
-                     "size": 1, "dataChange": False}}
-        ) + "\n")
-    with pytest.raises(NotImplementedError, match="cdc"):
-        read_delta_changes(spark, path, 0, 1)
+        for a in [
+            {"cdc": {"path": cdc_rel, "partitionValues": {},
+                     "size": 1, "dataChange": False}},
+            {"remove": {"path": old_rel, "dataChange": True,
+                        "deletionTimestamp": 1}},
+            {"add": {"path": new_rel, "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(path, new_rel)),
+                     "modificationTime": 1, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    rows = read_delta_changes(spark, path, 1, 1).collect()
+    got = {(r["id"], r["_change_type"]) for r in rows}
+    assert got == {(1, "update_preimage"), (11, "update_postimage")}
+    # the snapshot advanced to the rewritten file regardless
+    assert {
+        r.id for r in read_delta_lite(spark, path).collect()
+    } == {0, 11, 2}
+    # and the pyarrow oracle agrees
+    from lcr_etl_upgrade_spark.cdf_arrow import arrow_changes
+
+    arrows = {(t[0], t[1]) for t in arrow_changes(path, 1, 1)}
+    assert arrows == got
 
 
 def test_schema_change_in_window_is_refused(spark, tmp_path):

@@ -160,23 +160,33 @@ def test_merge_schema_omitted_column_evaluates_as_null(spark, tmp_path):
     )
 
 
-def test_writer_v3_accepted_v4_refused(spark, tmp_path):
+def test_writer_v3_v4_v5_accepted_v6_refused(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_lite(spark.range(1, 3).select("id"), path)
     _add_constraint(path, "positive", "id > 0")  # sets writer v3
     write_delta_lite(spark.range(3, 5).select("id"), path, mode="append")
-    # bump to v4 (changeDataFeed/generatedColumns tier): refuse
-    state = replay_log(spark, path)
     log = os.path.join(path, "_delta_log")
-    with open(os.path.join(log, f"{state.version + 1:020d}.json"),
-              "w") as fh:
-        fh.write(json.dumps({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 4,
-        }}) + "\n")
-    with pytest.raises(NotImplementedError, match="minWriterVersion=4"):
-        write_delta_lite(
-            spark.range(5, 6).select("id"), path, mode="append"
-        )
+    # v4 (changeDataFeed + generatedColumns) and v5 (+ columnMapping)
+    # are implemented tiers now; v6 (identityColumns) refuses
+    for v_writer, ok in ((4, True), (5, True), (6, False)):
+        state = replay_log(spark, path)
+        with open(os.path.join(log, f"{state.version + 1:020d}.json"),
+                  "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": v_writer,
+            }}) + "\n")
+        if ok:
+            write_delta_lite(
+                spark.range(10 + v_writer, 11 + v_writer).select("id"),
+                path, mode="append",
+            )
+        else:
+            with pytest.raises(NotImplementedError,
+                               match="minWriterVersion=6"):
+                write_delta_lite(
+                    spark.range(50, 51).select("id"), path,
+                    mode="append",
+                )
 
 
 def test_deletes_and_restore_unaffected(spark, tmp_path):

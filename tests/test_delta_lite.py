@@ -1241,9 +1241,32 @@ def test_column_mapped_table_reads_logical_names(spark, tmp_path):
     rows = {r.id: r for r in got.collect()}
     assert rows[1].name == "a" and rows[1].info.score == 0.5
     assert rows[2].info.score == 1.5
-    # writes must refuse: minWriterVersion=5 > this writer's version 2
-    with pytest.raises(NotImplementedError, match="minWriterVersion=5"):
-        write_delta_lite(_df(spark, [(3, "c")]), str(path), mode="append")
+    # legacy writer version 5 (cumulative: columnMapping + generated +
+    # CDF + constraints tiers, all implemented round 10) is WRITABLE
+    # now: a schema-matching append lands under the PHYSICAL names and
+    # reads back logically; v6 (identityColumns) still refuses
+    write_delta_lite(
+        spark.createDataFrame(
+            [(3, "c", (2.5,))],
+            "id long, name string, info struct<score:double>",
+        ),
+        str(path),
+        mode="append",
+    )
+    back = {r.id: r for r in read_delta_lite(spark, str(path)).collect()}
+    assert back[3].name == "c" and back[3].info.score == 2.5
+    with open(path / "_delta_log" / f"{2:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 6}}) + "\n")
+    with pytest.raises(NotImplementedError, match="minWriterVersion=6"):
+        write_delta_lite(
+            spark.createDataFrame(
+                [(4, "d", (3.5,))],
+                "id long, name string, info struct<score:double>",
+            ),
+            str(path),
+            mode="append",
+        )
 
 
 def test_column_mapped_partitioned_hive_layout(spark, tmp_path):

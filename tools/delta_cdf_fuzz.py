@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Randomized differential for the change-data-feed reader.
 
-Each case builds a fresh delta_lite table and drives a random operation
-sequence — overwrite, append, DV delete, dataChange=false compaction,
-DV-clearing restore, the engine's own OPTIMIZE (bin-pack +
+Each case builds a fresh delta_lite table (35% of them CDF-ENABLED, so
+the engine's deletes must write _change_data files + cdc actions and
+both readers must serve them instead of deriving) and drives a random
+operation sequence — overwrite, append, DV delete, dataChange=false
+compaction, DV-clearing restore, the engine's own OPTIMIZE (bin-pack +
 DV-materializing rewrite), and the engine's RESTORE TO VERSION AS OF
 aimed at a random prior version — then checks SNAPSHOT ALGEBRA for every
 window [i, j] of the history:
@@ -157,6 +159,37 @@ def run_case(spark, rng, i: int) -> dict | None:
             partition_by=("s",) if part else (),
             column_mapping=mapping,
         )
+        if rng.random() < 0.35:
+            # CDF-enabled table: the engine's deletes must now WRITE
+            # change files + cdc actions, and both readers must serve
+            # them — the snapshot algebra below validates the written
+            # cdc rows end to end against two independent row layers
+            from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+            st = replay_log(spark, path)
+            meta = dict(st.metadata)
+            cfg = dict(meta.get("configuration") or {})
+            cfg["delta.enableChangeDataFeed"] = "true"
+            meta["configuration"] = cfg
+            proto = st.protocol or {
+                "minReaderVersion": 1, "minWriterVersion": 2,
+            }
+            feats = set(proto.get("writerFeatures") or ())
+            feats |= {"changeDataFeed", "appendOnly", "invariants"}
+            if mapping:
+                feats.add("columnMapping")
+            pact = {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+            if proto.get("readerFeatures"):
+                pact["readerFeatures"] = proto["readerFeatures"]
+            with open(os.path.join(
+                    path, "_delta_log",
+                    f"{st.version + 1:020d}.json"), "w") as fh:
+                fh.write(json.dumps({"protocol": pact}) + "\n")
+                fh.write(json.dumps({"metaData": meta}) + "\n")
         ops = ["op:create"]
         # (restored_to, committed_version) pairs from rollback ops: the
         # post-restore snapshot must EQUAL the target snapshot — checked
@@ -203,7 +236,12 @@ def run_case(spark, rng, i: int) -> dict | None:
                 if cur_v < 1:
                     continue
                 target = int(rng.integers(0, cur_v))
-                res = restore_table(spark, path, target)
+                try:
+                    res = restore_table(spark, path, target)
+                except NotImplementedError:
+                    # documented refusal: DV-reverting restore on a
+                    # CDF-enabled table needs change files
+                    continue
                 if res["version"] is None:  # byte-identical state
                     continue
                 if MUTATE == "restore_skip_remove":
