@@ -1325,7 +1325,10 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # CDF writer obligations: appends/overwrites derive exactly from
      # add/remove; delete_rows writes _change_data files + cdc actions;
      # the one unsupported shape (DV-reverting restore) refuses
-     "changeDataFeed"}
+     "changeDataFeed",
+     # omitted identity columns GENERATE on the watermark lattice;
+     # explicit inserts honor allowExplicitInsert and sync the watermark
+     "identityColumns"}
 )
 
 # Legacy writer version 2 implicitly enables these; a protocol upgrade
@@ -1429,6 +1432,14 @@ def _table_constraints(
     for name, expr in _generated_columns(schema):
         quoted = name.replace("`", "``")
         out.append((f"generated({name})", f"`{quoted}` <=> ({expr})"))
+    # identity columns are NOT NULL by construction (delta-spark
+    # declares them so); generated values trivially satisfy this,
+    # explicit inserts are validated by it
+    for ident in _identity_columns(schema):
+        quoted = ident["name"].replace("`", "``")
+        out.append(
+            (f"identity-notnull({ident['name']})", f"`{quoted}` IS NOT NULL")
+        )
     return out
 
 
@@ -1441,6 +1452,56 @@ def _generated_columns(schema: T.StructType) -> list[tuple[str, str]]:
         for f in schema.fields
         if "delta.generationExpression" in (f.metadata or {})
     ]
+
+
+def _identity_columns(schema: T.StructType) -> list[dict]:
+    """Top-level identity declarations: ``delta.identity.start`` /
+    ``.step`` / ``.allowExplicitInsert`` / ``.highWaterMark`` field
+    metadata (the identityColumns feature, legacy writer version 6)."""
+    out = []
+    for f in schema.fields:
+        meta = f.metadata or {}
+        if "delta.identity.start" in meta or (
+            "delta.identity.step" in meta
+        ):
+            step = int(meta.get("delta.identity.step", 1))
+            if step == 0:
+                raise ValueError(
+                    f"identity column {f.name!r} declares step=0"
+                )
+            out.append({
+                "name": f.name,
+                "start": int(meta.get("delta.identity.start", 1)),
+                "step": step,
+                "allow_explicit": bool(
+                    meta.get("delta.identity.allowExplicitInsert", False)
+                ),
+                "hwm": (
+                    int(meta["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in meta
+                    else None
+                ),
+                "dtype": f.dataType,
+            })
+    return out
+
+
+def _with_identity_hwm(
+    schema: T.StructType, hwms: dict[str, int]
+) -> T.StructType:
+    """``schema`` with ``delta.identity.highWaterMark`` updated on the
+    named top-level fields (everything else byte-identical)."""
+    fields = []
+    for f in schema.fields:
+        if f.name in hwms:
+            meta = dict(f.metadata or {})
+            meta["delta.identity.highWaterMark"] = int(hwms[f.name])
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, meta)
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)
 
 
 def _attach_constraint_observer(
@@ -1523,12 +1584,12 @@ def _check_write_obligations(state: TableState, path: str,
 def _check_writer_protocol(protocol: dict | None, path: str) -> None:
     """WRITER compliance is separate from reader compliance: a
     v2Checkpoint table is READABLE here (reader feature implemented) but
-    this writer behaves as protocol writer version 5 (appendOnly,
-    invariants, CHECK constraints, change data feed, generated columns,
-    column mapping) — committing to a table that demands
-    minWriterVersion > 5 (identityColumns and beyond) would violate the
-    protocol's "a writer must support every writerFeature" rule and
-    produce a log real Delta tooling may reject. The ONE exception is version 7 (table
+    this writer implements every LEGACY writer tier — version 6
+    (appendOnly, invariants, CHECK constraints, change data feed,
+    generated columns, column mapping, identity columns) — and refuses
+    only unknown future versions, which would violate the protocol's
+    "a writer must support every writerFeature" rule and produce a log
+    real Delta tooling may reject. The ONE exception is version 7 (table
     features), where the demanded capabilities are listed explicitly —
     writable iff every listed feature is implemented here
     (_SUPPORTED_WRITER_FEATURES). Checked on the initial replay AND on
@@ -1549,16 +1610,15 @@ def _check_writer_protocol(protocol: dict | None, path: str) -> None:
                 "Use delta-spark to write it."
             )
         return
-    if writer_v > 5:
+    if writer_v > 6:
         raise NotImplementedError(
-            "delta_lite writes as protocol writer version 5 "
+            "delta_lite implements every legacy writer tier "
             "(appendOnly, invariants, CHECK constraints, change data "
-            "feed, generated columns, column mapping — all enforced or "
-            f"implemented); the table at {path!r} requires "
-            f"minWriterVersion={writer_v} "
-            f"(writerFeatures={protocol.get('writerFeatures')}; "
-            "identityColumns arrives at legacy version 6). "
-            "Use delta-spark to write it."
+            "feed, generated columns, column mapping, identity "
+            f"columns — versions 2 through 6); the table at {path!r} "
+            f"claims minWriterVersion={writer_v}, which is not a "
+            "version the protocol defines (7 is table features, "
+            "handled above). Refusing an unknown future protocol."
         )
 
 
@@ -1792,6 +1852,36 @@ def write_delta_lite(
                     gname,
                     F.expr(gexpr).cast(prior.schema[gname].dataType),
                 )
+        # identity columns: omitted -> GENERATE on the watermark lattice
+        # (base + monotonically_increasing_id()*step: unique without a
+        # shuffle or a global ordering; the protocol allows gaps, and
+        # the realized maximum rides the staging write as an observe()
+        # metric to become the new highWaterMark). Provided -> explicit
+        # insert, legal only under allowExplicitInsert=true.
+        for ident in _identity_columns(prior.schema):
+            if ident["name"] not in df.columns:
+                gen_base = (
+                    ident["hwm"] + ident["step"]
+                    if ident["hwm"] is not None
+                    else ident["start"]
+                )
+                df = df.withColumn(
+                    ident["name"],
+                    (
+                        F.lit(gen_base)
+                        + F.monotonically_increasing_id()
+                        * F.lit(ident["step"])
+                    ).cast(ident["dtype"]),
+                )
+            elif not ident["allow_explicit"]:
+                if not df.isEmpty():
+                    raise ValueError(
+                        f"identity column {ident['name']!r} on {path!r} "
+                        "is GENERATED ALWAYS "
+                        "(delta.identity.allowExplicitInsert=false); "
+                        "omit the column and let the writer generate "
+                        "its values"
+                    )
         want = [f.name for f in prior.schema.fields]
         got = df.columns
         if not merge_schema and sorted(want) != sorted(got):
@@ -1838,16 +1928,18 @@ def write_delta_lite(
                 for f in df.schema.fields
                 if f.name not in want
             ]
-            if evolved and _schema_declares_invariants(
-                T.StructType(evolved)
+            if evolved and (
+                _schema_declares_invariants(T.StructType(evolved))
+                or _identity_columns(T.StructType(evolved))
             ):
                 raise ValueError(
                     f"the new columns this merge_schema append adds to "
-                    f"{path!r} carry delta.invariants field metadata; "
-                    "the table's EXISTING rows read the new columns as "
-                    "null and would retroactively violate them — add "
-                    "the column first, backfill, then add the invariant "
-                    "(delta-spark refuses this too)"
+                    f"{path!r} carry delta.invariants or delta.identity "
+                    "field metadata; the table's EXISTING rows read the "
+                    "new columns as null and would retroactively "
+                    "violate them — add the column first, backfill, "
+                    "then add the obligation (delta-spark refuses this "
+                    "too)"
                 )
         # names AND types (nullability aside), mirroring the retry-path
         # gate: under mapping, _physicalize_df casts to the table type,
@@ -1916,6 +2008,38 @@ def write_delta_lite(
     if constraints:
         df, constraint_obs, constraint_names = _attach_constraint_observer(
             df, table_schema, constraints, path
+        )
+
+    identity_cols = _identity_columns(table_schema)
+    identity_obs = None
+    if identity_cols and (prior is None or mode == "overwrite"):
+        # create/overwrite always carries the column (the schema comes
+        # from df), so rows here are EXPLICIT inserts
+        blocked = sorted(
+            i["name"] for i in identity_cols if not i["allow_explicit"]
+        )
+        if blocked and not df.isEmpty():
+            raise ValueError(
+                f"identity columns {blocked} are GENERATED ALWAYS "
+                "(delta.identity.allowExplicitInsert=false); create the "
+                "table empty and append with the column omitted so "
+                "values are generated"
+            )
+    if identity_cols:
+        # the realized furthest value per identity column rides the
+        # staging write (same zero-extra-pass pattern as constraints)
+        # and becomes the new highWaterMark after it
+        from pyspark.sql import Observation
+
+        identity_obs = Observation()
+        df = df.observe(
+            identity_obs,
+            *[
+                (F.max if i["step"] > 0 else F.min)(
+                    _quoted(i["name"])
+                ).alias(f"i{k}")
+                for k, i in enumerate(identity_cols)
+            ],
         )
 
     # Column mapping: everything the FILES see (parquet schema, hive
@@ -2017,6 +2141,26 @@ def write_delta_lite(
                 "(delta-spark semantics)."
             )
 
+    identity_hwms: dict[str, int] = {}
+    if identity_obs is not None:
+        vals = identity_obs.get
+        for k, ident in enumerate(identity_cols):
+            v = vals.get(f"i{k}")
+            if v is None:
+                continue  # empty write: nothing generated or provided
+            v = int(v)
+            cur_h = ident["hwm"]
+            if cur_h is None or (
+                v > cur_h if ident["step"] > 0 else v < cur_h
+            ):
+                identity_hwms[ident["name"]] = v
+    if identity_hwms:
+        # the watermark lives in field metadata: re-emit metaData with
+        # it advanced, so the NEXT writer generates past this write
+        table_schema = _with_identity_hwm(table_schema, identity_hwms)
+        if mapping != "none":
+            mapped = _with_identity_hwm(mapped, identity_hwms)
+
     actions: list[dict] = []
     version = 0 if prior is None else prior.version + 1
     protocol_action = None
@@ -2088,17 +2232,21 @@ def write_delta_lite(
                 }
             }
         )
-    elif evolved:
-        # schema-evolving append: the prior metaData verbatim except the
-        # extended schemaString (and maxColumnId under mapping) — id,
-        # createdTime, partitioning and every configuration key survive
+    elif evolved or identity_hwms:
+        # schema-evolving append, or an identity watermark advance: the
+        # prior metaData verbatim except the updated schemaString (and
+        # maxColumnId under mapping) — id, createdTime, partitioning and
+        # every configuration key survive
         meta = dict(prior.metadata)
         configuration = dict(prior.metadata.get("configuration") or {})
         if mapping != "none":
-            configuration["delta.columnMapping.maxColumnId"] = str(max_id)
-        meta["schemaString"] = (
-            mapped.json() if mapping != "none" else table_schema.json()
-        )
+            if evolved:
+                configuration["delta.columnMapping.maxColumnId"] = str(
+                    max_id
+                )
+            meta["schemaString"] = mapped.json()
+        else:
+            meta["schemaString"] = table_schema.json()
         meta["configuration"] = configuration
         actions.append({"metaData": meta})
     if prior is not None and mode == "overwrite":
@@ -2176,15 +2324,19 @@ def write_delta_lite(
             _rollback()  # disk-full/interrupt mid-commit: unstage
             raise
         if lost_race:
-            if mode != "append" or evolved or attempt >= _APPEND_RETRIES:
+            if mode != "append" or evolved or identity_hwms or (
+                attempt >= _APPEND_RETRIES
+            ):
                 _rollback()
                 raise FileExistsError(
                     f"concurrent commit to {path!r} at version {version}; "
                     + (
-                        "a schema-evolving append carries a metaData "
-                        "action and is single-writer — re-read the "
-                        "table and retry"
-                        if evolved
+                        "a schema-evolving or identity-generating "
+                        "append carries a metaData action and is "
+                        "single-writer — re-read the table and retry "
+                        "(retrying blind could reuse identity values "
+                        "the racing writer also generated)"
+                        if evolved or identity_hwms
                         else "append retries exhausted — retry after "
                         "the other commits settle"
                         if mode == "append"

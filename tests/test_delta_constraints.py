@@ -160,15 +160,16 @@ def test_merge_schema_omitted_column_evaluates_as_null(spark, tmp_path):
     )
 
 
-def test_writer_v3_v4_v5_accepted_v6_refused(spark, tmp_path):
+def test_legacy_writer_tiers_accepted_unknown_refused(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_lite(spark.range(1, 3).select("id"), path)
     _add_constraint(path, "positive", "id > 0")  # sets writer v3
     write_delta_lite(spark.range(3, 5).select("id"), path, mode="append")
     log = os.path.join(path, "_delta_log")
-    # v4 (changeDataFeed + generatedColumns) and v5 (+ columnMapping)
-    # are implemented tiers now; v6 (identityColumns) refuses
-    for v_writer, ok in ((4, True), (5, True), (6, False)):
+    # v4 (changeDataFeed + generatedColumns), v5 (+ columnMapping) and
+    # v6 (+ identityColumns) are all implemented tiers now; an unknown
+    # future legacy version refuses
+    for v_writer, ok in ((4, True), (5, True), (6, True), (8, False)):
         state = replay_log(spark, path)
         with open(os.path.join(log, f"{state.version + 1:020d}.json"),
                   "w") as fh:
@@ -182,7 +183,7 @@ def test_writer_v3_v4_v5_accepted_v6_refused(spark, tmp_path):
             )
         else:
             with pytest.raises(NotImplementedError,
-                               match="minWriterVersion=6"):
+                               match="minWriterVersion=8"):
                 write_delta_lite(
                     spark.range(50, 51).select("id"), path,
                     mode="append",

@@ -1014,8 +1014,10 @@ def test_writer_refuses_high_writer_version_table(spark, tmp_path):
               "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["identityColumns"],
+            "writerFeatures": ["rowTracking"],
         }}) + "\n")
+    # (identityColumns graduated to a supported feature in round 10;
+    # rowTracking WRITES remain unimplemented)
     with pytest.raises(NotImplementedError, match="demands writerFeatures"):
         write_delta_lite(_df(spark, [(2, "b")]), path2, mode="append")
     assert {r.id for r in read_delta_lite(spark, path2).collect()} == {1}
@@ -1255,10 +1257,12 @@ def test_column_mapped_table_reads_logical_names(spark, tmp_path):
     )
     back = {r.id: r for r in read_delta_lite(spark, str(path)).collect()}
     assert back[3].name == "c" and back[3].info.score == 2.5
+    # an unknown FUTURE legacy version still refuses (6 = identity
+    # columns is the last defined tier, implemented round 10)
     with open(path / "_delta_log" / f"{2:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {
-            "minReaderVersion": 2, "minWriterVersion": 6}}) + "\n")
-    with pytest.raises(NotImplementedError, match="minWriterVersion=6"):
+            "minReaderVersion": 2, "minWriterVersion": 8}}) + "\n")
+    with pytest.raises(NotImplementedError, match="minWriterVersion=8"):
         write_delta_lite(
             spark.createDataFrame(
                 [(4, "d", (3.5,))],
