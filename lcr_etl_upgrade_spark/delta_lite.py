@@ -1328,7 +1328,16 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      "changeDataFeed",
      # omitted identity columns GENERATE on the watermark lattice;
      # explicit inserts honor allowExplicitInsert and sync the watermark
-     "identityColumns"}
+     "identityColumns",
+     # fresh adds get baseRowId ranges from the delta.rowTracking
+     # domain watermark + per-file numRecords; delete_rows re-adds
+     # carry the original assignment (extras preserved); OPTIMIZE on
+     # row-tracked files still refuses (rewrite changes row identity)
+     "rowTracking",
+     # rowTracking's dependency: domain metadata replays, persists
+     # losslessly through checkpoints (r9), and is written for the
+     # delta.rowTracking domain; this writer never DROPS a domain
+     "domainMetadata"}
 )
 
 # Legacy writer version 2 implicitly enables these; a protocol upgrade
@@ -1682,8 +1691,10 @@ def _file_stats_json(full_path: str) -> str | None:
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
                 nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
                 ok_cols.add(name)
-    if not ok_cols:
-        return None
+    # numRecords is ALWAYS known from the footer, and valuable alone
+    # (COUNT pushdown; rowTracking sizes baseRowId ranges from it —
+    # empty part-files included): emit it even when no column produced
+    # usable min/max (delta-spark's minimum stats are numRecords too)
     return json.dumps(
         {
             "numRecords": md.num_rows,
@@ -2263,6 +2274,27 @@ def write_delta_lite(
             if rel in prior.dvs:
                 remove["deletionVector"] = prior.dvs[rel]
             actions.append({"remove": remove})
+    # rowTracking writer obligation: when the feature is listed, every
+    # fresh add carries a baseRowId range that collides with nothing —
+    # allocated from the delta.rowTracking domain's rowIdHighWaterMark
+    # using each file's own numRecords — plus defaultRowCommitVersion;
+    # the advanced watermark commits as a domainMetadata action in the
+    # same version. (delta-spark's scheme, re-expressed: ranges, never
+    # per-row state, so allocation is O(files) driver work.)
+    row_tracking = prior is not None and (
+        "rowTracking"
+        in set((prior.protocol or {}).get("writerFeatures") or ())
+    )
+    next_row_id = 0
+    if row_tracking:
+        domain = prior.domains.get("delta.rowTracking")
+        if domain and not domain.get("removed"):
+            next_row_id = int(
+                json.loads(domain.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            ) + 1
+
     for rel, size in moved:
         add = {
             "path": urllib.parse.quote(rel, safe="/="),
@@ -2276,7 +2308,31 @@ def write_delta_lite(
         stats = _file_stats_json(os.path.join(base, rel))
         if stats is not None:
             add["stats"] = stats
+        if row_tracking:
+            if stats is None:
+                raise NotImplementedError(
+                    f"the table at {path!r} demands rowTracking but the "
+                    f"staged file {rel!r} yielded no readable footer "
+                    "statistics to size its baseRowId range; refusing "
+                    "rather than committing colliding row ids"
+                )
+            n_records = int(json.loads(stats)["numRecords"])
+            add["baseRowId"] = next_row_id
+            # version is pre-race here; rowTracking commits are single-
+            # writer (below), so the committed version IS this one
+            add["defaultRowCommitVersion"] = version
+            next_row_id += n_records
         actions.append({"add": add})
+    if row_tracking and moved:
+        actions.append({
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": next_row_id - 1}
+                ),
+                "removed": False,
+            }
+        })
 
     if txn is not None:
         actions.append(
@@ -2325,18 +2381,19 @@ def write_delta_lite(
             raise
         if lost_race:
             if mode != "append" or evolved or identity_hwms or (
-                attempt >= _APPEND_RETRIES
-            ):
+                row_tracking
+            ) or attempt >= _APPEND_RETRIES:
                 _rollback()
                 raise FileExistsError(
                     f"concurrent commit to {path!r} at version {version}; "
                     + (
-                        "a schema-evolving or identity-generating "
-                        "append carries a metaData action and is "
-                        "single-writer — re-read the table and retry "
-                        "(retrying blind could reuse identity values "
-                        "the racing writer also generated)"
-                        if evolved or identity_hwms
+                        "a schema-evolving, identity-generating or "
+                        "row-tracked append carries metaData/"
+                        "domainMetadata state and is single-writer — "
+                        "re-read the table and retry (retrying blind "
+                        "could reuse identity values or row-id ranges "
+                        "the racing writer also allocated)"
+                        if evolved or identity_hwms or row_tracking
                         else "append retries exhausted — retry after "
                         "the other commits settle"
                         if mode == "append"
@@ -2848,6 +2905,12 @@ def delete_rows(
                         "modificationTime": now_ms,
                         "dataChange": True,
                         "deletionVector": descriptor,
+                        # the file's bytes are unchanged, so its stats,
+                        # tags AND rowTracking assignment (baseRowId /
+                        # defaultRowCommitVersion) stay valid — dropping
+                        # them here would erase row identity on
+                        # row-tracked tables
+                        **state.adds.get(rel, {}),
                     }
                 }
             )

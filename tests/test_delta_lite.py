@@ -1014,10 +1014,10 @@ def test_writer_refuses_high_writer_version_table(spark, tmp_path):
               "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["clustering"],
         }}) + "\n")
-    # (identityColumns graduated to a supported feature in round 10;
-    # rowTracking WRITES remain unimplemented)
+    # (identityColumns and rowTracking graduated to supported features
+    # in round 10; clustering writes remain unimplemented)
     with pytest.raises(NotImplementedError, match="demands writerFeatures"):
         write_delta_lite(_df(spark, [(2, "b")]), path2, mode="append")
     assert {r.id for r in read_delta_lite(spark, path2).collect()} == {1}
@@ -1172,8 +1172,9 @@ def test_append_retry_refuses_concurrent_protocol_upgrade(
                 fh.write(json.dumps({"protocol": {
                     "minReaderVersion": 1, "minWriterVersion": 7,
                     # r8: invariants became a SUPPORTED (enforced)
-                    # feature, so race an upgrade to one that is not
-                    "writerFeatures": ["rowTracking"],
+                    # feature (r10: rowTracking too), so race an
+                    # upgrade to one that is not
+                    "writerFeatures": ["clustering"],
                 }}) + "\n")
             return stale
         return real_replay(*a, **k)

@@ -149,7 +149,7 @@ def test_rowtracking_table_checkpoints_losslessly(spark, tmp_path):
     defaultRowCommitVersion + the delta.rowTracking domain) now
     checkpoints instead of refusing, and replay from the checkpoint
     preserves those fields byte-for-byte. Data WRITES to such a table
-    still refuse (_SUPPORTED_WRITER_FEATURES excludes rowTracking)."""
+    allocate fresh row-id ranges past the foreign watermark (r10)."""
     path = tmp_path / "rt"
     (path / "_delta_log").mkdir(parents=True)
     sub = path / "stage"
@@ -190,10 +190,18 @@ def test_rowtracking_table_checkpoints_losslessly(spark, tmp_path):
     assert set(r.id for r in read_delta_lite(spark, p).collect()) == set(
         range(6)
     )
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        write_delta_lite(
-            spark.range(3).selectExpr("id"), p, mode="append"
-        )
+    # r10: rowTracking WRITES are implemented — the append allocates a
+    # fresh baseRowId range past the foreign watermark and advances it
+    write_delta_lite(spark.range(6, 9).selectExpr("id"), p, mode="append")
+    state2 = replay_log(spark, p)
+    new_adds = [
+        e for r, e in state2.adds.items() if r != "part-0.parquet"
+    ]
+    assert new_adds and all(e["baseRowId"] > 47 for e in new_adds)
+    hwm = json.loads(
+        state2.domains["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"]
+    assert hwm >= max(e["baseRowId"] for e in new_adds)
 
 
 def test_v2_checkpoint_composes_with_later_commits_and_time_travel(
