@@ -2961,7 +2961,18 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
                     if not line.strip():
                         continue
                     action = json.loads(line)
-                    a = action.get("add") or action.get("remove")
+                    # cdc change files are referenced ONLY by their
+                    # commit's cdc actions (never by checkpoints — cdc
+                    # is transient log state): missing them here would
+                    # reclaim live change data out from under CDF
+                    # readers. Once cleanup_log removes the commit, its
+                    # window is unreadable anyway and the then-orphaned
+                    # cdc files reclaim correctly.
+                    a = (
+                        action.get("add")
+                        or action.get("remove")
+                        or action.get("cdc")
+                    )
                     if a:
                         referenced.add(urllib.parse.unquote(a["path"]))
         elif _CHECKPOINT_FILE_RE.match(f) or _CHECKPOINT_V2_RE.match(f):

@@ -244,3 +244,40 @@ def test_generated_violation_on_create_too(spark, tmp_path):
     bad = spark.createDataFrame([(5, 0)], schema)
     with pytest.raises(ValueError, match="generated\\(bucket\\)"):
         write_delta_lite(bad, str(tmp_path / "t"))
+
+
+def test_vacuum_keeps_live_change_files(spark, tmp_path):
+    """cdc files are referenced only by their commit's cdc actions
+    (checkpoints never carry cdc — it is transient log state): vacuum
+    must count those references or it reclaims live change data out
+    from under CDF readers. Once cleanup_log drops the commit, the
+    window is unreadable anyway and the orphaned cdc files go too."""
+    from lcr_etl_upgrade_spark.delta_lite import (
+        cleanup_log,
+        vacuum,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(0, 10).select("id").coalesce(1), path)
+    _enable_cdf(path)
+    v = delete_rows(spark, path, F.col("id") < 4)
+    cdc_dir = os.path.join(path, "_change_data")
+    before = sorted(os.listdir(cdc_dir))
+    assert before
+    assert vacuum(spark, path) == []
+    assert sorted(os.listdir(cdc_dir)) == before
+    # the window still serves from the change files post-vacuum
+    ch = read_delta_changes(spark, path, v, v).collect()
+    assert sorted(r["id"] for r in ch) == [0, 1, 2, 3]
+    # advance a version so the delete commit sits BELOW the checkpoint,
+    # then cleanup retires its JSON -> the cdc files are genuinely
+    # orphaned (their window is unreadable) and vacuum reclaims them
+    write_delta_lite(
+        spark.range(50, 52).select("id"), path, mode="append"
+    )
+    write_checkpoint(spark, path)
+    gone = cleanup_log(spark, path)
+    assert f"{v:020d}.json" in gone
+    removed = vacuum(spark, path)
+    assert any(r.startswith("_change_data/") for r in removed)
