@@ -1871,11 +1871,21 @@ def write_delta_lite(
         # insert, legal only under allowExplicitInsert=true.
         for ident in _identity_columns(prior.schema):
             if ident["name"] not in df.columns:
-                gen_base = (
-                    ident["hwm"] + ident["step"]
-                    if ident["hwm"] is not None
-                    else ident["start"]
-                )
+                if ident["hwm"] is None:
+                    gen_base = ident["start"]
+                else:
+                    # the SMALLEST lattice point strictly past the
+                    # watermark in step direction: an EXPLICIT insert
+                    # (BY DEFAULT tables) can park the watermark OFF
+                    # the start+k*step lattice, and hwm+step would then
+                    # generate off-lattice values forever (found by
+                    # tools/delta_write_fuzz.py seed 77 case 3);
+                    # floor-division handles both step signs, and
+                    # max(k, 0) clamps watermarks BEHIND start
+                    k = (ident["hwm"] - ident["start"]) // ident[
+                        "step"
+                    ] + 1
+                    gen_base = ident["start"] + max(k, 0) * ident["step"]
                 df = df.withColumn(
                     ident["name"],
                     (

@@ -1,0 +1,430 @@
+#!/usr/bin/env python
+"""Randomized differential for the delta_lite WRITE surface: schema
+evolution (merge_schema), CHECK-constraint enforcement, and identity
+generation — the round-10 semantics that otherwise rest on fixed tests.
+
+Each case builds a fresh table and drives a random op sequence while a
+pure-Python oracle maintains the EXPECTED state (rows as dicts, the
+expected column set, the active constraint list, identity bookkeeping):
+
+  - append          rows over the current columns
+  - evolve          merge_schema append adding a fresh column (old rows
+                    must read it as null)
+  - omit            merge_schema append omitting a nullable column
+                    (the new rows must read it as null)
+  - constrain       raw ALTER-style commit adding delta.constraints.*
+                    ``cK >= t`` (NULL violates, delta-spark semantics)
+  - risky_append    rows that MAY violate the active constraints: the
+                    oracle predicts refuse-vs-commit per the documented
+                    semantics; a disagreement in EITHER direction fails
+                    (engine accepted a violating write, or refused a
+                    clean one) and state must be byte-unchanged on
+                    refusal
+  - bad_type        append with a column retyped long->string: must
+                    refuse with the type-mismatch error
+
+plus an identity family (separate tables): generated values must be
+unique, on the start/step lattice, and strictly advancing across
+appends; explicit inserts refuse under GENERATED ALWAYS and sync the
+watermark under BY DEFAULT.
+
+The final read (read_delta_lite) must equal the oracle's multiset over
+the expected column set — old files reading evolved columns as null is
+part of what the compare checks.
+
+--mutate constraint_nulls_pass simulates an oracle believing
+SQL-standard CHECK (nulls pass): the battery must detect it on every
+case where a null-bearing risky_append was refused by the engine —
+harness-power evidence, same convention as the other fuzzers.
+
+Usage: python tools/delta_write_fuzz.py [--seed N] [--n CASES]
+                                        [--mutate M] [--case I]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+from collections import Counter
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+MUTATE: str | None = None
+
+
+def _raw_commit(path: str, actions: list[dict]) -> None:
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    import pyspark
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    state = replay_log(spark, path)
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{state.version + 1:020d}.json"),
+              "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _add_constraint(path: str, name: str, sql: str) -> None:
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    import pyspark
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    state = replay_log(spark, path)
+    meta = dict(state.metadata)
+    cfg = dict(meta.get("configuration") or {})
+    cfg[f"delta.constraints.{name}"] = sql
+    meta["configuration"] = cfg
+    _raw_commit(path, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": meta},
+    ])
+
+
+def _mk_rows(rng, cols: list[str], n: int, null_rate=0.15) -> list[dict]:
+    rows = []
+    for _ in range(n):
+        r = {}
+        for c in cols:
+            if rng.random() < null_rate:
+                r[c] = None
+            elif c == "s":
+                r[c] = str(rng.integers(0, 50))
+            else:
+                r[c] = int(rng.integers(-40, 60))
+        rows.append(r)
+    return rows
+
+
+def _df_from(spark, rows: list[dict], cols: list[str]):
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(
+            c, T.StringType() if c == "s" else T.LongType(), True
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows],
+        T.StructType(fields),
+    )
+
+
+def _violates(row: dict, constraints: list[tuple[str, int]],
+              nulls_pass: bool) -> bool:
+    for c, t in constraints:
+        v = row.get(c)  # absent column reads/writes as null
+        if v is None:
+            if not nulls_pass:
+                return True
+            continue
+        if not (v >= t):
+            return True
+    return False
+
+
+def run_case(spark, rng, i: int) -> dict | None:
+    from lcr_etl_upgrade_spark.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="write_fuzz_")
+    path = os.path.join(tmp, "t")
+    nulls_pass = MUTATE == "constraint_nulls_pass"
+    try:
+        all_long = [f"c{k}" for k in range(5)]
+        cols = sorted(
+            rng.choice(all_long, size=int(rng.integers(1, 4)),
+                       replace=False).tolist()
+        ) + ["s"]
+        expected: list[dict] = _mk_rows(rng, cols, int(rng.integers(1, 15)))
+        write_delta_lite(_df_from(spark, expected, cols), path)
+        constraints: list[tuple[str, int]] = []
+        unused = [c for c in all_long if c not in cols]
+        ops = [f"create({','.join(cols)})"]
+        for _ in range(int(rng.integers(3, 9))):
+            op = ["append", "evolve", "omit", "constrain",
+                  "risky_append", "bad_type"][int(rng.integers(0, 6))]
+            if op == "append":
+                rows = _mk_rows(rng, cols, int(rng.integers(1, 12)))
+                if any(_violates(r, constraints, nulls_pass)
+                       for r in rows):
+                    op = "risky_append"  # fall through to the predictor
+                else:
+                    try:
+                        write_delta_lite(
+                            _df_from(spark, rows, cols), path,
+                            mode="append",
+                        )
+                    except ValueError as exc:
+                        # the oracle called this write CLEAN: an engine
+                        # refusal is a semantics disagreement (under
+                        # --mutate constraint_nulls_pass, the expected
+                        # detection signal)
+                        return {"kind": "unexpected_refusal",
+                                "ops": ops, "err": str(exc)[:200]}
+                    expected += rows
+            if op == "evolve":
+                if not unused:
+                    continue
+                newc = unused.pop(0)
+                rows = _mk_rows(rng, cols + [newc],
+                                int(rng.integers(1, 8)))
+                if any(_violates(r, constraints, nulls_pass)
+                       for r in rows):
+                    continue  # keep evolution cases clean
+                try:
+                    write_delta_lite(
+                        _df_from(spark, rows, cols + [newc]), path,
+                        mode="append", merge_schema=True,
+                    )
+                except ValueError as exc:
+                    return {"kind": "unexpected_refusal", "ops": ops,
+                            "err": str(exc)[:200]}
+                cols = cols + [newc]
+                expected += rows  # old rows lack newc -> None via .get
+            if op == "omit":
+                omit = [c for c in cols if c != "s"]
+                if not omit:
+                    continue
+                drop = omit[int(rng.integers(0, len(omit)))]
+                kept = [c for c in cols if c != drop]
+                rows = _mk_rows(rng, kept, int(rng.integers(1, 8)))
+                # the omitted column writes as null: predict through
+                # the SAME constraint semantics
+                if any(_violates(r, constraints, nulls_pass)
+                       for r in rows):
+                    continue
+                try:
+                    write_delta_lite(
+                        _df_from(spark, rows, kept), path,
+                        mode="append", merge_schema=True,
+                    )
+                except ValueError as exc:
+                    return {"kind": "unexpected_refusal", "ops": ops,
+                            "err": str(exc)[:200]}
+                expected += rows
+            if op == "constrain":
+                candidates = [c for c in cols if c != "s"]
+                c = candidates[int(rng.integers(0, len(candidates)))]
+                t = int(rng.integers(-45, 20))
+                constraints.append((c, t))
+                _add_constraint(
+                    path, f"k{len(constraints)}", f"{c} >= {t}"
+                )
+            if op == "risky_append":
+                rows = _mk_rows(rng, cols, int(rng.integers(1, 10)))
+                should_refuse = constraints and any(
+                    _violates(r, constraints, nulls_pass) for r in rows
+                )
+                before = Counter(
+                    tuple(sorted(os.listdir(path)))
+                ) if should_refuse else None
+                try:
+                    write_delta_lite(
+                        _df_from(spark, rows, cols), path, mode="append"
+                    )
+                    refused = False
+                except ValueError:
+                    refused = True
+                if refused != bool(should_refuse):
+                    return {
+                        "kind": "constraint_disagreement", "ops": ops,
+                        "engine_refused": refused,
+                        "oracle_refuses": bool(should_refuse),
+                        "constraints": constraints,
+                    }
+                if refused:
+                    after = Counter(tuple(sorted(os.listdir(path))))
+                    if after != before:
+                        return {"kind": "refusal_left_debris",
+                                "ops": ops}
+                else:
+                    expected += rows
+            if op == "bad_type":
+                victim = [c for c in cols if c != "s"]
+                if not victim:
+                    continue
+                c = victim[0]
+                rows = _mk_rows(rng, cols, 2)
+                bad = [dict(r, **{c: "oops"}) for r in rows]
+                from pyspark.sql import types as T
+
+                fields = [
+                    T.StructField(
+                        k,
+                        T.StringType() if k in ("s", c) else T.LongType(),
+                        True,
+                    )
+                    for k in cols
+                ]
+                bdf = spark.createDataFrame(
+                    [tuple(r.get(k) for k in cols) for r in bad],
+                    T.StructType(fields),
+                )
+                try:
+                    write_delta_lite(bdf, path, mode="append")
+                    return {"kind": "bad_type_accepted", "ops": ops,
+                            "col": c}
+                except ValueError:
+                    pass
+            ops.append(f"op:{op}")
+
+        got = Counter(
+            tuple(r[c] for c in cols)
+            for r in read_delta_lite(spark, path).select(*cols).collect()
+        )
+        want = Counter(
+            tuple(r.get(c) for c in cols) for r in expected
+        )
+        if got != want:
+            diff = set(got.items()) ^ set(want.items())
+            return {"kind": "state_mismatch", "ops": ops,
+                    "got_n": sum(got.values()),
+                    "want_n": sum(want.values()),
+                    "diff": sorted(map(str, diff))[:5]}
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_identity_case(spark, rng, i: int) -> dict | None:
+    from pyspark.sql import types as T
+
+    from lcr_etl_upgrade_spark.delta_lite import (
+        read_delta_lite,
+        replay_log,
+        write_delta_lite,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="write_fuzz_id_")
+    path = os.path.join(tmp, "t")
+    try:
+        start = int(rng.integers(-20, 20))
+        step = int(rng.choice([-3, -1, 1, 2, 5]))
+        allow = bool(rng.random() < 0.5)
+        schema = T.StructType([
+            T.StructField("v", T.StringType(), True),
+            T.StructField("id", T.LongType(), True, {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicitInsert": allow,
+            }),
+        ])
+        write_delta_lite(spark.createDataFrame([], schema), path)
+        n_expected = 0
+        explicit: list[int] = []
+        ops = [f"create(start={start},step={step},allow={allow})"]
+        prev_gen_frontier: int | None = None
+        for _ in range(int(rng.integers(2, 6))):
+            if rng.random() < 0.3:
+                # explicit insert attempt
+                vals = [int(rng.integers(-100, 100))
+                        for _ in range(int(rng.integers(1, 4)))]
+                df = spark.createDataFrame(
+                    [(str(v), v) for v in vals], "v string, id long"
+                )
+                try:
+                    write_delta_lite(df, path, mode="append")
+                    ok = True
+                except ValueError:
+                    ok = False
+                if ok != allow:
+                    return {"kind": "explicit_gate_wrong", "ops": ops,
+                            "allowed": allow, "engine_accepted": ok}
+                if ok:
+                    n_expected += len(vals)
+                    explicit += vals
+                ops.append(f"op:explicit({len(vals)})")
+            else:
+                n = int(rng.integers(1, 20))
+                write_delta_lite(
+                    spark.createDataFrame(
+                        [(str(k),) for k in range(n)], "v string"
+                    ).repartition(int(rng.integers(1, 4))),
+                    path, mode="append",
+                )
+                n_expected += n
+                ops.append(f"op:generate({n})")
+        rows = read_delta_lite(spark, path).collect()
+        ids = [r["id"] for r in rows]
+        if len(rows) != n_expected:
+            return {"kind": "row_count", "ops": ops,
+                    "got": len(rows), "want": n_expected}
+        if any(v is None for v in ids):
+            return {"kind": "null_identity", "ops": ops}
+        # generated values must be unique AMONG THEMSELVES; a LATER
+        # explicit insert may legitimately equal an earlier generated
+        # value (delta-spark documents identity uniqueness as holding
+        # for generated values only) -> multiset-subtract the explicits
+        gen_ms = Counter(ids) - Counter(explicit)
+        if any(c > 1 for c in gen_ms.values()):
+            return {"kind": "identity_collision", "ops": ops,
+                    "dups": [v for v, c in gen_ms.items() if c > 1][:5]}
+        gen = list(gen_ms.elements())
+        off_lattice = [v for v in gen if (v - start) % step != 0]
+        if off_lattice:
+            return {"kind": "off_lattice", "ops": ops,
+                    "vals": off_lattice[:5]}
+        # committed watermark covers the furthest value in step
+        # direction among everything the table holds
+        state = replay_log(spark, path)
+        meta = state.schema["id"].metadata
+        if ids and "delta.identity.highWaterMark" in meta:
+            hwm = int(meta["delta.identity.highWaterMark"])
+            frontier = max(ids) if step > 0 else min(ids)
+            covered = hwm >= frontier if step > 0 else hwm <= frontier
+            if not covered:
+                return {"kind": "watermark_behind", "ops": ops,
+                        "hwm": hwm, "frontier": frontier}
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    global MUTATE
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=424242)
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--mutate", default=None)
+    ap.add_argument("--case", type=int, default=None)
+    args = ap.parse_args()
+    MUTATE = args.mutate
+
+    from lcr_etl_upgrade_spark.session import get_session
+
+    spark = get_session("delta_write_fuzz")
+    failures = []
+    for i in range(args.n):
+        if args.case is not None and i != args.case:
+            continue
+        rng = np.random.default_rng(args.seed * 7_000_003 + i)
+        rec = (
+            run_identity_case(spark, rng, i)
+            if i % 4 == 3
+            else run_case(spark, rng, i)
+        )
+        if rec is not None:
+            failures.append({"i": i, **rec})
+            print(f"FAIL case {i}: {json.dumps(failures[-1])[:400]}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "seed": args.seed, "n": args.n, "mutate": MUTATE,
+        "failures": failures, "ok": not failures,
+    }))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,7 @@ SPECS = [
     ("curation_fuzz", ["--n"], 60, 18),
     ("similarity_fuzz", ["--n"], 60, 16),
     ("delta_cdf_fuzz", ["--n"], 25, 8),
+    ("delta_write_fuzz", ["--n"], 20, 8),
     ("codec_differential", ["--png", "--jpeg"], (30, 18), (10, 6)),
 ]
 
