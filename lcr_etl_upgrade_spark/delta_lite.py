@@ -1337,12 +1337,63 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # rowTracking's dependency: domain metadata replays, persists
      # losslessly through checkpoints (r9), and is written for the
      # delta.rowTracking domain; this writer never DROPS a domain
-     "domainMetadata"}
+     "domainMetadata",
+     # type-borne features: Spark's parquet writer emits TIMESTAMP_NTZ
+     # and VARIANT natively; the obligation beyond that is declaring
+     # the feature, which write_delta_lite stamps from the schema
+     "timestampNtz", "variantType",
+     # obligation is a protocol check before vacuuming: vacuum()
+     # replays the log first, which runs _check_protocol
+     "vacuumProtocolCheck"}
 )
 
-# Legacy writer version 2 implicitly enables these; a protocol upgrade
-# to version 7 must list them or downstream writers stop enforcing them.
-_LEGACY_V2_WRITER_FEATURES = ("appendOnly", "invariants")
+# What each legacy writer tier implicitly enables ON TOP of the tier
+# below it — an upgrade to version 7 (table features) must list the
+# FULL implicit set of the version it came from, or downstream writers
+# silently stop enforcing those semantics (the v2-only carry was a
+# latent gap while versions 3-6 were refused; they are writable now).
+_LEGACY_TIER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _implicit_legacy_writer_features(writer_v: int) -> set[str]:
+    """Every writer feature a legacy ``minWriterVersion`` implies."""
+    out: set[str] = set()
+    for v, feats in _LEGACY_TIER_FEATURES.items():
+        if writer_v >= v:
+            out.update(feats)
+    return out
+
+
+def _schema_type_features(dt: T.DataType) -> set[str]:
+    """Table features the SCHEMA itself demands: timestampNtz for any
+    TIMESTAMP_NTZ column, variantType for any VARIANT column (per the
+    protocol, a v1 reader would misread NTZ values as UTC-adjusted and
+    cannot decode variants, so both require reader v3 + the feature)."""
+    out: set[str] = set()
+    variant_t = getattr(T, "VariantType", None)
+
+    def walk(t: T.DataType) -> None:
+        if isinstance(t, T.TimestampNTZType):
+            out.add("timestampNtz")
+        elif variant_t is not None and isinstance(t, variant_t):
+            out.add("variantType")
+        elif isinstance(t, T.StructType):
+            for f in t.fields:
+                walk(f.dataType)
+        elif isinstance(t, T.ArrayType):
+            walk(t.elementType)
+        elif isinstance(t, T.MapType):
+            walk(t.keyType)
+            walk(t.valueType)
+
+    walk(dt)
+    return out
 
 # Writer features whose STATE the checkpoint schema represents
 # (files + DVs + optional add fields incl. rowTracking's per-file
@@ -2136,6 +2187,26 @@ def write_delta_lite(
 
     moved = _stage_and_move(stage_df, base, tuple(stage_part_cols))
 
+    # drop zero-row part files: Spark emits one part per task even when
+    # a task produced nothing, and committing those as adds buys every
+    # future scan a useless file open (and would give rowTracking
+    # dangling empty baseRowId ranges past the watermark) — delta-spark
+    # does not register them either. Footer stats are read ONCE here
+    # and reused by the add loop below.
+    kept: list[tuple[str, int]] = []
+    stats_by_rel: dict[str, str | None] = {}
+    for rel, size in moved:
+        stats = _file_stats_json(os.path.join(base, rel))
+        if stats is not None and json.loads(stats)["numRecords"] == 0:
+            try:
+                os.remove(os.path.join(base, rel))
+            except OSError:
+                pass
+            continue
+        kept.append((rel, size))
+        stats_by_rel[rel] = stats
+    moved = kept
+
     if constraint_obs is not None:
         # the staging write executed the observed plan; a violation
         # unstages everything BEFORE any commit is attempted
@@ -2186,27 +2257,45 @@ def write_delta_lite(
     version = 0 if prior is None else prior.version + 1
     protocol_action = None
     needs_upgrade = False
+    # features this commit's table state DEMANDS: column mapping, and
+    # the type-borne ones the post-write schema carries (an NTZ or
+    # variant column under protocol 1/2 would hand v1 readers silently
+    # wrong values, so the spec gates them on reader v3 + the feature)
+    want_feats = _schema_type_features(table_schema)
     if mapping != "none":
+        want_feats.add("columnMapping")
+    if want_feats:
         prior_proto = (prior.protocol or {}) if prior is not None else {}
         reader_feats = set(prior_proto.get("readerFeatures") or ())
         writer_feats = set(prior_proto.get("writerFeatures") or ())
-        # upgrade whenever the feature isn't ALREADY listed — a table
-        # can sit at reader v3 for other features (e.g. a prior
-        # delete_rows upgrade) and still need columnMapping declared, or
-        # spec-compliant readers resolve by the wrong column names
+        # upgrade whenever a demanded feature isn't ALREADY listed — a
+        # table can sit at reader v3 for other features (e.g. a prior
+        # delete_rows upgrade) and still need columnMapping declared,
+        # or spec-compliant readers resolve by the wrong column names
         needs_upgrade = prior is None or (
-            "columnMapping" not in reader_feats
-            or "columnMapping" not in writer_feats
+            not want_feats <= reader_feats
+            or not want_feats <= writer_feats
             or int(prior_proto.get("minReaderVersion", 1)) < 3
         )
-        reader_feats.add("columnMapping")
-        writer_feats.add("columnMapping")
         if prior is not None and int(
-            prior_proto.get("minWriterVersion", 2)
-        ) <= 2:
-            # upgrading a legacy table must carry its implicit features
-            # or downstream writers stop enforcing them
-            writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+            prior_proto.get("minReaderVersion", 1)
+        ) == 2:
+            # legacy reader v2 implies columnMapping; the upgraded
+            # explicit lists must carry it (r9 advice-fix rule)
+            want_feats.add("columnMapping")
+        reader_feats |= want_feats
+        writer_feats |= want_feats
+        if prior is not None:
+            prior_wv = int(prior_proto.get("minWriterVersion", 2))
+            if prior_wv < 7:
+                # upgrading a legacy table must carry the FULL implicit
+                # feature set of its tier (v2: appendOnly/invariants;
+                # v3: +checkConstraints; v4: +changeDataFeed/generated;
+                # v5: +columnMapping; v6: +identityColumns) or
+                # downstream writers stop enforcing them
+                writer_feats |= _implicit_legacy_writer_features(
+                    prior_wv
+                )
         protocol_action = {
             "protocol": {
                 "minReaderVersion": 3,
@@ -2315,7 +2404,7 @@ def write_delta_lite(
             "modificationTime": now_ms,
             "dataChange": True,
         }
-        stats = _file_stats_json(os.path.join(base, rel))
+        stats = stats_by_rel[rel]
         if stats is not None:
             add["stats"] = stats
         if row_tracking:
@@ -2750,9 +2839,10 @@ def delete_rows(
     ) < 3:
         reader_feats.add("deletionVectors")
         writer_feats.add("deletionVectors")
-        if int(proto.get("minWriterVersion", 2)) <= 2:
-            # legacy upgrade carries the implicit writer-v2 features
-            writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+        if (pw := int(proto.get("minWriterVersion", 2))) < 7:
+            # legacy upgrade carries the FULL implicit feature set of
+            # its tier (v2..v6), or downstream writers stop enforcing
+            writer_feats |= _implicit_legacy_writer_features(pw)
         actions.append(
             {
                 "protocol": {
@@ -3098,8 +3188,9 @@ def enable_v2_checkpoint(spark: SparkSession, path: str) -> int:
         return state.version
     reader_feats.add("v2Checkpoint")
     writer_feats.add("v2Checkpoint")
-    if int(proto.get("minWriterVersion", 2)) <= 2:
-        writer_feats.update(_LEGACY_V2_WRITER_FEATURES)
+    if (pw := int(proto.get("minWriterVersion", 2))) < 7:
+        # FULL implicit set of the legacy tier, not just v2's
+        writer_feats |= _implicit_legacy_writer_features(pw)
     if needs_cm:
         # A legacy minReaderVersion=2 table (or any column-mapped one)
         # carries an IMPLICIT columnMapping reader requirement;
