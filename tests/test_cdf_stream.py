@@ -219,3 +219,51 @@ def test_arrow_matches_spark_with_ustorage_dvs(spark, tmp_path):
     assert read_delta_changes(
         spark, path, res["version"], res["version"]
     ).count() == 0
+
+
+def test_streaming_source_serves_cdc_change_files(spark, tmp_path):
+    """A CDF-ENABLED table's delete commits carry cdc actions; the
+    partition-planned streaming source must deliver those rows FROM the
+    change files (ctype read per row), identically to the batch
+    readers."""
+    import json
+    import os
+
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(12).select("id", (F.col("id") % 2).alias("g"))
+        .coalesce(1),
+        path,
+    )  # v0
+    # enable CDF (protocol 1/7 + config), then delete -> cdc actions
+    state = replay_log(spark, path)
+    meta = dict(state.metadata)
+    meta["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    with open(os.path.join(
+            path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants",
+                               "changeDataFeed"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+    v = delete_rows(spark, path, F.col("id") >= 9)  # v2, writes cdc
+    with open(os.path.join(path, "_delta_log",
+                           f"{v:020d}.json")) as fh:
+        assert any("cdc" in json.loads(l) for l in fh if l.strip())
+
+    spark.dataSource.register(DeltaCdfLiteDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _run_stream_once(spark, path, ckpt, out)
+    got = Counter(
+        tuple(r[c] for c in COLS)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == _spark_side(spark, path, 0, v)
+    # the delete rows specifically came through as change-file deletes
+    assert all(
+        got[(i, i % 2, "delete", v)] == 1 for i in range(9, 12)
+    )
