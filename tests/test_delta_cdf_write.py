@@ -281,3 +281,41 @@ def test_vacuum_keeps_live_change_files(spark, tmp_path):
     assert f"{v:020d}.json" in gone
     removed = vacuum(spark, path)
     assert any(r.startswith("_change_data/") for r in removed)
+
+
+def test_mapped_cdf_delete_roundtrip(spark, tmp_path):
+    """Column mapping x CDF: the change files carry PHYSICAL column
+    names (like the data files beside them) and both readers rename to
+    logical on the way out; partitionValues in the cdc action use the
+    physical partition key."""
+    path = str(tmp_path / "t")
+    write_delta_lite(
+        spark.range(0, 12).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        path,
+        partition_by=("p",),
+        column_mapping="name",
+    )
+    _enable_cdf(path)
+    v = delete_rows(spark, path, F.col("id") >= 8)
+    with open(os.path.join(path, "_delta_log",
+                           f"{v:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc
+    for c in cdc:
+        for k in c["partitionValues"]:
+            assert k.startswith("col-")  # physical partition key
+    ch = read_delta_changes(spark, path, v, v).collect()
+    assert Counter((r["id"], r["p"]) for r in ch) == Counter(
+        {(i, str(i % 2)): 1 for i in range(8, 12)}
+    )
+    from lcr_etl_upgrade_spark.cdf_arrow import arrow_changes, change_schema
+
+    names = [f.name for f in change_schema(path).fields]
+    i_id, i_p = names.index("id"), names.index("p")
+    arrows = Counter(
+        (t[i_id], t[i_p]) for t in arrow_changes(path, v, v)
+    )
+    assert arrows == Counter({(i, str(i % 2)): 1 for i in range(8, 12)})
