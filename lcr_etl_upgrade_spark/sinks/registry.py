@@ -196,6 +196,13 @@ class _DeltaLiteSink(Sink):
         options: dict[str, str],
         partition_by: tuple[str, ...] = (),
     ):
+        # delta-spark's mergeSchema write option, honored on this path
+        # too so the SAME sink config evolves the schema under either
+        # runtime (on the delta-spark path it stays in options and the
+        # datasource handles it natively)
+        self._merge_schema = (
+            str(options.pop("mergeSchema", "")).lower() == "true"
+        )
         super().__init__("delta-lite", mode, options, partition_by)
 
     def __call__(self, df: DataFrame, path: str | None = None) -> None:
@@ -203,7 +210,13 @@ class _DeltaLiteSink(Sink):
 
         if path is None:
             raise ValueError("delta-lite sink requires an explicit path")
-        write_delta_lite(df, path, self.mode, self.partition_by)
+        write_delta_lite(
+            df,
+            path,
+            self.mode,
+            self.partition_by,
+            merge_schema=self._merge_schema,
+        )
 
 
 @register("jdbc_append")

@@ -276,3 +276,30 @@ def test_checkpoint_after_evolution_roundtrips(spark, tmp_path):
     assert got == want
     state = replay_log(spark, path)
     assert [f.name for f in state.schema.fields] == ["id", "x"]
+
+
+def test_sink_mergeschema_option_passes_through(spark, tmp_path):
+    """delta-spark's mergeSchema WRITE OPTION works through the sink
+    registry's delta_lite path too — the same sink config evolves the
+    schema under either runtime."""
+    from lcr_etl_upgrade_spark.sinks.registry import write
+
+    path = str(tmp_path / "t")
+    write(spark.range(0, 3).select("id"), "delta_overwrite", path)
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write(
+            spark.range(3, 5).select("id", F.lit(1).alias("v")),
+            "delta_append",
+            path,
+        )
+    write(
+        spark.range(3, 5).select("id", F.lit(1).alias("v")),
+        "delta_append",
+        path,
+        mergeSchema="true",
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in read_delta_lite(spark, path).collect()
+    }
+    assert got == {(0, None), (1, None), (2, None), (3, 1), (4, 1)}
