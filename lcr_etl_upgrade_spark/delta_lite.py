@@ -1050,7 +1050,9 @@ def _stats_exclude(stats_json: str | None, bounds: dict) -> bool:
     return False
 
 
-def version_at_timestamp(path: str, timestamp) -> int:
+def version_at_timestamp(
+    path: str, timestamp, allow_future: bool = False
+) -> int:
     """TIMESTAMP AS OF resolution: the greatest version whose commit
     timestamp is <= ``timestamp`` (delta-spark's rule). Commit times
     come from each commit's commitInfo header when present, else the
@@ -1062,10 +1064,12 @@ def version_at_timestamp(path: str, timestamp) -> int:
 
     ``timestamp`` accepts epoch MILLISECONDS (int/float — the log's own
     unit), an ISO-8601 string (naive = UTC), or a datetime (naive =
-    UTC). Raises when it precedes version 0's commit (nothing existed)
-    — asking for a future time returns the latest version, as
-    delta-spark does for RESTORE (its read path errors instead; the
-    permissive choice loses nothing and keeps one rule)."""
+    UTC). Raises when it precedes version 0's commit (nothing existed).
+    A timestamp PAST the latest commit raises too by default — that is
+    delta-spark's read-path rule, and silently serving current data for
+    a mistyped future time would hide the typo; ``allow_future=True``
+    (the RESTORE path) resolves it to the latest version instead,
+    matching delta-spark's permissive RESTORE rule."""
     import datetime as _dt
 
     if isinstance(timestamp, str):
@@ -1087,6 +1091,14 @@ def version_at_timestamp(path: str, timestamp) -> int:
         running = max(running, int(rec["timestamp"]))
         if running <= ts_ms:
             best = rec["version"]
+    if best is not None and not allow_future and ts_ms > running:
+        raise ValueError(
+            f"timestamp {ts_ms} (epoch ms) is after the latest commit to "
+            f"{path!r} (version {hist[-1]['version']} at {running} ms); "
+            "reads refuse future timestamps (delta-spark parity) — pass "
+            "the latest version explicitly, or use restore_table, whose "
+            "permissive rule resolves future times to latest"
+        )
     if best is None:
         first = hist[0]
         raise ValueError(
@@ -2003,15 +2015,16 @@ def write_delta_lite(
             if evolved and (
                 _schema_declares_invariants(T.StructType(evolved))
                 or _identity_columns(T.StructType(evolved))
+                or _generated_columns(T.StructType(evolved))
             ):
                 raise ValueError(
                     f"the new columns this merge_schema append adds to "
-                    f"{path!r} carry delta.invariants or delta.identity "
-                    "field metadata; the table's EXISTING rows read the "
-                    "new columns as null and would retroactively "
-                    "violate them — add the column first, backfill, "
-                    "then add the obligation (delta-spark refuses this "
-                    "too)"
+                    f"{path!r} carry delta.invariants, delta.identity, "
+                    "or delta.generationExpression field metadata; the "
+                    "table's EXISTING rows read the new columns as null "
+                    "and would retroactively violate them — add the "
+                    "column first, backfill, then add the obligation "
+                    "(delta-spark refuses this too)"
                 )
         # names AND types (nullability aside), mirroring the retry-path
         # gate: under mapping, _physicalize_df casts to the table type,
@@ -4159,7 +4172,7 @@ def restore_table(
             "pass exactly one of version or timestamp"
         )
     if timestamp is not None:
-        version = version_at_timestamp(path, timestamp)
+        version = version_at_timestamp(path, timestamp, allow_future=True)
     cur = replay_log(spark, path)
     _check_writer_protocol(cur.protocol, path)
     _check_write_obligations(cur, path, "restore")
@@ -4247,7 +4260,9 @@ def restore_table(
         "commitInfo": {
             "timestamp": now_ms,
             "operation": "RESTORE",
-            "operationParameters": {"version": version},
+            # delta-spark serializes every operationParameters value as
+            # a string; history-parsing tools assume that encoding
+            "operationParameters": {"version": str(version)},
         }
     }]
     if meta_changed:

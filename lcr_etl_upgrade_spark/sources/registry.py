@@ -298,21 +298,71 @@ def read_delta(
     ``read_delta_lite``) is a delta_lite-path optimization: on the
     delta-spark path the datasource performs its own stats skipping
     from the pushed-down predicate, so the hint is simply ignored
-    there — callers always apply the real filter either way."""
+    there — callers always apply the real filter either way.
+
+    ``timestamp`` (TIMESTAMP AS OF) accepts epoch milliseconds
+    (int/float), a datetime (naive = UTC), or an ISO-8601 string
+    (naive = UTC) and is NORMALIZED HERE, once, before dispatch: the
+    two runtimes natively accept different spellings (delta_lite takes
+    epoch-ms/ISO-as-UTC; delta-spark parses option("timestampAsOf") as
+    a session-timezone timestamp STRING and rejects epoch-ms), so
+    without this the same call could resolve different snapshots — or
+    error — depending on which runtime is importable. delta_lite gets
+    the instant as epoch-ms; delta-spark gets it rendered in the
+    session timezone."""
     try:
         import delta  # noqa: F401
     except ImportError:
         from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
 
+        ts_ms = (
+            None
+            if timestamp is None
+            else _timestamp_as_of_epoch_ms(timestamp)
+        )
         return read_delta_lite(
-            spark, path, version, prune=prune, timestamp=timestamp
+            spark, path, version, prune=prune, timestamp=ts_ms
         )
     reader = spark.read.format("delta").option("inferSchema", "false")
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
     if timestamp is not None:
-        reader = reader.option("timestampAsOf", str(timestamp))
+        reader = reader.option(
+            "timestampAsOf",
+            _timestamp_as_of_session_str(spark, timestamp),
+        )
     return reader.load(path)
+
+
+def _timestamp_as_of_epoch_ms(timestamp) -> int:
+    """Canonicalize a TIMESTAMP AS OF input (epoch-ms int/float,
+    datetime, ISO-8601 string; naive forms are UTC) to one instant as
+    epoch milliseconds."""
+    import datetime as _dt
+
+    ts = (
+        _dt.datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, str)
+        else timestamp
+    )
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    return int(ts)
+
+
+def _timestamp_as_of_session_str(spark: SparkSession, timestamp) -> str:
+    """Render the same instant as the 'yyyy-MM-dd HH:mm:ss.SSS' string
+    delta-spark will parse in the SESSION timezone — so both runtimes
+    resolve the identical snapshot for any accepted input form."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    ms = _timestamp_as_of_epoch_ms(timestamp)
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    local = _dt.datetime.fromtimestamp(ms / 1000.0, tz)
+    return local.strftime("%Y-%m-%d %H:%M:%S.") + f"{ms % 1000:03d}"
 
 
 def read_watermark_text(spark: SparkSession, path: str) -> str | None:

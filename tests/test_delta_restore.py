@@ -52,7 +52,8 @@ def test_restore_reverts_appends(spark, tmp_path):
     # history records the operation with its parameter
     top = table_history(path)[0]
     assert top["operation"] == "RESTORE"
-    assert top["operationParameters"] == {"version": 0}
+    # delta-spark string-encodes operationParameters values (r11 ADVICE)
+    assert top["operationParameters"] == {"version": "0"}
     # the change feed sees the revert as row-level deletes
     ch = read_delta_changes(spark, path, 3, 3).collect()
     assert all(r["_change_type"] == "delete" for r in ch)

@@ -4,8 +4,9 @@ read_delta_lite(timestamp=...) + restore_table(timestamp=...).
 Resolution rule (delta-spark parity): greatest version whose commit
 timestamp <= the requested time, on CANONICALIZED (running-max)
 commit timestamps so clock skew between writers cannot make the
-mapping ambiguous; a pre-table timestamp raises, a future one resolves
-to latest.
+mapping ambiguous; a pre-table timestamp raises, and a future one
+raises on the read path (delta-spark parity) while resolving to latest
+only under allow_future=True (the RESTORE rule) — round-11 ADVICE.
 """
 
 from __future__ import annotations
@@ -53,7 +54,10 @@ def test_resolution_boundaries(spark, tmp_path):
     assert version_at_timestamp(path, 1999) == 0
     assert version_at_timestamp(path, 2000) == 1
     assert version_at_timestamp(path, 2500) == 1
-    assert version_at_timestamp(path, 10_000_000) == 2  # future -> latest
+    # future: reads refuse (delta-spark parity), RESTORE rule -> latest
+    with pytest.raises(ValueError, match="after the latest commit"):
+        version_at_timestamp(path, 10_000_000)
+    assert version_at_timestamp(path, 10_000_000, allow_future=True) == 2
     with pytest.raises(ValueError, match="precedes the first commit"):
         version_at_timestamp(path, 999)
 
@@ -66,7 +70,7 @@ def test_clock_skew_canonicalized(spark, tmp_path):
     _table_with_times(spark, path, [1000, 5000, 3000])
     assert version_at_timestamp(path, 4999) == 0
     assert version_at_timestamp(path, 5000) == 2  # 1 and 2 both at 5000
-    assert version_at_timestamp(path, 6000) == 2
+    assert version_at_timestamp(path, 6000, allow_future=True) == 2
 
 
 def test_read_at_timestamp(spark, tmp_path):
