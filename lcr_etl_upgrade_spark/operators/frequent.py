@@ -26,6 +26,21 @@ an exact recount of candidates only — a broadcast semi-join, so the big
 side never shuffles. The final answer is EXACT, which is why the
 ``doc_heavy_hitter_tokens`` query hash-matches a plain HAVING oracle.
 
+Two threshold spellings:
+
+- ABSOLUTE (``threshold=...``): items with count > threshold. The
+  superset guarantee needs ``k >= n/threshold``, so at a FIXED absolute
+  threshold the required sketch size grows LINEARLY with the data —
+  fine for one dataset, wrong as a standing job (the pre-round-11
+  registration valve-refused past ~27M tokens, SCALE.md).
+- RELATIVE (``phi=...``): items with count > phi * n — the production
+  spelling. ``k = ceil(1/phi) * safety`` gives ``D <= n/(k+1) <
+  phi*n/safety <= threshold``, so the superset guarantee holds BY
+  CONSTRUCTION at ANY corpus size with CONSTANT sketch memory; the
+  valve is unreachable for fixed phi. ``n`` is counted in the SAME
+  sketch pass (each partition's sentinel row carries its non-null row
+  count), so relative mode costs no extra scan.
+
 The per-partition sketch is Arrow-batched (``mapInPandas``): each batch
 is reduced with vectorized ``value_counts`` first, then MG-merged into
 the running k-counter dict (prune: subtract the (k+1)-th largest count,
@@ -35,28 +50,33 @@ per-row Python).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SUMMARY_SCHEMA = "item string, cnt bigint, dec bigint"
+_SUMMARY_SCHEMA = "item string, cnt bigint, dec bigint, n bigint"
 
 
 def _mg_partition(k: int):
     """Build the mapInPandas function: one Misra-Gries sketch per
-    partition, emitted as (item, cnt, 0) rows plus one (NULL, 0, D_p)
-    sentinel carrying the partition's error budget."""
+    partition, emitted as (item, cnt, 0, 0) rows plus one
+    (NULL, 0, D_p, n_p) sentinel carrying the partition's error budget
+    and its non-null input count (so relative-threshold mode learns n
+    in the same pass)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         counters: dict = {}
         dec_total = 0
+        n_total = 0
         for pdf in batches:
             col = pdf.iloc[:, 0]
             vc = col.value_counts(dropna=True)
+            n_total += int(vc.sum())
             for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
@@ -76,66 +96,110 @@ def _mg_partition(k: int):
                 "item": list(counters.keys()) + [None],
                 "cnt": list(counters.values()) + [0],
                 "dec": [0] * len(counters) + [dec_total],
+                "n": [0] * len(counters) + [n_total],
             }
         )
-        yield out.astype({"cnt": "int64", "dec": "int64"})
+        yield out.astype({"cnt": "int64", "dec": "int64", "n": "int64"})
 
     return run
 
 
 def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``items[col]`` (narrow —
-    no shuffle): at most k counter rows per partition plus one error
-    sentinel. NULL item values are not counted (they are the sentinel
-    encoding, and a NULL "item" has no frequency semantics)."""
+    no shuffle): at most k counter rows per partition plus one sentinel
+    carrying (error budget D_p, non-null count n_p). NULL item values
+    are not counted (they are the sentinel encoding, and a NULL "item"
+    has no frequency semantics)."""
     return items.select(F.col(col).cast("string").alias("item")).mapInPandas(
         _mg_partition(k), _SUMMARY_SCHEMA
     )
 
 
 def frequent_item_candidates(
-    items: DataFrame, col: str, k: int, threshold: int
-) -> tuple[DataFrame, int]:
-    """Merge the partition summaries and return (candidates, D): every
-    item whose true count CAN exceed ``threshold`` (lo + D > threshold),
-    plus the realized total error budget D. When D <= threshold, the
+    items: DataFrame,
+    col: str,
+    k: int,
+    threshold: int | None = None,
+    phi: float | None = None,
+) -> tuple[DataFrame, int, int, int]:
+    """Merge the partition summaries and return
+    ``(candidates, D, n, threshold)``: every item whose true count CAN
+    exceed the threshold (lo + D > threshold), the realized total error
+    budget D, the total non-null count n, and the resolved threshold
+    (``floor(phi * n)`` in relative mode). When D <= threshold, the
     candidate set is a guaranteed superset of the true heavy hitters:
     any item with f > threshold >= D is present in the merged summary
     (absent implies f <= D) and passes the lo + D filter (lo >= f - D >
-    threshold - D). ``heavy_hitters`` enforces that precondition."""
-    summaries = mg_summaries(items, col, k).cache()
-    try:
-        d_total = (
-            summaries.agg(F.sum("dec").alias("d")).first()["d"] or 0
-        )
-        # Materialize the candidates and release the cache: the rows are
-        # bounded by the sketch itself (<= partitions x k even at
-        # threshold 0), and repeated calls (benches, fuzz batteries)
-        # must not accumulate cached summary RDDs for the session's
-        # lifetime.
-        rows = (
-            summaries.filter(F.col("item").isNotNull())
-            .groupBy("item")
-            .agg(F.sum("cnt").alias("lo"))
-            .filter(F.col("lo") + F.lit(int(d_total)) > threshold)
-            .collect()
-        )
-    finally:
-        summaries.unpersist()
-    cands = items.sparkSession.createDataFrame(
-        [(r["item"], r["lo"]) for r in rows], "item string, lo bigint"
+    threshold - D). ``heavy_hitters`` enforces that precondition.
+
+    The candidates come back as a small LAZY DataFrame meant to be fed
+    straight into ``F.broadcast`` (no driver collect — the round-10
+    collect/createDataFrame round-trip is gone): in relative mode the
+    post-filter candidate count is bounded by a CONSTANT —
+    sum(lo) <= n, so at most n/(threshold - D) < safety/(phi*(safety-1))
+    items survive — and in absolute mode by partitions x k. The
+    summaries plan is cheap to recompute (it is cached across the two
+    scalar/candidate uses below and released once both are planned;
+    Spark's ContextCleaner reclaims the blocks when the frames are
+    garbage-collected)."""
+    if (threshold is None) == (phi is None):
+        raise ValueError("pass exactly one of threshold or phi")
+    summaries = mg_summaries(items, col, k).persist()
+    # one full materialization of the sketch pass; the candidate
+    # aggregation below reuses the persisted summary rows
+    tot = summaries.agg(
+        F.sum("dec").alias("d"), F.sum("n").alias("n")
+    ).first()
+    d_total = int(tot["d"] or 0)
+    n_total = int(tot["n"] or 0)
+    if phi is not None:
+        if not (0.0 < phi < 1.0):
+            raise ValueError(f"phi must be in (0, 1), got {phi}")
+        threshold = int(math.floor(phi * n_total))
+    cands = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("lo"))
+        .filter(F.col("lo") + F.lit(int(d_total)) > int(threshold))
     )
-    return cands, int(d_total)
+    return cands, d_total, n_total, int(threshold)
 
 
 def heavy_hitters(
-    items: DataFrame, col: str, threshold: int, k: int
+    items: DataFrame,
+    col: str,
+    threshold: int | None = None,
+    k: int | None = None,
+    phi: float | None = None,
+    safety: int = 2,
 ) -> DataFrame:
     """EXACT items with count(col) > threshold, computed as sketch ->
-    candidate superset -> broadcast-semi-join recount. Raises instead
-    of silently under-reporting when the sketch was too small for the
-    data (pick k >= n/threshold to be safe a priori)."""
-    cands, d_total = frequent_item_candidates(items, col, k, threshold)
+    candidate superset -> broadcast-semi-join recount.
+
+    - Absolute mode (``threshold=``, ``k=`` required): raises instead
+      of silently under-reporting when the sketch was too small for the
+      data (pick k >= n/threshold to be safe a priori).
+    - Relative mode (``phi=``): threshold is ``floor(phi * n)`` with n
+      counted in the sketch pass itself; ``k`` defaults to
+      ``ceil(1/phi) * safety``, which makes D < threshold/safety —
+      the valve cannot fire, and sketch memory is CONSTANT in the data
+      size (the 100 TB spelling; a fixed absolute threshold needs k to
+      grow linearly with n instead).
+    """
+    if phi is not None:
+        if not (0.0 < phi < 1.0):
+            raise ValueError(f"phi must be in (0, 1), got {phi}")
+        if threshold is not None:
+            raise ValueError("pass either threshold or phi, not both")
+        if k is None:
+            k = int(math.ceil(1.0 / phi)) * max(int(safety), 1)
+    elif threshold is None or k is None:
+        raise ValueError(
+            "absolute mode needs both threshold and k (or pass phi=)"
+        )
+    cands, d_total, n_total, threshold = frequent_item_candidates(
+        items, col, k, threshold=threshold, phi=phi
+    )
     if d_total > threshold:
         raise ValueError(
             f"Misra-Gries error budget D={d_total} exceeds "

@@ -718,7 +718,10 @@ def doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, COUNT(*) AS cnt
     FROM toks
     GROUP BY token
-    HAVING COUNT(*) > 900
+    -- relative threshold, EXACT: f > floor(phi * n), phi = 0.003
+    HAVING COUNT(*) > (
+      SELECT CAST(FLOOR(0.003 * COUNT(*)) AS BIGINT) FROM toks
+    )
     ORDER BY token
     """,
 )
@@ -728,11 +731,17 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     most k counters each, no shuffle of the vocabulary), merged into a
     GUARANTEED candidate superset, then an exact broadcast-semi-join
     recount of candidates only. The oracle is the plain HAVING
-    spelling — the sketch path must land on the identical exact answer
-    or the valve raises. k=16384 bounds the error budget at n/16385 —
-    under the 900 threshold through sf1 (~10M tokens -> D <= 610);
-    beyond that an absolute-count threshold needs k scaled with
-    n/threshold, and the valve says so instead of answering wrong."""
+    spelling — the sketch path must land on the identical exact answer.
+
+    Registered on the RELATIVE threshold (phi = 0.003: tokens covering
+    >0.3% of the corpus), the spelling that scales: k = ceil(1/phi) *
+    safety = 668 counters per partition — CONSTANT sketch memory at any
+    corpus size, with the superset guarantee holding BY CONSTRUCTION
+    (D <= n/(k+1) < phi*n/2), so the valve that forced the pre-r11
+    absolute registration (threshold=900, k=16384) to refuse past ~27M
+    tokens (SCALE.md) is unreachable here. n is counted inside the same
+    sketch pass; both runtimes compute floor(phi*n) in IEEE double, so
+    the threshold is bit-identical to the oracle's."""
     from lcr_etl_upgrade_spark.operators.frequent import heavy_hitters
     from lcr_etl_upgrade_spark.operators.text import tokens_expr
 
@@ -740,9 +749,7 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(tokens_expr(F.col("text"))).alias("token")
     )
-    return heavy_hitters(toks, "token", threshold=900, k=16384).orderBy(
-        "token"
-    )
+    return heavy_hitters(toks, "token", phi=0.003).orderBy("token")
 
 
 @query("doc_bpe_train_stats")  # rows-only: BPE training is not SQL-expressible

@@ -34,7 +34,10 @@ def test_mg_bounds_and_superset(spark, seed):
     }
     n = sum(exact.values())
     k = 64
-    cands, d_total = frequent_item_candidates(items, "item", k, threshold=0)
+    cands, d_total, n_total, _ = frequent_item_candidates(
+        items, "item", k, threshold=0
+    )
+    assert n_total == n  # sentinel-carried count equals the exact total
     got = {r["item"]: r["lo"] for r in cands.collect()}
     # error budget bound: D <= n/(k+1) summed over partitions
     assert d_total <= n // (k + 1) + 7  # one rounding per partition
@@ -87,3 +90,80 @@ def test_nulls_are_not_items(spark):
     items = spark.createDataFrame(pdf)
     got = heavy_hitters(items, "item", threshold=1, k=8).collect()
     assert {(r["item"], r["cnt"]) for r in got} == {("a", 3)}
+
+
+# ---- relative-threshold (phi) mode — round-11 rework ----------------------
+
+
+@pytest.mark.parametrize("phi", [0.01, 0.003])
+def test_phi_mode_exact_vs_groupby(spark, phi):
+    items = _zipf_items(spark, 23)
+    n = items.count()
+    threshold = int(np.floor(phi * n))
+    expected = sorted(
+        (r["item"], r["c"])
+        for r in items.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > threshold)
+        .collect()
+    )
+    got = sorted(
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(items, "item", phi=phi).collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_phi_mode_valve_unreachable_by_construction(spark):
+    # the exact corpus shape that forced the absolute-mode valve to
+    # fire (diffuse vocab, tiny k) cannot refuse in phi mode: k is
+    # derived as ceil(1/phi)*safety, so D < threshold/safety always
+    items = _zipf_items(spark, 5, n=20_000, vocab=5_000)
+    n = items.count()
+    phi = 0.002
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(items, "item", phi=phi).collect()
+    }
+    exact = {
+        r["item"]: r["c"]
+        for r in items.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    threshold = int(np.floor(phi * n))
+    assert got == {i: c for i, c in exact.items() if c > threshold}
+
+
+def test_phi_mode_nulls_excluded_from_n(spark):
+    # nulls are neither items nor part of n: 6 non-null rows, phi=0.4
+    # -> threshold floor(2.4)=2 -> only "a" (3 > 2)
+    pdf = pd.DataFrame(
+        {"item": ["a", "a", "a", "b", "b", "c", None, None, None, None]}
+    )
+    items = spark.createDataFrame(pdf)
+    got = heavy_hitters(items, "item", phi=0.4).collect()
+    assert {(r["item"], r["cnt"]) for r in got} == {("a", 3)}
+
+
+def test_mode_argument_validation(spark):
+    items = spark.createDataFrame(pd.DataFrame({"item": ["a"]}))
+    with pytest.raises(ValueError, match="not both"):
+        heavy_hitters(items, "item", threshold=1, k=8, phi=0.1)
+    with pytest.raises(ValueError, match="absolute mode"):
+        heavy_hitters(items, "item", threshold=1)  # k missing
+    with pytest.raises(ValueError, match="phi must be in"):
+        heavy_hitters(items, "item", phi=1.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        frequent_item_candidates(items, "item", 8)
+
+
+def test_phi_candidates_constant_bound(spark):
+    # post-filter candidate count is bounded by safety/(phi*(safety-1)),
+    # a CONSTANT independent of n — the property that removed the
+    # round-10 driver-collect concern
+    items = _zipf_items(spark, 31, n=40_000, vocab=4_000)
+    phi, safety = 0.005, 2
+    k = int(np.ceil(1 / phi)) * safety
+    cands, d, n, thr = frequent_item_candidates(items, "item", k, phi=phi)
+    assert d < thr / safety + 8  # D < phi*n/safety (+ partition rounding)
+    assert cands.count() <= safety / (phi * (safety - 1))

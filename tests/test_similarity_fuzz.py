@@ -15,11 +15,13 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from tools.similarity_fuzz import (
+    gen_frequent_case,
     gen_ivf_case,
     gen_lsh_case,
     gen_minhash_case,
     gen_simhash_case,
     gen_sketch_case,
+    run_frequent_case,
     run_ivf_case,
     run_lsh_case,
     run_minhash_case,
@@ -54,6 +56,21 @@ def test_similarity_fuzz_slice(spark):
             rec = run_ivf_case(spark, corpus, queries, dup_map, p)
         if rec is not None:
             failures.append({"i": i, "family": fam, **rec})
+    assert failures == []
+
+
+def test_frequent_fuzz_slice_both_modes(spark):
+    """Seeded frequent-family slice forced through BOTH threshold
+    spellings (round 11 added phi): exactness, bounds, superset, and
+    the phi-mode never-refuses contract, vs exact Python counts."""
+    failures = []
+    for i in range(6):
+        rng = np.random.default_rng(SEED * 7_000_003 + i)
+        items, parts, k, threshold, _ = gen_frequent_case(rng)
+        phi = (0.002, 0.01, 0.05, None, None, None)[i]
+        rec = run_frequent_case(spark, items, parts, k, threshold, phi)
+        if rec is not None:
+            failures.append({"i": i, **rec})
     assert failures == []
 
 

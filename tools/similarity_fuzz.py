@@ -954,19 +954,29 @@ def gen_frequent_case(rng):
         for j in rng.integers(0, n, size=n // 50):
             items[int(j)] = None
     threshold = int(rng.integers(1, max(2, n // 20)))
-    return items, parts, k, threshold
+    # half the cases exercise the round-11 RELATIVE (phi) mode: random
+    # phi, k derived inside the operator (ceil(1/phi)*safety), valve
+    # unreachable by construction
+    phi = float(rng.uniform(0.002, 0.08)) if rng.random() < 0.5 else None
+    return items, parts, k, threshold, phi
 
 
-def run_frequent_case(spark, items, parts, k, threshold) -> dict | None:
+def run_frequent_case(
+    spark, items, parts, k, threshold, phi=None
+) -> dict | None:
     """The mergeable-summaries contract vs exact Python counts:
 
     - realized error budget D <= n/(k+1) + one rounding per partition;
+    - n (sentinel-carried) equals the exact non-null count;
     - lo <= f <= lo + D for every reported candidate;
     - superset: every item with f > D is reported;
     - heavy_hitters == exact HAVING-count filter whenever the valve
       precondition (D <= threshold) holds; when it does not, the
-      operator must RAISE, never silently under-report."""
+      operator must RAISE, never silently under-report;
+    - phi mode: threshold == floor(phi*n), result exact, and the valve
+      must NEVER fire (k is derived so D < threshold/safety)."""
     import collections
+    import math
 
     from lcr_etl_upgrade_spark.operators.frequent import (
         frequent_item_candidates,
@@ -978,9 +988,11 @@ def run_frequent_case(spark, items, parts, k, threshold) -> dict | None:
     ).repartition(parts)
     exact = collections.Counter(x for x in items if x is not None)
     n = sum(exact.values())
-    cands, d = frequent_item_candidates(df, "item", k, 0)
+    cands, d, n_got, _thr = frequent_item_candidates(df, "item", k, 0)
     if MUTATE == "mg_err_zero":
         d = 0  # pretend the sketch were exact: bounds must now fire
+    if n_got != n and MUTATE is None:
+        return {"kind": "mg_n_mismatch", "n_got": n_got, "n": n}
     if d > n // (k + 1) + parts:
         return {"kind": "mg_budget_exceeded", "d": d, "n": n, "k": k}
     got = {r.item: r.lo for r in cands.collect()}
@@ -993,6 +1005,24 @@ def run_frequent_case(spark, items, parts, k, threshold) -> dict | None:
         if f > d and item not in got:
             return {"kind": "mg_superset_violated", "item": item,
                     "f": f, "d": d}
+    if phi is not None:
+        thr = int(math.floor(phi * n))
+        expected = sorted(
+            (i, c) for i, c in exact.items() if c > thr
+        )
+        try:
+            hh = sorted(
+                (r[0], r["cnt"])
+                for r in heavy_hitters(df, "item", phi=phi).collect()
+            )
+        except ValueError as exc:
+            return {"kind": "mg_phi_valve_fired", "phi": phi,
+                    "n": n, "err": str(exc)[:200]}
+        if hh != expected:
+            diff = set(hh) ^ set(expected)
+            return {"kind": "mg_phi_exactness", "diff": sorted(diff)[:5],
+                    "phi": phi, "thr": thr, "d": d}
+        return None
     expected = sorted(
         (i, c) for i, c in exact.items() if c > threshold
     )
@@ -1132,8 +1162,10 @@ def main() -> int:
             rows, rsd, accuracy, q = gen_sketch_case(rng)
             rec = run_sketch_case(spark, rows, rsd, accuracy, q)
         elif fam == "frequent":
-            items, parts, k, threshold = gen_frequent_case(rng)
-            rec = run_frequent_case(spark, items, parts, k, threshold)
+            items, parts, k, threshold, phi = gen_frequent_case(rng)
+            rec = run_frequent_case(
+                spark, items, parts, k, threshold, phi
+            )
         elif fam == "bpe":
             counts, n_merges = gen_bpe_case(rng)
             rec = run_bpe_case(spark, counts, n_merges)
