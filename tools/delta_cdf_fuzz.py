@@ -267,6 +267,32 @@ def run_case(spark, rng, i: int) -> dict | None:
         latest = max(
             int(f[:20]) for f in os.listdir(log) if f.endswith(".json")
         )
+        if MUTATE == "cdc_size_lie":
+            # corrupt the first cdc action's size claim: the layout
+            # validator below must catch it on every case that wrote one
+            for v_ in range(latest + 1):
+                cpath = os.path.join(log, f"{v_:020d}.json")
+                lines = [json.loads(l) for l in open(cpath) if l.strip()]
+                hit = False
+                for a in lines:
+                    if "cdc" in a:
+                        a["cdc"]["size"] = int(a["cdc"]["size"]) + 1
+                        hit = True
+                        break
+                if hit:
+                    with open(cpath, "w") as fh:
+                        for a in lines:
+                            fh.write(json.dumps(a) + "\n")
+                    break
+        # round-11 post-sequence invariant: the INDEPENDENT structural
+        # validator (pyarrow+json only, no engine imports) must accept
+        # every _change_data layout the sequence produced
+        from tools.cdf_write_validator import validate_table
+
+        layout_violations = validate_table(path)
+        if layout_violations:
+            return {"kind": "cdc_layout_invalid", "ops": ops,
+                    "violations": layout_violations[:5]}
         cols = ["id", "v", "s"]
 
         def snap(v):

@@ -10,6 +10,8 @@ Harnesses (each also runnable standalone with richer options):
   - curation_fuzz   chunk / pack / sample vs Python restatements
   - similarity_fuzz LSH/minhash/simhash/IVF vs exact Python
   - delta_cdf_fuzz  change-feed snapshot algebra vs the snapshot reader
+  - cdf_stream_fuzz streaming CDC crash-recovery: kill/restart +
+                    mid-commit-window replay vs the batch CDF oracle
                     restatements (from-spec XXH64) + recall floors
   - codec_differential  jpeg_lite/png_lite vs the JDK's javax.imageio
 
@@ -35,6 +37,7 @@ SPECS = [
     ("similarity_fuzz", ["--n"], 60, 16),
     ("delta_cdf_fuzz", ["--n"], 25, 8),
     ("delta_write_fuzz", ["--n"], 20, 8),
+    ("cdf_stream_fuzz", ["--n"], 8, 3),
     ("codec_differential", ["--png", "--jpeg"], (30, 18), (10, 6)),
 ]
 
