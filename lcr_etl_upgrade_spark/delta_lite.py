@@ -3892,6 +3892,199 @@ def latest_version(path: str) -> int:
 # ---- OPTIMIZE (bin-packing compaction + Z-order clustering) --------------
 
 
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_ROW_CV_KEY = (
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+)
+
+
+def _with_materialized_row_ids(
+    spark: SparkSession,
+    base: str,
+    rels: list[str],
+    adds: dict[str, dict],
+    read_schema: T.StructType,
+    rid_col: str,
+    rcv_col: str,
+    dv_ver: dict | None = None,
+    keep_basename: bool = False,
+) -> DataFrame:
+    """Scan ``rels`` with each row's RESOLVED row-tracking identity
+    materialized into ``rid_col``/``rcv_col`` (protocol rule: the
+    file's materialized column value when non-null, else
+    baseRowId + row position / defaultRowCommitVersion).
+
+    ONE scan over all files + a broadcast join against a one-row-per-
+    file descriptor frame (baseRowId, defaultRowCommitVersion keyed by
+    part-file basename — globally unique within a table: every writer
+    path stages through uuid-carrying part names), so the plan does not
+    grow with file count the way a per-file union would. ``read_schema``
+    must already include ``rid_col``/``rcv_col`` as nullable longs —
+    parquet null-fills them for files that never materialized ids.
+    Deletion vectors (``dv_ver``) apply BEFORE the join — the DV filter
+    resolves ``_metadata`` columns, which joins sever. ``keep_basename``
+    leaves the ``__rt_base`` key column for callers that need further
+    per-file joins (partition-value injection) downstream."""
+    basenames = [os.path.basename(r) for r in rels]
+    if len(set(basenames)) != len(basenames):
+        raise AssertionError(
+            f"part-file basename collision among {rels!r}"
+        )
+    desc = spark.createDataFrame(
+        [
+            (
+                os.path.basename(rel),
+                (adds.get(rel) or {}).get("baseRowId"),
+                (adds.get(rel) or {}).get("defaultRowCommitVersion"),
+            )
+            for rel in rels
+        ],
+        "__rt_base string, __rt_rid bigint, __rt_dcv bigint",
+    )
+    df = (
+        spark.read.schema(read_schema)
+        .parquet(*[os.path.join(base, r) for r in rels])
+        .select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__rt_base"),
+            F.col("_metadata.row_index").alias("__rt_idx"),
+        )
+    )
+    if dv_ver:
+        df = _apply_dv_filter(spark, df, base, dv_ver, rels)
+    df = df.join(F.broadcast(desc), "__rt_base", "left")
+    df = (
+        df.withColumn(
+            rid_col,
+            F.coalesce(
+                _quoted(rid_col), F.col("__rt_rid") + F.col("__rt_idx")
+            ),
+        )
+        .withColumn(
+            rcv_col, F.coalesce(_quoted(rcv_col), F.col("__rt_dcv"))
+        )
+        .drop("__rt_idx", "__rt_rid", "__rt_dcv")
+    )
+    return df if keep_basename else df.drop("__rt_base")
+
+
+def read_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's rows (logical schema) plus ``_row_id`` and
+    ``_row_commit_version`` resolved per the rowTracking protocol rule:
+    a file's materialized shadow-column value when non-null (written by
+    row-id-preserving OPTIMIZE), else baseRowId + position within the
+    file / defaultRowCommitVersion. Deletion vectors apply as in the
+    normal reader, and a surviving row keeps the id it was assigned at
+    ingest — across deletes, compactions and Z-ORDER rewrites.
+
+    Plan shape: one parquet scan over the active files + a broadcast
+    join against a one-row-per-file descriptor frame — no per-file plan
+    growth. Refuses tables where some file carries NO assignment and NO
+    materialized ids (foreign writer that ignored the feature)."""
+    state = replay_log(spark, path, version)
+    schema = state.schema
+    mapping = _column_mapping_mode(state.metadata)
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    cfg = (state.metadata or {}).get("configuration") or {}
+    rid_col = cfg.get(_MAT_ROW_ID_KEY) or f"_row-id-{uuid.uuid4().hex}"
+    rcv_col = cfg.get(_MAT_ROW_CV_KEY) or f"_row-cv-{uuid.uuid4().hex}"
+    rels = sorted(state.files)
+    if not rels:
+        empty = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType()),
+                T.StructField("_row_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    for rel in rels:
+        extras = state.adds.get(rel) or {}
+        if "baseRowId" not in extras and cfg.get(_MAT_ROW_ID_KEY) is None:
+            raise ValueError(
+                f"file {rel!r} carries no baseRowId and the table "
+                "configures no materialized row-id column — row ids "
+                "are undefined (was rowTracking ever enabled?)"
+            )
+    base = _local(path)
+    phys_part_cols = [
+        pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name in state.partition_columns
+    ]
+    data_fields = [
+        f for f in phys_schema.fields if f.name not in phys_part_cols
+    ]
+    read_schema = T.StructType(
+        data_fields
+        + [
+            T.StructField(rid_col, T.LongType()),
+            T.StructField(rcv_col, T.LongType()),
+        ]
+    )
+    dv_ver = _dv_verify(base, state.dvs) if state.dvs else None
+    df = _with_materialized_row_ids(
+        spark,
+        base,
+        rels,
+        state.adds,
+        read_schema,
+        rid_col,
+        rcv_col,
+        dv_ver=dv_ver,
+        keep_basename=bool(phys_part_cols),
+    )
+    # partition columns live in directory names, not the files; inject
+    # them from each file's logged partitionValues via the same
+    # basename-keyed broadcast descriptor
+    if phys_part_cols:
+        logical_parts = [
+            (f, pf)
+            for f, pf in zip(schema.fields, phys_schema.fields)
+            if f.name in state.partition_columns
+        ]
+        pdesc = spark.createDataFrame(
+            [
+                tuple(
+                    [os.path.basename(rel)]
+                    + [
+                        (state.files.get(rel) or {}).get(pf.name)
+                        for _, pf in logical_parts
+                    ]
+                )
+                for rel in rels
+            ],
+            T.StructType(
+                [T.StructField("__rt_base", T.StringType())]
+                + [
+                    T.StructField(f"__rt_p{i}", T.StringType())
+                    for i in range(len(logical_parts))
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(pdesc), "__rt_base", "left")
+        for i, (f, pf) in enumerate(logical_parts):
+            df = df.withColumn(
+                pf.name, F.col(f"__rt_p{i}").cast(f.dataType)
+            )
+        df = df.drop(
+            "__rt_base", *[f"__rt_p{i}" for i in range(len(logical_parts))]
+        )
+    out_cols = [
+        _quoted(pf.name).alias(f.name)
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    ]
+    return df.select(
+        *out_cols,
+        _quoted(rid_col).alias("_row_id"),
+        _quoted(rcv_col).alias("_row_commit_version"),
+    )
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -3913,13 +4106,19 @@ def optimize(
     remedy: scans pay per-file open cost and footer round trips, so a
     drip-fed table degrades until someone compacts it.
 
-    Refuses (with the reason) on tables whose candidate files carry
-    optional add state it cannot regenerate (rowTracking's baseRowId /
-    defaultRowCommitVersion — rewriting those files would silently
-    change row identity); derived stats/tags are droppable. Only
-    same-partitionValues files ever merge. Returns
-    ``{"version", "rewritten", "added"}`` (version None = nothing to
-    do).
+    rowTracking tables rewrite row-ID-PRESERVINGLY (r11): each row's
+    resolved identity (its file's materialized shadow-column value when
+    non-null, else baseRowId + position) is written into the protocol's
+    materialized row-id / row-commit-version columns — named by the
+    ``delta.rowTracking.materializedRowIdColumnName`` /
+    ``...RowCommitVersionColumnName`` configuration, created on first
+    use — and the rewritten adds take fresh baseRowId ranges from the
+    ``delta.rowTracking`` domain watermark (delta-spark's scheme: the
+    materialized values override the per-file defaults, so logical row
+    ids survive merging and reordering; ``read_row_ids`` pins it).
+    Derived stats/tags are droppable. Only same-partitionValues files
+    ever merge. Returns ``{"version", "rewritten", "added"}`` (version
+    None = nothing to do).
     """
     base = _local(path)
     state = replay_log(spark, path)
@@ -3986,21 +4185,52 @@ def optimize(
         return {"version": None, "rewritten": 0, "added": 0}
 
     undroppable = ("baseRowId", "defaultRowCommitVersion")
-    for _, rels in groups:
-        for rel in rels:
-            extras = state.adds.get(rel) or {}
-            carried = [k for k in undroppable if k in extras]
-            if carried:
-                raise NotImplementedError(
-                    f"optimize would rewrite {rel!r}, which carries "
-                    f"{carried} (rowTracking state this writer cannot "
-                    "regenerate without changing row identity)"
-                )
+    row_tracking = "rowTracking" in set(
+        (state.protocol or {}).get("writerFeatures") or ()
+    )
+    ids_carried = any(
+        k in (state.adds.get(rel) or {})
+        for _, rels in groups
+        for rel in rels
+        for k in undroppable
+    )
+    if ids_carried and not row_tracking:
+        # ids without the feature: a foreign anomaly this writer cannot
+        # rewrite protocol-correctly (no feature, no config keys)
+        raise NotImplementedError(
+            "optimize would rewrite files carrying baseRowId/"
+            "defaultRowCommitVersion on a table whose protocol does "
+            "not list rowTracking — cannot preserve row identity "
+            "without the feature's materialized-column machinery"
+        )
+    rt_cfg = dict((state.metadata or {}).get("configuration") or {})
+    rid_col = rt_cfg.get(_MAT_ROW_ID_KEY)
+    rcv_col = rt_cfg.get(_MAT_ROW_CV_KEY)
+    rt_meta_changed = False
+    if row_tracking:
+        # row-ID-PRESERVING rewrite (r11): each row's resolved identity
+        # (materialized value, else baseRowId + position) is written
+        # into the protocol's materialized shadow columns — named by
+        # table configuration, created here on first use, invisible to
+        # normal reads (every reader scans with the table schema, so
+        # parquet prunes them). The rewritten adds then take FRESH
+        # baseRowId ranges (delta-spark's scheme: the materialized
+        # values override the defaults, so logical ids survive any
+        # reordering or merging of files).
+        if rid_col is None:
+            rid_col = f"_row-id-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_ID_KEY] = rid_col
+            rt_meta_changed = True
+        if rcv_col is None:
+            rcv_col = f"_row-commit-version-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_CV_KEY] = rcv_col
+            rt_meta_changed = True
 
     import time as _time
 
     dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
     now_ms = int(_time.time() * 1000)
+    version = state.version + 1
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": now_ms,
@@ -4011,13 +4241,45 @@ def optimize(
             },
         }
     }]
+    if rt_meta_changed:
+        meta_out = dict(state.metadata)
+        meta_out["configuration"] = rt_cfg
+        actions.append({"metaData": meta_out})
+    next_row_id = 0
+    if row_tracking:
+        domain = state.domains.get("delta.rowTracking")
+        if domain and not domain.get("removed"):
+            next_row_id = int(
+                json.loads(domain.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            ) + 1
     n_added = 0
     n_rewritten = 0
     for pvals, rels in groups:
-        df = spark.read.schema(data_schema).parquet(
-            *[os.path.join(base, r) for r in rels]
-        )
-        df = _apply_dv_filter(spark, df, base, dv_ver, rels)
+        if row_tracking:
+            rt_read_schema = T.StructType(
+                list(data_schema.fields)
+                + [
+                    T.StructField(rid_col, T.LongType()),
+                    T.StructField(rcv_col, T.LongType()),
+                ]
+            )
+            df = _with_materialized_row_ids(
+                spark,
+                base,
+                rels,
+                state.adds,
+                rt_read_schema,
+                rid_col,
+                rcv_col,
+                dv_ver=dv_ver,
+            )
+        else:
+            df = spark.read.schema(data_schema).parquet(
+                *[os.path.join(base, r) for r in rels]
+            )
+            df = _apply_dv_filter(spark, df, base, dv_ver, rels)
         total = sum(sizes[r] for r in rels)
         n_out = max(1, -(-total // target_file_bytes))
         if zorder_by:
@@ -4063,6 +4325,19 @@ def optimize(
                 stats = _file_stats_json(dst)
                 if stats is not None:
                     add["stats"] = stats
+                if row_tracking:
+                    if stats is None:
+                        raise NotImplementedError(
+                            f"the table at {path!r} demands rowTracking "
+                            f"but the rewritten file {rel_new!r} yielded "
+                            "no readable footer statistics to size its "
+                            "baseRowId range; refusing rather than "
+                            "committing colliding row ids"
+                        )
+                    n_records = int(json.loads(stats)["numRecords"])
+                    add["baseRowId"] = next_row_id
+                    add["defaultRowCommitVersion"] = version
+                    next_row_id += n_records
                 actions.append({"add": add})
                 n_added += 1
         finally:
@@ -4077,7 +4352,16 @@ def optimize(
                 remove["deletionVector"] = state.dvs[rel]
             actions.append({"remove": remove})
             n_rewritten += 1
-    version = state.version + 1
+    if row_tracking and n_added:
+        actions.append({
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": next_row_id - 1}
+                ),
+                "removed": False,
+            }
+        })
     commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
     _write_commit_file(commit_path, actions)
     return {"version": version, "rewritten": n_rewritten, "added": n_added}

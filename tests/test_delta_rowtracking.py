@@ -171,3 +171,136 @@ def test_checkpoint_roundtrips_assignments(spark, tmp_path):
     assert after.domains["delta.rowTracking"] == (
         before.domains["delta.rowTracking"]
     )
+
+
+# ---- row-ID-preserving OPTIMIZE (round 11) --------------------------------
+
+
+def _row_ids(spark, path):
+    from lcr_etl_upgrade_spark.delta_lite import read_row_ids
+
+    return {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_row_ids(spark, path).collect()
+    }
+
+
+def _tracked_table(spark, path, parts=4, n=40):
+    """Table whose EVERY active file carries a rowTracking assignment:
+    seeded, feature-enabled, then overwritten + appended."""
+    write_delta_lite(spark.range(0, 1).select("id"), path)
+    _enable_row_tracking(path)
+    write_delta_lite(
+        spark.range(0, n // 2).select("id").repartition(parts),
+        path,
+        mode="overwrite",
+    )
+    write_delta_lite(
+        spark.range(n // 2, n).select("id").repartition(parts),
+        path,
+        mode="append",
+    )
+
+
+def test_read_row_ids_resolves_base_plus_position(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _tracked_table(spark, path)
+    ids = _row_ids(spark, path)
+    assert len(ids) == 40
+    rid_values = [v[0] for v in ids.values()]
+    assert len(set(rid_values)) == 40  # unique, never reused
+    assert all(v[0] is not None and v[1] is not None for v in ids.values())
+    # ids reconstruct from the logged ranges exactly
+    state = replay_log(spark, path)
+    spans = _ranges(state)
+    legal = set()
+    for b, ncount, _ in spans:
+        legal |= set(range(b, b + ncount))
+    assert set(rid_values) <= legal
+
+
+def test_optimize_preserves_row_ids(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import optimize
+
+    path = str(tmp_path / "t")
+    _tracked_table(spark, path)
+    before = _row_ids(spark, path)
+    res = optimize(spark, path, target_file_bytes=1 << 30)
+    assert res["version"] is not None and res["rewritten"] >= 2
+    after = _row_ids(spark, path)
+    assert after == before  # identity stable across the rewrite
+    # the table configured materialized shadow columns
+    state = replay_log(spark, path)
+    cfg = state.metadata["configuration"]
+    assert "delta.rowTracking.materializedRowIdColumnName" in cfg
+    assert (
+        "delta.rowTracking.materializedRowCommitVersionColumnName" in cfg
+    )
+    # rewritten adds carry FRESH ranges above the prior watermark, and
+    # the watermark advanced
+    dom = json.loads(
+        state.domains["delta.rowTracking"]["configuration"]
+    )
+    assert dom["rowIdHighWaterMark"] >= max(v[0] for v in before.values())
+    # normal reads stay blind to the shadow columns
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_lite
+
+    assert read_delta_lite(spark, path).columns == ["id"]
+
+
+def test_optimize_preserves_ids_through_dv_delete(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import delete_rows, optimize
+
+    path = str(tmp_path / "t")
+    _tracked_table(spark, path)
+    delete_rows(spark, path, F.col("id") % 3 == 0)
+    before = _row_ids(spark, path)
+    assert all(k % 3 != 0 for k in before)
+    res = optimize(spark, path, target_file_bytes=1 << 30)
+    assert res["version"] is not None
+    assert _row_ids(spark, path) == before
+    # the rewrite materialized the DVs away
+    state = replay_log(spark, path)
+    assert not state.dvs
+
+
+def test_second_optimize_prefers_materialized_ids(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import optimize
+
+    path = str(tmp_path / "t")
+    _tracked_table(spark, path)
+    before = _row_ids(spark, path)
+    assert optimize(spark, path, target_file_bytes=1 << 30)["version"]
+    # drip more files and compact again: previously-materialized ids
+    # must override the second rewrite's fresh baseRowId defaults
+    write_delta_lite(
+        spark.range(100, 110).select("id").repartition(2),
+        path,
+        mode="append",
+    )
+    mid = _row_ids(spark, path)
+    assert {k: v for k, v in mid.items() if k < 100} == before
+    assert optimize(spark, path, target_file_bytes=1 << 30)["version"]
+    assert _row_ids(spark, path) == mid
+
+
+def test_zorder_optimize_preserves_ids(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import optimize
+
+    path = str(tmp_path / "t")
+    _tracked_table(spark, path)
+    before = _row_ids(spark, path)
+    res = optimize(spark, path, zorder_by=["id"])
+    assert res["version"] is not None
+    assert _row_ids(spark, path) == before
+
+
+def test_read_row_ids_refuses_untracked_files(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import read_row_ids
+
+    path = str(tmp_path / "t")
+    write_delta_lite(spark.range(0, 5).select("id"), path)
+    _enable_row_tracking(path)
+    # v0's file never got an assignment and nothing is materialized
+    with pytest.raises(ValueError, match="no baseRowId"):
+        read_row_ids(spark, path)
