@@ -118,6 +118,18 @@ def dsum_partial(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def descale(col: Column | str, alias: str | None = None) -> Column:
+    """Per-ROW descale of a dsum_partial value (or any expression built
+    from summing partials, e.g. a window total over an aggregated
+    relation) back to the exact double: the non-aggregate counterpart
+    of dsum_final."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (
+        c.cast("decimal(38,6)") / F.lit(_SCALE).cast("decimal(18,0)")
+    ).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def dsum_final(col: Column | str, alias: str | None = None) -> Column:
     """Reduce-side half of a two-stage dsum: sum the partials exactly
     and descale to double."""

@@ -15,6 +15,9 @@ becomes linestatus). Each exercises a distinct plan shape:
        distinct-supplier stats (no commit/receipt dates in the schema,
        so "late" is restated as shipped >90 days after the order date;
        q13's comment filter becomes an order-priority filter)
+- q2/q9/q11/q16/q20 (r11): the five shapes completing the TPC-H 22 —
+       see the round-11 section below for the partsupp-free restatement
+       rules (lineitem as the part<->supplier relation)
 
 All double sums route through decimal (functions/numeric.py) so results
 hash-match DuckDB bit-for-bit regardless of partitioning.
@@ -700,4 +703,382 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+# ---- round 11: the five remaining TPC-H shapes (q2, q9, q11, q16, q20) ----
+# The testdata has no partsupp table, so the four queries built on it are
+# restated against LINEITEM as the part<->supplier relation (observed
+# supply: cost = min unit price ever charged, value = revenue carried),
+# keeping each query's DISTINGUISHING plan shape intact: q2's correlated
+# scalar MIN joined back, q11's global-share HAVING threshold, q16's
+# NOT-IN exclusion + COUNT DISTINCT, q20's nested semi-join chain. q9
+# replaces ps_supplycost with a retail-price-derived cost. With these,
+# all 22 TPC-H query shapes are registered.
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice /
+                 CASE WHEN l_quantity >= 1 THEN l_quantity ELSE 1 END)
+               AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+           sup.cost AS supply_cost
+    FROM part p
+    JOIN supply sup ON sup.l_partkey = p.p_partkey
+    JOIN eur s ON s.s_suppkey = sup.l_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+      AND sup.cost = (SELECT MIN(s2.cost) FROM supply s2
+                      JOIN eur e2 ON e2.s_suppkey = s2.l_suppkey
+                      WHERE s2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): a correlated scalar MIN
+    subquery decorrelated into min-per-group joined back on
+    (key, value=min). The part and EUROPE-supplier filters broadcast
+    into the supply aggregate BEFORE the min is computed (the
+    correlated min only ever matters for selected parts and is itself
+    restricted to EUROPE suppliers), and the min-join reuses the
+    aggregation's l_partkey partitioning. Cost equality is
+    double==double of the IDENTICAL computation on both sides, so the
+    filter is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice")
+            / F.when(F.col("l_quantity") >= 1, F.col("l_quantity"))
+            .otherwise(F.lit(1))
+        ).alias("unit"),
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    eur_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(eur_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name")
+    )
+    supply = (
+        li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "l_partkey", "l_suppkey", "p_name", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .agg(F.min("unit").alias("cost"))
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("__mk")).agg(
+        F.min("cost").alias("__min_cost")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("__mk"))
+            & (F.col("cost") == F.col("__min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.8 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p, lineitem l, supplier s, orders o, nation n
+      WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        AND o.o_orderkey = l.l_orderkey
+        AND s.s_nationkey = n.n_nationkey
+        AND p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): the classic six-relation
+    profit rollup by supplier nation and order year. The schema has no
+    partsupp, so supply cost is restated as 0.8 * p_retailprice (the
+    same join graph minus one relation). part's LIKE filter prunes
+    lineitem at the first broadcast probe; orders arrives last for the
+    year only; the profit expression routes through decimal so the
+    grouped sum hash-matches at any partitioning."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_9'
+    ), v AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS value
+      FROM scoped GROUP BY l_partkey
+    )
+    SELECT ps_partkey, value FROM v
+    WHERE value > (
+      SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                          AS DOUBLE)
+      FROM scoped
+    )
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape): per-part value with a
+    GLOBAL-SHARE threshold — the scalar subquery over the same scoped
+    relation, the same shape as the phi heavy-hitters oracle. Value is
+    restated as lineitem revenue carried by NATION_9's suppliers (no
+    partsupp). ONE lineitem scan: the per-part aggregation keeps its
+    EXACT fixed-point partial (dsum_partial), and the global total is a
+    window sum of those partials over the already-aggregated |parts|-row
+    relation — summing exact decimals is associative, so the threshold
+    equals the oracle's whole-relation decimal sum bit-for-bit, without
+    a second scan or a nested-loop total join."""
+    from pyspark.sql import Window
+
+    from lcr_etl_upgrade_spark.functions.numeric import (
+        descale,
+        dsum_partial,
+    )
+
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    scoped = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    v = scoped.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum_partial("l_extendedprice", "__p")
+    )
+    w = Window.partitionBy()  # |parts| rows post-agg: one tiny exchange
+    return (
+        v.select(
+            "ps_partkey",
+            descale("__p", "value"),
+            (F.lit(0.001) * descale(F.sum("__p").over(w))).alias("__thr"),
+        )
+        .filter(F.col("value") > F.col("__thr"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): NOT-IN exclusion
+    subquery -> broadcast anti join (the excluded-supplier list is tiny
+    and never null, so NOT IN and anti join agree), then COUNT DISTINCT
+    per part descriptor. The part filter is three pushable conjuncts
+    (two <>, one IN-list) that reach the parquet scan; lineitem is the
+    l_partkey<->l_suppkey relation partsupp would have been."""
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+        )
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 30
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): the nested semi-join
+    chain — part-name IN feeds a grouped HAVING subquery that feeds a
+    supplier IN. availqty does not exist without partsupp, so the
+    "surplus stock" test is restated as shipped volume per
+    (supplier, part) above a floor in the window year. Both INs plan as
+    left-semi joins with broadcast small sides; the HAVING sum is exact
+    (integer-valued quantities in doubles)."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 30)
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
     )

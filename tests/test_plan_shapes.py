@@ -93,6 +93,21 @@ SHUFFLE_BUDGET = {
     # token explode is narrow; summaries merge + candidate recount +
     # result ordering carry the shuffles (candidates broadcast)
     "doc_heavy_hitter_tokens": 3,
+    # r11: the five queries completing the TPC-H 22. q2: pair-grain min
+    # agg + per-part min agg + the value-equality join back + top-k
+    # ordering (dims broadcast); the composite-key and part-key
+    # aggregations cannot share one clustering
+    "q2_min_cost_supplier": 5,
+    # part/supplier broadcast; orders join + grouped sum + sort
+    "q9_product_type_profit": 2,
+    # one scan feeds value-agg and the broadcast single-row total;
+    # persisted-subtree reuse keeps it at the agg + total + ordering
+    "q11_important_stock": 3,
+    # broadcast anti + broadcast part probe; COUNT DISTINCT expands to
+    # two exchanges + ordering
+    "q16_parts_supplier_relationship": 3,
+    # both INs are broadcast semi joins; (supplier, part) agg + order
+    "q20_potential_promotion": 2,
 }
 
 

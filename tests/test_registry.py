@@ -46,9 +46,13 @@ FROZEN_QUERY_NAMES = sorted(
     pipeline_lead_xref_end_to_end pivot_status_by_priority q10_returned_items
     q12_priority_by_linestatus q13_customer_distribution q14_promo_revenue
     q15_top_supplier q17_small_quantity_revenue q18_large_orders
-    q19_disjunctive_revenue q1_pricing_summary q21_suppliers_kept_waiting
-    q22_global_sales_opportunity q3_shipping_priority q4_order_priority
+    q19_disjunctive_revenue q1_pricing_summary q20_potential_promotion
+    q21_suppliers_kept_waiting
+    q22_global_sales_opportunity q2_min_cost_supplier q3_shipping_priority
+    q4_order_priority
     q5_nation_revenue q6_forecast_revenue q7_nation_volume q8_market_share
+    q9_product_type_profit q11_important_stock
+    q16_parts_supplier_relationship
     scalar_functions setops_customers setops_multiset unpivot_order_measures
     window_distribution_ranks window_first_last window_range_frame
     window_running_analytics window_topk_per_group
@@ -58,9 +62,9 @@ FROZEN_QUERY_NAMES = sorted(
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_registry_frozen_at_93_names():
+def test_registry_frozen_at_98_names():
     assert sorted(entry_mod.queries()) == FROZEN_QUERY_NAMES
-    assert len(FROZEN_QUERY_NAMES) == 93
+    assert len(FROZEN_QUERY_NAMES) == 98
 
 
 def test_every_oracle_key_has_a_query():
