@@ -1,6 +1,6 @@
 """Physical-plan shape regression tests for headline queries.
 
-tools/plan_audit.py scans all 91 registered queries for red flags as an
+tools/plan_audit.py scans all 98 registered queries for red flags as an
 offline artifact; these tests pin the STRONGER per-query properties the
 bench relies on — shuffle-exchange budgets, dimension broadcasts, parquet
 filter pushdown, and the no-row-at-a-time-Python invariant — so an edit

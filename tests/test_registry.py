@@ -6,9 +6,10 @@ pins down locally:
 
 1. Registry drift — a rename/addition silently changes the key set the
    driver sees (round-2 verdict froze the registry; round 10 extended it
-   to these 93 names: TPC-H q8/q13/q21 — the last three queries
-   expressible without a partsupp table — plus layout_zorder_key,
-   doc_heavy_hitter_tokens and doc_bpe_train_stats).
+   to 93 names: TPC-H q8/q13/q21, layout_zorder_key,
+   doc_heavy_hitter_tokens and doc_bpe_train_stats; round 11 to these
+   98 — q2/q9/q11/q16/q20 restated without partsupp against lineitem
+   as the part<->supplier relation, completing all 22 TPC-H shapes).
 2. A query whose PLAN no longer builds (schema error, missing column)
    that would only surface minutes into the full oracle gate.
 
