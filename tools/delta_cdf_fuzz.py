@@ -159,7 +159,8 @@ def run_case(spark, rng, i: int) -> dict | None:
             partition_by=("s",) if part else (),
             column_mapping=mapping,
         )
-        if rng.random() < 0.35:
+        cdf_enabled = rng.random() < 0.35
+        if cdf_enabled:
             # CDF-enabled table: the engine's deletes must now WRITE
             # change files + cdc actions, and both readers must serve
             # them — the snapshot algebra below validates the written
@@ -214,7 +215,15 @@ def run_case(spark, rng, i: int) -> dict | None:
                 if not _compact(path):
                     continue
             elif op == "restore":
-                if not _restore(path):
+                # the hand-authored DV-clearing remove+add simulates a
+                # FOREIGN writer; on a CDF-enabled table that shape is
+                # writer-non-conformant (the protocol demands cdc
+                # actions there — the engine's own restore_table
+                # REFUSES it for exactly that reason), and the round-11
+                # layout validator would rightly flag it (W8, found on
+                # seed 5151307). The readers' derivation for foreign DV
+                # commits keeps its coverage on non-CDF tables.
+                if cdf_enabled or not _restore(path):
                     continue
             elif op == "optimize":
                 # the ENGINE's own dataChange=false rewrite (bin-pack +
