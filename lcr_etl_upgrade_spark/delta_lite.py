@@ -3046,6 +3046,477 @@ def delete_rows(
     return version
 
 
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    condition: Column | str,
+    assignments: dict[str, Column | str],
+) -> int:
+    """UPDATE the table at ``path`` SET ``assignments`` WHERE
+    ``condition`` — delta-spark's classic rewrite-path UPDATE command,
+    re-expressed on the public protocol (r11; completes the CDC write
+    surface next to delete_rows/write/optimize/restore). Returns the
+    committed version (unchanged if nothing matched).
+
+    Mechanics:
+    - the condition and assignment expressions evaluate over the
+      LOGICAL schema (column-mapped tables scan physically and rename
+      first); assignment values are cast to the column's declared type;
+    - every file containing a LIVE matching row (deletion-vector-masked
+      rows are excluded — updating a deleted row would resurrect it)
+      is REWRITTEN: one new file set per touched partition group
+      carrying all live rows, assignments applied to the matching ones;
+      the old files (and their DVs) are removed. Cost is proportional
+      to TOUCHED files, exactly delta-spark's rewrite-path UPDATE —
+      at 100 TB a selective predicate touches few files and a broad
+      one was always going to cost a rewrite;
+    - GENERATED columns are recomputed from their expressions on the
+      updated rows (assigning to one directly is refused, as is
+      assigning to identity or partition columns — moving rows between
+      partitions is an overwrite, not an update);
+    - CHECK constraints / invariants ride the staging write as
+      observe() metrics (zero extra passes); violations unstage;
+    - on ``delta.enableChangeDataFeed`` tables the commit carries the
+      protocol's AUTHORITATIVE change files: the matched rows' OLD
+      values as ``update_preimage`` and NEW values as
+      ``update_postimage`` under ``_change_data/`` — unchanged rows of
+      rewritten files produce no change rows (the exact reason the
+      protocol makes cdc actions authoritative: naive add/remove
+      derivation would report the whole rewrite);
+    - rowTracking tables rewrite row-ID-preservingly, like optimize:
+      resolved row ids materialize into the config-named shadow
+      columns for every surviving row; the materialized
+      row-commit-version is kept for UNCHANGED rows and left NULL for
+      updated ones, so it falls back to the new add's
+      defaultRowCommitVersion — this commit, which IS the row's last
+      modification (the protocol's rule); fresh baseRowId ranges
+      advance the domain watermark;
+    - single-writer commit like delete_rows: a lost race raises.
+    """
+    import time as _time
+
+    base = _local(path)
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    _check_write_obligations(state, path, "update")
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"unknown delta.columnMapping.mode {mapping!r}"
+        )
+    if not state.files:
+        return state.version
+
+    schema = state.schema
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    logical_to_phys = {
+        f.name: pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    phys_part_cols = [
+        logical_to_phys[c]
+        for c in state.partition_columns
+        if c in logical_to_phys
+    ]
+    gen_cols = dict(_generated_columns(schema))
+    ident_names = {d["name"] for d in _identity_columns(schema)}
+    for name in assignments:
+        if name not in logical_to_phys:
+            raise ValueError(f"assignment to unknown column {name!r}")
+        if name in state.partition_columns:
+            raise NotImplementedError(
+                f"update_rows cannot assign partition column {name!r} "
+                "(rows would move between partitions — rewrite via "
+                "overwrite instead)"
+            )
+        if name in gen_cols:
+            raise ValueError(
+                f"column {name!r} is GENERATED ({gen_cols[name]!r}); it "
+                "is recomputed from its expression — assign its inputs "
+                "instead"
+            )
+        if name in ident_names:
+            raise ValueError(
+                f"column {name!r} is an IDENTITY column; its values are "
+                "row identity and cannot be reassigned"
+            )
+
+    row_tracking = "rowTracking" in set(
+        (state.protocol or {}).get("writerFeatures") or ()
+    )
+    cdf_on = str(
+        (state.metadata.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )
+    ).lower() == "true"
+
+    rels = sorted(state.files)
+    abs_files = [os.path.join(base, rel) for rel in rels]
+    if mapping != "none":
+        _verify_physical_names(
+            spark,
+            abs_files[0],
+            [
+                pf.name
+                for pf in phys_schema.fields
+                if pf.name not in phys_part_cols
+            ],
+        )
+    if phys_part_cols and not _all_files_hive_layout(
+        state.files, phys_part_cols
+    ):
+        raise NotImplementedError(
+            "update_rows on a partitioned table whose file paths do not "
+            "hive-encode the logged partitionValues (externally "
+            "authored layout) — rewrite via overwrite instead"
+        )
+
+    dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
+
+    # ---- which files carry a LIVE matching row -------------------------
+    if phys_part_cols:
+        scan = (
+            spark.read.option("basePath", base)
+            .schema(phys_schema)
+            .parquet(*abs_files)
+        )
+    else:
+        scan = spark.read.schema(phys_schema).parquet(*abs_files)
+    logical_cols = [
+        _quoted(pf.name).cast(f.dataType).alias(f.name)
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    ]
+    live = _apply_dv_filter(spark, scan, base, dv_ver, rels)
+    pred = condition if isinstance(condition, Column) else F.expr(condition)
+    enc_to_rel = {
+        _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
+        for rel in rels
+    }
+    touched_enc = [
+        r[0]
+        for r in (
+            live.select(
+                *logical_cols,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__file"),
+            )
+            .filter(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+    ]
+    touched = sorted(
+        enc_to_rel[e] for e in touched_enc if e in enc_to_rel
+    )
+    if not touched:
+        return state.version
+
+    version = state.version + 1
+    now_ms = int(_time.time() * 1000)
+    constraints = _table_constraints(state.metadata, schema)
+
+    # rowTracking: resolve materialized column names (create on first
+    # use, committing the config), mirror optimize()
+    rt_cfg = dict((state.metadata or {}).get("configuration") or {})
+    rid_col = rt_cfg.get(_MAT_ROW_ID_KEY)
+    rcv_col = rt_cfg.get(_MAT_ROW_CV_KEY)
+    rt_meta_changed = False
+    if row_tracking:
+        if rid_col is None:
+            rid_col = f"_row-id-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_ID_KEY] = rid_col
+            rt_meta_changed = True
+        if rcv_col is None:
+            rcv_col = f"_row-commit-version-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_CV_KEY] = rcv_col
+            rt_meta_changed = True
+    next_row_id = 0
+    if row_tracking:
+        domain = state.domains.get("delta.rowTracking")
+        if domain and not domain.get("removed"):
+            next_row_id = int(
+                json.loads(domain.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            ) + 1
+
+    # assignment expressions over the logical frame, applied only on
+    # matching rows; generated columns recomputed after assignments
+    def _updated(frame: DataFrame) -> DataFrame:
+        out = frame
+        for name, val in assignments.items():
+            expr = val if isinstance(val, Column) else F.expr(val)
+            out = out.withColumn(
+                name,
+                F.when(pred, expr.cast(schema[name].dataType)).otherwise(
+                    _quoted(name)
+                ),
+            )
+        for name, gexpr in gen_cols.items():
+            out = out.withColumn(
+                name,
+                F.when(
+                    pred, F.expr(gexpr).cast(schema[name].dataType)
+                ).otherwise(_quoted(name)),
+            )
+        return out
+
+    by_part: dict[tuple, list[str]] = {}
+    for rel in touched:
+        key = tuple(sorted((state.files[rel] or {}).items()))
+        by_part.setdefault(key, []).append(rel)
+
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "UPDATE",
+            # delta-spark string-encodes operationParameters values
+            "operationParameters": {"predicate": str(condition)},
+        }
+    }]
+    if rt_meta_changed:
+        meta_out = dict(state.metadata)
+        meta_out["configuration"] = rt_cfg
+        actions.append({"metaData": meta_out})
+
+    staged: list[str] = []  # everything to roll back on failure
+    n_rewritten = 0
+    try:
+        for key, group in sorted(by_part.items()):
+            pvals = dict(key)
+            group_abs = [os.path.join(base, r) for r in group]
+            data_fields = [
+                f
+                for f in phys_schema.fields
+                if f.name not in phys_part_cols
+            ]
+            if row_tracking:
+                rt_read_schema = T.StructType(
+                    data_fields
+                    + [
+                        T.StructField(rid_col, T.LongType()),
+                        T.StructField(rcv_col, T.LongType()),
+                    ]
+                )
+                gdf = _with_materialized_row_ids(
+                    spark,
+                    base,
+                    group,
+                    state.adds,
+                    rt_read_schema,
+                    rid_col,
+                    rcv_col,
+                    dv_ver=dv_ver,
+                )
+            else:
+                gdf = spark.read.schema(
+                    T.StructType(data_fields)
+                ).parquet(*group_abs)
+                gdf = _apply_dv_filter(spark, gdf, base, dv_ver, group)
+            # logical view (partition columns as typed literals so the
+            # predicate/assignments may reference them)
+            lg = gdf.select(
+                *[
+                    (
+                        _typed_partition_lit(
+                            pvals.get(logical_to_phys[f.name]),
+                            f.dataType,
+                        ).alias(f.name)
+                        if f.name in state.partition_columns
+                        else _quoted(logical_to_phys[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                    for f in schema.fields
+                ],
+                *(
+                    [_quoted(rid_col), _quoted(rcv_col)]
+                    if row_tracking
+                    else []
+                ),
+            )
+            upd = _updated(lg)
+            if row_tracking:
+                # unchanged rows keep their resolved commit version;
+                # updated rows fall back to the new default (= this
+                # commit, their last modification)
+                upd = upd.withColumn(
+                    rcv_col,
+                    F.when(pred, F.lit(None).cast("long")).otherwise(
+                        _quoted(rcv_col)
+                    ),
+                )
+            obs = None
+            if constraints:
+                upd, obs, name_map = _attach_constraint_observer(
+                    upd, schema, constraints, path
+                )
+            # back to physical layout, partition columns dropped (they
+            # live in the directory name)
+            out_phys = upd.select(
+                *[
+                    _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                    for f, pf in zip(schema.fields, phys_schema.fields)
+                    if pf.name not in phys_part_cols
+                ],
+                *(
+                    [_quoted(rid_col), _quoted(rcv_col)]
+                    if row_tracking
+                    else []
+                ),
+            )
+            part_dir = os.path.dirname(group[0])
+            staging = os.path.join(base, f"_staging-{uuid.uuid4().hex}")
+            out_phys.write.mode("overwrite").parquet(staging)
+            try:
+                if obs is not None:
+                    violated = [
+                        name_map[k]
+                        for k, v in obs.get.items()
+                        if int(v or 0) > 0
+                    ]
+                    if violated:
+                        raise ValueError(
+                            f"update violates constraint(s) "
+                            f"{sorted(violated)} on {path!r}; nothing "
+                            "was committed"
+                        )
+                for name in sorted(os.listdir(staging)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(staging, name)
+                    pf_meta = None
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        pf_meta = _pq.ParquetFile(src).metadata.num_rows
+                    except Exception:
+                        pf_meta = None
+                    if pf_meta == 0:
+                        continue  # never commit zero-row part files
+                    rel_new = (
+                        os.path.join(part_dir, name) if part_dir else name
+                    )
+                    dst = os.path.join(base, rel_new)
+                    os.makedirs(os.path.dirname(dst) or base, exist_ok=True)
+                    size = os.path.getsize(src)
+                    shutil.move(src, dst)
+                    staged.append(rel_new)
+                    add = {
+                        "path": urllib.parse.quote(rel_new, safe="/="),
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                    stats = _file_stats_json(dst)
+                    if stats is not None:
+                        add["stats"] = stats
+                    if row_tracking:
+                        if stats is None:
+                            raise NotImplementedError(
+                                f"the table at {path!r} demands "
+                                f"rowTracking but the rewritten file "
+                                f"{rel_new!r} yielded no readable footer "
+                                "statistics to size its baseRowId range"
+                            )
+                        n_records = int(json.loads(stats)["numRecords"])
+                        add["baseRowId"] = next_row_id
+                        add["defaultRowCommitVersion"] = version
+                        next_row_id += n_records
+                    actions.append({"add": add})
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+
+            # CDF obligation: matched rows only, old and new images
+            if cdf_on:
+                matched_lg = lg.filter(pred)
+                pre = matched_lg.select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in zip(
+                            schema.fields, phys_schema.fields
+                        )
+                        if pf.name not in phys_part_cols
+                    ]
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = _updated(matched_lg).select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in zip(
+                            schema.fields, phys_schema.fields
+                        )
+                        if pf.name not in phys_part_cols
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                cdc_dir = os.path.join(base, "_change_data")
+                os.makedirs(cdc_dir, exist_ok=True)
+                cdc_sub = part_dir  # mirror the data layout per group
+                cdc_target = (
+                    os.path.join(cdc_dir, cdc_sub) if cdc_sub else cdc_dir
+                )
+                for rel_cdc, size in _stage_and_move(
+                    pre.unionByName(post), cdc_target, ()
+                ):
+                    full_rel = "/".join(
+                        x
+                        for x in ("_change_data", cdc_sub, rel_cdc)
+                        if x
+                    )
+                    staged.append(full_rel)
+                    actions.append(
+                        {
+                            "cdc": {
+                                "path": urllib.parse.quote(
+                                    full_rel, safe="/="
+                                ),
+                                "partitionValues": pvals,
+                                "size": size,
+                                "dataChange": False,
+                            }
+                        }
+                    )
+
+            for rel in group:
+                remove = {
+                    "path": urllib.parse.quote(rel, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+                if rel in state.dvs:
+                    remove["deletionVector"] = state.dvs[rel]
+                actions.append({"remove": remove})
+                n_rewritten += 1
+
+        if row_tracking:
+            actions.append({
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": next_row_id - 1}
+                    ),
+                    "removed": False,
+                }
+            })
+        commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
+        _write_commit_file(commit_path, actions)
+    except BaseException:
+        for rel in staged:
+            try:
+                os.remove(os.path.join(base, rel))
+            except OSError:
+                pass
+        raise
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            write_checkpoint(spark, path)
+        except Exception:
+            pass
+    return version
+
+
 def vacuum(spark: SparkSession, path: str) -> list[str]:
     """Remove ORPHANED files: data files referenced by NO version of the
     log (a writer that crashed between staging and commit, or a

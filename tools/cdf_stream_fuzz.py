@@ -4,7 +4,8 @@
 
 Each case builds a fresh delta_lite table (randomly partitioned /
 column-mapped / CDF-enabled) and interleaves EPOCHS of random table ops
-(append, DV delete, OPTIMIZE, RESTORE-rollback) with availableNow runs
+(append, DV delete, rewrite-path UPDATE, OPTIMIZE, RESTORE-rollback)
+with availableNow runs
 of the ``delta_cdf_lite`` streaming source feeding
 ``exactly_once_delta_sink`` — every epoch boundary is a kill/restart
 from the same checkpoint. On a random epoch the case injects the
@@ -104,9 +105,8 @@ def _random_ops(spark, rng, path, n_ops: int) -> list[str]:
 
     done = []
     for _ in range(n_ops):
-        op = ["append", "append", "delete", "optimize", "rollback"][
-            int(rng.integers(0, 5))
-        ]
+        op = ["append", "append", "delete", "optimize", "rollback",
+              "update"][int(rng.integers(0, 6))]
         if op == "append":
             write_delta_lite(
                 _rand_df(spark, rng, int(rng.integers(0, 100))),
@@ -116,6 +116,13 @@ def _random_ops(spark, rng, path, n_ops: int) -> list[str]:
         elif op == "delete":
             pred = (F.col("id") % int(rng.integers(2, 6))) == 0
             delete_rows(spark, path, pred)
+        elif op == "update":
+            from lcr_etl_upgrade_spark.delta_lite import update_rows
+
+            update_rows(
+                spark, path, F.col("id") % int(rng.integers(2, 6)) == 1,
+                {"v": F.col("v") + int(rng.integers(1, 50))},
+            )
         elif op == "optimize":
             if optimize(spark, path,
                         target_file_bytes=1 << 20)["version"] is None:

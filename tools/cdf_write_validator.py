@@ -300,11 +300,40 @@ def validate_table(path: str) -> list[dict]:
 
         if cdcs and not bad_commit_cdc:
             if counts["update_preimage"] or counts["update_postimage"]:
-                out.append({
-                    "check": "W6", "version": v,
-                    "detail": "update_preimage/postimage change rows — "
-                              "a shape this writer never emits",
-                })
+                # rewrite-path UPDATE (r11): touched files rewrite in
+                # full, so the independent replay sees live rows
+                # CONSERVED (derived deletes == derived inserts), while
+                # the authoritative change files carry ONLY the matched
+                # rows as pre/post pairs
+                if counts["update_preimage"] != counts["update_postimage"]:
+                    out.append({
+                        "check": "W6", "version": v,
+                        "detail": f"update_preimage rows "
+                                  f"{counts['update_preimage']} != "
+                                  f"update_postimage rows "
+                                  f"{counts['update_postimage']}",
+                    })
+                if counts["insert"] or counts["delete"]:
+                    out.append({
+                        "check": "W6", "version": v,
+                        "detail": "update commit carries plain "
+                                  "insert/delete change rows — a mixed "
+                                  "shape this writer never emits",
+                    })
+                if derivable and derived_del != derived_ins:
+                    out.append({
+                        "check": "W6", "version": v,
+                        "detail": f"update commit does not conserve "
+                                  f"live rows: removed {derived_del} "
+                                  f"!= added {derived_ins}",
+                    })
+                if derivable and counts["update_preimage"] > derived_del:
+                    out.append({
+                        "check": "W6", "version": v,
+                        "detail": f"more update_preimage rows "
+                                  f"({counts['update_preimage']}) than "
+                                  f"live rows rewritten ({derived_del})",
+                    })
             elif derivable:
                 if counts["delete"] != derived_del:
                     out.append({

@@ -4,10 +4,12 @@
 Each case builds a fresh delta_lite table (35% of them CDF-ENABLED, so
 the engine's deletes must write _change_data files + cdc actions and
 both readers must serve them instead of deriving) and drives a random
-operation sequence — overwrite, append, DV delete, dataChange=false
-compaction, DV-clearing restore, the engine's own OPTIMIZE (bin-pack +
-DV-materializing rewrite), and the engine's RESTORE TO VERSION AS OF
-aimed at a random prior version — then checks SNAPSHOT ALGEBRA for every
+operation sequence — overwrite, append, DV delete, the engine's
+rewrite-path UPDATE (r11: authoritative update_pre/postimage change
+files on CDF tables), dataChange=false compaction, DV-clearing restore,
+the engine's own OPTIMIZE (bin-pack + DV-materializing rewrite), and
+the engine's RESTORE TO VERSION AS OF aimed at a random prior version —
+then checks SNAPSHOT ALGEBRA for every
 window [i, j] of the history:
 
     multiset(read @ i-1) + window inserts - window deletes
@@ -21,9 +23,11 @@ direction (missed delete, phantom insert, DV-diff off-by-one,
 compaction visibility) breaks the equation. Rows are compared as full
 tuples (multiset), so value corruption is caught, not just counts.
 
-Extra pins per case: change rows only carry _change_type in
-{insert, delete}; _commit_version stays inside the window; compaction
-commits contribute zero rows.
+Extra pins per case: change rows only carry protocol _change_type
+values (update_postimage counts as an insert and update_preimage as a
+delete in the algebra); _commit_version stays inside the window;
+compaction commits contribute zero rows; every final table layout must
+pass the independent cdf_write_validator.
 
 --mutate ignore_dv_diff simulates a reader that treats DV updates as
 invisible (drops their change rows in the checker): the battery must
@@ -202,7 +206,7 @@ def run_case(spark, rng, i: int) -> dict | None:
         n_ops = int(rng.integers(2, 7))
         for _ in range(n_ops):
             op = ["append", "delete", "compact", "restore", "optimize",
-                  "rollback"][int(rng.integers(0, 6))]
+                  "rollback", "update"][int(rng.integers(0, 7))]
             if op == "append":
                 write_delta_lite(
                     _rand_df(spark, rng, int(rng.integers(0, 100))),
@@ -211,6 +215,18 @@ def run_case(spark, rng, i: int) -> dict | None:
             elif op == "delete":
                 pred = (F.col("id") % int(rng.integers(2, 6))) == 0
                 delete_rows(spark, path, pred)
+            elif op == "update":
+                # the engine's rewrite-path UPDATE (r11): on CDF tables
+                # it must write authoritative update_pre/postimage
+                # change files the algebra then validates against both
+                # readers and the layout validator
+                from lcr_etl_upgrade_spark.delta_lite import update_rows
+
+                m = int(rng.integers(2, 6))
+                update_rows(
+                    spark, path, F.col("id") % m == 1,
+                    {"v": F.col("v") + int(rng.integers(1, 50))},
+                )
             elif op == "compact":
                 if not _compact(path):
                     continue
@@ -352,7 +368,10 @@ def run_case(spark, rng, i: int) -> dict | None:
                         "diff": sorted(map(str, diff))[:5]}
             bad_type = [
                 r for r in ch
-                if r["_change_type"] not in ("insert", "delete")
+                if r["_change_type"] not in (
+                    "insert", "delete",
+                    "update_preimage", "update_postimage",
+                )
             ]
             if bad_type:
                 return {"kind": "bad_change_type", "ops": ops,
@@ -377,11 +396,13 @@ def run_case(spark, rng, i: int) -> dict | None:
                 ]
             ins = Counter(
                 tuple(r[c] for c in cols)
-                for r in ch if r["_change_type"] == "insert"
+                for r in ch
+                if r["_change_type"] in ("insert", "update_postimage")
             )
             dels = Counter(
                 tuple(r[c] for c in cols)
-                for r in ch if r["_change_type"] == "delete"
+                for r in ch
+                if r["_change_type"] in ("delete", "update_preimage")
             )
             if snaps[lo - 1] + ins - dels != snaps[hi]:
                 return {
