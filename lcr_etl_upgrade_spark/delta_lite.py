@@ -3517,49 +3517,130 @@ def update_rows(
     return version
 
 
-def vacuum(spark: SparkSession, path: str) -> list[str]:
-    """Remove ORPHANED files: data files referenced by NO version of the
-    log (a writer that crashed between staging and commit, or a
-    concurrent-commit loser whose rollback was interrupted) plus
-    leftover ``_staging-*`` directories.
+def _dv_bin_rel(base: str, dv: dict | None) -> str | None:
+    """The table-relative path of a u-storage deletion vector's .bin
+    file, None for inline/absent descriptors (retention accounting —
+    the same uuid derivation _resolve_dv_blob reads through)."""
+    if not dv or dv.get("storageType") != "u":
+        return None
+    enc = dv["pathOrInlineDv"]
+    prefix, uuid_z85 = enc[:-20], enc[-20:]
+    uuid_hex = z85_decode(uuid_z85).hex()
+    name = (
+        f"{uuid_hex[0:8]}-{uuid_hex[8:12]}-{uuid_hex[12:16]}-"
+        f"{uuid_hex[16:20]}-{uuid_hex[20:32]}"
+    )
+    return os.path.join(
+        *([prefix] if prefix else []), f"deletion_vector_{name}.bin"
+    )
 
-    Deliberately more conservative than Delta's retention-based VACUUM:
-    files referenced by any historical version are kept, so time travel
-    to every committed version keeps working. Returns the removed paths
-    (relative to the table root).
 
-    Deletion-vector interaction: only ``*.parquet`` files are candidates,
-    so a ``deletion_vector_*.bin`` referenced by the LIVE state can never
-    be deleted here (pinned by test) — but orphaned DV bins are likewise
-    never reclaimed. Conservative-safe by design; if this vacuum ever
-    grows retention semantics, DV files must join the referenced-set
-    accounting first."""
+def vacuum(
+    spark: SparkSession, path: str, retain_hours: float | None = None
+) -> list[str]:
+    """Reclaim dead files. Two modes:
+
+    - ``retain_hours=None`` (default, unchanged): remove ONLY ORPHANS —
+      data files referenced by NO version of the log (a writer that
+      crashed between staging and commit, or a concurrent-commit loser
+      whose rollback was interrupted) plus leftover ``_staging-*``
+      directories. Files referenced by any historical version are kept,
+      so time travel to every committed version keeps working.
+    - ``retain_hours=H`` (r11): ALSO remove files whose every log
+      reference is OLDER than the horizon (now - H, against the same
+      canonicalized non-decreasing commit timestamps TIMESTAMP AS OF
+      resolves with) and which the current snapshot does not use —
+      delta-spark's retention VACUUM semantics, except STRICTER: every
+      file referenced by any retained-window commit is kept too, so
+      time travel AND change-feed reads within the retention window
+      keep working by construction (delta-spark only guarantees the
+      current snapshot). Time travel PAST the horizon breaks, exactly
+      as documented for delta-spark. Deletion-vector ``.bin`` files
+      join the referenced-set accounting (live DVs and DVs referenced
+      in the window are kept; expired ones reclaim); ``_change_data``
+      files reclaim with their commits. Without a fresh checkpoint the
+      log itself still references old versions — run ``write_checkpoint``
+      + ``cleanup_log`` for the full lifecycle.
+
+    Returns the removed paths (relative to the table root). Orphaned DV
+    bins are still never reclaimed (an in-flight delete_rows stages its
+    .bin BEFORE committing; reclaiming those would corrupt the racing
+    writer) — only log-referenced-then-expired ones are."""
+    import time as _time
+
     base = _local(path)
     log_dir = _log_dir(path)
-    replay_log(spark, path)  # validates the table before touching files
+    state = replay_log(spark, path)  # validates before touching files
+    horizon_ms = (
+        None
+        if retain_hours is None
+        else int(_time.time() * 1000) - int(retain_hours * 3_600_000)
+    )
     referenced: set[str] = set()
+    last_ref_ms: dict[str, int] = {}
+    keep: set[str] = set()
+    # current snapshot: data files + their live DV bins are untouchable
+    keep.update(state.files)
+    for dv in state.dvs.values():
+        rel = _dv_bin_rel(base, dv)
+        if rel:
+            keep.add(rel)
+    commits = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    running_ts = -(1 << 62)
+    for v, f in commits:
+        cpath = os.path.join(log_dir, f)
+        ts_ms = None
+        acts: list[dict] = []
+        with open(cpath) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action and ts_ms is None:
+                    ts_ms = action["commitInfo"].get("timestamp")
+                acts.append(action)
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(cpath) * 1000)
+        running_ts = max(running_ts, int(ts_ms))
+        for action in acts:
+            # cdc change files are referenced ONLY by their commit's
+            # cdc actions (never by checkpoints — cdc is transient log
+            # state): missing them here would reclaim live change data
+            # out from under CDF readers. Once cleanup_log removes the
+            # commit, its window is unreadable anyway and the
+            # then-orphaned cdc files reclaim correctly.
+            a = (
+                action.get("add")
+                or action.get("remove")
+                or action.get("cdc")
+            )
+            if a:
+                rel = urllib.parse.unquote(a["path"])
+                referenced.add(rel)
+                last_ref_ms[rel] = running_ts
+                dv_rel = _dv_bin_rel(base, a.get("deletionVector"))
+                if dv_rel:
+                    referenced.add(dv_rel)
+                    last_ref_ms[dv_rel] = running_ts
+        if horizon_ms is not None and running_ts >= horizon_ms:
+            # retained-window commit: everything it names stays
+            for action in acts:
+                a = (
+                    action.get("add")
+                    or action.get("remove")
+                    or action.get("cdc")
+                )
+                if a:
+                    keep.add(urllib.parse.unquote(a["path"]))
+                    dv_rel = _dv_bin_rel(base, a.get("deletionVector"))
+                    if dv_rel:
+                        keep.add(dv_rel)
     for f in os.listdir(log_dir):
-        if _COMMIT_RE.match(f):
-            with open(os.path.join(log_dir, f)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    # cdc change files are referenced ONLY by their
-                    # commit's cdc actions (never by checkpoints — cdc
-                    # is transient log state): missing them here would
-                    # reclaim live change data out from under CDF
-                    # readers. Once cleanup_log removes the commit, its
-                    # window is unreadable anyway and the then-orphaned
-                    # cdc files reclaim correctly.
-                    a = (
-                        action.get("add")
-                        or action.get("remove")
-                        or action.get("cdc")
-                    )
-                    if a:
-                        referenced.add(urllib.parse.unquote(a["path"]))
-        elif _CHECKPOINT_FILE_RE.match(f) or _CHECKPOINT_V2_RE.match(f):
+        if _CHECKPOINT_FILE_RE.match(f) or _CHECKPOINT_V2_RE.match(f):
             # every checkpoint layout (single-part, multi-part AND v2
             # UUID-named incl. sidecars): a table whose pre-checkpoint
             # commits were cleaned up is referenced ONLY here — missing
@@ -3574,9 +3655,15 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
                 actions = _parquet_actions(spark, [full], ("add", "sidecar"))
             for action in _expand_sidecars(spark, log_dir, actions):
                 if action.get("add"):
-                    referenced.add(
-                        urllib.parse.unquote(action["add"]["path"])
+                    rel = urllib.parse.unquote(action["add"]["path"])
+                    referenced.add(rel)
+                    keep.add(rel)  # checkpoint state is always live
+                    dv_rel = _dv_bin_rel(
+                        base, action["add"].get("deletionVector")
                     )
+                    if dv_rel:
+                        referenced.add(dv_rel)
+                        keep.add(dv_rel)
     removed: list[str] = []
     for entry in os.listdir(base):
         if entry.startswith("_staging-"):
@@ -3593,6 +3680,16 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
             rel = os.path.relpath(os.path.join(root, name), base)
             if rel not in referenced:
                 os.remove(os.path.join(root, name))
+                removed.append(rel)
+    if horizon_ms is not None:
+        # referenced-but-expired: every log reference precedes the
+        # horizon and the retained window does not use the file
+        for rel in sorted(referenced - keep):
+            if last_ref_ms.get(rel, horizon_ms) >= horizon_ms:
+                continue
+            full = os.path.join(base, rel)
+            if os.path.isfile(full):
+                os.remove(full)
                 removed.append(rel)
     return removed
 
