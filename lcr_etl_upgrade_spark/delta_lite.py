@@ -1343,8 +1343,9 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      "identityColumns",
      # fresh adds get baseRowId ranges from the delta.rowTracking
      # domain watermark + per-file numRecords; delete_rows re-adds
-     # carry the original assignment (extras preserved); OPTIMIZE on
-     # row-tracked files still refuses (rewrite changes row identity)
+     # carry the original assignment (extras preserved); OPTIMIZE and
+     # update_rows rewrite row-ID-preservingly via the materialized
+     # shadow columns (r11)
      "rowTracking",
      # rowTracking's dependency: domain metadata replays, persists
      # losslessly through checkpoints (r9), and is written for the
@@ -1356,7 +1357,13 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      "timestampNtz", "variantType",
      # obligation is a protocol check before vacuuming: vacuum()
      # replays the log first, which runs _check_protocol
-     "vacuumProtocolCheck"}
+     "vacuumProtocolCheck",
+     # clustered tables (r11): clustering columns live in the
+     # delta.clustering domain (set_cluster_by); optimize() defaults
+     # its Z-order rewrite to them, which is the writer obligation's
+     # honest spelling here (delta-spark's clustering implementations
+     # are also space-filling-curve layouts)
+     "clusteredTable"}
 )
 
 # What each legacy writer tier implicitly enables ON TOP of the tier
@@ -1432,6 +1439,9 @@ _CHECKPOINT_SAFE = frozenset(
         "identityColumns",
         "changeDataFeed",
         "domainMetadata",
+        # clusteredTable's whole state is the delta.clustering domain,
+        # which domainMetadata replay carries losslessly (r9)
+        "clusteredTable",
     }
 )
 
@@ -4538,6 +4548,109 @@ def _with_materialized_row_ids(
     return df if keep_basename else df.drop("__rt_base")
 
 
+def set_cluster_by(
+    spark: SparkSession, path: str, columns: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (r11, the clusteredTable feature):
+    record the clustering columns in the ``delta.clustering`` domain —
+    PHYSICAL names under columnMapping, as the protocol stores them —
+    and upgrade the protocol to list clusteredTable (+ its
+    domainMetadata dependency). ``optimize()`` then defaults its
+    Z-order rewrite to these columns, so a plain OPTIMIZE call is a
+    clustering rewrite, delta-spark's contract. Pass ``[]`` to remove
+    the clustering spec (CLUSTER BY NONE). Returns the committed
+    version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    schema = state.schema
+    mapping = _column_mapping_mode(state.metadata)
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    logical_to_phys = {
+        f.name: pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    bad = [c for c in columns if c not in logical_to_phys]
+    if bad:
+        raise ValueError(f"cluster-by columns not in schema: {bad}")
+    in_part = [c for c in columns if c in state.partition_columns]
+    if in_part:
+        raise ValueError(
+            f"cluster-by columns {in_part} are partition columns — "
+            "constant within every file, nothing to cluster"
+        )
+    import time as _time
+
+    version = state.version + 1
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": int(_time.time() * 1000),
+            "operation": "CLUSTER BY",
+            "operationParameters": {
+                "clusteringColumns": json.dumps(list(columns))
+            },
+        }
+    }]
+    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    writer_feats = set(proto.get("writerFeatures") or ())
+    if "clusteredTable" not in writer_feats or int(
+        proto.get("minWriterVersion", 2)
+    ) < 7:
+        writer_feats |= {"clusteredTable", "domainMetadata"}
+        if (pw := int(proto.get("minWriterVersion", 2))) < 7:
+            writer_feats |= _implicit_legacy_writer_features(pw)
+        pact = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(writer_feats),
+        }
+        if proto.get("readerFeatures"):
+            pact["readerFeatures"] = proto["readerFeatures"]
+        actions.append({"protocol": pact})
+    actions.append({
+        "domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                # physical names, nested-path arrays — the protocol's
+                # stored form (top-level columns only here: nested
+                # clustering keys don't exist in this engine's tables)
+                {"clusteringColumns": [
+                    [logical_to_phys[c]] for c in columns
+                ]}
+            ),
+            "removed": False,
+        }
+    })
+    _write_commit_file(
+        os.path.join(_log_dir(path), f"{version:020d}.json"), actions
+    )
+    return version
+
+
+def cluster_columns(spark: SparkSession, path: str) -> list[str]:
+    """The table's clustering columns as LOGICAL names ([] when not a
+    clustered table) — the delta.clustering domain's stored physical
+    names translated back through the schema."""
+    state = replay_log(spark, path)
+    domain = state.domains.get("delta.clustering")
+    if not domain or domain.get("removed"):
+        return []
+    stored = json.loads(domain.get("configuration") or "{}").get(
+        "clusteringColumns"
+    ) or []
+    schema = state.schema
+    mapping = _column_mapping_mode(state.metadata)
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    phys_to_logical = {
+        pf.name: f.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    out = []
+    for parts in stored:
+        name = parts[0] if isinstance(parts, list) else parts
+        out.append(phys_to_logical.get(name, name))
+    return out
+
+
 def read_row_ids(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -4664,7 +4777,10 @@ def optimize(
     small files bin-pack toward ``target_file_bytes`` per partition, and
     with ``zorder_by`` every partition rewrites clustered on the Morton
     curve of those (logical) columns (operators/layout.py — the
-    OPTIMIZE ZORDER composition). Deletion vectors are MATERIALIZED:
+    OPTIMIZE ZORDER composition). On a CLUSTERED table (set_cluster_by /
+    the clusteredTable feature) a plain call defaults ``zorder_by`` to
+    the declared clustering columns — delta-spark's contract that
+    OPTIMIZE on a clustered table IS the clustering rewrite. Deletion vectors are MATERIALIZED:
     rewritten files carry only live rows and drop their DVs.
 
     The commit is remove+add with ``dataChange=false`` — invisible to
@@ -4694,6 +4810,28 @@ def optimize(
     mapping = _column_mapping_mode(state.metadata)
     schema = state.schema
     phys_schema = _physicalize(schema) if mapping != "none" else schema
+    if zorder_by is None:
+        # clusteredTable writer obligation (r11): a plain OPTIMIZE on a
+        # clustered table IS a clustering rewrite on the declared
+        # columns (set_cluster_by / the delta.clustering domain)
+        domain = state.domains.get("delta.clustering")
+        if domain and not domain.get("removed"):
+            stored = json.loads(
+                domain.get("configuration") or "{}"
+            ).get("clusteringColumns") or []
+            phys_to_logical = {
+                pf.name: f.name
+                for f, pf in zip(schema.fields, phys_schema.fields)
+            }
+            cols = [
+                phys_to_logical.get(
+                    p[0] if isinstance(p, list) else p,
+                    p[0] if isinstance(p, list) else p,
+                )
+                for p in stored
+            ]
+            if cols:
+                zorder_by = cols
     phys_part_cols = [
         pf.name
         for f, pf in zip(schema.fields, phys_schema.fields)
