@@ -3056,6 +3056,22 @@ def delete_rows(
     return version
 
 
+def _predicate_sql(condition: Column | str) -> str:
+    """The expression string delta-spark records in
+    ``operationParameters`` (r12 ADVICE fix): string predicates pass
+    through; ``Column`` predicates unwrap to the underlying expression
+    string (e.g. ``(v > 5)``) instead of PySpark's ``Column<'...'>``
+    repr, which history-parsing tools that assume delta-spark's
+    encoding cannot read."""
+    if isinstance(condition, str):
+        return condition
+    try:
+        return condition._jc.toString()  # classic mode: JVM expr string
+    except Exception:
+        m = re.match(r"^Column<'(.*)'>$", repr(condition), re.DOTALL)
+        return m.group(1) if m else str(condition)
+
+
 def update_rows(
     spark: SparkSession,
     path: str,
@@ -3252,24 +3268,57 @@ def update_rows(
                 )
             ) + 1
 
-    # assignment expressions over the logical frame, applied only on
-    # matching rows; generated columns recomputed after assignments
+    # SQL UPDATE semantics (r12 ADVICE fix): the predicate is evaluated
+    # ONCE against the pristine row into a marker column, and every
+    # assignment RHS is applied in a SINGLE simultaneous select so it
+    # sees the ORIGINAL column values — the prior sequential
+    # withColumn(F.when(pred, ...)) chain re-evaluated pred and RHS
+    # against already-assigned values (assigning the predicate column
+    # silently dropped later assignments, generated-column recompute,
+    # and the rcv nulling). Generated columns then recompute in a
+    # second simultaneous select so they see the POST-assignment values
+    # of their inputs (delta forbids generated-on-generated, so
+    # simultaneity is safe there too).
+    marker = f"__upd_matched_{uuid.uuid4().hex[:8]}"
+
     def _updated(frame: DataFrame) -> DataFrame:
-        out = frame
-        for name, val in assignments.items():
-            expr = val if isinstance(val, Column) else F.expr(val)
-            out = out.withColumn(
-                name,
-                F.when(pred, expr.cast(schema[name].dataType)).otherwise(
-                    _quoted(name)
-                ),
-            )
-        for name, gexpr in gen_cols.items():
-            out = out.withColumn(
-                name,
-                F.when(
-                    pred, F.expr(gexpr).cast(schema[name].dataType)
-                ).otherwise(_quoted(name)),
+        cols = list(frame.columns)
+        out = frame.withColumn(marker, pred).select(
+            *[
+                (
+                    F.when(
+                        F.col(marker),
+                        (
+                            assignments[c]
+                            if isinstance(assignments[c], Column)
+                            else F.expr(assignments[c])
+                        ).cast(schema[c].dataType),
+                    )
+                    .otherwise(_quoted(c))
+                    .alias(c)
+                    if c in assignments
+                    else _quoted(c)
+                )
+                for c in cols
+            ],
+            F.col(marker),
+        )
+        if gen_cols:
+            out = out.select(
+                *[
+                    (
+                        F.when(
+                            F.col(marker),
+                            F.expr(gen_cols[c]).cast(schema[c].dataType),
+                        )
+                        .otherwise(_quoted(c))
+                        .alias(c)
+                        if c in gen_cols
+                        else _quoted(c)
+                    )
+                    for c in cols
+                ],
+                F.col(marker),
             )
         return out
 
@@ -3283,7 +3332,8 @@ def update_rows(
             "timestamp": now_ms,
             "operation": "UPDATE",
             # delta-spark string-encodes operationParameters values
-            "operationParameters": {"predicate": str(condition)},
+            # (and records the expression SQL, not the Column repr)
+            "operationParameters": {"predicate": _predicate_sql(condition)},
         }
     }]
     if rt_meta_changed:
@@ -3351,12 +3401,14 @@ def update_rows(
             if row_tracking:
                 # unchanged rows keep their resolved commit version;
                 # updated rows fall back to the new default (= this
-                # commit, their last modification)
+                # commit, their last modification). The marker carries
+                # the PRISTINE-row match (pred over post-assignment
+                # values would miss rows whose assignment falsified it)
                 upd = upd.withColumn(
                     rcv_col,
-                    F.when(pred, F.lit(None).cast("long")).otherwise(
-                        _quoted(rcv_col)
-                    ),
+                    F.when(
+                        F.col(marker), F.lit(None).cast("long")
+                    ).otherwise(_quoted(rcv_col)),
                 )
             obs = None
             if constraints:
@@ -3519,6 +3571,1149 @@ def update_rows(
             except OSError:
                 pass
         raise
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            write_checkpoint(spark, path)
+        except Exception:
+            pass
+    return version
+
+
+def _merge_move_staged(
+    staging: str,
+    base: str,
+    part_dir: str,
+    pvals: dict,
+    now_ms: int,
+    version: int,
+    row_tracking: bool,
+    next_row_id: int,
+    staged: list[str],
+    actions: list[dict],
+    path: str,
+) -> int:
+    """Move a rewrite group's staged part files into place and append
+    their add actions (zero-row files never commit; rowTracking adds
+    draw fresh baseRowId ranges). Returns the advanced next_row_id.
+    Factored from update_rows' staging block for merge_rows."""
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        try:
+            import pyarrow.parquet as _pq
+
+            n_rows = _pq.ParquetFile(src).metadata.num_rows
+        except Exception:
+            n_rows = None
+        if n_rows == 0:
+            continue  # never commit zero-row part files
+        rel_new = os.path.join(part_dir, name) if part_dir else name
+        dst = os.path.join(base, rel_new)
+        os.makedirs(os.path.dirname(dst) or base, exist_ok=True)
+        size = os.path.getsize(src)
+        shutil.move(src, dst)
+        staged.append(rel_new)
+        add = {
+            "path": urllib.parse.quote(rel_new, safe="/="),
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        stats = _file_stats_json(dst)
+        if stats is not None:
+            add["stats"] = stats
+        if row_tracking:
+            if stats is None:
+                raise NotImplementedError(
+                    f"the table at {path!r} demands rowTracking but the "
+                    f"rewritten file {rel_new!r} yielded no readable "
+                    "footer statistics to size its baseRowId range"
+                )
+            n_records = int(json.loads(stats)["numRecords"])
+            add["baseRowId"] = next_row_id
+            add["defaultRowCommitVersion"] = version
+            next_row_id += n_records
+        actions.append({"add": add})
+    return next_row_id
+
+
+def _merge_rewrite_groups(
+    spark: SparkSession,
+    base: str,
+    path: str,
+    state,
+    touched: list[str],
+    dec: DataFrame | None,
+    matched: list,
+    nmbs: list,
+    schema: T.StructType,
+    phys_schema: T.StructType,
+    logical_to_phys: dict[str, str],
+    phys_part_cols: list[str],
+    gen_cols: dict[str, str],
+    new_names: dict[str, str],
+    assigners: dict[str, list[int]],
+    upd_idx: list[int],
+    del_idx: list[int],
+    dv_ver: dict,
+    row_tracking: bool,
+    rid_col: str | None,
+    rcv_col: str | None,
+    cdf_on: bool,
+    constraints,
+    now_ms: int,
+    version: int,
+    next_row_id: int,
+    staged: list[str],
+    actions: list[dict],
+) -> int:
+    """Rewrite every touched partition group applying the per-row merge
+    decisions (joined from ``dec`` on file basename + row position),
+    appending add/remove/cdc actions. Returns the advanced
+    next_row_id."""
+    if not touched:
+        return next_row_id
+    nmbs_upd_idx = [j for j, (k, _c, _v) in enumerate(nmbs) if k == "update"]
+    nmbs_del_idx = [j for j, (k, _c, _v) in enumerate(nmbs) if k == "delete"]
+
+    by_part: dict[tuple, list[str]] = {}
+    for rel in touched:
+        key = tuple(sorted((state.files[rel] or {}).items()))
+        by_part.setdefault(key, []).append(rel)
+
+    data_fields = [
+        f for f in phys_schema.fields if f.name not in phys_part_cols
+    ]
+    phys_data_cols = [
+        (f, pf)
+        for f, pf in zip(schema.fields, phys_schema.fields)
+        if pf.name not in phys_part_cols
+    ]
+
+    for key, group in sorted(by_part.items()):
+        pvals = dict(key)
+        group_abs = [os.path.join(base, r) for r in group]
+        if row_tracking:
+            rt_read_schema = T.StructType(
+                data_fields
+                + [
+                    T.StructField(rid_col, T.LongType()),
+                    T.StructField(rcv_col, T.LongType()),
+                ]
+            )
+            gdf = _with_materialized_row_ids(
+                spark,
+                base,
+                group,
+                state.adds,
+                rt_read_schema,
+                rid_col,
+                rcv_col,
+                dv_ver=dv_ver,
+                keep_position=True,
+                keep_path=True,
+            ).withColumnsRenamed(
+                {"__rt_path": "__mrg_base", "__rt_idx": "__mrg_pos"}
+            )
+        else:
+            gdf = spark.read.schema(
+                T.StructType(data_fields)
+            ).parquet(*group_abs)
+            gdf = _apply_dv_filter(spark, gdf, base, dv_ver, group)
+            gdf = gdf.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__mrg_base"),
+                F.col("_metadata.row_index").alias("__mrg_pos"),
+            )
+        # logical view, partition columns as typed literals
+        lg = gdf.select(
+            *[
+                (
+                    _typed_partition_lit(
+                        pvals.get(logical_to_phys[f.name]), f.dataType
+                    ).alias(f.name)
+                    if f.name in state.partition_columns
+                    else _quoted(logical_to_phys[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+                for f in schema.fields
+            ],
+            *([_quoted(rid_col), _quoted(rcv_col)] if row_tracking else []),
+            F.col("__mrg_base"),
+            F.col("__mrg_pos"),
+        )
+        j = lg.alias("t")
+        if dec is not None:
+            # no broadcast hint: dec is proportional to matched rows —
+            # AQE flips to BHJ when it is actually small
+            j = j.join(
+                dec.drop("__mrg_nmod"),
+                ["__mrg_base", "__mrg_pos"],
+                "left",
+            )
+        else:
+            j = j.withColumns(
+                {
+                    "__mrg_clause": F.lit(None).cast("int"),
+                    "__mrg_matched": F.lit(None).cast("boolean"),
+                }
+            )
+        # not-matched-by-source clause decision (target-only exprs)
+        nmbs_clause = F.lit(None).cast("int")
+        if nmbs:
+            branch = None
+            for jx, (_k, cond, _v) in enumerate(nmbs):
+                c = _merge_cond_col(cond)
+                branch = (
+                    F.when(c, F.lit(jx))
+                    if branch is None
+                    else branch.when(c, F.lit(jx))
+                )
+            nmbs_clause = F.when(
+                F.col("__mrg_matched").isNull(), branch
+            )
+        j = j.withColumn("__mrg_nmbs", nmbs_clause)
+        deleted = F.col("__mrg_clause").isin(del_idx) if del_idx else F.lit(
+            False
+        )
+        if nmbs_del_idx:
+            deleted = deleted | F.col("__mrg_nmbs").isin(nmbs_del_idx)
+        updated = F.col("__mrg_clause").isin(upd_idx) if upd_idx else F.lit(
+            False
+        )
+        if nmbs_upd_idx:
+            updated = updated | F.col("__mrg_nmbs").isin(nmbs_upd_idx)
+        j = j.withColumns(
+            {
+                "__mrg_deleted": F.coalesce(deleted, F.lit(False)),
+                "__mrg_updated": F.coalesce(updated, F.lit(False)),
+            }
+        )
+
+        if cdf_on:
+            # originals of modified rows, BEFORE the rewrite projection
+            pre = (
+                j.filter(F.col("__mrg_updated"))
+                .select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in phys_data_cols
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            dels = (
+                j.filter(F.col("__mrg_deleted"))
+                .select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in phys_data_cols
+                    ]
+                )
+                .withColumn("_change_type", F.lit("delete"))
+            )
+
+        kept = j.filter(~F.col("__mrg_deleted"))
+        # ONE simultaneous projection: every new value sees the
+        # ORIGINAL row (matched-update values were already computed
+        # against the pristine pair in `dec`; by-source updates
+        # evaluate here over the original target columns)
+        out_cols = []
+        for f in schema.fields:
+            c = f.name
+            val = None
+            if c in assigners and assigners[c]:
+                val = F.when(
+                    F.col("__mrg_clause").isin(assigners[c]),
+                    F.col(new_names[c]),
+                )
+            for jx in nmbs_upd_idx:
+                values = nmbs[jx][2]
+                if c in values:
+                    v = values[c]
+                    expr = (
+                        v if isinstance(v, Column) else F.expr(v)
+                    ).cast(f.dataType)
+                    val = (
+                        F.when(F.col("__mrg_nmbs") == jx, expr)
+                        if val is None
+                        else val.when(F.col("__mrg_nmbs") == jx, expr)
+                    )
+            out_cols.append(
+                (val.otherwise(_quoted(c)) if val is not None else _quoted(c)).alias(c)
+            )
+        upd = kept.select(
+            *out_cols,
+            *([_quoted(rid_col), _quoted(rcv_col)] if row_tracking else []),
+            F.col("__mrg_updated"),
+        )
+        if gen_cols:
+            upd = upd.select(
+                *[
+                    (
+                        F.when(
+                            F.col("__mrg_updated"),
+                            F.expr(gen_cols[f.name]).cast(f.dataType),
+                        )
+                        .otherwise(_quoted(f.name))
+                        .alias(f.name)
+                        if f.name in gen_cols
+                        else _quoted(f.name)
+                    )
+                    for f in schema.fields
+                ],
+                *(
+                    [_quoted(rid_col), _quoted(rcv_col)]
+                    if row_tracking
+                    else []
+                ),
+                F.col("__mrg_updated"),
+            )
+        if row_tracking:
+            upd = upd.withColumn(
+                rcv_col,
+                F.when(
+                    F.col("__mrg_updated"), F.lit(None).cast("long")
+                ).otherwise(_quoted(rcv_col)),
+            )
+        if cdf_on:
+            # derived BEFORE the constraint observer attaches: the cdc
+            # staging write must not re-materialize the observed node
+            post = (
+                upd.filter(F.col("__mrg_updated"))
+                .select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in phys_data_cols
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+        obs = None
+        if constraints:
+            upd, obs, name_map = _attach_constraint_observer(
+                upd, schema, constraints, path
+            )
+        out_phys = upd.select(
+            *[
+                _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                for f, pf in phys_data_cols
+            ],
+            *([_quoted(rid_col), _quoted(rcv_col)] if row_tracking else []),
+        )
+        part_dir = os.path.dirname(group[0])
+        staging = os.path.join(base, f"_staging-{uuid.uuid4().hex}")
+        out_phys.write.mode("overwrite").parquet(staging)
+        try:
+            if obs is not None:
+                violated = [
+                    name_map[k]
+                    for k, v in obs.get.items()
+                    if int(v or 0) > 0
+                ]
+                if violated:
+                    raise ValueError(
+                        f"merge violates constraint(s) {sorted(violated)} "
+                        f"on {path!r}; nothing was committed"
+                    )
+            next_row_id = _merge_move_staged(
+                staging,
+                base,
+                part_dir,
+                pvals,
+                now_ms,
+                version,
+                row_tracking,
+                next_row_id,
+                staged,
+                actions,
+                path,
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        if cdf_on:
+            cdc_dir = os.path.join(base, "_change_data")
+            os.makedirs(cdc_dir, exist_ok=True)
+            cdc_sub = part_dir
+            cdc_target = (
+                os.path.join(cdc_dir, cdc_sub) if cdc_sub else cdc_dir
+            )
+            for rel_cdc, size in _stage_and_move(
+                pre.unionByName(post).unionByName(dels), cdc_target, ()
+            ):
+                full_rel = "/".join(
+                    x for x in ("_change_data", cdc_sub, rel_cdc) if x
+                )
+                staged.append(full_rel)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": urllib.parse.quote(full_rel, safe="/="),
+                            "partitionValues": pvals,
+                            "size": size,
+                            "dataChange": False,
+                        }
+                    }
+                )
+
+        for rel in group:
+            remove = {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            if rel in state.dvs:
+                remove["deletionVector"] = state.dvs[rel]
+            actions.append({"remove": remove})
+    return next_row_id
+
+
+def _merge_inserts(
+    spark: SparkSession,
+    base: str,
+    path: str,
+    rels: list[str],
+    tgt_scan,
+    src: DataFrame,
+    on_cond: Column,
+    not_matched: list,
+    schema: T.StructType,
+    phys_schema: T.StructType,
+    phys_part_cols: list[str],
+    gen_cols: dict[str, str],
+    row_tracking: bool,
+    rid_col: str | None,
+    rcv_col: str | None,
+    cdf_on: bool,
+    constraints,
+    now_ms: int,
+    version: int,
+    next_row_id: int,
+    staged: list[str],
+    actions: list[dict],
+) -> int:
+    """Stage the WHEN NOT MATCHED inserts as new add files (hive-
+    partitioned on partitioned tables) plus their cdc insert rows,
+    appending the actions. Returns the advanced next_row_id."""
+    if not not_matched:
+        return next_row_id
+    if rels:
+        ins = src.alias("s").join(
+            tgt_scan(False).alias("t"), on_cond, "left_anti"
+        )
+    else:
+        ins = src.alias("s")  # empty table: every source row inserts
+    branch = None
+    for k, (_kind, cond, _v) in enumerate(not_matched):
+        c = _merge_cond_col(cond)
+        branch = (
+            F.when(c, F.lit(k)) if branch is None else branch.when(c, F.lit(k))
+        )
+    ins = ins.withColumn("__mrg_ins", branch).filter(
+        F.col("__mrg_ins").isNotNull()
+    )
+    # simultaneous projection: every value expression sees the source
+    # row; omitted columns insert as typed nulls
+    val_cols = []
+    for f in schema.fields:
+        if f.name in gen_cols:
+            continue  # computed below from the generation expression
+        b = None
+        for k, (_kind, _cond, values) in enumerate(not_matched):
+            if f.name in values:
+                v = values[f.name]
+                expr = (v if isinstance(v, Column) else F.expr(v)).cast(
+                    f.dataType
+                )
+                b = (
+                    F.when(F.col("__mrg_ins") == k, expr)
+                    if b is None
+                    else b.when(F.col("__mrg_ins") == k, expr)
+                )
+        val_cols.append(
+            (b if b is not None else F.lit(None).cast(f.dataType)).alias(
+                f.name
+            )
+        )
+    new_rows = ins.select(*val_cols)
+    if gen_cols:
+        new_rows = new_rows.select(
+            "*",
+            *[
+                F.expr(gexpr).cast(schema[name].dataType).alias(name)
+                for name, gexpr in gen_cols.items()
+            ],
+        ).select(*[_quoted(f.name) for f in schema.fields])
+    obs = None
+    if constraints:
+        new_rows, obs, name_map = _attach_constraint_observer(
+            new_rows, schema, constraints, path
+        )
+    out_phys = new_rows.select(
+        *[
+            _quoted(f.name).cast(pf.dataType).alias(pf.name)
+            for f, pf in zip(schema.fields, phys_schema.fields)
+        ]
+    )
+    moved = _stage_and_move(out_phys, base, tuple(phys_part_cols))
+    kept_adds: list[tuple[str, dict, int]] = []
+    try:
+        if obs is not None:
+            violated = [
+                name_map[k] for k, v in obs.get.items() if int(v or 0) > 0
+            ]
+            if violated:
+                raise ValueError(
+                    f"merge insert violates constraint(s) "
+                    f"{sorted(violated)} on {path!r}; nothing was "
+                    "committed"
+                )
+    except BaseException:
+        for rel, _size in moved:
+            try:
+                os.remove(os.path.join(base, rel))
+            except OSError:
+                pass
+        raise
+    for rel, size in moved:
+        dst = os.path.join(base, rel)
+        stats = _file_stats_json(dst)
+        n_records = (
+            int(json.loads(stats)["numRecords"]) if stats is not None else None
+        )
+        if n_records == 0:
+            try:
+                os.remove(dst)
+            except OSError:
+                pass
+            continue
+        staged.append(rel)
+        pvals = (
+            _partition_values_from_rel(rel, phys_part_cols)
+            if phys_part_cols
+            else {}
+        )
+        add = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        if row_tracking:
+            if n_records is None:
+                raise NotImplementedError(
+                    f"the table at {path!r} demands rowTracking but the "
+                    f"inserted file {rel!r} yielded no readable footer "
+                    "statistics to size its baseRowId range"
+                )
+            add["baseRowId"] = next_row_id
+            add["defaultRowCommitVersion"] = version
+            next_row_id += n_records
+        actions.append({"add": add})
+    if cdf_on:
+        cdc_dir = os.path.join(base, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        cdc_rows = out_phys.withColumn("_change_type", F.lit("insert"))
+        for rel_cdc, size in _stage_and_move(
+            cdc_rows, cdc_dir, tuple(phys_part_cols)
+        ):
+            try:
+                import pyarrow.parquet as _pq
+
+                if (
+                    _pq.ParquetFile(os.path.join(cdc_dir, rel_cdc))
+                    .metadata.num_rows
+                    == 0
+                ):
+                    os.remove(os.path.join(cdc_dir, rel_cdc))
+                    continue
+            except Exception:
+                pass
+            full_rel = "/".join(("_change_data", rel_cdc))
+            staged.append(full_rel)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": urllib.parse.quote(full_rel, safe="/="),
+                        "partitionValues": (
+                            _partition_values_from_rel(
+                                rel_cdc, phys_part_cols
+                            )
+                            if phys_part_cols
+                            else {}
+                        ),
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+    return next_row_id
+
+
+def _merge_norm_clauses(
+    raw, kinds: tuple[str, ...], label: str
+) -> list[tuple[str, object, dict | None]]:
+    """Normalize MERGE clause tuples to (kind, condition|None,
+    values|None) and validate their shape."""
+    out = []
+    for cl in raw or ():
+        if not isinstance(cl, (tuple, list)) or not cl:
+            raise ValueError(
+                f"{label} clause must be a (kind, condition[, values]) "
+                f"tuple, got {cl!r}"
+            )
+        kind = cl[0]
+        if kind not in kinds:
+            raise ValueError(
+                f"{label} clause kind must be one of {kinds}, got {kind!r}"
+            )
+        cond = cl[1] if len(cl) > 1 else None
+        values = cl[2] if len(cl) > 2 else None
+        if kind in ("update", "insert"):
+            if not isinstance(values, dict) or not values:
+                raise ValueError(
+                    f"{label} {kind} clause needs a non-empty "
+                    "column->expression dict as its third element"
+                )
+        elif values is not None:
+            raise ValueError(f"{label} delete clause takes no assignments")
+        out.append((kind, cond, values))
+    return out
+
+
+def _merge_cond_col(cond) -> Column:
+    if cond is None:
+        return F.lit(True)
+    return cond if isinstance(cond, Column) else F.expr(cond)
+
+
+def merge_rows(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Column | str,
+    matched: tuple = (),
+    not_matched: tuple = (),
+    not_matched_by_source: tuple = (),
+) -> int:
+    """Transactional MERGE INTO the table at ``path`` USING ``source``
+    ON ``on`` — delta-spark's merge command re-expressed on the public
+    protocol (r12; the last of the DELETE/UPDATE/MERGE write trio, and
+    the production spelling of the reference's incremental upsert load,
+    /root/reference/ingest.py:802-822). ONE commit carries every
+    rewrite, insert, and (on CDF tables) the authoritative mixed
+    insert / update_preimage / update_postimage / delete change files.
+    Returns the committed version (unchanged if nothing changed).
+
+    Clause lists are ORDERED, delta-spark style — for a given row the
+    FIRST clause whose condition holds wins and later clauses are not
+    considered:
+
+    - ``matched``: ``("update", cond, {col: expr})`` or
+      ``("delete", cond)`` — applied to target rows with a source
+      match; ``cond``/``expr`` reference the target as ``t.<col>`` and
+      the source as ``s.<col>``.
+    - ``not_matched``: ``("insert", cond, {col: expr})`` — applied to
+      source rows with no target match; expressions reference
+      ``s.<col>`` only. Omitted nullable columns insert as typed nulls;
+      omitted non-nullable columns refuse.
+    - ``not_matched_by_source``: ``("update", cond, {col: expr})`` or
+      ``("delete", cond)`` — applied to target rows with NO source
+      match; expressions reference ``t.<col>`` only.
+
+    Pass ``cond=None`` for an unconditional clause. ``on`` is a SQL
+    string (recommended) or Column over the ``t``/``s`` aliases.
+
+    SQL semantics throughout, sharing update_rows' r12 rules: every
+    clause condition and update RHS sees the ORIGINAL row (new values
+    are computed in one simultaneous projection); generated columns
+    recompute from their expressions on updated and inserted rows
+    (direct assignment refused); partition/identity columns refuse
+    assignment; CHECK constraints ride the staging writes as observe()
+    metrics and roll the whole commit back on violation.
+
+    Scale mechanics:
+    - the source is persisted for the command's duration (delta-spark
+      materializes merge sources for the same reason: a
+      non-deterministic source must see ONE consistent snapshot across
+      the match, rewrite, and insert phases);
+    - matches are computed ONCE as a distributed decision frame keyed
+      by (file, row position): clause index plus the already-evaluated
+      new values for update-assigned columns. Only per-FILE aggregates
+      of it reach the driver (ambiguity check + touched-file set);
+    - a target row matched by MORE THAN ONE modifying source row
+      raises (delta's multiple-source-rows-match error) BEFORE any
+      file is staged;
+    - cost is proportional to TOUCHED files (rows matched by a
+      modifying clause), exactly like update_rows: untouched files are
+      neither read twice nor rewritten; inserts append new files;
+    - rowTracking tables rewrite row-ID-preservingly (updated rows
+      keep their ids, their row-commit-version falls to this commit;
+      inserted rows draw fresh baseRowId ranges).
+    """
+    import time as _time
+
+    matched = _merge_norm_clauses(matched, ("update", "delete"), "matched")
+    not_matched = _merge_norm_clauses(
+        not_matched, ("insert",), "not_matched"
+    )
+    nmbs = _merge_norm_clauses(
+        not_matched_by_source,
+        ("update", "delete"),
+        "not_matched_by_source",
+    )
+    if not (matched or not_matched or nmbs):
+        raise ValueError("merge_rows needs at least one clause")
+
+    base = _local(path)
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    _check_write_obligations(state, path, "merge")
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"unknown delta.columnMapping.mode {mapping!r}"
+        )
+
+    schema = state.schema
+    phys_schema = _physicalize(schema) if mapping != "none" else schema
+    logical_to_phys = {
+        f.name: pf.name
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    phys_part_cols = [
+        logical_to_phys[c]
+        for c in state.partition_columns
+        if c in logical_to_phys
+    ]
+    gen_cols = dict(_generated_columns(schema))
+    ident_names = {d["name"] for d in _identity_columns(schema)}
+
+    # ---- static clause validation over the table schema ----------------
+    def _check_assign(values: dict, label: str) -> None:
+        for name in values:
+            if name not in logical_to_phys:
+                raise ValueError(
+                    f"{label} assigns unknown column {name!r}"
+                )
+            if name in state.partition_columns and label.startswith(
+                ("matched", "not_matched_by_source")
+            ):
+                raise NotImplementedError(
+                    f"{label} cannot assign partition column {name!r} "
+                    "(rows would move between partitions — rewrite via "
+                    "overwrite instead)"
+                )
+            if name in gen_cols:
+                raise ValueError(
+                    f"column {name!r} is GENERATED ({gen_cols[name]!r}); "
+                    "it is recomputed from its expression — assign its "
+                    "inputs instead"
+                )
+            if name in ident_names:
+                raise ValueError(
+                    f"column {name!r} is an IDENTITY column; its values "
+                    "cannot be assigned"
+                )
+
+    upd_assign_cols: set[str] = set()
+    for i, (kind, _c, values) in enumerate(matched):
+        if kind == "update":
+            _check_assign(values, f"matched[{i}]")
+            upd_assign_cols |= set(values)
+    for j, (kind, _c, values) in enumerate(nmbs):
+        if kind == "update":
+            _check_assign(values, f"not_matched_by_source[{j}]")
+    if not_matched and ident_names:
+        raise NotImplementedError(
+            f"merge_rows cannot INSERT into the table at {path!r}: its "
+            f"IDENTITY column(s) {sorted(ident_names)} need generated "
+            "values this writer does not allocate — use append with "
+            "explicit identity handling instead"
+        )
+    for k, (_kind, _c, values) in enumerate(not_matched):
+        _check_assign(values, f"not_matched[{k}]")
+        for f in schema.fields:
+            if (
+                not f.nullable
+                and f.name not in values
+                and f.name not in gen_cols
+            ):
+                raise ValueError(
+                    f"not_matched[{k}] omits non-nullable column "
+                    f"{f.name!r}"
+                )
+
+    row_tracking = "rowTracking" in set(
+        (state.protocol or {}).get("writerFeatures") or ()
+    )
+    cdf_on = str(
+        (state.metadata.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )
+    ).lower() == "true"
+
+    rels = sorted(state.files)
+    abs_files = [os.path.join(base, rel) for rel in rels]
+    # row identity = (encoded full path, row position) — basenames
+    # alone collide across hive partition directories
+    base_to_rel = {
+        _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
+        for rel in rels
+    }
+    if rels and mapping != "none":
+        _verify_physical_names(
+            spark,
+            abs_files[0],
+            [
+                pf.name
+                for pf in phys_schema.fields
+                if pf.name not in phys_part_cols
+            ],
+        )
+    if rels and phys_part_cols and not _all_files_hive_layout(
+        state.files, phys_part_cols
+    ):
+        raise NotImplementedError(
+            "merge_rows on a partitioned table whose file paths do not "
+            "hive-encode the logged partitionValues (externally authored "
+            "layout) — rewrite via overwrite instead"
+        )
+
+    dv_ver = _dv_verify(base, state.dvs) if state.dvs else {}
+    on_cond = on if isinstance(on, Column) else F.expr(on)
+    logical_cols = [
+        _quoted(pf.name).cast(f.dataType).alias(f.name)
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    ]
+
+    def _tgt_scan(with_pos: bool) -> DataFrame:
+        """The live logical target, optionally with (basename, row
+        position) identity columns."""
+        if phys_part_cols:
+            scan = (
+                spark.read.option("basePath", base)
+                .schema(phys_schema)
+                .parquet(*abs_files)
+            )
+        else:
+            scan = spark.read.schema(phys_schema).parquet(*abs_files)
+        live = _apply_dv_filter(spark, scan, base, dv_ver, rels)
+        extra = (
+            [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__mrg_base"),
+                F.col("_metadata.row_index").alias("__mrg_pos"),
+            ]
+            if with_pos
+            else []
+        )
+        return live.select(*logical_cols, *extra)
+
+    # matched-update clause indices / assigned-column bookkeeping
+    upd_idx = [i for i, (k, _c, _v) in enumerate(matched) if k == "update"]
+    del_idx = [i for i, (k, _c, _v) in enumerate(matched) if k == "delete"]
+    new_names = {
+        c: f"__mrg_new_{n}" for n, c in enumerate(sorted(upd_assign_cols))
+    }
+    assigners = {
+        c: [
+            i
+            for i in upd_idx
+            if c in (matched[i][2] or {})
+        ]
+        for c in upd_assign_cols
+    }
+
+    version = state.version + 1
+    now_ms = int(_time.time() * 1000)
+    constraints = _table_constraints(state.metadata, schema)
+
+    # rowTracking bookkeeping (mirrors update_rows)
+    rt_cfg = dict((state.metadata or {}).get("configuration") or {})
+    rid_col = rt_cfg.get(_MAT_ROW_ID_KEY)
+    rcv_col = rt_cfg.get(_MAT_ROW_CV_KEY)
+    rt_meta_changed = False
+    if row_tracking:
+        if rid_col is None:
+            rid_col = f"_row-id-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_ID_KEY] = rid_col
+            rt_meta_changed = True
+        if rcv_col is None:
+            rcv_col = f"_row-commit-version-col-{uuid.uuid4().hex}"
+            rt_cfg[_MAT_ROW_CV_KEY] = rcv_col
+            rt_meta_changed = True
+    next_row_id = 0
+    if row_tracking:
+        domain = state.domains.get("delta.rowTracking")
+        if domain and not domain.get("removed"):
+            next_row_id = int(
+                json.loads(domain.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            ) + 1
+
+    src = source.persist()
+    dec = None
+    touched: list[str] = []
+    try:
+        # ---- global decision frame: one match pass ----------------------
+        if rels and (matched or nmbs):
+            pairs = _tgt_scan(True).alias("t").join(
+                src.alias("s"), on_cond, "inner"
+            )
+            clause = None
+            for i, (_k, cond, _v) in enumerate(matched):
+                c = _merge_cond_col(cond)
+                clause = (
+                    F.when(c, F.lit(i))
+                    if clause is None
+                    else clause.when(c, F.lit(i))
+                )
+            clause_col = (
+                clause if clause is not None else F.lit(None).cast("int")
+            )
+            new_cols = []
+            for c, nm in new_names.items():
+                branch = None
+                for i in assigners[c]:
+                    val = matched[i][2][c]
+                    expr = (
+                        val if isinstance(val, Column) else F.expr(val)
+                    ).cast(schema[c].dataType)
+                    branch = (
+                        F.when(clause_col == i, expr)
+                        if branch is None
+                        else branch.when(clause_col == i, expr)
+                    )
+                new_cols.append(
+                    (
+                        branch
+                        if branch is not None
+                        else F.lit(None).cast(schema[c].dataType)
+                    ).alias(nm)
+                )
+            per_pair = pairs.select(
+                F.col("__mrg_base"),
+                F.col("__mrg_pos"),
+                clause_col.alias("__mrg_clause"),
+                *new_cols,
+            )
+            dec = (
+                per_pair.groupBy("__mrg_base", "__mrg_pos")
+                .agg(
+                    F.count(
+                        F.when(F.col("__mrg_clause").isNotNull(), 1)
+                    ).alias("__mrg_nmod"),
+                    F.min("__mrg_clause").alias("__mrg_clause"),
+                    *[
+                        F.first(F.col(nm), ignorenulls=True).alias(nm)
+                        for nm in new_names.values()
+                    ],
+                )
+                .withColumn("__mrg_matched", F.lit(True))
+            )
+            if not nmbs:
+                # matched-but-unmodified rows are only needed to tell
+                # "matched" from "not matched by source" — skip them
+                # entirely when no by-source clause exists
+                dec = dec.filter(F.col("__mrg_clause").isNotNull())
+            dec = dec.persist()
+
+            per_file = (
+                dec.groupBy("__mrg_base")
+                .agg(
+                    F.max("__mrg_nmod").alias("mx"),
+                    F.max(
+                        F.col("__mrg_clause").isNotNull().cast("int")
+                    ).alias("any_mod"),
+                )
+                .collect()
+            )
+            if any(int(r["mx"] or 0) > 1 for r in per_file):
+                raise ValueError(
+                    "merge_rows: multiple source rows match (and would "
+                    "modify) the same target row — deduplicate the "
+                    "source on the merge keys first (delta-spark raises "
+                    "the same error)"
+                )
+            touched_b = {
+                r["__mrg_base"] for r in per_file if int(r["any_mod"])
+            }
+            if nmbs:
+                any_nmbs = F.lit(False)
+                for _k, cond, _v in nmbs:
+                    any_nmbs = any_nmbs | _merge_cond_col(cond)
+                nmbs_b = (
+                    _tgt_scan(True)
+                    .alias("t")
+                    .join(
+                        dec.select("__mrg_base", "__mrg_pos"),
+                        ["__mrg_base", "__mrg_pos"],
+                        "left_anti",
+                    )
+                    .filter(any_nmbs)
+                    .select("__mrg_base")
+                    .distinct()
+                    .collect()
+                )
+                touched_b |= {r["__mrg_base"] for r in nmbs_b}
+            touched = sorted(
+                base_to_rel[b] for b in touched_b if b in base_to_rel
+            )
+
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                # delta-spark string-encodes every value; clause lists
+                # are JSON arrays of {predicate?, actionType}
+                "operationParameters": {
+                    "predicate": _predicate_sql(on),
+                    "matchedPredicates": json.dumps(
+                        [
+                            {
+                                **(
+                                    {"predicate": _predicate_sql(c)}
+                                    if c is not None
+                                    else {}
+                                ),
+                                "actionType": k,
+                            }
+                            for k, c, _v in matched
+                        ]
+                    ),
+                    "notMatchedPredicates": json.dumps(
+                        [
+                            {
+                                **(
+                                    {"predicate": _predicate_sql(c)}
+                                    if c is not None
+                                    else {}
+                                ),
+                                "actionType": k,
+                            }
+                            for k, c, _v in not_matched
+                        ]
+                    ),
+                    "notMatchedBySourcePredicates": json.dumps(
+                        [
+                            {
+                                **(
+                                    {"predicate": _predicate_sql(c)}
+                                    if c is not None
+                                    else {}
+                                ),
+                                "actionType": k,
+                            }
+                            for k, c, _v in nmbs
+                        ]
+                    ),
+                },
+            }
+        }]
+        if rt_meta_changed:
+            meta_out = dict(state.metadata)
+            meta_out["configuration"] = rt_cfg
+            actions.append({"metaData": meta_out})
+
+        staged: list[str] = []
+        try:
+            next_row_id = _merge_rewrite_groups(
+                spark=spark,
+                base=base,
+                path=path,
+                state=state,
+                touched=touched,
+                dec=dec,
+                matched=matched,
+                nmbs=nmbs,
+                schema=schema,
+                phys_schema=phys_schema,
+                logical_to_phys=logical_to_phys,
+                phys_part_cols=phys_part_cols,
+                gen_cols=gen_cols,
+                new_names=new_names,
+                assigners=assigners,
+                upd_idx=upd_idx,
+                del_idx=del_idx,
+                dv_ver=dv_ver,
+                row_tracking=row_tracking,
+                rid_col=rid_col,
+                rcv_col=rcv_col,
+                cdf_on=cdf_on,
+                constraints=constraints,
+                now_ms=now_ms,
+                version=version,
+                next_row_id=next_row_id,
+                staged=staged,
+                actions=actions,
+            )
+            next_row_id = _merge_inserts(
+                spark=spark,
+                base=base,
+                path=path,
+                rels=rels,
+                tgt_scan=_tgt_scan,
+                src=src,
+                on_cond=on_cond,
+                not_matched=not_matched,
+                schema=schema,
+                phys_schema=phys_schema,
+                phys_part_cols=phys_part_cols,
+                gen_cols=gen_cols,
+                row_tracking=row_tracking,
+                rid_col=rid_col,
+                rcv_col=rcv_col,
+                cdf_on=cdf_on,
+                constraints=constraints,
+                now_ms=now_ms,
+                version=version,
+                next_row_id=next_row_id,
+                staged=staged,
+                actions=actions,
+            )
+
+            n_adds = sum(1 for a in actions if "add" in a)
+            n_removes = sum(1 for a in actions if "remove" in a)
+            if n_adds == 0 and n_removes == 0:
+                return state.version  # nothing matched any clause
+
+            if row_tracking:
+                actions.append({
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": next_row_id - 1}
+                        ),
+                        "removed": False,
+                    }
+                })
+            commit_path = os.path.join(
+                _log_dir(path), f"{version:020d}.json"
+            )
+            _write_commit_file(commit_path, actions)
+        except BaseException:
+            for rel in staged:
+                try:
+                    os.remove(os.path.join(base, rel))
+                except OSError:
+                    pass
+            raise
+    finally:
+        if dec is not None:
+            dec.unpersist(blocking=False)
+        src.unpersist(blocking=False)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             write_checkpoint(spark, path)
@@ -4486,6 +5681,8 @@ def _with_materialized_row_ids(
     rcv_col: str,
     dv_ver: dict | None = None,
     keep_basename: bool = False,
+    keep_position: bool = False,
+    keep_path: bool = False,
 ) -> DataFrame:
     """Scan ``rels`` with each row's RESOLVED row-tracking identity
     materialized into ``rid_col``/``rcv_col`` (protocol rule: the
@@ -4502,7 +5699,9 @@ def _with_materialized_row_ids(
     Deletion vectors (``dv_ver``) apply BEFORE the join — the DV filter
     resolves ``_metadata`` columns, which joins sever. ``keep_basename``
     leaves the ``__rt_base`` key column for callers that need further
-    per-file joins (partition-value injection) downstream."""
+    per-file joins (partition-value injection) downstream;
+    ``keep_position`` leaves ``__rt_idx`` (the parquet row position)
+    for callers joining per-row decisions (merge_rows)."""
     basenames = [os.path.basename(r) for r in rels]
     if len(set(basenames)) != len(basenames):
         raise AssertionError(
@@ -4528,6 +5727,15 @@ def _with_materialized_row_ids(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__rt_base"),
             F.col("_metadata.row_index").alias("__rt_idx"),
+            *(
+                [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), r"^file:/+", "/"
+                    ).alias("__rt_path")
+                ]
+                if keep_path
+                else []
+            ),
         )
     )
     if dv_ver:
@@ -4543,8 +5751,10 @@ def _with_materialized_row_ids(
         .withColumn(
             rcv_col, F.coalesce(_quoted(rcv_col), F.col("__rt_dcv"))
         )
-        .drop("__rt_idx", "__rt_rid", "__rt_dcv")
+        .drop("__rt_rid", "__rt_dcv")
     )
+    if not keep_position:
+        df = df.drop("__rt_idx")
     return df if keep_basename else df.drop("__rt_base")
 
 

@@ -132,35 +132,46 @@ def frequent_item_candidates(
     (absent implies f <= D) and passes the lo + D filter (lo >= f - D >
     threshold - D). ``heavy_hitters`` enforces that precondition.
 
-    The candidates come back as a small LAZY DataFrame meant to be fed
-    straight into ``F.broadcast`` (no driver collect — the round-10
-    collect/createDataFrame round-trip is gone): in relative mode the
-    post-filter candidate count is bounded by a CONSTANT —
-    sum(lo) <= n, so at most n/(threshold - D) < safety/(phi*(safety-1))
-    items survive — and in absolute mode by partitions x k. The
-    summaries plan is cheap to recompute (it is cached across the two
-    scalar/candidate uses below and released once both are planned;
-    Spark's ContextCleaner reclaims the blocks when the frames are
-    garbage-collected)."""
+    The candidate set is BOUNDED BY CONSTRUCTION — in relative mode by
+    a constant (sum(lo) <= n, so at most n/(threshold - D) <
+    safety/(phi*(safety-1)) items survive the filter) and in absolute
+    mode by partitions x k — so it is collected EAGERLY (bounded driver
+    rows, not a data-path collect) and rebuilt as a small local
+    DataFrame ready for ``F.broadcast``. Eager collection lets the
+    persisted summaries be released deterministically in a ``finally``
+    (r12 ADVICE fix: the r11 lazy-candidates spelling pinned the cached
+    summary blocks for the candidate frame's whole lifetime, relying on
+    driver GC + ContextCleaner — long-lived sessions running benches or
+    fuzz batteries accumulated cached summary RDDs)."""
     if (threshold is None) == (phi is None):
         raise ValueError("pass exactly one of threshold or phi")
     summaries = mg_summaries(items, col, k).persist()
-    # one full materialization of the sketch pass; the candidate
-    # aggregation below reuses the persisted summary rows
-    tot = summaries.agg(
-        F.sum("dec").alias("d"), F.sum("n").alias("n")
-    ).first()
-    d_total = int(tot["d"] or 0)
-    n_total = int(tot["n"] or 0)
-    if phi is not None:
-        if not (0.0 < phi < 1.0):
-            raise ValueError(f"phi must be in (0, 1), got {phi}")
-        threshold = int(math.floor(phi * n_total))
-    cands = (
-        summaries.filter(F.col("item").isNotNull())
-        .groupBy("item")
-        .agg(F.sum("cnt").alias("lo"))
-        .filter(F.col("lo") + F.lit(int(d_total)) > int(threshold))
+    try:
+        # one full materialization of the sketch pass; the candidate
+        # aggregation below reuses the persisted summary rows
+        tot = summaries.agg(
+            F.sum("dec").alias("d"), F.sum("n").alias("n")
+        ).first()
+        d_total = int(tot["d"] or 0)
+        n_total = int(tot["n"] or 0)
+        if phi is not None:
+            if not (0.0 < phi < 1.0):
+                raise ValueError(f"phi must be in (0, 1), got {phi}")
+        threshold = (
+            int(math.floor(phi * n_total)) if phi is not None else threshold
+        )
+        cand_rows = (
+            summaries.filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("lo"))
+            .filter(F.col("lo") + F.lit(int(d_total)) > int(threshold))
+            .collect()
+        )
+    finally:
+        summaries.unpersist(blocking=False)
+    cands = items.sparkSession.createDataFrame(
+        [(r["item"], r["lo"]) for r in cand_rows],
+        schema="item string, lo bigint",
     )
     return cands, d_total, n_total, int(threshold)
 

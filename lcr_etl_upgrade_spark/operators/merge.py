@@ -1,13 +1,23 @@
-"""Upsert / SCD2 merge operators (batch MERGE-INTO emulation).
+"""Upsert / SCD2 merge operators.
 
-Delta's MERGE INTO isn't available in this environment, so these implement
-the same semantics with public DataFrame ops — the documented public
-pattern: anti-join + union for upsert; window + union for SCD2. On a real
-cluster with Delta these swap to `DeltaTable.merge` behind the same
-signatures; the logical outcome is identical.
+Two execution paths behind the same signatures (r12):
 
-Scale notes: both operators shuffle once on the merge keys; the updates
-side is usually the small one — pass `broadcast_updates=True` to pin it.
+- DataFrame target -> pure DataFrame emulation (anti-join + union for
+  upsert; single-pass marked join for SCD2) — the public pattern for
+  engines without a transactional MERGE, and the spelling the oracled
+  ``merge_upsert``/``merge_scd2`` queries pin.
+- ``str`` target (a delta_lite table path) -> TRANSACTIONAL
+  ``delta_lite.merge_rows``: ONE commit with authoritative CDF change
+  rows, rowTracking preservation, and the multiple-source-rows-match
+  refusal — the production spelling of the reference's incremental
+  upsert load (/root/reference/ingest.py:802-822). SCD2 uses the
+  public staged-source trick (each updated key's row appears twice in
+  the source: once keyed, to CLOSE the current version; once
+  null-keyed, to INSERT the new version).
+
+Scale notes: the emulation shuffles once on the merge keys — pass
+``broadcast_updates=True`` to pin the small side; the transactional
+path costs one match pass plus a rewrite of TOUCHED files only.
 """
 
 from __future__ import annotations
@@ -16,21 +26,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
 def upsert(
-    current: DataFrame,
+    current: DataFrame | str,
     updates: DataFrame,
     keys: list[str],
     broadcast_updates: bool = False,
 ) -> DataFrame:
-    """MERGE: update matched rows, insert unmatched (last-write-wins on the
-    updates side is the caller's responsibility — dedupe first)."""
+    """MERGE: update matched rows, insert unmatched. ``current`` may be
+    a DataFrame (emulation; last-write-wins on duplicate update keys is
+    the caller's responsibility — dedupe first) or a delta_lite table
+    path (transactional single commit; duplicate update keys RAISE,
+    delta-spark's rule). Returns the post-merge relation either way."""
+    if isinstance(current, str):
+        from lcr_etl_upgrade_spark.delta_lite import (
+            merge_rows,
+            read_delta_lite,
+        )
+
+        spark = updates.sparkSession
+        on = " AND ".join(f"t.{_bt(k)} = s.{_bt(k)}" for k in keys)
+        non_keys = [c for c in updates.columns if c not in keys]
+        merge_rows(
+            spark,
+            current,
+            updates,
+            on,
+            matched=(
+                (("update", None, {c: f"s.{_bt(c)}" for c in non_keys}),)
+                if non_keys
+                else ()
+            ),
+            not_matched=(
+                (
+                    "insert",
+                    None,
+                    {c: f"s.{_bt(c)}" for c in updates.columns},
+                ),
+            ),
+        )
+        return read_delta_lite(spark, current)
     upd = F.broadcast(updates) if broadcast_updates else updates
     kept = current.join(upd, keys, "left_anti")
     return kept.unionByName(updates)
 
 
 def scd2_apply(
-    dim: DataFrame,
+    dim: DataFrame | str,
     updates: DataFrame,
     keys: list[str],
     as_of: str,
@@ -38,23 +83,76 @@ def scd2_apply(
     valid_to: str = "VALID_TO",
     current_flag: str = "IS_CURRENT",
 ) -> DataFrame:
-    """Slowly-changing-dimension type 2: close the current version of every
-    updated key (VALID_TO = as_of, IS_CURRENT = false) and append the new
-    version (VALID_FROM = as_of, open-ended).
+    """Slowly-changing-dimension type 2: close the current version of
+    every updated key (VALID_TO = as_of, IS_CURRENT = false) and append
+    the new version (VALID_FROM = as_of, open-ended).
 
-    ``dim`` must already carry the three SCD columns; ``updates`` carries
-    business columns only. Deterministic given a pinned as_of.
+    ``dim`` must already carry the three SCD columns (a DataFrame, or a
+    delta_lite path whose table does); ``updates`` carries business
+    columns only. Deterministic given a pinned as_of.
 
-    ONE pass over ``dim`` (left join against the distinct update keys
-    with a match marker, then conditional columns): the previous
-    three-branch formulation (semi/anti/semi + union) scanned the full
-    dimension three times AND silently dropped rows whose
-    ``current_flag`` was NULL (they failed both the ``flag`` and
-    ``~flag`` filters). NULL-flag rows now pass through unchanged —
+    DataFrame path: ONE pass over ``dim`` (left join against the
+    distinct update keys with a match marker, then conditional
+    columns): the previous three-branch formulation (semi/anti/semi +
+    union) scanned the full dimension three times AND silently dropped
+    rows whose ``current_flag`` was NULL (they failed both the ``flag``
+    and ``~flag`` filters). NULL-flag rows pass through unchanged —
     they are not current, so an update never closes them, and a merge
     operator must never lose rows.
-    """
+
+    Path target (r12): the public staged-source MERGE pattern — the
+    source is ``updates`` twice: keyed rows close the matching CURRENT
+    dimension row (``ON t.key = s.__mk AND t.IS_CURRENT``), and
+    null-keyed duplicates (staged only for keys that currently HAVE an
+    open version) never match, so they insert the new version; keys
+    with no open version insert via their keyed row failing the match.
+    One transactional commit, authoritative CDF rows."""
     ts = F.lit(as_of).cast("timestamp_ntz")
+    if isinstance(dim, str):
+        from lcr_etl_upgrade_spark.delta_lite import (
+            merge_rows,
+            read_delta_lite,
+        )
+
+        spark = updates.sparkSession
+        cur_keys = (
+            read_delta_lite(spark, dim)
+            .filter(F.coalesce(F.col(current_flag), F.lit(False)))
+            .select(*keys)
+            .distinct()
+        )
+        mk = {k: f"__mk_{i}" for i, k in enumerate(keys)}
+        keyed = updates.select(
+            "*", *[F.col(k).alias(m) for k, m in mk.items()]
+        )
+        null_keyed = updates.join(cur_keys, keys, "left_semi").select(
+            "*",
+            *[
+                F.lit(None).cast(updates.schema[k].dataType).alias(m)
+                for k, m in mk.items()
+            ],
+        )
+        staged = keyed.unionByName(null_keyed)
+        on = (
+            " AND ".join(f"t.{_bt(k)} = s.{_bt(m)}" for k, m in mk.items())
+            + f" AND t.{_bt(current_flag)} = true"
+        )
+        insert_vals = {c: f"s.{_bt(c)}" for c in updates.columns}
+        insert_vals[valid_from] = ts
+        insert_vals[valid_to] = F.lit(None).cast("timestamp_ntz")
+        insert_vals[current_flag] = F.lit(True)
+        merge_rows(
+            spark,
+            dim,
+            staged,
+            on,
+            matched=(
+                ("update", None, {valid_to: ts, current_flag: F.lit(False)}),
+            ),
+            not_matched=(("insert", None, insert_vals),),
+        )
+        return read_delta_lite(spark, dim)
+
     upd_keys = updates.select(*keys).distinct()
 
     marked = dim.join(

@@ -106,7 +106,7 @@ def _random_ops(spark, rng, path, n_ops: int) -> list[str]:
     done = []
     for _ in range(n_ops):
         op = ["append", "append", "delete", "optimize", "rollback",
-              "update"][int(rng.integers(0, 6))]
+              "update", "merge"][int(rng.integers(0, 7))]
         if op == "append":
             write_delta_lite(
                 _rand_df(spark, rng, int(rng.integers(0, 100))),
@@ -122,6 +122,28 @@ def _random_ops(spark, rng, path, n_ops: int) -> list[str]:
             update_rows(
                 spark, path, F.col("id") % int(rng.integers(2, 6)) == 1,
                 {"v": F.col("v") + int(rng.integers(1, 50))},
+            )
+        elif op == "merge":
+            # the r12 transactional MERGE: one commit mixing rewrites,
+            # deletes, and inserts — the streaming CDF source must
+            # replay its authoritative mixed change rows exactly once
+            from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+            src = (
+                _rand_df(spark, rng, int(rng.integers(0, 100)))
+                .dropDuplicates(["id"])
+                .withColumnsRenamed({"id": "k", "v": "nv", "s": "ns"})
+            )
+            merge_rows(
+                spark, path, src, "t.id = s.k",
+                matched=(
+                    ("update", "s.nv % 2 = 0", {"v": "t.v + s.nv"}),
+                    ("delete", None),
+                ),
+                not_matched=(
+                    ("insert", None,
+                     {"id": "s.k", "v": "s.nv", "s": "s.ns"}),
+                ),
             )
         elif op == "optimize":
             if optimize(spark, path,

@@ -300,11 +300,14 @@ def validate_table(path: str) -> list[dict]:
 
         if cdcs and not bad_commit_cdc:
             if counts["update_preimage"] or counts["update_postimage"]:
-                # rewrite-path UPDATE (r11): touched files rewrite in
-                # full, so the independent replay sees live rows
-                # CONSERVED (derived deletes == derived inserts), while
-                # the authoritative change files carry ONLY the matched
-                # rows as pre/post pairs
+                # rewrite-path UPDATE (r11) or MERGE (r12): touched
+                # files rewrite in full, so the independent replay's
+                # net row movement must reconcile with the change rows:
+                #   removed_live - added_live == delete_rows - insert_rows
+                # (pure UPDATE conserves: 0 == 0; MERGE's deletes and
+                # inserts shift the balance exactly). The authoritative
+                # change files carry ONLY the modified rows — pre/post
+                # pairs plus any merge insert/delete rows.
                 if counts["update_preimage"] != counts["update_postimage"]:
                     out.append({
                         "check": "W6", "version": v,
@@ -313,42 +316,79 @@ def validate_table(path: str) -> list[dict]:
                                   f"update_postimage rows "
                                   f"{counts['update_postimage']}",
                     })
-                if counts["insert"] or counts["delete"]:
+                if derivable and (derived_del - derived_ins) != (
+                    counts["delete"] - counts["insert"]
+                ):
                     out.append({
                         "check": "W6", "version": v,
-                        "detail": "update commit carries plain "
-                                  "insert/delete change rows — a mixed "
-                                  "shape this writer never emits",
+                        "detail": f"rewrite commit does not reconcile: "
+                                  f"removed {derived_del} - added "
+                                  f"{derived_ins} != cdc deletes "
+                                  f"{counts['delete']} - cdc inserts "
+                                  f"{counts['insert']}",
                     })
-                if derivable and derived_del != derived_ins:
+                if derivable and (
+                    counts["update_preimage"] + counts["delete"]
+                    > derived_del
+                ):
                     out.append({
                         "check": "W6", "version": v,
-                        "detail": f"update commit does not conserve "
-                                  f"live rows: removed {derived_del} "
-                                  f"!= added {derived_ins}",
-                    })
-                if derivable and counts["update_preimage"] > derived_del:
-                    out.append({
-                        "check": "W6", "version": v,
-                        "detail": f"more update_preimage rows "
-                                  f"({counts['update_preimage']}) than "
-                                  f"live rows rewritten ({derived_del})",
+                        "detail": f"more modified rows (pre "
+                                  f"{counts['update_preimage']} + del "
+                                  f"{counts['delete']}) than live rows "
+                                  f"rewritten ({derived_del})",
                     })
             elif derivable:
-                if counts["delete"] != derived_del:
-                    out.append({
-                        "check": "W6", "version": v,
-                        "detail": f"cdc delete rows {counts['delete']} "
-                                  f"!= independently derived "
-                                  f"{derived_del}",
-                    })
-                if counts["insert"] != derived_ins:
-                    out.append({
-                        "check": "W6", "version": v,
-                        "detail": f"cdc insert rows {counts['insert']} "
-                                  f"!= independently derived "
-                                  f"{derived_ins}",
-                    })
+                # a rewrite-shaped commit (removes whose paths are NOT
+                # re-added alongside fresh-path adds — merge clauses
+                # that only delete) re-adds every surviving row, so
+                # only the NET movement reconciles; pure append/DV
+                # shapes still check exactly
+                rewrite_shape = any(
+                    dc and p not in added_paths
+                    for p, dc in removed_paths.items()
+                ) and any(
+                    bool(a.get("dataChange")) and p not in removed_paths
+                    and p not in state
+                    for p, a in added_paths.items()
+                )
+                if rewrite_shape:
+                    if (derived_del - derived_ins) != (
+                        counts["delete"] - counts["insert"]
+                    ):
+                        out.append({
+                            "check": "W6", "version": v,
+                            "detail": f"rewrite commit does not "
+                                      f"reconcile: removed "
+                                      f"{derived_del} - added "
+                                      f"{derived_ins} != cdc deletes "
+                                      f"{counts['delete']} - cdc "
+                                      f"inserts {counts['insert']}",
+                        })
+                    if counts["delete"] > derived_del:
+                        out.append({
+                            "check": "W6", "version": v,
+                            "detail": f"more cdc delete rows "
+                                      f"({counts['delete']}) than live "
+                                      f"rows rewritten ({derived_del})",
+                        })
+                else:
+                    if counts["delete"] != derived_del:
+                        out.append({
+                            "check": "W6", "version": v,
+                            "detail": f"cdc delete rows "
+                                      f"{counts['delete']} != "
+                                      f"independently derived "
+                                      f"{derived_del}",
+                        })
+                    if counts["insert"] != derived_ins:
+                        out.append({
+                            "check": "W6", "version": v,
+                            "detail": f"cdc insert rows "
+                                      f"{counts['insert']} != "
+                                      f"independently derived "
+                                      f"{derived_ins}",
+                        })
         if cdf_on and dv_update_paths and not cdcs:
             out.append({
                 "check": "W8", "version": v,

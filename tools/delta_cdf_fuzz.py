@@ -206,7 +206,7 @@ def run_case(spark, rng, i: int) -> dict | None:
         n_ops = int(rng.integers(2, 7))
         for _ in range(n_ops):
             op = ["append", "delete", "compact", "restore", "optimize",
-                  "rollback", "update"][int(rng.integers(0, 7))]
+                  "rollback", "update", "merge"][int(rng.integers(0, 8))]
             if op == "append":
                 write_delta_lite(
                     _rand_df(spark, rng, int(rng.integers(0, 100))),
@@ -226,6 +226,51 @@ def run_case(spark, rng, i: int) -> dict | None:
                 update_rows(
                     spark, path, F.col("id") % m == 1,
                     {"v": F.col("v") + int(rng.integers(1, 50))},
+                )
+            elif op == "merge":
+                # the engine's transactional MERGE (r12): one commit
+                # mixing rewrites, deletes, and inserts — on CDF tables
+                # it must write authoritative mixed change files the
+                # algebra, both readers, and the layout validator all
+                # agree on. Source distinct on the key (duplicate
+                # modifying matches are a documented refusal the
+                # dedicated tests pin).
+                from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+                src = (
+                    _rand_df(spark, rng, int(rng.integers(0, 100)))
+                    .dropDuplicates(["id"])
+                    .withColumnsRenamed(
+                        {"id": "k", "v": "nv", "s": "ns"}
+                    )
+                )
+                matched = []
+                if rng.random() < 0.8:
+                    cond = (
+                        f"s.nv % {int(rng.integers(2, 4))} = 0"
+                        if rng.random() < 0.5
+                        else None
+                    )
+                    matched.append(
+                        ("update", cond, {"v": "t.v + s.nv"})
+                    )
+                if rng.random() < 0.5:
+                    matched.append(("delete", None))
+                not_matched = []
+                if rng.random() < 0.8:
+                    not_matched.append(
+                        (
+                            "insert",
+                            None,
+                            {"id": "s.k", "v": "s.nv", "s": "s.ns"},
+                        )
+                    )
+                if not (matched or not_matched):
+                    continue
+                merge_rows(
+                    spark, path, src, "t.id = s.k",
+                    matched=tuple(matched),
+                    not_matched=tuple(not_matched),
                 )
             elif op == "compact":
                 if not _compact(path):
