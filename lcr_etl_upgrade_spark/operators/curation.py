@@ -252,6 +252,7 @@ def pack_sequences(
     group_col: str | None = None,
     bin_col: str = "bin_id",
     offset_col: str = "bin_offset",
+    max_ungrouped_rows: int = 2_000_000,
 ) -> DataFrame:
     """Concat-then-split packing: lay the rows out in the deterministic
     ``order_cols`` order, accumulate ``token_col``, and cut a new bin
@@ -262,7 +263,14 @@ def pack_sequences(
 
     ``group_col`` scopes packing (and the single window shuffle) to a
     shard; bins are then per-group. Rows with NULL or negative token
-    counts are rejected up front."""
+    counts are rejected up front.
+
+    Ungrouped packing plans a SINGLE-PARTITION window over the whole
+    corpus — correct, but a scale hazard (r12 valve, mirroring the LSH
+    operators' ``max_bucket`` convention): it refuses at runtime past
+    ``max_ungrouped_rows`` rows, checked INSIDE the window expression
+    itself (no extra pass). Pass ``group_col`` to shard the shuffle, or
+    raise the bound explicitly when a single sort is intended."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     part = [group_col] if group_col else []
@@ -293,6 +301,28 @@ def pack_sequences(
     # to evaluate for EVERY row (a bad final row would otherwise escape
     # — the running sum never consumes the partition's last value)
     offset = start + checked - n
+    if not part:
+        # the single-partition valve: row_number rides the SAME window,
+        # so the refusal costs nothing extra and fires exactly when the
+        # unscalable plan actually exceeds the bound
+        guard = (
+            F.when(
+                F.row_number().over(w) > int(max_ungrouped_rows),
+                F.raise_error(
+                    F.lit(
+                        "pack_sequences: ungrouped packing over more "
+                        f"than {int(max_ungrouped_rows)} rows plans a "
+                        "single-partition window over the whole corpus; "
+                        "pass group_col= to shard the shuffle (bins are "
+                        "then per-group) or raise max_ungrouped_rows "
+                        "explicitly"
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        offset = offset + guard
     return df.withColumns(
         {
             bin_col: F.floor(offset / budget).cast("long"),

@@ -475,3 +475,35 @@ def test_curate_corpus_argument_contracts(spark):
         curate_corpus(df, pack_budget=32, pack_shards=4)
     with pytest.raises(ValueError, match="requires pack_shards"):
         curate_corpus(df, chunk_tokens=16, pack_budget=32)
+
+
+def test_packing_ungrouped_valve(spark):
+    """r12 valve: ungrouped packing refuses past max_ungrouped_rows
+    (single-partition window hazard); grouped packing never fires it,
+    and the bound is caller-adjustable."""
+    from pyspark.sql.utils import PythonException
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", 10) for i in range(20)],
+        "id long, shard string, n long",
+    )
+    with pytest.raises(Exception, match="single-partition window"):
+        pack_sequences(
+            df, "n", ["id"], budget=64, max_ungrouped_rows=5
+        ).collect()
+    # grouped: same data, valve not consulted
+    assert (
+        pack_sequences(
+            df, "n", ["id"], budget=64, group_col="shard",
+            max_ungrouped_rows=5,
+        ).count()
+        == 20
+    )
+    # ungrouped below the bound: unchanged behavior
+    got = {
+        r.id: r.bin_offset
+        for r in pack_sequences(
+            df, "n", ["id"], budget=64, max_ungrouped_rows=20
+        ).collect()
+    }
+    assert got == {i: i * 10 for i in range(20)}
