@@ -3668,9 +3668,10 @@ def _merge_rewrite_groups(
     next_row_id: int,
     staged: list[str],
     actions: list[dict],
+    persisted: list,
 ) -> int:
     """Rewrite every touched partition group applying the per-row merge
-    decisions (joined from ``dec`` on file basename + row position),
+    decisions (joined from ``dec`` on file path + row position),
     appending add/remove/cdc actions. Returns the advanced
     next_row_id."""
     if not touched:
@@ -3794,6 +3795,15 @@ def _merge_rewrite_groups(
                 "__mrg_updated": F.coalesce(updated, F.lit(False)),
             }
         )
+        if cdf_on:
+            # the decided group frame feeds the rewrite AND the
+            # pre/post/delete change staging — persist it for the
+            # group's duration instead of re-running the scan + dec
+            # join per action (measured: merge CDF overhead halves).
+            # Unpersisted at the end of the iteration; the caller's
+            # finally releases it on the error path too.
+            j = j.persist()
+            persisted.append(j)
 
         if cdf_on:
             # originals of modified rows, BEFORE the rewrite projection
@@ -3971,6 +3981,8 @@ def _merge_rewrite_groups(
             if rel in state.dvs:
                 remove["deletionVector"] = state.dvs[rel]
             actions.append({"remove": remove})
+        if cdf_on:
+            j.unpersist(blocking=False)
     return next_row_id
 
 
@@ -3997,6 +4009,7 @@ def _merge_inserts(
     next_row_id: int,
     staged: list[str],
     actions: list[dict],
+    persisted: list,
 ) -> int:
     """Stage the WHEN NOT MATCHED inserts as new add files (hive-
     partitioned on partitioned tables) plus their cdc insert rows,
@@ -4061,6 +4074,10 @@ def _merge_inserts(
             for f, pf in zip(schema.fields, phys_schema.fields)
         ]
     )
+    if cdf_on:
+        # reused by the cdc insert staging below — one anti-join, not two
+        out_phys = out_phys.persist()
+        persisted.append(out_phys)
     moved = _stage_and_move(out_phys, base, tuple(phys_part_cols))
     kept_adds: list[tuple[str, dict, int]] = []
     try:
@@ -4156,6 +4173,8 @@ def _merge_inserts(
                     }
                 }
             )
+    if cdf_on:
+        out_phys.unpersist(blocking=False)
     return next_row_id
 
 
@@ -4466,6 +4485,7 @@ def merge_rows(
     src = source.persist()
     dec = None
     touched: list[str] = []
+    persisted: list = []  # per-group/insert caches, released in finally
     try:
         # ---- global decision frame: one match pass ----------------------
         if rels and (matched or nmbs):
@@ -4658,6 +4678,7 @@ def merge_rows(
                 next_row_id=next_row_id,
                 staged=staged,
                 actions=actions,
+                persisted=persisted,
             )
             next_row_id = _merge_inserts(
                 spark=spark,
@@ -4682,6 +4703,7 @@ def merge_rows(
                 next_row_id=next_row_id,
                 staged=staged,
                 actions=actions,
+                persisted=persisted,
             )
 
             n_adds = sum(1 for a in actions if "add" in a)
@@ -4711,6 +4733,8 @@ def merge_rows(
                     pass
             raise
     finally:
+        for frame in persisted:
+            frame.unpersist(blocking=False)
         if dec is not None:
             dec.unpersist(blocking=False)
         src.unpersist(blocking=False)

@@ -565,3 +565,28 @@ def test_scd2_path_matches_dataframe_emulation(spark, tmp_path):
     assert got[(1, "2020-01-01 00:00:00")] == ("a", False)
     assert got[(4, as_of)] == ("d", True)
     assert got[(3, "2020-01-01 00:00:00")] == ("c", None)  # never lost
+
+
+def test_merge_releases_all_caches(spark, tmp_path):
+    """merge persists source/decisions/group frames internally; none
+    may outlive the command (success or failure path)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    path = str(tmp_path / "t")
+    write_delta_lite(_tgt(spark), path)
+    _enable_cdf(path)
+    merge_rows(
+        spark, path, _src(spark), "t.id = s.k",
+        matched=(("update", None, {"v": "s.nv"}), ("delete", "s.k > 11")),
+        not_matched=(
+            ("insert", None, {"id": "s.k", "v": "s.nv", "tag": "'i'"}),
+        ),
+    )
+    dup = spark.createDataFrame([(1, 7), (1, 8)], "k long, nv int")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_rows(
+            spark, path, dup, "t.id = s.k",
+            matched=(("update", None, {"v": "s.nv"}),),
+        )
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    assert after <= before, "merge left persisted RDDs behind"

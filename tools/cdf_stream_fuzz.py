@@ -4,7 +4,8 @@
 
 Each case builds a fresh delta_lite table (randomly partitioned /
 column-mapped / CDF-enabled) and interleaves EPOCHS of random table ops
-(append, DV delete, rewrite-path UPDATE, OPTIMIZE, RESTORE-rollback)
+(append, DV delete, rewrite-path UPDATE, transactional MERGE, OPTIMIZE,
+RESTORE-rollback)
 with availableNow runs
 of the ``delta_cdf_lite`` streaming source feeding
 ``exactly_once_delta_sink`` — every epoch boundary is a kill/restart

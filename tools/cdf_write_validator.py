@@ -40,8 +40,13 @@ Checks, per commit of each table:
       commit newly deleted (DV-cardinality growth on re-added paths +
       full content of removed-not-re-added paths), and the `insert`
       row count the rows newly inserted (dataChange adds of fresh
-      paths, net of their DVs). Commits carrying update_* rows are
-      foreign shapes this writer never emits — reported as violations.
+      paths, net of their DVs). Rewrite-shaped commits (UPDATE / MERGE
+      / merge-delete: removes whose paths are not re-added plus
+      fresh-path adds) re-add every surviving row, so they reconcile
+      on NET movement instead — removed_live - added_live must equal
+      cdc deletes - cdc inserts, update_preimage must pair 1:1 with
+      update_postimage, and modified rows (pre + delete) can never
+      exceed the live rows rewritten.
   W7  `_change_data/` files are never referenced by add/remove actions
       (change files live outside table state).
   W8  on a CDF-enabled table, a dataChange commit that removes AND

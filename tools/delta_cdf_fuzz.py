@@ -6,7 +6,9 @@ the engine's deletes must write _change_data files + cdc actions and
 both readers must serve them instead of deriving) and drives a random
 operation sequence — overwrite, append, DV delete, the engine's
 rewrite-path UPDATE (r11: authoritative update_pre/postimage change
-files on CDF tables), dataChange=false compaction, DV-clearing restore,
+files on CDF tables), the engine's transactional MERGE (r12: ONE
+commit mixing rewrites, deletes, and inserts with authoritative mixed
+change files), dataChange=false compaction, DV-clearing restore,
 the engine's own OPTIMIZE (bin-pack + DV-materializing rewrite), and
 the engine's RESTORE TO VERSION AS OF aimed at a random prior version —
 then checks SNAPSHOT ALGEBRA for every
@@ -37,6 +39,11 @@ harness-power evidence, same convention as the other fuzzers.
 remove action (post-edits the commit it wrote): the rollback
 state-equality pin must flag the divergence on cases where the dropped
 remove is not superseded by a same-path re-add.
+--mutate merge_drop_cdc simulates a MERGE writer that forgot its
+change files (strips the cdc actions from the first cdc-carrying MERGE
+commit): readers fall back to add/remove derivation, which
+double-counts the rewrite — the snapshot algebra must flag every case
+whose history has a modifying CDF merge.
 
 Usage: python tools/delta_cdf_fuzz.py [--seed N] [--n CASES] [--mutate M]
 """
@@ -337,6 +344,25 @@ def run_case(spark, rng, i: int) -> dict | None:
         latest = max(
             int(f[:20]) for f in os.listdir(log) if f.endswith(".json")
         )
+        if MUTATE == "merge_drop_cdc":
+            # simulate a MERGE writer that forgot its change files:
+            # strip the cdc actions from the first cdc-carrying MERGE
+            # commit. Readers then fall back to add/remove derivation,
+            # which double-counts the rewrite — the snapshot algebra
+            # must flag every case whose history has a CDF merge.
+            for v_ in range(latest + 1):
+                cpath = os.path.join(log, f"{v_:020d}.json")
+                lines = [json.loads(l) for l in open(cpath) if l.strip()]
+                is_merge = any(
+                    (a.get("commitInfo") or {}).get("operation") == "MERGE"
+                    for a in lines
+                )
+                if is_merge and any("cdc" in a for a in lines):
+                    with open(cpath, "w") as fh:
+                        for a in lines:
+                            if "cdc" not in a:
+                                fh.write(json.dumps(a) + "\n")
+                    break
         if MUTATE == "cdc_size_lie":
             # corrupt the first cdc action's size claim: the layout
             # validator below must catch it on every case that wrote one

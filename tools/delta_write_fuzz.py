@@ -22,6 +22,15 @@ expected column set, the active constraint list, identity bookkeeping):
                     refusal
   - bad_type        append with a column retyped long->string: must
                     refuse with the type-mismatch error
+  - merge           (r12) transactional MERGE vs the oracle's own
+                    per-key clause routing: update (nv % m == 0,
+                    first-wins) / delete (nv % d == 0) / insert for
+                    unmatched source rows; constraint refusal predicted
+                    over the changed + inserted rows, state
+                    byte-unchanged on refusal; drawn only on tables
+                    whose existing rows all satisfy the active
+                    constraints (the ALTER-without-validate corner
+                    makes whole-group revalidation unmodellable)
 
 plus an identity family (separate tables): generated values must be
 unique, on the start/step lattice, and strictly advancing across
@@ -154,7 +163,9 @@ def run_case(spark, rng, i: int) -> dict | None:
         ops = [f"create({','.join(cols)})"]
         for _ in range(int(rng.integers(3, 9))):
             op = ["append", "evolve", "omit", "constrain",
-                  "risky_append", "bad_type"][int(rng.integers(0, 6))]
+                  "risky_append", "bad_type", "merge"][
+                int(rng.integers(0, 7))
+            ]
             if op == "append":
                 rows = _mk_rows(rng, cols, int(rng.integers(1, 12)))
                 if any(_violates(r, constraints, nulls_pass)
@@ -251,6 +262,137 @@ def run_case(spark, rng, i: int) -> dict | None:
                                 "ops": ops}
                 else:
                     expected += rows
+            if op == "merge":
+                # r12 transactional MERGE vs a pure-Python oracle:
+                # per-key first-wins clause routing (update if
+                # nv % m == 0, else delete if nv % d == 0, else
+                # unchanged; unmatched source rows insert with typed
+                # nulls), with constraint refusal PREDICTED over the
+                # changed/inserted rows only (untouched rows already
+                # satisfied the active set). nv is kept non-negative so
+                # Python % and SQL % agree.
+                from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+                if any(
+                    _violates(r, constraints, nulls_pass)
+                    for r in expected
+                ):
+                    # the fuzzer's ALTER-style constrain op does not
+                    # validate existing rows, but a merge rewrite
+                    # re-validates every row of a touched GROUP — which
+                    # rows share a file with a matched one is not
+                    # modellable here, so only merge into clean tables
+                    continue
+                kc_cands = [c for c in cols if c != "s"]
+                kc = kc_cands[int(rng.integers(0, len(kc_cands)))]
+                vc_cands = [c for c in kc_cands if c != kc] or [kc]
+                vc = vc_cands[int(rng.integers(0, len(vc_cands)))]
+                seen_keys: set[int] = set()
+                src_rows: list[dict] = []
+                for _k in range(int(rng.integers(1, 10))):
+                    if rng.random() < 0.15:
+                        k = None
+                    else:
+                        k = int(rng.integers(-50, 20))
+                        if k in seen_keys:
+                            continue
+                        seen_keys.add(k)
+                    src_rows.append(
+                        {"k": k, "nv": int(rng.integers(0, 40))}
+                    )
+                if not src_rows:
+                    continue
+                m = int(rng.integers(2, 4))
+                d = int(rng.integers(2, 4))
+                ins_vals = {kc: "s.k", vc: "s.nv", "s": "'ins'"}
+                # ---- python oracle -------------------------------------
+                by_key = {
+                    r["k"]: r for r in src_rows if r["k"] is not None
+                }
+                tgt_keys = {
+                    row.get(kc)
+                    for row in expected
+                    if row.get(kc) is not None
+                }
+                post, changed = [], []
+                for row in expected:
+                    srow = (
+                        by_key.get(row.get(kc))
+                        if row.get(kc) is not None
+                        else None
+                    )
+                    if srow is None:
+                        post.append(row)
+                    elif srow["nv"] % m == 0:
+                        nr = dict(row)
+                        nr["s"] = "upd"
+                        nr[vc] = srow["nv"]
+                        post.append(nr)
+                        changed.append(nr)
+                    elif srow["nv"] % d == 0:
+                        pass  # deleted
+                    else:
+                        post.append(row)
+                inserts = []
+                for r in src_rows:
+                    if r["k"] is not None and r["k"] in tgt_keys:
+                        continue
+                    nr = {c: None for c in cols}
+                    nr[kc] = r["k"]
+                    nr[vc] = r["nv"]
+                    nr["s"] = "ins"
+                    # mirror the engine's dict-build order: vc overwrote
+                    # kc when they are the same column
+                    if vc == kc:
+                        nr[kc] = r["nv"]
+                    inserts.append(nr)
+                should_refuse = bool(constraints) and any(
+                    _violates(r, constraints, nulls_pass)
+                    for r in changed + inserts
+                )
+                before = (
+                    Counter(tuple(sorted(os.listdir(path))))
+                    if should_refuse
+                    else None
+                )
+                src_df = spark.createDataFrame(
+                    [(r["k"], r["nv"]) for r in src_rows],
+                    "k long, nv long",
+                )
+                try:
+                    merge_rows(
+                        spark, path, src_df, f"t.`{kc}` = s.k",
+                        matched=(
+                            (
+                                "update",
+                                f"s.nv % {m} = 0",
+                                {"s": "'upd'", vc: "s.nv"},
+                            ),
+                            ("delete", f"s.nv % {d} = 0"),
+                        ),
+                        not_matched=(("insert", None, ins_vals),),
+                    )
+                    refused = False
+                except ValueError as exc:
+                    if "constraint" not in str(exc):
+                        return {"kind": "unexpected_refusal",
+                                "ops": ops, "err": str(exc)[:200]}
+                    refused = True
+                if refused != should_refuse:
+                    return {
+                        "kind": "merge_constraint_disagreement",
+                        "ops": ops,
+                        "engine_refused": refused,
+                        "oracle_refuses": should_refuse,
+                        "constraints": constraints,
+                    }
+                if refused:
+                    after = Counter(tuple(sorted(os.listdir(path))))
+                    if after != before:
+                        return {"kind": "refusal_left_debris",
+                                "ops": ops}
+                else:
+                    expected = post + inserts
             if op == "bad_type":
                 victim = [c for c in cols if c != "s"]
                 if not victim:

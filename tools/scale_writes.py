@@ -1,0 +1,338 @@
+#!/usr/bin/env python
+"""Measured scale points for the delta_lite write commands (round 12,
+verdict ask #2 — the r11 UPDATE/VACUUM additions shipped with
+proportionality ARGUMENTS; the house standard is measured. MERGE is
+measured in the same run since it landed this round).
+
+What is measured, all on local[32], fresh table copy per run,
+best-of-N alternating configs, load-gated like bench.py:
+
+  update_rows on a 5M-row / 32-file table at TWO selectivities
+    (~1% and ~50% matched), CDF off and on. The SCALE.md claim under
+    test: cost tracks TOUCHED files and change volume tracks MATCHED
+    rows — at 1% selectivity with 32 uniformly-spread files every file
+    is touched (uniform keys are the worst case for file pruning), so
+    the comparison that matters is CDF overhead vs matched volume:
+    the +CDF delta at 1% must be far below the +CDF delta at 50%.
+  update_rows on a CLUSTERED layout (same 5M rows range-partitioned on
+    id) at ~3% selectivity via a RANGE predicate — the 100 TB shape:
+    only ~1/32 of files contain matches, so cost must drop
+    proportionally vs the uniform-key table.
+  merge_rows upsert-shaped (50% of a 250k-row source updates, 50%
+    inserts), CDF off/on: one match pass + touched rewrites + insert
+    append in ONE commit.
+  vacuum(retain_hours=1) with ~64 and ~512 expired files (appends
+    backdated past the horizon, then overwritten dead): wall-time must
+    scale with the file count at unlink cost, never opening data.
+
+Output: one JSON artifact (default BENCH_writes_r12.json) with
+per-config best/spread, touched-file and change-row counts.
+
+Usage: python tools/scale_writes.py [--reps 3] [--out BENCH_writes_r12.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_ROWS = 5_000_000
+N_FILES = 32
+
+
+def _gate(idle_bar: float = 1.0, max_wait: int = 300) -> float:
+    waited = 0
+    while os.getloadavg()[0] > idle_bar and waited < max_wait:
+        time.sleep(5)
+        waited += 5
+    return round(os.getloadavg()[0], 2)
+
+
+def _build_template(spark, out: str, clustered: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.delta_lite import write_delta_lite
+
+    df = spark.range(0, N_ROWS).select(
+        "id",
+        (F.col("id") % 997).alias("v"),
+        F.sha1(F.col("id").cast("string")).alias("s"),
+    )
+    if clustered:
+        df = df.repartitionByRange(N_FILES, "id")
+    else:
+        df = df.repartition(N_FILES)  # uniform keys in every file
+    write_delta_lite(df, out)
+
+
+def _enable_cdf(path: str) -> None:
+    from pyspark.sql import SparkSession
+
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    spark = SparkSession.getActiveSession()
+    st = replay_log(spark, path)
+    meta = dict(st.metadata)
+    cfg = dict(meta.get("configuration") or {})
+    cfg["delta.enableChangeDataFeed"] = "true"
+    meta["configuration"] = cfg
+    proto = st.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    feats = set(proto.get("writerFeatures") or ())
+    feats |= {"changeDataFeed", "appendOnly", "invariants"}
+    pact = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats),
+    }
+    with open(
+        os.path.join(path, "_delta_log", f"{st.version + 1:020d}.json"),
+        "w",
+    ) as fh:
+        fh.write(json.dumps({"protocol": pact}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+
+
+def _fresh_copy(template: str, scratch: str) -> str:
+    dst = os.path.join(scratch, f"run-{time.monotonic_ns()}")
+    shutil.copytree(template, dst)
+    return dst
+
+
+def measure_update(spark, template, scratch, pred, cdf, reps):
+    from lcr_etl_upgrade_spark.delta_lite import (
+        read_delta_changes,
+        replay_log,
+        update_rows,
+    )
+    from pyspark.sql import functions as F
+
+    best, worst = float("inf"), 0.0
+    touched = change_rows = None
+    for _ in range(reps):
+        path = _fresh_copy(template, scratch)
+        if cdf:
+            _enable_cdf(path)
+        before = set(replay_log(spark, path).files)
+        t0 = time.monotonic()
+        v = update_rows(spark, path, pred, {"v": F.col("v") + 1})
+        dt = time.monotonic() - t0
+        best, worst = min(best, dt), max(worst, dt)
+        after = replay_log(spark, path)
+        touched = len(before - set(after.files))
+        if cdf:
+            change_rows = (
+                read_delta_changes(spark, path, v, v)
+                .filter(F.col("_change_type") == "update_postimage")
+                .count()
+            )
+        shutil.rmtree(path, ignore_errors=True)
+    return {
+        "best_sec": round(best, 3),
+        "worst_sec": round(worst, 3),
+        "touched_files": touched,
+        "change_rows": change_rows,
+    }
+
+
+def measure_merge(spark, template, scratch, cdf, reps):
+    from lcr_etl_upgrade_spark.delta_lite import merge_rows, replay_log
+    from pyspark.sql import functions as F
+
+    # 250k-row source: half hits existing ids (update), half is new
+    src = (
+        spark.range(0, 250_000)
+        .select(
+            F.when(
+                F.col("id") % 2 == 0, F.col("id") * 20
+            )  # existing ids, spread over the full range
+            .otherwise(N_ROWS + F.col("id"))  # fresh ids
+            .alias("k"),
+            (F.col("id") % 31).alias("nv"),
+        )
+        .persist()
+    )
+    src.count()
+    best, worst = float("inf"), 0.0
+    touched = None
+    for _ in range(reps):
+        path = _fresh_copy(template, scratch)
+        if cdf:
+            _enable_cdf(path)
+        before = set(replay_log(spark, path).files)
+        t0 = time.monotonic()
+        merge_rows(
+            spark,
+            path,
+            src,
+            "t.id = s.k",
+            matched=(("update", None, {"v": "s.nv"}),),
+            not_matched=(
+                ("insert", None, {"id": "s.k", "v": "s.nv", "s": "'new'"}),
+            ),
+        )
+        dt = time.monotonic() - t0
+        best, worst = min(best, dt), max(worst, dt)
+        touched = len(before - set(replay_log(spark, path).files))
+        shutil.rmtree(path, ignore_errors=True)
+    src.unpersist()
+    return {
+        "best_sec": round(best, 3),
+        "worst_sec": round(worst, 3),
+        "touched_files": touched,
+    }
+
+
+def measure_vacuum(spark, scratch, n_dead, reps):
+    from pyspark.sql import functions as F
+
+    from lcr_etl_upgrade_spark.delta_lite import (
+        replay_log,
+        vacuum,
+        write_delta_lite,
+    )
+
+    # template: n_dead tiny appended files, all made dead by one
+    # overwrite, every old commit backdated past the horizon.
+    # repartitionByRange on k distinct ids gives EXACTLY k one-row
+    # files (round-robin repartition leaves empty partitions); batch
+    # 128 keeps the commit count under CHECKPOINT_INTERVAL so no
+    # checkpoint legitimately pins early files into the keep set
+    template = os.path.join(scratch, f"vac-template-{n_dead}")
+    path0 = os.path.join(template, "t")
+    write_delta_lite(
+        spark.range(0, 1).select("id"), path0
+    )
+    batch = 128
+    appended = 0
+    while appended < n_dead:
+        k = min(batch, n_dead - appended)
+        write_delta_lite(
+            spark.range(0, k).repartitionByRange(k, "id").select("id"),
+            path0,
+            mode="append",
+        )
+        appended += k
+    write_delta_lite(
+        spark.range(0, 10).select("id").coalesce(1),
+        path0,
+        mode="overwrite",
+    )
+    # backdate EVERY commit so far (the overwrite's remove actions are
+    # themselves references — they must age out too), then land one
+    # fresh commit so the table has a current snapshot
+    log = os.path.join(path0, "_delta_log")
+    last = max(
+        int(f[:20]) for f in os.listdir(log) if f.endswith(".json")
+    )
+    for v in range(last + 1):
+        cpath = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(ln) for ln in open(cpath) if ln.strip()]
+        stamped = False
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = 1000
+                stamped = True
+        if not stamped:
+            lines.insert(0, {"commitInfo": {"timestamp": 1000}})
+        with open(cpath, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+    write_delta_lite(
+        spark.range(0, 1).select("id"), path0, mode="append"
+    )
+    best, worst = float("inf"), 0.0
+    removed = None
+    for _ in range(reps):
+        path = _fresh_copy(template, scratch) + "/t"
+        t0 = time.monotonic()
+        out = vacuum(spark, path, retain_hours=1.0)
+        dt = time.monotonic() - t0
+        best, worst = min(best, dt), max(worst, dt)
+        removed = len(out)
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    shutil.rmtree(template, ignore_errors=True)
+    return {
+        "best_sec": round(best, 3),
+        "worst_sec": round(worst, 3),
+        "files_removed": removed,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="BENCH_writes_r12.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    scratch = tempfile.mkdtemp(prefix="scale_writes_")
+    rec: dict = {
+        "rows": N_ROWS,
+        "files": N_FILES,
+        "reps": args.reps,
+        "cpus": int(cpus),
+        "load_avg_start": _gate(),
+    }
+    try:
+        uniform = os.path.join(scratch, "template-uniform")
+        _build_template(spark, uniform, clustered=False)
+        clustered = os.path.join(scratch, "template-clustered")
+        _build_template(spark, clustered, clustered=True)
+
+        for sel, pred in (("1pct", "id % 100 = 0"), ("50pct", "id % 2 = 0")):
+            for cdf in (False, True):
+                key = f"update_{sel}_{'cdf' if cdf else 'nocdf'}"
+                rec[key] = measure_update(
+                    spark, uniform, scratch, pred, cdf, args.reps
+                )
+                print(key, rec[key], flush=True)
+        # clustered layout, range predicate: the file-pruning shape
+        rec["update_range_clustered_nocdf"] = measure_update(
+            spark,
+            clustered,
+            scratch,
+            f"id >= 0 AND id < {N_ROWS // 32}",
+            False,
+            args.reps,
+        )
+        print("update_range_clustered_nocdf",
+              rec["update_range_clustered_nocdf"], flush=True)
+        for cdf in (False, True):
+            key = f"merge_upsert_{'cdf' if cdf else 'nocdf'}"
+            rec[key] = measure_merge(
+                spark, uniform, scratch, cdf, args.reps
+            )
+            print(key, rec[key], flush=True)
+        for n_dead in (64, 512):
+            key = f"vacuum_{n_dead}_dead"
+            rec[key] = measure_vacuum(spark, scratch, n_dead, args.reps)
+            print(key, rec[key], flush=True)
+        rec["load_avg_end"] = round(os.getloadavg()[0], 2)
+        with open(args.out, "w") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        return 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
