@@ -22,12 +22,98 @@ path costs one match pass plus a rewrite of TOUCHED files only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _bt(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
+
+
+def apply_changes(
+    target: str,
+    changes: DataFrame,
+    keys: list[str],
+    sequence_col: str = "_commit_version",
+) -> int:
+    """APPLY CHANGES INTO (the declarative-pipelines CDC-apply shape):
+    route a change-feed batch into the delta_lite table at ``target``
+    through ONE transactional merge — the consumer half of the CDC loop
+    whose producer half is ``read_delta_changes`` /
+    ``consume_delta_changes``. Returns the committed version.
+
+    ``changes`` carries the business columns plus ``_change_type``
+    (protocol domain: insert / delete / update_preimage /
+    update_postimage) and a monotone ``sequence_col`` (the change
+    feed's ``_commit_version`` by default). Semantics:
+
+    - ``update_preimage`` rows are dropped (old values, not changes);
+    - per key, the row with the HIGHEST sequence wins; on a sequence
+      tie an upsert beats a delete (a same-commit delete+insert of one
+      key replays as the insert — the replication-safe order). Keys are
+      assumed unique in the target, the standard CDC-apply contract;
+    - the winner applies as: delete -> WHEN MATCHED DELETE, upsert ->
+      WHEN MATCHED UPDATE all business columns / WHEN NOT MATCHED
+      INSERT. A delete for an absent key is a no-op, so whole-window
+      replays (the consume_delta_changes crash contract is
+      at-least-once in whole commits) are idempotent.
+
+    One shuffle on the keys (the dedupe window), then merge_rows' one
+    match pass + touched-file rewrites. Business columns are the
+    intersection of the target schema and ``changes`` (change-feed
+    metadata columns never land)."""
+    from lcr_etl_upgrade_spark.delta_lite import merge_rows, replay_log
+
+    spark = changes.sparkSession
+    tgt_cols = [f.name for f in replay_log(spark, target).schema.fields]
+    meta = {"_change_type", sequence_col, "_commit_version",
+            "_commit_timestamp"}
+    business = [
+        c for c in changes.columns if c in set(tgt_cols) and c not in meta
+    ]
+    missing = [k for k in keys if k not in business]
+    if missing:
+        raise ValueError(
+            f"apply_changes: key column(s) {missing} absent from the "
+            "change batch / target schema intersection"
+        )
+    ranked = (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "__is_delete", (F.col("_change_type") == "delete").cast("int")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    F.col(sequence_col).desc(), F.col("__is_delete").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(*business, "__is_delete")
+    )
+    on = " AND ".join(f"t.{_bt(k)} = s.{_bt(k)}" for k in keys)
+    non_keys = [c for c in business if c not in keys]
+    matched = [("delete", "s.__is_delete = 1")]
+    if non_keys:
+        matched.append(
+            ("update", None, {c: f"s.{_bt(c)}" for c in non_keys})
+        )
+    return merge_rows(
+        spark,
+        target,
+        ranked,
+        on,
+        matched=tuple(matched),
+        not_matched=(
+            (
+                "insert",
+                "s.__is_delete = 0",
+                {c: f"s.{_bt(c)}" for c in business},
+            ),
+        ),
+    )
 
 
 def upsert(
