@@ -4223,6 +4223,7 @@ def merge_rows(
     matched: tuple = (),
     not_matched: tuple = (),
     not_matched_by_source: tuple = (),
+    schema_evolution: bool = False,
 ) -> int:
     """Transactional MERGE INTO the table at ``path`` USING ``source``
     ON ``on`` — delta-spark's merge command re-expressed on the public
@@ -4251,6 +4252,15 @@ def merge_rows(
 
     Pass ``cond=None`` for an unconditional clause. ``on`` is a SQL
     string (recommended) or Column over the ``t``/``s`` aliases.
+
+    ``schema_evolution=True`` (delta-spark's withSchemaEvolution):
+    assignments to columns the target lacks ADD them — nullable, typed
+    from the assigning expression (analysis-only probe, no job), fresh
+    columnMapping ids above maxColumnId on mapped tables, committed as
+    the same commit's metaData. Old files read the new columns as
+    null, exactly the merge_schema append rule; case-clashes with
+    existing columns refuse. A merge that changes no rows commits no
+    schema change.
 
     SQL semantics throughout, sharing update_rows' r12 rules: every
     clause condition and update RHS sees the ORIGINAL row (new values
@@ -4304,6 +4314,55 @@ def merge_rows(
         )
 
     schema = state.schema
+    meta_out: dict | None = None
+    evolved_names: set[str] = set()
+    if schema_evolution:
+        existing = {f.name for f in schema.fields}
+        first_lower: dict[str, str] = {}
+        for c in existing:
+            first_lower.setdefault(c.lower(), c)
+        new_assign: dict[str, object] = {}
+        for _k, _c, values in (*matched, *nmbs, *not_matched):
+            for name, val in (values or {}).items():
+                if name not in existing and name not in new_assign:
+                    new_assign[name] = val
+        clash = sorted(c for c in new_assign if c.lower() in first_lower)
+        if clash:
+            raise ValueError(
+                f"schema_evolution: new columns {clash} differ only in "
+                "case from existing table columns "
+                f"{[first_lower[c.lower()] for c in clash]}; Delta "
+                "resolves column names case-insensitively — rename them "
+                "or match the table's casing"
+            )
+        if new_assign:
+            # type each new column from its assigning expression —
+            # analysis only, no job runs
+            probe = spark.createDataFrame([], schema).alias("t").join(
+                source.limit(0).alias("s"), F.lit(True), "cross"
+            )
+            new_fields = []
+            for name, val in new_assign.items():
+                expr = val if isinstance(val, Column) else F.expr(val)
+                dt = probe.select(expr.alias("__x")).schema[0].dataType
+                new_fields.append(T.StructField(name, dt, True))
+            evolved_names = set(new_assign)
+            schema = T.StructType(list(schema.fields) + new_fields)
+            meta_out = dict(state.metadata)
+            cfg2 = dict(meta_out.get("configuration") or {})
+            if mapping != "none":
+                prior_max = max(
+                    int(cfg2.get("delta.columnMapping.maxColumnId", 0)),
+                    _max_mapped_id(state.schema),
+                )
+                counter = [prior_max + 1]
+                schema = _mapped_schema(schema, state.schema, counter)
+                cfg2["delta.columnMapping.maxColumnId"] = max(
+                    _max_mapped_id(schema), prior_max
+                )
+                meta_out["configuration"] = cfg2
+            meta_out["schemaString"] = schema.json()
+
     phys_schema = _physicalize(schema) if mapping != "none" else schema
     logical_to_phys = {
         f.name: pf.name
@@ -4390,13 +4449,16 @@ def merge_rows(
         for rel in rels
     }
     if rels and mapping != "none":
+        # evolved columns are absent from pre-evolution files by
+        # definition — verify only the pre-existing physical names
         _verify_physical_names(
             spark,
             abs_files[0],
             [
                 pf.name
-                for pf in phys_schema.fields
+                for f, pf in zip(schema.fields, phys_schema.fields)
                 if pf.name not in phys_part_cols
+                and f.name not in evolved_names
             ],
         )
     if rels and phys_part_cols and not _all_files_hive_layout(
@@ -4458,8 +4520,11 @@ def merge_rows(
     now_ms = int(_time.time() * 1000)
     constraints = _table_constraints(state.metadata, schema)
 
-    # rowTracking bookkeeping (mirrors update_rows)
-    rt_cfg = dict((state.metadata or {}).get("configuration") or {})
+    # rowTracking bookkeeping (mirrors update_rows); configuration
+    # builds on the evolution-updated metadata when both change
+    rt_cfg = dict(
+        (meta_out or state.metadata or {}).get("configuration") or {}
+    )
     rid_col = rt_cfg.get(_MAT_ROW_ID_KEY)
     rcv_col = rt_cfg.get(_MAT_ROW_CV_KEY)
     rt_meta_changed = False
@@ -4642,10 +4707,13 @@ def merge_rows(
                 },
             }
         }]
-        if rt_meta_changed:
-            meta_out = dict(state.metadata)
-            meta_out["configuration"] = rt_cfg
-            actions.append({"metaData": meta_out})
+        if rt_meta_changed or meta_out is not None:
+            # ONE metaData action carries both the evolved schema and
+            # the rowTracking materialized-column config
+            mo = meta_out if meta_out is not None else dict(state.metadata)
+            if rt_meta_changed:
+                mo["configuration"] = rt_cfg
+            actions.append({"metaData": mo})
 
         staged: list[str] = []
         try:

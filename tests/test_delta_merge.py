@@ -590,3 +590,108 @@ def test_merge_releases_all_caches(spark, tmp_path):
         )
     after = set(sc._jsc.getPersistentRDDs().keySet())
     assert after <= before, "merge left persisted RDDs behind"
+
+
+# ---- schema evolution (r12, delta-spark withSchemaEvolution parity) -------
+
+
+def test_merge_schema_evolution_insert_and_update(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_tgt(spark, 6), path)
+    v = merge_rows(
+        spark,
+        path,
+        _src(spark, 3, 9),
+        "t.id = s.k",
+        matched=(("update", None, {"v": "s.nv", "extra": "s.nv * 2"}),),
+        not_matched=(
+            ("insert", None,
+             {"id": "s.k", "v": "s.nv", "tag": "'i'", "extra": "s.nv"}),
+        ),
+        schema_evolution=True,
+    )
+    assert v == 1
+    st = replay_log(spark, path)
+    assert [f.name for f in st.schema.fields] == ["id", "v", "tag", "extra"]
+    assert st.schema["extra"].dataType.typeName() in ("long", "integer")
+    got = {
+        r["id"]: (r["v"], r["extra"])
+        for r in read_delta_lite(spark, path).collect()
+    }
+    for i in range(3):
+        assert got[i] == (i * 10, None), (i, got[i])  # untouched: null
+    for i in (3, 4, 5):
+        assert got[i] == (i + 1000, (i + 1000) * 2)
+    for i in (6, 7, 8):
+        assert got[i] == (i + 1000, i + 1000)
+
+
+def test_merge_schema_evolution_mapped_cdf(spark, tmp_path):
+    from lcr_etl_upgrade_spark.cdf_arrow import arrow_changes, change_schema
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_tgt(spark, 4), path, column_mapping="name")
+    _enable_cdf(path)
+    before_max = int(
+        replay_log(spark, path).metadata["configuration"][
+            "delta.columnMapping.maxColumnId"
+        ]
+    )
+    v = merge_rows(
+        spark, path, _src(spark, 2, 6), "t.id = s.k",
+        matched=(("update", None, {"nv2": "s.nv"}),),
+        not_matched=(
+            ("insert", None,
+             {"id": "s.k", "v": "s.nv", "tag": "'i'", "nv2": "s.nv"}),
+        ),
+        schema_evolution=True,
+    )
+    st = replay_log(spark, path)
+    meta = st.schema["nv2"].metadata
+    assert int(meta["delta.columnMapping.id"]) > before_max
+    assert int(
+        st.metadata["configuration"]["delta.columnMapping.maxColumnId"]
+    ) >= int(meta["delta.columnMapping.id"])
+    got = {
+        r["id"]: r["nv2"] for r in read_delta_lite(spark, path).collect()
+    }
+    assert got == {0: None, 1: None, 2: 1002, 3: 1003, 4: 1004, 5: 1005}
+    # both change readers serve the evolved column identically
+    cols = ["id", "nv2", "_change_type"]
+    ch = read_delta_changes(spark, path, v, v).collect()
+    spark_ms = Counter(tuple(r[c] for c in cols) for r in ch)
+    names = [f.name for f in change_schema(path).fields]
+    idx = [names.index(c) for c in cols]
+    arrow_ms = Counter(
+        tuple(t[i] for i in idx) for t in arrow_changes(path, v, v)
+    )
+    assert spark_ms == arrow_ms
+    assert (2, 1002, "update_postimage") in spark_ms
+
+
+def test_merge_schema_evolution_refusals_and_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_lite(_tgt(spark, 3), path)
+    # case clash refuses
+    with pytest.raises(ValueError, match="differ only in case"):
+        merge_rows(
+            spark, path, _src(spark, 0, 2), "t.id = s.k",
+            matched=(("update", None, {"TAG": "'x'"}),),
+            schema_evolution=True,
+        )
+    # evolution off: unknown column still refuses
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_rows(
+            spark, path, _src(spark, 0, 2), "t.id = s.k",
+            matched=(("update", None, {"extra": "1"}),),
+        )
+    # a merge that changes no rows commits no schema change
+    v = merge_rows(
+        spark, path, _src(spark, 100, 102), "t.id = s.k",
+        matched=(("update", None, {"extra": "s.nv"}),),
+        schema_evolution=True,
+    )
+    assert v == 0
+    assert [f.name for f in replay_log(spark, path).schema.fields] == [
+        "id", "v", "tag",
+    ]

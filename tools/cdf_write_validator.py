@@ -49,6 +49,10 @@ Checks, per commit of each table:
       exceed the live rows rewritten.
   W7  `_change_data/` files are never referenced by add/remove actions
       (change files live outside table state).
+  W9  UPDATE/MERGE commits on a CDF-enabled table must carry cdc
+      actions (the protocol makes change data mandatory for
+      update-shaped operations; add/remove derivation is only the
+      reader fallback and misreports rewrites as churn).
   W8  on a CDF-enabled table, a dataChange commit that removes AND
       re-adds the SAME path (a DV update — the one shape whose naive
       add/remove derivation double-counts) MUST carry cdc actions.
@@ -113,7 +117,7 @@ def _partition_values_from_rel(rel: str, part_cols: list[str]) -> dict:
 
 
 def validate_table(path: str) -> list[dict]:
-    """All W1-W8 violations for one table, [] when clean."""
+    """All W1-W9 violations for one table, [] when clean."""
     out: list[dict] = []
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
@@ -394,6 +398,38 @@ def validate_table(path: str) -> list[dict]:
                                       f"independently derived "
                                       f"{derived_ins}",
                         })
+        # ---- W9: UPDATE/MERGE commits on a CDF table must carry their
+        # change files (delta.io writer requirement: change data is
+        # MANDATORY for update-shaped operations when
+        # enableChangeDataFeed=true — derivation from add/remove is
+        # only the reader fallback for legacy/append shapes, and for a
+        # rewrite it reports every unchanged row as delete+insert
+        # churn). The operation name is writer-claimed, which is the
+        # point: claiming MERGE while omitting the protocol's
+        # obligation is exactly the writer bug this catches.
+        op_name = next(
+            (
+                (a.get("commitInfo") or {}).get("operation")
+                for a in actions
+                if "commitInfo" in a
+            ),
+            None,
+        )
+        if (
+            cdf_on
+            and op_name in ("UPDATE", "MERGE")
+            and not cdcs
+            and (
+                any(bool(x.get("dataChange")) for x in adds)
+                or any(bool(x.get("dataChange")) for x in removes)
+            )
+        ):
+            out.append({
+                "check": "W9", "version": v,
+                "detail": f"{op_name} commit on a CDF-enabled table "
+                          "carries no cdc actions — change data is "
+                          "mandatory for update-shaped operations",
+            })
         if cdf_on and dv_update_paths and not cdcs:
             out.append({
                 "check": "W8", "version": v,
