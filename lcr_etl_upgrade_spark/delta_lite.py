@@ -3009,7 +3009,17 @@ def delete_rows(
                     }
                 )
 
+        n_deleted = 0
         for rel, descriptor in sorted(per_file):
+            # DV growth IS the newly-deleted row count (the new
+            # descriptor's cardinality is the union of old and new
+            # positions) — operationMetrics for free
+            old_card = int(
+                (state.dvs.get(rel) or {}).get("cardinality", 0)
+            )
+            n_deleted += max(
+                0, int(descriptor["cardinality"]) - old_card
+            )
             quoted = urllib.parse.quote(rel, safe="/=")
             remove = {
                 "path": quoted,
@@ -3038,6 +3048,10 @@ def delete_rows(
                 }
             )
 
+        actions[0]["commitInfo"]["operationMetrics"] = {
+            "numDeletedRows": str(n_deleted),
+            "numDeletionVectorsAdded": str(len(per_file)),
+        }
         version = state.version + 1
         commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
         _write_commit_file(commit_path, actions)
@@ -3343,6 +3357,7 @@ def update_rows(
 
     staged: list[str] = []  # everything to roll back on failure
     n_rewritten = 0
+    up_metrics = {"updated": 0, "rewritten_rows": 0, "derivable": True}
     try:
         for key, group in sorted(by_part.items()):
             pvals = dict(key)
@@ -3410,6 +3425,17 @@ def update_rows(
                         F.col(marker), F.lit(None).cast("long")
                     ).otherwise(_quoted(rcv_col)),
                 )
+            # operationMetrics: updated-row count rides the staging
+            # write (zero extra passes, delta-spark history parity)
+            from pyspark.sql import Observation
+
+            obs_m = Observation()
+            upd = upd.observe(
+                obs_m,
+                F.coalesce(
+                    F.sum(F.col(marker).cast("long")), F.lit(0)
+                ).alias("u"),
+            )
             obs = None
             if constraints:
                 upd, obs, name_map = _attach_constraint_observer(
@@ -3476,6 +3502,11 @@ def update_rows(
                     stats = _file_stats_json(dst)
                     if stats is not None:
                         add["stats"] = stats
+                        up_metrics["rewritten_rows"] += int(
+                            json.loads(stats)["numRecords"]
+                        )
+                    else:
+                        up_metrics["derivable"] = False
                     if row_tracking:
                         if stats is None:
                             raise NotImplementedError(
@@ -3489,6 +3520,7 @@ def update_rows(
                         add["defaultRowCommitVersion"] = version
                         next_row_id += n_records
                     actions.append({"add": add})
+                up_metrics["updated"] += int(obs_m.get["u"] or 0)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
 
@@ -3562,6 +3594,22 @@ def update_rows(
                     "removed": False,
                 }
             })
+        op_metrics = {
+            "numUpdatedRows": str(up_metrics["updated"]),
+            "numRemovedFiles": str(n_rewritten),
+            "numAddedFiles": str(
+                sum(1 for a in actions if "add" in a)
+            ),
+        }
+        if up_metrics["derivable"]:
+            # rewrites conserve rows, so copied = rewritten - updated
+            op_metrics["numCopiedRows"] = str(
+                max(
+                    0,
+                    up_metrics["rewritten_rows"] - up_metrics["updated"],
+                )
+            )
+        actions[0]["commitInfo"]["operationMetrics"] = op_metrics
         commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
         _write_commit_file(commit_path, actions)
     except BaseException:
@@ -3591,11 +3639,14 @@ def _merge_move_staged(
     staged: list[str],
     actions: list[dict],
     path: str,
+    metrics: dict | None = None,
 ) -> int:
     """Move a rewrite group's staged part files into place and append
     their add actions (zero-row files never commit; rowTracking adds
     draw fresh baseRowId ranges). Returns the advanced next_row_id.
-    Factored from update_rows' staging block for merge_rows."""
+    Factored from update_rows' staging block for merge_rows.
+    ``metrics`` accumulates rewritten_rows / derivable for
+    operationMetrics."""
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
@@ -3624,6 +3675,13 @@ def _merge_move_staged(
         stats = _file_stats_json(dst)
         if stats is not None:
             add["stats"] = stats
+        if metrics is not None:
+            if stats is not None:
+                metrics["rewritten_rows"] = metrics.get(
+                    "rewritten_rows", 0
+                ) + int(json.loads(stats)["numRecords"])
+            else:
+                metrics["derivable"] = False
         if row_tracking:
             if stats is None:
                 raise NotImplementedError(
@@ -3669,11 +3727,14 @@ def _merge_rewrite_groups(
     staged: list[str],
     actions: list[dict],
     persisted: list,
+    metrics: dict | None = None,
 ) -> int:
     """Rewrite every touched partition group applying the per-row merge
     decisions (joined from ``dec`` on file path + row position),
     appending add/remove/cdc actions. Returns the advanced
-    next_row_id."""
+    next_row_id. ``metrics`` accumulates updated-row counts via an
+    observe() riding each group's staging write (zero extra passes)."""
+    from pyspark.sql import Observation
     if not touched:
         return next_row_id
     nmbs_upd_idx = [j for j, (k, _c, _v) in enumerate(nmbs) if k == "update"]
@@ -3891,6 +3952,15 @@ def _merge_rewrite_groups(
                     F.col("__mrg_updated"), F.lit(None).cast("long")
                 ).otherwise(_quoted(rcv_col)),
             )
+        obs_m = None
+        if metrics is not None:
+            obs_m = Observation()
+            upd = upd.observe(
+                obs_m,
+                F.coalesce(
+                    F.sum(F.col("__mrg_updated").cast("long")), F.lit(0)
+                ).alias("u"),
+            )
         if cdf_on:
             # derived BEFORE the constraint observer attaches: the cdc
             # staging write must not re-materialize the observed node
@@ -3943,7 +4013,12 @@ def _merge_rewrite_groups(
                 staged,
                 actions,
                 path,
+                metrics=metrics,
             )
+            if obs_m is not None:
+                metrics["updated"] = metrics.get("updated", 0) + int(
+                    obs_m.get["u"] or 0
+                )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -4010,6 +4085,7 @@ def _merge_inserts(
     staged: list[str],
     actions: list[dict],
     persisted: list,
+    metrics: dict | None = None,
 ) -> int:
     """Stage the WHEN NOT MATCHED inserts as new add files (hive-
     partitioned on partitioned tables) plus their cdc insert rows,
@@ -4110,6 +4186,13 @@ def _merge_inserts(
             except OSError:
                 pass
             continue
+        if metrics is not None:
+            if n_records is not None:
+                metrics["inserted"] = (
+                    metrics.get("inserted", 0) + n_records
+                )
+            else:
+                metrics["derivable"] = False
         staged.append(rel)
         pvals = (
             _partition_values_from_rel(rel, phys_part_cols)
@@ -4548,9 +4631,18 @@ def merge_rows(
             ) + 1
 
     src = source.persist()
+    n_source_rows = src.count()  # materializes the cached source
     dec = None
     touched: list[str] = []
     persisted: list = []  # per-group/insert caches, released in finally
+    # operationMetrics accumulation (delta-spark history parity):
+    # updated rows via observe() riding each group's staging write,
+    # rewritten/inserted rows from the add stats already being parsed,
+    # deleted rows by conservation (removed_live - rewritten)
+    metrics: dict = {
+        "updated": 0, "inserted": 0, "rewritten_rows": 0,
+        "derivable": True,
+    }
     try:
         # ---- global decision frame: one match pass ----------------------
         if rels and (matched or nmbs):
@@ -4747,6 +4839,7 @@ def merge_rows(
                 staged=staged,
                 actions=actions,
                 persisted=persisted,
+                metrics=metrics,
             )
             next_row_id = _merge_inserts(
                 spark=spark,
@@ -4772,12 +4865,51 @@ def merge_rows(
                 staged=staged,
                 actions=actions,
                 persisted=persisted,
+                metrics=metrics,
             )
 
             n_adds = sum(1 for a in actions if "add" in a)
             n_removes = sum(1 for a in actions if "remove" in a)
             if n_adds == 0 and n_removes == 0:
                 return state.version  # nothing matched any clause
+
+            op_metrics = {
+                "numSourceRows": str(n_source_rows),
+                "numTargetRowsUpdated": str(metrics["updated"]),
+                "numTargetRowsInserted": str(metrics["inserted"]),
+                "numTargetFilesRemoved": str(n_removes),
+                "numTargetFilesAdded": str(n_adds),
+            }
+            removed_live = 0
+            for rel in touched:
+                stats_s = (state.adds.get(rel) or {}).get("stats")
+                n = None
+                if stats_s:
+                    try:
+                        n = int(json.loads(stats_s)["numRecords"])
+                    except Exception:
+                        n = None
+                if n is None:
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        n = _pq.ParquetFile(
+                            os.path.join(base, rel)
+                        ).metadata.num_rows
+                    except Exception:
+                        metrics["derivable"] = False
+                        break
+                card = int(
+                    (state.dvs.get(rel) or {}).get("cardinality", 0)
+                )
+                removed_live += max(0, n - card)
+            if metrics["derivable"]:
+                # rewrites conserve non-deleted rows, so deletes fall
+                # out of the arithmetic — no extra pass
+                op_metrics["numTargetRowsDeleted"] = str(
+                    max(0, removed_live - metrics["rewritten_rows"])
+                )
+            actions[0]["commitInfo"]["operationMetrics"] = op_metrics
 
             if row_tracking:
                 actions.append({
@@ -6412,6 +6544,9 @@ def table_history(path: str) -> list[dict]:
                 "operation": (info or {}).get("operation"),
                 "operationParameters": (info or {}).get(
                     "operationParameters"
+                ),
+                "operationMetrics": (info or {}).get(
+                    "operationMetrics"
                 ),
             }
         )
