@@ -6502,6 +6502,10 @@ def optimize(
                 "removed": False,
             }
         })
+    actions[0]["commitInfo"]["operationMetrics"] = {
+        "numRemovedFiles": str(n_rewritten),
+        "numAddedFiles": str(n_added),
+    }
     commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
     _write_commit_file(commit_path, actions)
     return {"version": version, "rewritten": n_rewritten, "added": n_added}
@@ -6723,6 +6727,10 @@ def restore_table(
         # being restored
         add.update(tgt.adds.get(rel) or {})
         actions.append({"add": add})
+    actions[0]["commitInfo"]["operationMetrics"] = {
+        "numRestoredFiles": str(len(to_add)),
+        "numRemovedFiles": str(len(to_remove)),
+    }
     new_version = cur.version + 1
     commit_path = os.path.join(_log_dir(path), f"{new_version:020d}.json")
     _write_commit_file(commit_path, actions)

@@ -100,3 +100,18 @@ def test_merge_metrics_not_matched_by_source(spark, tmp_path):
     assert m["numTargetRowsUpdated"] == "4"  # 0,1 matched + 2,3 by-source
     assert m["numTargetRowsDeleted"] == "4"
     assert m["numTargetRowsInserted"] == "0"
+
+
+def test_optimize_and_restore_metrics(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import optimize, restore_table
+
+    path = str(tmp_path / "t")
+    write_delta_lite(_df(spark).repartition(4), path)
+    res = optimize(spark, path, target_file_bytes=1 << 30)
+    m = _metrics(path)
+    assert m["numRemovedFiles"] == str(res["rewritten"])
+    assert m["numAddedFiles"] == str(res["added"])
+    res2 = restore_table(spark, path, 0)
+    m2 = _metrics(path)
+    assert m2["numRestoredFiles"] == str(res2["added"])
+    assert m2["numRemovedFiles"] == str(res2["removed"])
