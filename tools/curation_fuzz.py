@@ -137,22 +137,41 @@ def gen_pack_case(rng):
             rows.append((rid, f"g{g}", int(rng.integers(0, 2 * budget))))
             rid += 1
     grouped = bool(rng.integers(0, 2))
+    # r12: draw the single-partition valve boundary — None keeps the
+    # default (never fires at fuzz sizes); otherwise a bound around the
+    # row count, so ungrouped cases land on both sides of the refusal
+    bound = (
+        None
+        if rng.random() < 0.5
+        else int(rng.integers(1, len(rows) + 5))
+    )
     return pd.DataFrame(rows, columns=["rid", "grp", "n_tok"]), budget, \
-        grouped
+        grouped, bound
 
 
-def run_pack_case(spark, pdf, budget, grouped) -> dict | None:
+def run_pack_case(spark, pdf, budget, grouped, bound=None) -> dict | None:
     from lcr_etl_upgrade_spark.operators.curation import pack_sequences
 
     sdf = spark.createDataFrame(pdf, "rid long, grp string, n_tok long")
+    expect_refuse = (
+        not grouped and bound is not None and len(pdf) > bound
+    )
     try:
+        kwargs = {} if bound is None else {"max_ungrouped_rows": bound}
         out = pack_sequences(
             sdf, "n_tok", ["rid"], budget,
             group_col="grp" if grouped else None,
+            **kwargs,
         )
         got = {r.rid: (r.bin_id, r.bin_offset) for r in out.collect()}
     except Exception as exc:
-        return {"side": "spark_error", "err": repr(exc)[:400]}
+        if expect_refuse and "single-partition window" in repr(exc):
+            return None  # the valve fired exactly when predicted
+        return {"side": "spark_error", "err": repr(exc)[:400],
+                "expect_refuse": expect_refuse}
+    if expect_refuse:
+        return {"side": "valve_missed",
+                "rows": len(pdf), "bound": bound}
     want = {}
     frames = pdf.groupby("grp") if grouped else [(None, pdf)]
     for _, sub in frames:
@@ -236,8 +255,8 @@ def main() -> int:
             pdf, ct, ov = gen_chunk_case(rng)
             rec = run_chunk_case(spark, pdf, ct, ov)
         elif fam == "pack":
-            pdf, budget, grouped = gen_pack_case(rng)
-            rec = run_pack_case(spark, pdf, budget, grouped)
+            pdf, budget, grouped, bound = gen_pack_case(rng)
+            rec = run_pack_case(spark, pdf, budget, grouped, bound)
         else:
             pdf, r1, r2, seed, rates = gen_sample_case(rng)
             rec = run_sample_case(spark, pdf, r1, r2, seed, rates)
