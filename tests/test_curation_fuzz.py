@@ -31,8 +31,8 @@ def test_curation_fuzz_slice(spark):
             pdf, ct, ov = gen_chunk_case(rng)
             rec = run_chunk_case(spark, pdf, ct, ov)
         elif fam == "pack":
-            pdf, budget, grouped = gen_pack_case(rng)
-            rec = run_pack_case(spark, pdf, budget, grouped)
+            pdf, budget, grouped, bound = gen_pack_case(rng)
+            rec = run_pack_case(spark, pdf, budget, grouped, bound)
         else:
             pdf, r1, r2, seed, rates = gen_sample_case(rng)
             rec = run_sample_case(spark, pdf, r1, r2, seed, rates)
