@@ -165,9 +165,12 @@ def run_pack_case(spark, pdf, budget, grouped, bound=None) -> dict | None:
         )
         got = {r.rid: (r.bin_id, r.bin_offset) for r in out.collect()}
     except Exception as exc:
-        if expect_refuse and "single-partition window" in repr(exc):
+        # PySpark exception reprs are bare class names; the message
+        # (incl. the valve's raise_error text) lives in str(exc)
+        msg = f"{exc!r} {exc}"
+        if expect_refuse and "single-partition window" in msg:
             return None  # the valve fired exactly when predicted
-        return {"side": "spark_error", "err": repr(exc)[:400],
+        return {"side": "spark_error", "err": msg[:400],
                 "expect_refuse": expect_refuse}
     if expect_refuse:
         return {"side": "valve_missed",
