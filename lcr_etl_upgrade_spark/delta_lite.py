@@ -115,6 +115,11 @@ class TableState:
     # them would un-idempotify streaming writers and erase domain config
     txns: dict[str, dict] = field(default_factory=dict)
     domains: dict[str, dict] = field(default_factory=dict)
+    # every delta.columnMapping.physicalName declared by ANY metaData
+    # version seen during replay — a file carrying one of these is this
+    # table's own lineage (e.g. a DROPPED column's data), not a foreign
+    # field-id writer (r12, unlocked by DROP/RENAME COLUMN)
+    historical_physical_names: set[str] = field(default_factory=set)
 
     @property
     def schema(self) -> T.StructType:
@@ -271,6 +276,14 @@ def _apply_action(state: TableState, action: dict) -> None:
             state.adds.pop(rel, None)
     elif "metaData" in action:
         state.metadata = action["metaData"]
+        try:
+            state.historical_physical_names |= _physical_name_set(
+                T.StructType.fromJson(
+                    json.loads(state.metadata["schemaString"])
+                )
+            )
+        except Exception:
+            pass  # unreadable schemaString surfaces at scan time
     elif "protocol" in action:
         state.protocol = action["protocol"]
         _check_protocol(state.protocol)
@@ -958,8 +971,29 @@ def _physicalize_df(df: DataFrame, mapped: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def _physical_name_set(dt: T.DataType) -> set[str]:
+    """Every delta.columnMapping.physicalName anywhere in the schema
+    tree (top level and nested)."""
+    out: set[str] = set()
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            p = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if p:
+                out.add(p)
+            out |= _physical_name_set(f.dataType)
+    elif isinstance(dt, T.ArrayType):
+        out |= _physical_name_set(dt.elementType)
+    elif isinstance(dt, T.MapType):
+        out |= _physical_name_set(dt.keyType)
+        out |= _physical_name_set(dt.valueType)
+    return out
+
+
 def _verify_physical_names(
-    spark: SparkSession, sample_file: str, expect: list[str]
+    spark: SparkSession,
+    sample_file: str,
+    expect: list[str],
+    known: set[str] | None = None,
 ) -> None:
     """One driver-side parquet-footer peek: the physical DATA column
     names the file carries must come from the table's expected set.
@@ -974,10 +1008,13 @@ def _verify_physical_names(
     legitimately lack (they read as null, the evolution contract). The
     foreign-writer hazard shows as names OUTSIDE the expected set while
     expected ones are missing — physical names are col-<uuid>, so a
-    subset match can only come from this table's own lineage."""
+    subset match can only come from this table's own lineage. Names in
+    ``known`` (every physicalName any HISTORICAL metaData version
+    declared — r12, DROP/RENAME COLUMN) are this table's own lineage
+    too: a pre-drop file legitimately carries the dropped column."""
     actual = set(spark.read.parquet(sample_file).schema.fieldNames())
     missing = [c for c in expect if c not in actual]
-    foreign = sorted(actual - set(expect))
+    foreign = sorted(actual - set(expect) - (known or set()))
     if missing and foreign:
         raise NotImplementedError(
             f"column-mapped table's parquet files do not carry the "
@@ -1215,7 +1252,10 @@ def read_delta_lite(
         # id-mode writers that rely on parquet field-id resolution
         sample = os.path.join(base, next(iter(sorted(state.files))))
         _verify_physical_names(
-            spark, sample, [f.name for f in data_schema.fields]
+            spark,
+            sample,
+            [f.name for f in data_schema.fields],
+            known=state.historical_physical_names,
         )
     if not phys_part_cols:
         files = [os.path.join(base, p) for p in state.files]
@@ -2719,6 +2759,7 @@ def delete_rows(
                 for pf in phys_schema.fields
                 if pf.name not in phys_part_cols
             ],
+            known=state.historical_physical_names,
         )
     if phys_part_cols:
         if not _all_files_hive_layout(state.files, phys_part_cols):
@@ -3201,6 +3242,7 @@ def update_rows(
                 for pf in phys_schema.fields
                 if pf.name not in phys_part_cols
             ],
+            known=state.historical_physical_names,
         )
     if phys_part_cols and not _all_files_hive_layout(
         state.files, phys_part_cols
@@ -4543,6 +4585,7 @@ def merge_rows(
                 if pf.name not in phys_part_cols
                 and f.name not in evolved_names
             ],
+            known=state.historical_physical_names,
         )
     if rels and phys_part_cols and not _all_files_hive_layout(
         state.files, phys_part_cols
@@ -6509,6 +6552,309 @@ def optimize(
     commit_path = os.path.join(_log_dir(path), f"{version:020d}.json")
     _write_commit_file(commit_path, actions)
     return {"version": version, "rewritten": n_rewritten, "added": n_added}
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE commands (round 12): pure-metadata schema/constraint
+# changes. None of these touches a data file — add/rename/drop column
+# are one metaData commit (rename/drop REQUIRE column mapping, the
+# protocol's rule: physical parquet names must stay resolvable), and
+# ADD CONSTRAINT validates the EXISTING rows first (one scan), which
+# delta-spark also requires — an unvalidated constraint would make
+# every later rewrite of an old file fail retroactively.
+# ---------------------------------------------------------------------------
+
+
+def _identifier_referenced(name: str, sql: str) -> bool:
+    """Crude-but-safe word-boundary check for a column identifier in a
+    constraint / generation expression. Errs toward refusal."""
+    return re.search(
+        rf"(?i)(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_`])", sql
+    ) is not None
+
+
+def _schema_references(
+    schema: T.StructType, metadata: dict, name: str
+) -> list[str]:
+    """Human-readable list of constraint/generated-column expressions
+    that reference ``name``."""
+    refs = []
+    for key, sql in (metadata.get("configuration") or {}).items():
+        if key.startswith("delta.constraints.") and _identifier_referenced(
+            name, sql
+        ):
+            refs.append(f"CHECK constraint {key.split('.', 2)[2]!r} ({sql!r})")
+    for gname, gexpr in _generated_columns(schema):
+        if gname != name and _identifier_referenced(name, gexpr):
+            refs.append(f"generated column {gname!r} ({gexpr!r})")
+    return refs
+
+
+def _alter_commit(
+    path: str, state, meta_out: dict, operation: str, params: dict,
+    extra_actions: list[dict] | None = None,
+) -> int:
+    import time as _time
+
+    version = state.version + 1
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": int(_time.time() * 1000),
+            "operation": operation,
+            "operationParameters": params,
+        }
+    }]
+    actions.extend(extra_actions or [])
+    actions.append({"metaData": meta_out})
+    _write_commit_file(
+        os.path.join(_log_dir(path), f"{version:020d}.json"), actions
+    )
+    return version
+
+
+def add_columns(
+    spark: SparkSession, path: str, fields: list[T.StructField]
+) -> int:
+    """ALTER TABLE ... ADD COLUMNS: extend the schema with nullable
+    columns in one metaData commit; every existing file reads them as
+    null. Same gates as merge_schema appends: case clashes refuse, as
+    do new columns carrying invariants / identity / generation
+    metadata (existing rows would retroactively violate them) and
+    non-nullable fields. Under column mapping new fields draw fresh
+    ids above maxColumnId. Returns the committed version."""
+    if not fields:
+        raise ValueError("add_columns needs at least one field")
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    schema = state.schema
+    mapping = _column_mapping_mode(state.metadata)
+    existing = {f.name for f in schema.fields}
+    first_lower: dict[str, str] = {}
+    for c in existing:
+        first_lower.setdefault(c.lower(), c)
+    for f in fields:
+        if f.name in existing:
+            raise ValueError(f"column {f.name!r} already exists")
+        if f.name.lower() in first_lower:
+            raise ValueError(
+                f"new column {f.name!r} differs only in case from "
+                f"existing column {first_lower[f.name.lower()]!r}"
+            )
+        if not f.nullable:
+            raise ValueError(
+                f"new column {f.name!r} is non-nullable; existing rows "
+                "could not be distinguished from the nulls they read as"
+            )
+    probe = T.StructType(list(fields))
+    if (
+        _schema_declares_invariants(probe)
+        or _identity_columns(probe)
+        or _generated_columns(probe)
+    ):
+        raise ValueError(
+            "new columns carry delta.invariants, delta.identity, or "
+            "delta.generationExpression metadata; existing rows read "
+            "them as null and would retroactively violate them — add "
+            "the column, backfill, then add the obligation"
+        )
+    new_schema = T.StructType(list(schema.fields) + list(fields))
+    meta_out = dict(state.metadata)
+    if mapping != "none":
+        cfg = dict(meta_out.get("configuration") or {})
+        prior_max = max(
+            int(cfg.get("delta.columnMapping.maxColumnId", 0)),
+            _max_mapped_id(schema),
+        )
+        counter = [prior_max + 1]
+        new_schema = _mapped_schema(new_schema, schema, counter)
+        cfg["delta.columnMapping.maxColumnId"] = max(
+            _max_mapped_id(new_schema), prior_max
+        )
+        meta_out["configuration"] = cfg
+    meta_out["schemaString"] = new_schema.json()
+    return _alter_commit(
+        path, state, meta_out, "ADD COLUMNS",
+        {"columns": json.dumps([f.name for f in fields])},
+    )
+
+
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN: a pure-metadata rename — the
+    field keeps its columnMapping id and physicalName, so every
+    existing parquet file stays resolvable and TIME TRAVEL still reads
+    the old name at old versions. REQUIRES column mapping (the
+    protocol's rule: without it the logical name IS the parquet name).
+    Refuses when a CHECK constraint or generated-column expression
+    references the old name (drop/redefine those first, as delta-spark
+    requires). Returns the committed version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("name", "id"):
+        raise NotImplementedError(
+            "RENAME COLUMN requires delta.columnMapping.mode name/id "
+            "(without mapping the logical name is the physical parquet "
+            "name); enable column mapping first"
+        )
+    schema = state.schema
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    lower = {c.lower() for c in names if c != old}
+    if new.lower() in lower:
+        raise ValueError(
+            f"new name {new!r} differs only in case from an existing "
+            "column"
+        )
+    refs = _schema_references(schema, state.metadata, old)
+    if refs:
+        raise ValueError(
+            f"column {old!r} is referenced by {'; '.join(refs)} — drop "
+            "or redefine those first"
+        )
+    new_fields = [
+        T.StructField(
+            new if f.name == old else f.name,
+            f.dataType,
+            f.nullable,
+            f.metadata,
+        )
+        for f in schema.fields
+    ]
+    meta_out = dict(state.metadata)
+    meta_out["schemaString"] = T.StructType(new_fields).json()
+    if old in (state.partition_columns or []):
+        meta_out["partitionColumns"] = [
+            new if c == old else c for c in state.partition_columns
+        ]
+    return _alter_commit(
+        path, state, meta_out, "RENAME COLUMN",
+        {"oldColumnPath": old, "newColumnPath": new},
+    )
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN: pure-metadata drop — the physical
+    parquet data stays on disk (time travel still reads it at old
+    versions) but the column leaves the schema. REQUIRES column
+    mapping; a column re-added later under the SAME logical name draws
+    a FRESH id and physical name, so it never resurrects the dropped
+    data (the protocol's rule). Refuses for partition columns, columns
+    referenced by constraints / generated columns, and the last
+    remaining column. Returns the committed version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    mapping = _column_mapping_mode(state.metadata)
+    if mapping not in ("name", "id"):
+        raise NotImplementedError(
+            "DROP COLUMN requires delta.columnMapping.mode name/id "
+            "(without mapping, readers would resolve the physical "
+            "column by its logical name again); enable mapping first"
+        )
+    schema = state.schema
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {names}")
+    if name in (state.partition_columns or []):
+        raise ValueError(
+            f"column {name!r} is a partition column; repartition via "
+            "overwrite instead"
+        )
+    if len(names) == 1:
+        raise ValueError("cannot drop the last remaining column")
+    refs = _schema_references(schema, state.metadata, name)
+    if refs:
+        raise ValueError(
+            f"column {name!r} is referenced by {'; '.join(refs)} — drop "
+            "or redefine those first"
+        )
+    meta_out = dict(state.metadata)
+    meta_out["schemaString"] = T.StructType(
+        [f for f in schema.fields if f.name != name]
+    ).json()
+    return _alter_commit(
+        path, state, meta_out, "DROP COLUMNS",
+        {"columns": json.dumps([name])},
+    )
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, sql: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT: validate the EXISTING rows (one
+    scan — a row violates when the expression is not <=> TRUE,
+    delta-spark's null-violates semantics), then commit the
+    ``delta.constraints.<name>`` configuration, upgrading the writer
+    protocol to cover checkConstraints (legacy tier 3, or the feature
+    on v7 tables). Every later write enforces it via the staging-write
+    observer. Returns the committed version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    key = f"delta.constraints.{name.lower()}"
+    cfg = dict((state.metadata or {}).get("configuration") or {})
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists")
+    live = read_delta_lite(spark, path)
+    try:
+        bad = live.filter(
+            ~F.expr(sql).eqNullSafe(F.lit(True))
+        ).count()
+    except Exception as exc:
+        raise ValueError(
+            f"constraint expression {sql!r} does not analyze against "
+            f"the table schema: {exc}"
+        ) from exc
+    if bad:
+        raise ValueError(
+            f"{bad} existing row(s) violate {sql!r}; backfill first "
+            "(delta-spark refuses unvalidated constraints too)"
+        )
+    cfg[key] = sql
+    meta_out = dict(state.metadata)
+    meta_out["configuration"] = cfg
+    extra: list[dict] = []
+    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    writer_v = int(proto.get("minWriterVersion", 2))
+    if writer_v == 7:
+        feats = set(proto.get("writerFeatures") or ())
+        if "checkConstraints" not in feats:
+            feats.add("checkConstraints")
+            pact = dict(proto)
+            pact["writerFeatures"] = sorted(feats)
+            extra.append({"protocol": pact})
+    elif writer_v < 3:
+        pact = dict(proto)
+        pact["minWriterVersion"] = 3
+        extra.append({"protocol": pact})
+    return _alter_commit(
+        path, state, meta_out, "ADD CONSTRAINT",
+        {"name": name.lower(), "expr": sql},
+        extra_actions=extra,
+    )
+
+
+def drop_check_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT. Returns the committed
+    version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    key = f"delta.constraints.{name.lower()}"
+    cfg = dict((state.metadata or {}).get("configuration") or {})
+    if key not in cfg:
+        raise ValueError(f"no constraint {name!r} on {path!r}")
+    cfg.pop(key)
+    meta_out = dict(state.metadata)
+    meta_out["configuration"] = cfg
+    return _alter_commit(
+        path, state, meta_out, "DROP CONSTRAINT",
+        {"name": name.lower()},
+    )
 
 
 def table_history(path: str) -> list[dict]:
