@@ -196,3 +196,28 @@ def test_add_constraint_validates_and_enforces(spark, tmp_path):
     assert read_delta_lite(spark, path).filter("v = -5").count() == 1
     with pytest.raises(ValueError, match="no constraint"):
         drop_check_constraint(spark, path, "v_ok")
+
+
+def test_cdf_window_across_rename_refuses(spark, tmp_path):
+    """A change-feed window crossing a RENAME/DROP commit refuses with
+    the split-the-read remedy (per-commit schemas cannot union)."""
+    from lcr_etl_upgrade_spark.delta_lite import read_delta_changes
+
+    path = str(tmp_path / "t")
+    _t(spark, path, mapping="name")
+    write_delta_lite(
+        spark.range(10, 12).select("id", F.lit(0).cast("int").alias("v")),
+        path,
+        mode="append",
+    )
+    v = rename_column(spark, path, "v", "val")
+    write_delta_lite(
+        spark.range(20, 22).select("id", F.lit(1).cast("int").alias("val")),
+        path,
+        mode="append",
+    )
+    with pytest.raises(Exception, match="[Ss]chema"):
+        read_delta_changes(spark, path, 1, v + 1).collect()
+    # split reads on either side work
+    assert read_delta_changes(spark, path, 1, v - 1).count() == 2
+    assert read_delta_changes(spark, path, v + 1, v + 1).count() == 2

@@ -534,6 +534,136 @@ def run_identity_case(spark, rng, i: int) -> dict | None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_alter_case(spark, rng, i: int) -> dict | None:
+    """ALTER family (r12): random add/rename/drop-column and
+    constraint add/drop sequences on a column-MAPPED table, mirrored by
+    a pure-Python schema+rows model. Invariants: the final read equals
+    the model under the final logical names; renames never move data
+    (values follow the column); dropped-then-re-added names come back
+    NULL (never resurrect); constraint adds refuse iff the model says
+    existing rows violate."""
+    from lcr_etl_upgrade_spark.delta_lite import (
+        add_check_constraint,
+        add_columns,
+        drop_check_constraint,
+        drop_column,
+        read_delta_lite,
+        rename_column,
+        write_delta_lite,
+    )
+    from pyspark.sql import types as T
+
+    tmp = tempfile.mkdtemp(prefix="alter_fuzz_")
+    path = os.path.join(tmp, "t")
+    try:
+        cols = ["c0", "c1"]
+        rows: list[dict] = [
+            {c: int(rng.integers(-20, 20)) for c in cols}
+            for _ in range(int(rng.integers(2, 12)))
+        ]
+        write_delta_lite(
+            _df_from(spark, rows, cols), path, column_mapping="name"
+        )
+        constraints: dict[str, str] = {}  # name -> column it guards
+        next_col = 2
+        ops = [f"create({','.join(cols)})"]
+        for _ in range(int(rng.integers(4, 12))):
+            op = ["append", "add", "rename", "drop", "constrain",
+                  "deconstrain"][int(rng.integers(0, 6))]
+            if op == "append":
+                new = [
+                    {c: int(rng.integers(-20, 20)) for c in cols}
+                    for _ in range(int(rng.integers(1, 6)))
+                ]
+                guarded = {constraints[k] for k in constraints}
+                if any(
+                    r[c] < -25 for r in new for c in guarded if c in r
+                ):
+                    continue  # keep appends constraint-clean (t=-25)
+                write_delta_lite(
+                    _df_from(spark, new, cols), path, mode="append"
+                )
+                rows += new
+            elif op == "add":
+                name = f"c{next_col}"
+                next_col += 1
+                add_columns(
+                    spark, path, [T.StructField(name, T.LongType(), True)]
+                )
+                cols.append(name)
+                for r in rows:
+                    r[name] = None
+            elif op == "rename":
+                old = cols[int(rng.integers(0, len(cols)))]
+                if old in constraints.values():
+                    try:
+                        rename_column(spark, path, old, f"x_{old}")
+                        return {"kind": "rename_referenced_accepted",
+                                "ops": ops, "col": old}
+                    except ValueError:
+                        continue
+                new = f"r{next_col}"
+                next_col += 1
+                rename_column(spark, path, old, new)
+                cols[cols.index(old)] = new
+                for r in rows:
+                    r[new] = r.pop(old)
+            elif op == "drop":
+                if len(cols) < 2:
+                    continue
+                victim = cols[int(rng.integers(0, len(cols)))]
+                if victim in constraints.values():
+                    try:
+                        drop_column(spark, path, victim)
+                        return {"kind": "drop_referenced_accepted",
+                                "ops": ops, "col": victim}
+                    except ValueError:
+                        continue
+                drop_column(spark, path, victim)
+                cols.remove(victim)
+                for r in rows:
+                    r.pop(victim, None)
+            elif op == "constrain":
+                c = cols[int(rng.integers(0, len(cols)))]
+                name = f"k{len(constraints)}_{next_col}"
+                should_refuse = any(
+                    r.get(c) is None or r[c] < -25 for r in rows
+                )
+                try:
+                    add_check_constraint(spark, path, name, f"{c} >= -25")
+                    refused = False
+                except ValueError:
+                    refused = True
+                if refused != should_refuse:
+                    return {
+                        "kind": "alter_constraint_disagreement",
+                        "ops": ops, "col": c,
+                        "engine_refused": refused,
+                        "oracle_refuses": should_refuse,
+                    }
+                if not refused:
+                    constraints[name] = c
+            elif op == "deconstrain":
+                if not constraints:
+                    continue
+                name = sorted(constraints)[0]
+                drop_check_constraint(spark, path, name)
+                constraints.pop(name)
+            ops.append(f"op:{op}")
+        got = Counter(
+            tuple(r[c] for c in cols)
+            for r in read_delta_lite(spark, path).select(*cols).collect()
+        )
+        want = Counter(tuple(r.get(c) for c in cols) for r in rows)
+        if got != want:
+            return {"kind": "alter_state_divergence", "ops": ops,
+                    "cols": cols,
+                    "got": sum(got.values()), "want": sum(want.values())}
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     global MUTATE
     ap = argparse.ArgumentParser()
@@ -552,11 +682,12 @@ def main() -> int:
         if args.case is not None and i != args.case:
             continue
         rng = np.random.default_rng(args.seed * 7_000_003 + i)
-        rec = (
-            run_identity_case(spark, rng, i)
-            if i % 4 == 3
-            else run_case(spark, rng, i)
-        )
+        if i % 8 == 5:
+            rec = run_alter_case(spark, rng, i)
+        elif i % 4 == 3:
+            rec = run_identity_case(spark, rng, i)
+        else:
+            rec = run_case(spark, rng, i)
         if rec is not None:
             failures.append({"i": i, **rec})
             print(f"FAIL case {i}: {json.dumps(failures[-1])[:400]}",
