@@ -6857,6 +6857,209 @@ def drop_check_constraint(
     )
 
 
+def table_detail(spark: SparkSession, path: str) -> dict:
+    """DESCRIBE DETAIL parity: one dict from the replayed state —
+    format/id/name/description, location, created/modified times,
+    partition columns, active file count and total bytes, table
+    properties, protocol versions and features, clustering columns.
+    Pure metadata plus the add-action sizes already in the log; no data
+    file is opened."""
+    state = replay_log(spark, path)
+    meta = state.metadata or {}
+    cfg = dict(meta.get("configuration") or {})
+    proto = state.protocol or {}
+    log = _log_dir(path)
+    created = None
+    try:
+        v0 = os.path.join(log, f"{0:020d}.json")
+        with open(v0) as fh:
+            for ln in fh:
+                a = json.loads(ln)
+                if "commitInfo" in a:
+                    created = a["commitInfo"].get("timestamp")
+                    break
+    except OSError:
+        pass
+    last_modified = None
+    for rec in table_history(path)[:1]:
+        last_modified = rec.get("timestamp")
+    sizes = 0
+    for rel in state.files:
+        extras = state.adds.get(rel) or {}
+        s = extras.get("size")
+        if s is None:
+            try:
+                s = os.path.getsize(os.path.join(_local(path), rel))
+            except OSError:
+                s = 0
+        sizes += int(s)
+    clustering = None
+    dom = state.domains.get("delta.clustering")
+    if dom and not dom.get("removed"):
+        try:
+            clustering = json.loads(dom.get("configuration") or "{}").get(
+                "clusteringColumns"
+            )
+        except Exception:
+            clustering = None
+    return {
+        "format": "delta",
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "location": os.path.abspath(_local(path)),
+        "createdAt": created,
+        "lastModified": last_modified,
+        "partitionColumns": list(state.partition_columns or []),
+        "clusteringColumns": clustering,
+        "numFiles": len(state.files),
+        "sizeInBytes": sizes,
+        "properties": cfg,
+        "minReaderVersion": proto.get("minReaderVersion"),
+        "minWriterVersion": proto.get("minWriterVersion"),
+        "tableFeatures": sorted(
+            set(proto.get("readerFeatures") or ())
+            | set(proto.get("writerFeatures") or ())
+        ),
+        "version": state.version,
+    }
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: T.StructType | None = None,
+) -> int:
+    """CONVERT TO DELTA: generate a transaction log IN PLACE for an
+    existing parquet directory — no data file is read row-wise, moved,
+    or rewritten (footer peeks only, for schema and stats), which is
+    the entire point at 100 TB: onboarding a parquet lake into the
+    transactional world costs metadata, not a copy.
+
+    - flat directories convert as-is; hive-partitioned layouts need
+      ``partition_schema`` declaring the partition columns and their
+      types (delta-spark's requirement too — directory names cannot be
+      typed reliably on their own);
+    - every ``*.parquet`` file under the root (excluding ``_delta_log``
+      and files starting with ``_`` or ``.``) becomes an add action
+      with size, modificationTime, and footer stats;
+    - the data schema comes from Spark's parquet schema inference over
+      the directory, partition columns appended from
+      ``partition_schema``;
+    - refuses when a ``_delta_log`` already exists.
+
+    Returns the committed version (0)."""
+    import time as _time
+
+    base = _local(path)
+    log = _log_dir(path)
+    if os.path.isdir(log) and any(
+        f.endswith(".json") or f.endswith(".parquet")
+        for f in os.listdir(log)
+    ):
+        raise ValueError(
+            f"{path!r} already has a _delta_log; CONVERT TO DELTA only "
+            "initializes plain parquet directories"
+        )
+    part_cols = [f.name for f in (partition_schema or T.StructType())]
+    rels: list[tuple[str, dict]] = []
+    for root, dirs, names in os.walk(base):
+        dirs[:] = [
+            d for d in dirs if not d.startswith((".", "_"))
+        ]
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), base)
+            pvals = (
+                _partition_values_from_rel(rel, part_cols)
+                if part_cols
+                else {}
+            )
+            rels.append((rel, pvals))
+    if not rels:
+        raise ValueError(f"no parquet files under {path!r}")
+    if not part_cols:
+        hive_like = [
+            rel
+            for rel, _pv in rels
+            if re.search(r"(^|/)[^/=]+=[^/]*/", rel.replace(os.sep, "/"))
+        ]
+        if hive_like:
+            raise ValueError(
+                "the directory looks hive-partitioned "
+                f"(e.g. {hive_like[0]!r}); pass partition_schema= with "
+                "the partition columns and their types — converting "
+                "without it would silently drop them"
+            )
+    if part_cols:
+        missing = [
+            rel
+            for rel, pv in rels
+            if any(
+                f"{c}=" not in rel.replace(os.sep, "/")
+                for c in part_cols
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"files outside the hive partition layout for "
+                f"{part_cols}: {missing[:3]}"
+            )
+    sample = os.path.join(base, rels[0][0])
+    data_schema = spark.read.parquet(sample).schema
+    clash = [f.name for f in data_schema.fields if f.name in part_cols]
+    if clash:
+        raise ValueError(
+            f"partition columns {clash} also present inside the parquet "
+            "files; a hive layout stores them only in directory names"
+        )
+    full_schema = T.StructType(
+        list(data_schema.fields)
+        + list((partition_schema or T.StructType()).fields)
+    )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": str(len(rels)),
+                    "partitionedBy": json.dumps(part_cols),
+                },
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": full_schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel, pvals in rels:
+        full = os.path.join(base, rel)
+        add = {
+            "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+            "partitionValues": pvals,
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats_json(full)
+        if stats is not None:
+            add["stats"] = stats
+        actions.append({"add": add})
+    os.makedirs(log, exist_ok=True)
+    _write_commit_file(os.path.join(log, f"{0:020d}.json"), actions)
+    return 0
+
+
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY parity: one record per commit, newest first,
     from each commit's commitInfo header (operation, timestamp,
