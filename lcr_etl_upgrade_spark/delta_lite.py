@@ -284,6 +284,17 @@ def _apply_action(state: TableState, action: dict) -> None:
             )
         except Exception:
             pass  # unreadable schemaString surfaces at scan time
+        # checkpoint-durable lineage (HISTORICAL_NAMES_KEY): a
+        # checkpoint carries only the LATEST metaData, so names dropped
+        # before it exist nowhere else after log cleanup
+        hist = (state.metadata.get("configuration") or {}).get(
+            "lcrspark.columnMapping.historicalPhysicalNames"
+        )
+        if hist:
+            try:
+                state.historical_physical_names |= set(json.loads(hist))
+            except Exception:
+                pass
     elif "protocol" in action:
         state.protocol = action["protocol"]
         _check_protocol(state.protocol)
@@ -987,6 +998,42 @@ def _physical_name_set(dt: T.DataType) -> set[str]:
         out |= _physical_name_set(dt.keyType)
         out |= _physical_name_set(dt.valueType)
     return out
+
+
+# Table-configuration key carrying every physicalName a PAST metaData
+# declared that the CURRENT schema no longer does (JSON-encoded sorted
+# list). Checkpoints persist only the latest metaData, so after
+# DROP COLUMN + checkpoint + log cleanup the replay would otherwise
+# forget that pre-drop files are this table's own lineage and trip the
+# foreign-writer guard (r13 ADVICE high). The latest metaData IS
+# checkpoint state, so a config key survives where replay history does
+# not. Non-"delta." prefix: foreign writers carry unknown keys through.
+HISTORICAL_NAMES_KEY = "lcrspark.columnMapping.historicalPhysicalNames"
+
+
+def _fold_lineage_names(meta_out: dict, known: set[str]) -> dict:
+    """Fold physical names absent from ``meta_out``'s schema — but part
+    of the table's lineage (``known``) — into HISTORICAL_NAMES_KEY so a
+    checkpoint-only replay still recognises pre-drop files as this
+    table's own. Returns ``meta_out`` (mutated) for chaining."""
+    cfg = dict(meta_out.get("configuration") or {})
+    prior: set[str] = set()
+    if cfg.get(HISTORICAL_NAMES_KEY):
+        try:
+            prior = set(json.loads(cfg[HISTORICAL_NAMES_KEY]))
+        except Exception:
+            prior = set()
+    try:
+        current = _physical_name_set(
+            T.StructType.fromJson(json.loads(meta_out["schemaString"]))
+        )
+    except Exception:
+        return meta_out
+    lost = (known | prior) - current
+    if lost != prior:
+        cfg[HISTORICAL_NAMES_KEY] = json.dumps(sorted(lost))
+        meta_out["configuration"] = cfg
+    return meta_out
 
 
 def _verify_physical_names(
@@ -2395,14 +2442,19 @@ def write_delta_lite(
         )
         actions.append(
             {
-                "metaData": {
-                    "id": meta_id,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema_json,
-                    "partitionColumns": part_cols,
-                    "configuration": configuration,
-                    "createdTime": now_ms,
-                }
+                "metaData": _fold_lineage_names(
+                    {
+                        "id": meta_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": configuration,
+                        "createdTime": now_ms,
+                    },
+                    prior.historical_physical_names
+                    if prior is not None
+                    else set(),
+                )
             }
         )
     elif evolved or identity_hwms:
@@ -4673,7 +4725,12 @@ def merge_rows(
                 )
             ) + 1
 
-    src = source.persist()
+    # if the CALLER already persisted the source, persist() is a no-op
+    # returning the same plan — unpersisting in the finally would evict
+    # THEIR cache (r13 ADVICE low); only release what this command pinned
+    lvl = source.storageLevel
+    caller_persisted = bool(lvl.useMemory or lvl.useDisk)
+    src = source if caller_persisted else source.persist()
     n_source_rows = src.count()  # materializes the cached source
     dec = None
     touched: list[str] = []
@@ -4980,7 +5037,8 @@ def merge_rows(
             frame.unpersist(blocking=False)
         if dec is not None:
             dec.unpersist(blocking=False)
-        src.unpersist(blocking=False)
+        if not caller_persisted:
+            src.unpersist(blocking=False)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             write_checkpoint(spark, path)
@@ -6605,7 +6663,13 @@ def _alter_commit(
         }
     }]
     actions.extend(extra_actions or [])
-    actions.append({"metaData": meta_out})
+    actions.append(
+        {
+            "metaData": _fold_lineage_names(
+                meta_out, state.historical_physical_names
+            )
+        }
+    )
     _write_commit_file(
         os.path.join(_log_dir(path), f"{version:020d}.json"), actions
     )
@@ -6993,11 +7057,18 @@ def convert_to_delta(
                 "without it would silently drop them"
             )
     if part_cols:
+        # segment-exact: a directory token 'aa=1' must NOT satisfy a
+        # declared partition column 'a' (substring matching mis-passed
+        # suffix-named columns and then mis-extracted values — r13
+        # ADVICE low)
         missing = [
             rel
             for rel, pv in rels
             if any(
-                f"{c}=" not in rel.replace(os.sep, "/")
+                not any(
+                    seg.startswith(f"{c}=")
+                    for seg in rel.replace(os.sep, "/").split("/")[:-1]
+                )
                 for c in part_cols
             )
         ]
@@ -7006,8 +7077,17 @@ def convert_to_delta(
                 f"files outside the hive partition layout for "
                 f"{part_cols}: {missing[:3]}"
             )
-    sample = os.path.join(base, rels[0][0])
-    data_schema = spark.read.parquet(sample).schema
+    # schema across ALL footers, not one sample file: schema-evolved
+    # directories carry columns only some files have, and delta-spark's
+    # CONVERT merges every footer. mergeSchema runs the footer reads as
+    # a distributed job (no row data is read); genuinely incompatible
+    # footers (int vs string) fail loudly here instead of silently
+    # losing columns (r13 ADVICE medium).
+    data_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, rel) for rel, _pv in rels])
+        .schema
+    )
     clash = [f.name for f in data_schema.fields if f.name in part_cols]
     if clash:
         raise ValueError(

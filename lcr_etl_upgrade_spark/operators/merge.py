@@ -66,8 +66,12 @@ def apply_changes(
 
     spark = changes.sparkSession
     tgt_cols = [f.name for f in replay_log(spark, target).schema.fields]
-    meta = {"_change_type", sequence_col, "_commit_version",
-            "_commit_timestamp"}
+    # only the PROTOCOL metadata columns are excluded; a sequence
+    # column that is also a real target column (e.g. sequencing by a
+    # business timestamp) must land like any other business column —
+    # target-schema intersection already keeps feed-only sequence
+    # columns out (r13 ADVICE low)
+    meta = {"_change_type", "_commit_version", "_commit_timestamp"}
     business = [
         c for c in changes.columns if c in set(tgt_cols) and c not in meta
     ]
