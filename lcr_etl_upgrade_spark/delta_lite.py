@@ -2738,6 +2738,198 @@ DELETE_MAX_FILE_POSITIONS = 1 << 25
 DELETE_MAX_TOTAL_DV_BYTES = 256 << 20
 
 
+def _dv_union_blobs(
+    spark: SparkSession,
+    base: str,
+    matched: DataFrame,
+    old_dvs: dict[str, dict],
+) -> DataFrame:
+    """(__file hadoop-encoded path, __pos) matched row positions ->
+    (__file, dv blob, card): each touched file's new deletion vector is
+    the UNION of its existing DV and the matched positions, serialized
+    EXECUTOR-side (one task per file). Old DV blobs, verified once, are
+    shipped per file through a COGROUP (not a broadcast of every blob
+    to every executor, and not a join that would duplicate a blob onto
+    every matched row): each file's compact roaring bytes travel
+    exactly once, to the one task serializing that file's new DV.
+    Files whose position set did not grow (every match already masked)
+    emit nothing, so a fully-no-op command can skip committing.
+    Shared by delete_rows and the DV write path of update_rows (r13)."""
+    old_rows = []
+    old_total = 0
+    for rel, dv in sorted(old_dvs.items()):
+        blob = _resolve_dv_blob(base, dv)
+        old_total += len(blob)
+        if old_total > DELETE_MAX_TOTAL_DV_BYTES:
+            raise ValueError(
+                f"existing deletion vectors total more than "
+                f"DELETE_MAX_TOTAL_DV_BYTES ({DELETE_MAX_TOTAL_DV_BYTES}) "
+                "bytes; delete in smaller batches (narrower predicates) "
+                "or compact the table via overwrite first"
+            )
+        n = count_roaring_bitmap_array(blob)
+        card = dv.get("cardinality")
+        if card is not None and int(card) != n:
+            raise ValueError(
+                f"deletion vector for {rel!r}: descriptor cardinality "
+                f"{card} != {n} parsed positions"
+            )
+        old_rows.append(
+            (
+                _hadoop_path_encode(
+                    os.path.abspath(os.path.join(base, rel))
+                ),
+                bytearray(blob),
+            )
+        )
+    old_df = spark.createDataFrame(
+        old_rows or [("", bytearray(b""))], "__file string, old binary"
+    )
+
+    def _serialize(left, right):
+        import pandas as pd
+
+        from lcr_etl_upgrade_spark.roaring_lite import (
+            parse_roaring_bitmap_array,
+            serialize_roaring_bitmap_array,
+        )
+
+        if left.empty:  # old DV whose file had no new matches: untouched
+            return pd.DataFrame({"__file": [], "dv": [], "card": []})
+        fname = left["__file"].iloc[0]
+        positions = set(int(p) for p in left["__pos"])
+        old_n = 0
+        if not right.empty and len(right["old"].iloc[0]):
+            old = parse_roaring_bitmap_array(
+                bytes(right["old"].iloc[0]),
+                max_values=DELETE_MAX_FILE_POSITIONS,
+            )
+            old_n = len(old)
+            positions |= old
+        if len(positions) == old_n:
+            # every matched row was ALREADY masked by the existing DV
+            # (the predicate runs over the raw scan): emitting would
+            # commit a byte-identical DV under a fresh uuid — skip, so
+            # a fully-no-op delete returns state.version uncommitted
+            return pd.DataFrame({"__file": [], "dv": [], "card": []})
+        if len(positions) > DELETE_MAX_FILE_POSITIONS:
+            raise ValueError(
+                f"{len(positions)} deleted positions for one file "
+                f"exceed DELETE_MAX_FILE_POSITIONS "
+                f"({DELETE_MAX_FILE_POSITIONS}); with most of a file "
+                "deleted, rewrite it via overwrite instead of masking"
+            )
+        blob = serialize_roaring_bitmap_array(positions)
+        return pd.DataFrame(
+            {
+                "__file": [fname],
+                "dv": [blob],
+                "card": [len(positions)],
+            }
+        )
+
+    return (
+        matched.groupBy("__file")
+        .cogroup(old_df.groupBy("__file"))
+        .applyInPandas(_serialize, "__file string, dv binary, card long")
+    )
+
+
+def _materialize_dv_descriptors(
+    base: str,
+    touched_df: DataFrame,
+    enc_to_rel: dict[str, str],
+    inline_threshold: int,
+    dv_written: list[str],
+) -> list[tuple[str, dict]]:
+    """Stream _dv_union_blobs' result one partition at a time into DV
+    descriptors: u-storage blobs land on disk IMMEDIATELY (staged names
+    appended to ``dv_written`` for rollback) and only compact
+    descriptors (plus inline blobs, each <= inline_threshold) stay
+    driver-side, so peak driver memory is one in-flight blob — with a
+    hard cap on the total bytes a single commit may funnel through."""
+    import zlib
+
+    per_file: list[tuple[str, dict]] = []
+    new_total = 0
+    for row in touched_df.toLocalIterator():
+        rel = enc_to_rel.get(row["__file"])
+        if rel is None:  # file vanished between replay and scan?
+            raise ValueError(
+                f"scan produced an unknown file key {row['__file']!r}"
+            )
+        blob = bytes(row["dv"])
+        new_total += len(blob)
+        if new_total > DELETE_MAX_TOTAL_DV_BYTES:
+            raise ValueError(
+                f"this command's new deletion vectors total more "
+                f"than DELETE_MAX_TOTAL_DV_BYTES "
+                f"({DELETE_MAX_TOTAL_DV_BYTES}) bytes across files; "
+                "mask in smaller batches (narrower predicates) or "
+                "rewrite via overwrite instead"
+            )
+        if len(blob) <= inline_threshold:
+            pad = (-len(blob)) % 4  # z85 encodes 4-byte groups
+            descriptor = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+                "offset": None,
+                "sizeInBytes": len(blob),
+                "cardinality": int(row["card"]),
+            }
+        else:
+            dv_uuid = uuid.uuid4()
+            name = f"deletion_vector_{dv_uuid}.bin"
+            framed = (
+                b"\x01"
+                + struct.pack(">I", len(blob))
+                + blob
+                + struct.pack(">I", zlib.crc32(blob))
+            )
+            with open(os.path.join(base, name), "wb") as fh:
+                fh.write(framed)
+            dv_written.append(name)
+            descriptor = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": 1,
+                "sizeInBytes": len(blob),
+                "cardinality": int(row["card"]),
+            }
+        per_file.append((rel, descriptor))
+    return per_file
+
+
+def _dv_protocol_upgrade_action(state, mapping: str) -> dict | None:
+    """The protocol action a first DV-writing commit must carry (3/7
+    with deletionVectors in BOTH feature lists, preserving what is
+    already active), or None when the table already lists it."""
+    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    reader_feats = set(proto.get("readerFeatures") or ())
+    writer_feats = set(proto.get("writerFeatures") or ())
+    if mapping != "none":  # preserve the active feature set
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    if "deletionVectors" in reader_feats and int(
+        proto.get("minReaderVersion", 1)
+    ) >= 3:
+        return None
+    reader_feats.add("deletionVectors")
+    writer_feats.add("deletionVectors")
+    if (pw := int(proto.get("minWriterVersion", 2))) < 7:
+        # legacy upgrade carries the FULL implicit feature set of
+        # its tier (v2..v6), or downstream writers stop enforcing
+        writer_feats |= _implicit_legacy_writer_features(pw)
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(writer_feats),
+        }
+    }
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -2843,91 +3035,7 @@ def delete_rows(
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
     matched = logical.filter(pred).select("__file", "__pos")
 
-    # old DV blobs, verified, shipped per file through a COGROUP (not a
-    # broadcast of every blob to every executor, and not a join that
-    # would duplicate a blob onto every matched row): each touched
-    # file's compact roaring bytes travel exactly once, to the one task
-    # serializing that file's new DV. Resolve-and-verify ONCE (the
-    # _dv_verify contract inlined) instead of resolving every blob a
-    # second time just to hand the bytes to the cogroup.
-    old_rows = []
-    old_total = 0
-    for rel, dv in sorted(state.dvs.items()):
-        blob = _resolve_dv_blob(base, dv)
-        old_total += len(blob)
-        if old_total > DELETE_MAX_TOTAL_DV_BYTES:
-            raise ValueError(
-                f"existing deletion vectors total more than "
-                f"DELETE_MAX_TOTAL_DV_BYTES ({DELETE_MAX_TOTAL_DV_BYTES}) "
-                "bytes; delete in smaller batches (narrower predicates) "
-                "or compact the table via overwrite first"
-            )
-        n = count_roaring_bitmap_array(blob)
-        card = dv.get("cardinality")
-        if card is not None and int(card) != n:
-            raise ValueError(
-                f"deletion vector for {rel!r}: descriptor cardinality "
-                f"{card} != {n} parsed positions"
-            )
-        old_rows.append(
-            (
-                _hadoop_path_encode(
-                    os.path.abspath(os.path.join(base, rel))
-                ),
-                bytearray(blob),
-            )
-        )
-    old_df = spark.createDataFrame(
-        old_rows or [("", bytearray(b""))], "__file string, old binary"
-    )
-
-    def _serialize(left, right):
-        import pandas as pd
-
-        from lcr_etl_upgrade_spark.roaring_lite import (
-            parse_roaring_bitmap_array,
-            serialize_roaring_bitmap_array,
-        )
-
-        if left.empty:  # old DV whose file had no new matches: untouched
-            return pd.DataFrame({"__file": [], "dv": [], "card": []})
-        fname = left["__file"].iloc[0]
-        positions = set(int(p) for p in left["__pos"])
-        old_n = 0
-        if not right.empty and len(right["old"].iloc[0]):
-            old = parse_roaring_bitmap_array(
-                bytes(right["old"].iloc[0]),
-                max_values=DELETE_MAX_FILE_POSITIONS,
-            )
-            old_n = len(old)
-            positions |= old
-        if len(positions) == old_n:
-            # every matched row was ALREADY masked by the existing DV
-            # (the predicate runs over the raw scan): emitting would
-            # commit a byte-identical DV under a fresh uuid — skip, so
-            # a fully-no-op delete returns state.version uncommitted
-            return pd.DataFrame({"__file": [], "dv": [], "card": []})
-        if len(positions) > DELETE_MAX_FILE_POSITIONS:
-            raise ValueError(
-                f"{len(positions)} deleted positions for one file "
-                f"exceed DELETE_MAX_FILE_POSITIONS "
-                f"({DELETE_MAX_FILE_POSITIONS}); with most of a file "
-                "deleted, rewrite it via overwrite instead of masking"
-            )
-        blob = serialize_roaring_bitmap_array(positions)
-        return pd.DataFrame(
-            {
-                "__file": [fname],
-                "dv": [blob],
-                "card": [len(positions)],
-            }
-        )
-
-    touched_df = (
-        matched.groupBy("__file")
-        .cogroup(old_df.groupBy("__file"))
-        .applyInPandas(_serialize, "__file string, dv binary, card long")
-    )
+    touched_df = _dv_union_blobs(spark, base, matched, state.dvs)
 
     enc_to_rel = {
         _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
@@ -2944,86 +3052,15 @@ def delete_rows(
         }
     }]
 
-    proto = state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    reader_feats = set(proto.get("readerFeatures") or ())
-    writer_feats = set(proto.get("writerFeatures") or ())
-    if mapping != "none":  # preserve the active feature set
-        reader_feats.add("columnMapping")
-        writer_feats.add("columnMapping")
-    if "deletionVectors" not in reader_feats or int(
-        proto.get("minReaderVersion", 1)
-    ) < 3:
-        reader_feats.add("deletionVectors")
-        writer_feats.add("deletionVectors")
-        if (pw := int(proto.get("minWriterVersion", 2))) < 7:
-            # legacy upgrade carries the FULL implicit feature set of
-            # its tier (v2..v6), or downstream writers stop enforcing
-            writer_feats |= _implicit_legacy_writer_features(pw)
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(reader_feats),
-                    "writerFeatures": sorted(writer_feats),
-                }
-            }
-        )
+    upgrade = _dv_protocol_upgrade_action(state, mapping)
+    if upgrade is not None:
+        actions.append(upgrade)
 
     dv_written: list[str] = []  # staged .bin files, for rollback
     try:
-        # stream results one partition at a time: u-storage blobs land
-        # on disk IMMEDIATELY and only the compact descriptors (plus
-        # inline blobs, each <= inline_threshold) stay driver-side, so
-        # peak driver memory is one in-flight blob — with a hard cap on
-        # the total bytes a single commit may funnel through here
-        per_file: list[tuple[str, dict]] = []
-        new_total = 0
-        for row in touched_df.toLocalIterator():
-            rel = enc_to_rel.get(row["__file"])
-            if rel is None:  # file vanished between replay and scan?
-                raise ValueError(
-                    f"scan produced an unknown file key {row['__file']!r}"
-                )
-            blob = bytes(row["dv"])
-            new_total += len(blob)
-            if new_total > DELETE_MAX_TOTAL_DV_BYTES:
-                raise ValueError(
-                    f"this delete's new deletion vectors total more "
-                    f"than DELETE_MAX_TOTAL_DV_BYTES "
-                    f"({DELETE_MAX_TOTAL_DV_BYTES}) bytes across files; "
-                    "delete in smaller batches (narrower predicates) or "
-                    "rewrite via overwrite instead of masking"
-                )
-            if len(blob) <= inline_threshold:
-                pad = (-len(blob)) % 4  # z85 encodes 4-byte groups
-                descriptor = {
-                    "storageType": "i",
-                    "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
-                    "offset": None,
-                    "sizeInBytes": len(blob),
-                    "cardinality": int(row["card"]),
-                }
-            else:
-                dv_uuid = uuid.uuid4()
-                name = f"deletion_vector_{dv_uuid}.bin"
-                framed = (
-                    b"\x01"
-                    + struct.pack(">I", len(blob))
-                    + blob
-                    + struct.pack(">I", zlib.crc32(blob))
-                )
-                with open(os.path.join(base, name), "wb") as fh:
-                    fh.write(framed)
-                dv_written.append(name)
-                descriptor = {
-                    "storageType": "u",
-                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                    "offset": 1,
-                    "sizeInBytes": len(blob),
-                    "cardinality": int(row["card"]),
-                }
-            per_file.append((rel, descriptor))
+        per_file = _materialize_dv_descriptors(
+            base, touched_df, enc_to_rel, inline_threshold, dv_written
+        )
         if not per_file:
             return state.version
 
@@ -3179,11 +3216,16 @@ def _predicate_sql(condition: Column | str) -> str:
         return m.group(1) if m else str(condition)
 
 
+DV_WRITE_MAX_FRACTION = 0.25
+
+
 def update_rows(
     spark: SparkSession,
     path: str,
     condition: Column | str,
     assignments: dict[str, Column | str],
+    use_dvs: bool | None = None,
+    inline_threshold: int = DV_INLINE_THRESHOLD,
 ) -> int:
     """UPDATE the table at ``path`` SET ``assignments`` WHERE
     ``condition`` — delta-spark's classic rewrite-path UPDATE command,
@@ -3203,6 +3245,21 @@ def update_rows(
       to TOUCHED files, exactly delta-spark's rewrite-path UPDATE —
       at 100 TB a selective predicate touches few files and a broad
       one was always going to cost a rewrite;
+    - DV WRITE PATH (r13, the low-selectivity answer): on tables with
+      deletion vectors enabled (the feature active, or
+      ``delta.enableDeletionVectors=true`` — delta-spark's gate), a
+      touched file whose matched-row fraction is at most
+      DV_WRITE_MAX_FRACTION is NOT rewritten: its matched positions are
+      committed as a deletion vector (union with any existing DV,
+      remove(oldDv)+add(newDv) on the same path, stats/tags/rowTracking
+      fields preserved — the bytes are unchanged) and ONLY the updated
+      rows are appended as new files. A 1%-selectivity update then
+      writes ~1% of the data instead of rewriting every touched file.
+      Routing is PER FILE — files above the fraction (or without
+      footer stats to judge by) still rewrite, so one command mixes
+      both shapes. ``use_dvs=True`` forces the DV path for every
+      touched file (upgrading the protocol if needed), ``False``
+      restores the pure rewrite path, ``None`` (default) auto-routes;
     - GENERATED columns are recomputed from their expressions on the
       updated rows (assigning to one directly is refused, as is
       assigning to identity or partition columns — moving rows between
@@ -3326,8 +3383,8 @@ def update_rows(
         _hadoop_path_encode(os.path.abspath(os.path.join(base, rel))): rel
         for rel in rels
     }
-    touched_enc = [
-        r[0]
+    touched_counts = {
+        enc_to_rel[r["__file"]]: int(r["cnt"])
         for r in (
             live.select(
                 *logical_cols,
@@ -3336,16 +3393,49 @@ def update_rows(
                 ).alias("__file"),
             )
             .filter(pred)
-            .select("__file")
-            .distinct()
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
-    ]
-    touched = sorted(
-        enc_to_rel[e] for e in touched_enc if e in enc_to_rel
-    )
+        if r["__file"] in enc_to_rel
+    }
+    touched = sorted(touched_counts)
     if not touched:
         return state.version
+
+    # ---- per-file routing: deletion-vector write vs rewrite ----------
+    dv_feature_on = "deletionVectors" in set(
+        (state.protocol or {}).get("readerFeatures") or ()
+    ) or str(
+        (state.metadata.get("configuration") or {}).get(
+            "delta.enableDeletionVectors", ""
+        )
+    ).lower() == "true"
+    if use_dvs is False:
+        touched_dv: list[str] = []
+    elif use_dvs is True:
+        touched_dv = list(touched)
+    elif not dv_feature_on:
+        touched_dv = []
+    else:
+        touched_dv = []
+        for rel in touched:
+            stats_json = (state.adds.get(rel) or {}).get("stats")
+            if not stats_json:
+                continue  # no footer stats to judge selectivity by
+            try:
+                n_rec = int(json.loads(stats_json)["numRecords"])
+            except (ValueError, KeyError, TypeError):
+                continue
+            live_n = n_rec - int(
+                (state.dvs.get(rel) or {}).get("cardinality", 0)
+            )
+            if live_n > 0 and touched_counts[rel] <= (
+                DV_WRITE_MAX_FRACTION * live_n
+            ):
+                touched_dv.append(rel)
+    dv_set = set(touched_dv)
+    touched_rw = [r for r in touched if r not in dv_set]
 
     version = state.version + 1
     now_ms = int(_time.time() * 1000)
@@ -3431,9 +3521,13 @@ def update_rows(
         return out
 
     by_part: dict[tuple, list[str]] = {}
-    for rel in touched:
+    for rel in touched_rw:
         key = tuple(sorted((state.files[rel] or {}).items()))
         by_part.setdefault(key, []).append(rel)
+    dv_by_part: dict[tuple, list[str]] = {}
+    for rel in touched_dv:
+        key = tuple(sorted((state.files[rel] or {}).items()))
+        dv_by_part.setdefault(key, []).append(rel)
 
     actions: list[dict] = [{
         "commitInfo": {
@@ -3678,6 +3772,292 @@ def update_rows(
                 actions.append({"remove": remove})
                 n_rewritten += 1
 
+        # ---- DV write path: mask matched positions, append only the
+        # updated rows (delta-spark's DV-based UPDATE shape) ----------
+        n_dv_added = 0
+        if dv_by_part:
+            upgrade = _dv_protocol_upgrade_action(state, mapping)
+            if upgrade is not None:
+                actions.append(upgrade)
+        for key, group in sorted(dv_by_part.items()):
+            pvals = dict(key)
+            part_dir = os.path.dirname(group[0])
+            group_abs = [os.path.join(base, r) for r in group]
+            data_fields = [
+                f
+                for f in phys_schema.fields
+                if f.name not in phys_part_cols
+            ]
+            if row_tracking:
+                rt_read_schema = T.StructType(
+                    data_fields
+                    + [
+                        T.StructField(rid_col, T.LongType()),
+                        T.StructField(rcv_col, T.LongType()),
+                    ]
+                )
+                gdf = _with_materialized_row_ids(
+                    spark,
+                    base,
+                    group,
+                    state.adds,
+                    rt_read_schema,
+                    rid_col,
+                    rcv_col,
+                    dv_ver=dv_ver,
+                    keep_position=True,
+                    keep_path=True,
+                ).withColumnsRenamed(
+                    {"__rt_path": "__file", "__rt_idx": "__pos"}
+                )
+            else:
+                gdf = (
+                    spark.read.schema(T.StructType(data_fields))
+                    .parquet(*group_abs)
+                    .select(
+                        "*",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), r"^file:/+", "/"
+                        ).alias("__file"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                )
+                gdf = _apply_dv_filter(spark, gdf, base, dv_ver, group)
+            # logical view of the MATCHED live rows only — the entire
+            # point: downstream cost is proportional to matched rows,
+            # not to the files they live in
+            matched_lg = (
+                gdf.select(
+                    *[
+                        (
+                            _typed_partition_lit(
+                                pvals.get(logical_to_phys[f.name]),
+                                f.dataType,
+                            ).alias(f.name)
+                            if f.name in state.partition_columns
+                            else _quoted(logical_to_phys[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                        )
+                        for f in schema.fields
+                    ],
+                    *(
+                        [_quoted(rid_col), _quoted(rcv_col)]
+                        if row_tracking
+                        else []
+                    ),
+                    "__file",
+                    "__pos",
+                )
+                .filter(pred)
+                .persist()
+            )
+            try:
+                # (a) the new deletion vectors: matched positions ∪ old
+                group_old_dvs = {
+                    r: state.dvs[r] for r in group if r in state.dvs
+                }
+                per_file_dv = _materialize_dv_descriptors(
+                    base,
+                    _dv_union_blobs(
+                        spark,
+                        base,
+                        matched_lg.select("__file", "__pos"),
+                        group_old_dvs,
+                    ),
+                    enc_to_rel,
+                    inline_threshold,
+                    staged,
+                )
+                # (b) the replacement rows: assignments applied to the
+                # matched rows only, appended as fresh files. rcv NULL
+                # -> falls back to this add's defaultRowCommitVersion
+                # (= this commit, the row's last modification); rid
+                # carries the ORIGINAL row id — identity is preserved
+                # because the masked original is no longer live.
+                upd = _updated(matched_lg.drop("__file", "__pos"))
+                if row_tracking:
+                    upd = upd.withColumn(
+                        rcv_col, F.lit(None).cast("long")
+                    )
+                from pyspark.sql import Observation
+
+                obs_m = Observation()
+                upd = upd.observe(
+                    obs_m,
+                    F.coalesce(
+                        F.sum(F.col(marker).cast("long")), F.lit(0)
+                    ).alias("u"),
+                )
+                obs = None
+                if constraints:
+                    upd, obs, name_map = _attach_constraint_observer(
+                        upd, schema, constraints, path
+                    )
+                out_phys = upd.select(
+                    *[
+                        _quoted(f.name).cast(pf.dataType).alias(pf.name)
+                        for f, pf in zip(schema.fields, phys_schema.fields)
+                        if pf.name not in phys_part_cols
+                    ],
+                    *(
+                        [_quoted(rid_col), _quoted(rcv_col)]
+                        if row_tracking
+                        else []
+                    ),
+                )
+                # replacement rows are a small fraction of the group by
+                # construction — coalesce to roughly the table's own
+                # rows-per-file so a 1% update appends ~1 right-sized
+                # file instead of one sliver per scan partition
+                group_matched = sum(touched_counts[r] for r in group)
+                avg_live = max(
+                    1,
+                    sum(
+                        int(
+                            json.loads(
+                                (state.adds.get(r) or {}).get(
+                                    "stats", '{"numRecords": 0}'
+                                )
+                            ).get("numRecords", 0)
+                        )
+                        - int(
+                            (state.dvs.get(r) or {}).get("cardinality", 0)
+                        )
+                        for r in group
+                    )
+                    // max(1, len(group)),
+                )
+                n_out = max(
+                    1, min(len(group), -(-group_matched // avg_live))
+                )
+                out_phys = out_phys.coalesce(n_out)
+                staging = os.path.join(
+                    base, f"_staging-{uuid.uuid4().hex}"
+                )
+                out_phys.write.mode("overwrite").parquet(staging)
+                try:
+                    if obs is not None:
+                        violated = [
+                            name_map[k]
+                            for k, v in obs.get.items()
+                            if int(v or 0) > 0
+                        ]
+                        if violated:
+                            raise ValueError(
+                                f"update violates constraint(s) "
+                                f"{sorted(violated)} on {path!r}; "
+                                "nothing was committed"
+                            )
+                    next_row_id = _merge_move_staged(
+                        staging,
+                        base,
+                        part_dir,
+                        pvals,
+                        now_ms,
+                        version,
+                        row_tracking,
+                        next_row_id,
+                        staged,
+                        actions,
+                        path,
+                        metrics=up_metrics,
+                    )
+                    up_metrics["updated"] += int(obs_m.get["u"] or 0)
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
+
+                # (c) CDF obligation — identical to the rewrite path's
+                if cdf_on:
+                    pre = matched_lg.select(
+                        *[
+                            _quoted(f.name).cast(pf.dataType).alias(
+                                pf.name
+                            )
+                            for f, pf in zip(
+                                schema.fields, phys_schema.fields
+                            )
+                            if pf.name not in phys_part_cols
+                        ]
+                    ).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = _updated(
+                        matched_lg.drop("__file", "__pos")
+                    ).select(
+                        *[
+                            _quoted(f.name).cast(pf.dataType).alias(
+                                pf.name
+                            )
+                            for f, pf in zip(
+                                schema.fields, phys_schema.fields
+                            )
+                            if pf.name not in phys_part_cols
+                        ]
+                    ).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    cdc_dir = os.path.join(base, "_change_data")
+                    os.makedirs(cdc_dir, exist_ok=True)
+                    cdc_sub = part_dir
+                    cdc_target = (
+                        os.path.join(cdc_dir, cdc_sub)
+                        if cdc_sub
+                        else cdc_dir
+                    )
+                    for rel_cdc, size in _stage_and_move(
+                        pre.unionByName(post), cdc_target, ()
+                    ):
+                        full_rel = "/".join(
+                            x
+                            for x in ("_change_data", cdc_sub, rel_cdc)
+                            if x
+                        )
+                        staged.append(full_rel)
+                        actions.append(
+                            {
+                                "cdc": {
+                                    "path": urllib.parse.quote(
+                                        full_rel, safe="/="
+                                    ),
+                                    "partitionValues": pvals,
+                                    "size": size,
+                                    "dataChange": False,
+                                }
+                            }
+                        )
+
+                # (d) remove(oldDv) + add(newDv) on the untouched bytes:
+                # stats, tags and rowTracking fields stay valid
+                for rel, descriptor in sorted(per_file_dv):
+                    quoted = urllib.parse.quote(rel, safe="/=")
+                    remove = {
+                        "path": quoted,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                    if rel in state.dvs:
+                        remove["deletionVector"] = state.dvs[rel]
+                    actions.append({"remove": remove})
+                    actions.append(
+                        {
+                            "add": {
+                                "path": quoted,
+                                "partitionValues": state.files[rel],
+                                "size": os.path.getsize(
+                                    os.path.join(base, rel)
+                                ),
+                                "modificationTime": now_ms,
+                                "dataChange": True,
+                                "deletionVector": descriptor,
+                                **state.adds.get(rel, {}),
+                            }
+                        }
+                    )
+                    n_dv_added += 1
+            finally:
+                matched_lg.unpersist(blocking=False)
+
         if row_tracking:
             actions.append({
                 "domainMetadata": {
@@ -3695,6 +4075,8 @@ def update_rows(
                 sum(1 for a in actions if "add" in a)
             ),
         }
+        if n_dv_added:
+            op_metrics["numDeletionVectorsAdded"] = str(n_dv_added)
         if up_metrics["derivable"]:
             # rewrites conserve rows, so copied = rewritten - updated
             op_metrics["numCopiedRows"] = str(
@@ -6918,6 +7300,133 @@ def drop_check_constraint(
     return _alter_commit(
         path, state, meta_out, "DROP CONSTRAINT",
         {"name": name.lower()},
+    )
+
+
+# Properties whose ENABLEMENT obligates a writer feature the commit
+# must also declare (delta-spark's SET TBLPROPERTIES does the same
+# implicit protocol upgrade). readerFeature is None for writer-only
+# features.
+_PROPERTY_FEATURES: dict[str, tuple[str, str | None]] = {
+    "delta.enablechangedatafeed": ("changeDataFeed", None),
+    "delta.enabledeletionvectors": ("deletionVectors", "deletionVectors"),
+    "delta.appendonly": ("appendOnly", None),
+}
+
+
+def set_table_properties(
+    spark: SparkSession,
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset: tuple[str, ...] | list[str] = (),
+) -> int:
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES (r13): one metaData
+    commit updating the table configuration. Completes the ALTER family
+    — and is the public enablement path for the feature-gated write
+    behaviors (``delta.enableChangeDataFeed`` for CDF writes,
+    ``delta.enableDeletionVectors`` for update_rows' DV path,
+    ``delta.appendOnly``): enabling one of those upgrades the protocol
+    to carry its feature in the same commit, exactly as delta-spark's
+    SET TBLPROPERTIES does implicitly.
+
+    Refusals (each names the right tool): ``delta.columnMapping.*``
+    (mode changes are a migration, not a property set),
+    ``delta.constraints.*`` (add_check_constraint validates existing
+    rows first), ``delta.enableRowTracking`` (enablement requires a
+    baseRowId backfill this command does not perform — write the table
+    with row tracking instead). Returns the committed version."""
+    state = replay_log(spark, path)
+    _check_writer_protocol(state.protocol, path)
+    set_props = dict(set_props or {})
+    cfg = dict((state.metadata or {}).get("configuration") or {})
+    for key in list(set_props) + list(unset):
+        low = key.lower()
+        if low.startswith("delta.columnmapping."):
+            raise NotImplementedError(
+                f"{key!r}: column-mapping mode changes are a table "
+                "migration, not a property set — create the table with "
+                "column_mapping= instead"
+            )
+        if low.startswith("delta.constraints."):
+            raise ValueError(
+                f"{key!r}: use add_check_constraint / "
+                "drop_check_constraint (constraints must validate "
+                "existing rows)"
+            )
+        if low == "delta.enablerowtracking":
+            raise NotImplementedError(
+                f"{key!r}: enabling row tracking on an existing table "
+                "requires a baseRowId backfill; write the table with "
+                "row tracking from the start instead"
+            )
+    for key in unset:
+        # delta-spark's UNSET is lenient about absent keys; matching
+        # case-insensitively would mutate keys we don't own, so exact
+        cfg.pop(key, None)
+    cfg.update({str(k): str(v) for k, v in set_props.items()})
+
+    # implicit protocol obligations for newly-enabled feature gates
+    proto = state.protocol or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    reader_feats = set(proto.get("readerFeatures") or ())
+    writer_feats = set(proto.get("writerFeatures") or ())
+    need: list[tuple[str, str | None]] = []
+    for k, v in set_props.items():
+        feat = _PROPERTY_FEATURES.get(k.lower())
+        if feat and str(v).lower() == "true":
+            wf, rf = feat
+            implied = wf in writer_feats or (
+                wf == "changeDataFeed"
+                and int(proto.get("minWriterVersion", 2)) >= 4
+            ) or (
+                wf == "appendOnly"
+                and int(proto.get("minWriterVersion", 2)) >= 2
+            )
+            if not implied:
+                need.append(feat)
+    extra_actions: list[dict] = []
+    if need:
+        for wf, rf in need:
+            writer_feats.add(wf)
+            if rf:
+                reader_feats.add(rf)
+        if (pw := int(proto.get("minWriterVersion", 2))) < 7:
+            # legacy upgrade carries the FULL implicit feature set of
+            # its tier, or downstream writers stop enforcing
+            writer_feats |= _implicit_legacy_writer_features(pw)
+        if reader_feats and (
+            _column_mapping_mode(state.metadata) != "none"
+            or int(proto.get("minReaderVersion", 1)) == 2
+        ):
+            # a column-mapped (or legacy reader-v2) table upgrading to
+            # reader v3 must list its implicit columnMapping requirement
+            reader_feats.add("columnMapping")
+            writer_feats.add("columnMapping")
+        new_proto: dict = {
+            "minReaderVersion": 3
+            if reader_feats
+            else int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(writer_feats),
+        }
+        if reader_feats:
+            new_proto["readerFeatures"] = sorted(reader_feats)
+        extra_actions.append({"protocol": new_proto})
+
+    meta_out = dict(state.metadata)
+    meta_out["configuration"] = cfg
+    return _alter_commit(
+        path,
+        state,
+        meta_out,
+        "SET TBLPROPERTIES" if set_props else "UNSET TBLPROPERTIES",
+        {
+            "properties": json.dumps(set_props)
+            if set_props
+            else json.dumps(sorted(unset)),
+        },
+        extra_actions=extra_actions,
     )
 
 

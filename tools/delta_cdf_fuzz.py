@@ -230,9 +230,13 @@ def run_case(spark, rng, i: int) -> dict | None:
                 from lcr_etl_upgrade_spark.delta_lite import update_rows
 
                 m = int(rng.integers(2, 6))
+                # use_dvs draw (r13): None = auto per-file routing,
+                # True = force the DV write path (mask + append) —
+                # both must serve identical CDF/e2e state
                 update_rows(
                     spark, path, F.col("id") % m == 1,
                     {"v": F.col("v") + int(rng.integers(1, 50))},
+                    use_dvs=True if rng.random() < 0.4 else None,
                 )
             elif op == "merge":
                 # the engine's transactional MERGE (r12): one commit
