@@ -4204,6 +4204,9 @@ def _merge_rewrite_groups(
     actions: list[dict],
     persisted: list,
     metrics: dict | None = None,
+    dv_mode: bool = False,
+    touched_counts: dict[str, int] | None = None,
+    inline_threshold: int = DV_INLINE_THRESHOLD,
 ) -> int:
     """Rewrite every touched partition group applying the per-row merge
     decisions (joined from ``dec`` on file path + row position),
@@ -4332,7 +4335,16 @@ def _merge_rewrite_groups(
                 "__mrg_updated": F.coalesce(updated, F.lit(False)),
             }
         )
-        if cdf_on:
+        if dv_mode:
+            # DV mode: every downstream consumer (positions, replacement
+            # rows, change images) reads only the AFFECTED rows — filter
+            # before persisting so the cache is proportional to the
+            # modified fraction, not to the group
+            j = j.filter(
+                F.col("__mrg_deleted") | F.col("__mrg_updated")
+            ).persist()
+            persisted.append(j)
+        elif cdf_on:
             # the decided group frame feeds the rewrite AND the
             # pre/post/delete change staging — persist it for the
             # group's duration instead of re-running the scan + dec
@@ -4365,7 +4377,13 @@ def _merge_rewrite_groups(
                 .withColumn("_change_type", F.lit("delete"))
             )
 
-        kept = j.filter(~F.col("__mrg_deleted"))
+        # DV mode writes ONLY the updated rows (deleted rows are just
+        # masked; unchanged rows stay in the original, untouched file)
+        kept = (
+            j.filter(F.col("__mrg_updated"))
+            if dv_mode
+            else j.filter(~F.col("__mrg_deleted"))
+        )
         # ONE simultaneous projection: every new value sees the
         # ORIGINAL row (matched-update values were already computed
         # against the pristine pair in `dec`; by-source updates
@@ -4462,6 +4480,31 @@ def _merge_rewrite_groups(
             ],
             *([_quoted(rid_col), _quoted(rcv_col)] if row_tracking else []),
         )
+        if dv_mode:
+            # replacement rows are a small fraction of the group by
+            # construction — coalesce to roughly the table's own
+            # rows-per-file sizing (mirrors update_rows' DV path)
+            group_modified = sum(
+                (touched_counts or {}).get(r, 0) for r in group
+            )
+            avg_live = max(
+                1,
+                sum(
+                    int(
+                        json.loads(
+                            (state.adds.get(r) or {}).get(
+                                "stats", '{"numRecords": 0}'
+                            )
+                        ).get("numRecords", 0)
+                    )
+                    - int((state.dvs.get(r) or {}).get("cardinality", 0))
+                    for r in group
+                )
+                // max(1, len(group)),
+            )
+            out_phys = out_phys.coalesce(
+                max(1, min(len(group), -(-group_modified // avg_live)))
+            )
         part_dir = os.path.dirname(group[0])
         staging = os.path.join(base, f"_staging-{uuid.uuid4().hex}")
         out_phys.write.mode("overwrite").parquet(staging)
@@ -4477,6 +4520,14 @@ def _merge_rewrite_groups(
                         f"merge violates constraint(s) {sorted(violated)} "
                         f"on {path!r}; nothing was committed"
                     )
+            # DV groups account their replacement rows separately:
+            # they are NOT part of the rewrite-conservation arithmetic
+            # the deleted-rows metric derives from
+            group_metrics = (
+                {"rewritten_rows": 0, "derivable": True}
+                if dv_mode and metrics is not None
+                else metrics
+            )
             next_row_id = _merge_move_staged(
                 staging,
                 base,
@@ -4489,8 +4540,14 @@ def _merge_rewrite_groups(
                 staged,
                 actions,
                 path,
-                metrics=metrics,
+                metrics=group_metrics,
             )
+            if dv_mode and metrics is not None:
+                metrics["dv_rewritten"] = metrics.get(
+                    "dv_rewritten", 0
+                ) + group_metrics["rewritten_rows"]
+                if not group_metrics["derivable"]:
+                    metrics["derivable"] = False
             if obs_m is not None:
                 metrics["updated"] = metrics.get("updated", 0) + int(
                     obs_m.get["u"] or 0
@@ -4523,16 +4580,77 @@ def _merge_rewrite_groups(
                     }
                 )
 
-        for rel in group:
-            remove = {
-                "path": urllib.parse.quote(rel, safe="/="),
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
+        if dv_mode:
+            # mask the affected positions: remove(oldDv) + add(newDv)
+            # on the untouched bytes — stats, tags and rowTracking
+            # fields stay valid
+            enc_map = {
+                _hadoop_path_encode(
+                    os.path.abspath(os.path.join(base, rel))
+                ): rel
+                for rel in group
             }
-            if rel in state.dvs:
-                remove["deletionVector"] = state.dvs[rel]
-            actions.append({"remove": remove})
-        if cdf_on:
+            per_file_dv = _materialize_dv_descriptors(
+                base,
+                _dv_union_blobs(
+                    spark,
+                    base,
+                    j.select(
+                        F.col("__mrg_base").alias("__file"),
+                        F.col("__mrg_pos").alias("__pos"),
+                    ),
+                    {r: state.dvs[r] for r in group if r in state.dvs},
+                ),
+                enc_map,
+                inline_threshold,
+                staged,
+            )
+            for rel, descriptor in sorted(per_file_dv):
+                if metrics is not None:
+                    old_card = int(
+                        (state.dvs.get(rel) or {}).get("cardinality", 0)
+                    )
+                    metrics["dv_mask_growth"] = metrics.get(
+                        "dv_mask_growth", 0
+                    ) + max(
+                        0, int(descriptor["cardinality"]) - old_card
+                    )
+                    metrics["dv_files"] = metrics.get("dv_files", 0) + 1
+                quoted = urllib.parse.quote(rel, safe="/=")
+                remove = {
+                    "path": quoted,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+                if rel in state.dvs:
+                    remove["deletionVector"] = state.dvs[rel]
+                actions.append({"remove": remove})
+                actions.append(
+                    {
+                        "add": {
+                            "path": quoted,
+                            "partitionValues": state.files[rel],
+                            "size": os.path.getsize(
+                                os.path.join(base, rel)
+                            ),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "deletionVector": descriptor,
+                            **state.adds.get(rel, {}),
+                        }
+                    }
+                )
+        else:
+            for rel in group:
+                remove = {
+                    "path": urllib.parse.quote(rel, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+                if rel in state.dvs:
+                    remove["deletionVector"] = state.dvs[rel]
+                actions.append({"remove": remove})
+        if dv_mode or cdf_on:
             j.unpersist(blocking=False)
     return next_row_id
 
@@ -4783,6 +4901,8 @@ def merge_rows(
     not_matched: tuple = (),
     not_matched_by_source: tuple = (),
     schema_evolution: bool = False,
+    use_dvs: bool | None = None,
+    inline_threshold: int = DV_INLINE_THRESHOLD,
 ) -> int:
     """Transactional MERGE INTO the table at ``path`` USING ``source``
     ON ``on`` — delta-spark's merge command re-expressed on the public
@@ -4846,7 +4966,16 @@ def merge_rows(
       neither read twice nor rewritten; inserts append new files;
     - rowTracking tables rewrite row-ID-preservingly (updated rows
       keep their ids, their row-commit-version falls to this commit;
-      inserted rows draw fresh baseRowId ranges).
+      inserted rows draw fresh baseRowId ranges);
+    - DV WRITE PATH (r13, same routing as update_rows): on tables with
+      deletion vectors enabled, a touched file whose modified-row
+      fraction is at most DV_WRITE_MAX_FRACTION commits a deletion
+      vector masking its updated+deleted positions plus appended
+      replacement rows for the updates, instead of a rewrite — the
+      incremental-upsert load (few keys per batch against a huge
+      target) then writes data proportional to the BATCH, not to the
+      touched files. Per-file routing; ``use_dvs`` forces as in
+      update_rows.
     """
     import time as _time
 
@@ -5116,6 +5245,7 @@ def merge_rows(
     n_source_rows = src.count()  # materializes the cached source
     dec = None
     touched: list[str] = []
+    touched_counts: dict[str, int] = {}
     persisted: list = []  # per-group/insert caches, released in finally
     # operationMetrics accumulation (delta-spark history parity):
     # updated rows via observe() riding each group's staging write,
@@ -5193,9 +5323,9 @@ def merge_rows(
                 dec.groupBy("__mrg_base")
                 .agg(
                     F.max("__mrg_nmod").alias("mx"),
-                    F.max(
-                        F.col("__mrg_clause").isNotNull().cast("int")
-                    ).alias("any_mod"),
+                    F.sum(
+                        F.col("__mrg_clause").isNotNull().cast("long")
+                    ).alias("nmod_rows"),
                 )
                 .collect()
             )
@@ -5206,8 +5336,13 @@ def merge_rows(
                     "source on the merge keys first (delta-spark raises "
                     "the same error)"
                 )
-            touched_b = {
-                r["__mrg_base"] for r in per_file if int(r["any_mod"])
+            # per-file MODIFIED-row counts: drives the touched set and
+            # (r13) the DV-vs-rewrite routing
+            touched_counts: dict[str, int] = {
+                base_to_rel[r["__mrg_base"]]: int(r["nmod_rows"] or 0)
+                for r in per_file
+                if int(r["nmod_rows"] or 0)
+                and r["__mrg_base"] in base_to_rel
             }
             if nmbs:
                 any_nmbs = F.lit(False)
@@ -5222,14 +5357,50 @@ def merge_rows(
                         "left_anti",
                     )
                     .filter(any_nmbs)
-                    .select("__mrg_base")
-                    .distinct()
+                    .groupBy("__mrg_base")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
                     .collect()
                 )
-                touched_b |= {r["__mrg_base"] for r in nmbs_b}
-            touched = sorted(
-                base_to_rel[b] for b in touched_b if b in base_to_rel
+                for r in nmbs_b:
+                    rel_b = base_to_rel.get(r["__mrg_base"])
+                    if rel_b is not None:
+                        touched_counts[rel_b] = touched_counts.get(
+                            rel_b, 0
+                        ) + int(r["cnt"])
+            touched = sorted(touched_counts)
+
+        # ---- per-file routing: deletion-vector write vs rewrite ------
+        dv_feature_on = "deletionVectors" in set(
+            (state.protocol or {}).get("readerFeatures") or ()
+        ) or str(
+            (state.metadata.get("configuration") or {}).get(
+                "delta.enableDeletionVectors", ""
             )
+        ).lower() == "true"
+        if use_dvs is False or not touched:
+            touched_dv: list[str] = []
+        elif use_dvs is True:
+            touched_dv = list(touched)
+        elif not dv_feature_on:
+            touched_dv = []
+        else:
+            touched_dv = []
+            for rel in touched:
+                stats_json = (state.adds.get(rel) or {}).get("stats")
+                if not stats_json:
+                    continue
+                try:
+                    n_rec = int(json.loads(stats_json)["numRecords"])
+                except (ValueError, KeyError, TypeError):
+                    continue
+                live_n = n_rec - int(
+                    (state.dvs.get(rel) or {}).get("cardinality", 0)
+                )
+                if live_n > 0 and touched_counts[rel] <= (
+                    DV_WRITE_MAX_FRACTION * live_n
+                ):
+                    touched_dv.append(rel)
+        touched_rw = [r for r in touched if r not in set(touched_dv)]
 
         actions: list[dict] = [{
             "commitInfo": {
@@ -5291,12 +5462,16 @@ def merge_rows(
 
         staged: list[str] = []
         try:
+            if touched_dv:
+                upgrade = _dv_protocol_upgrade_action(state, mapping)
+                if upgrade is not None:
+                    actions.append(upgrade)
             next_row_id = _merge_rewrite_groups(
                 spark=spark,
                 base=base,
                 path=path,
                 state=state,
-                touched=touched,
+                touched=touched_rw,
                 dec=dec,
                 matched=matched,
                 nmbs=nmbs,
@@ -5323,6 +5498,42 @@ def merge_rows(
                 persisted=persisted,
                 metrics=metrics,
             )
+            if touched_dv:
+                next_row_id = _merge_rewrite_groups(
+                    spark=spark,
+                    base=base,
+                    path=path,
+                    state=state,
+                    touched=touched_dv,
+                    dec=dec,
+                    matched=matched,
+                    nmbs=nmbs,
+                    schema=schema,
+                    phys_schema=phys_schema,
+                    logical_to_phys=logical_to_phys,
+                    phys_part_cols=phys_part_cols,
+                    gen_cols=gen_cols,
+                    new_names=new_names,
+                    assigners=assigners,
+                    upd_idx=upd_idx,
+                    del_idx=del_idx,
+                    dv_ver=dv_ver,
+                    row_tracking=row_tracking,
+                    rid_col=rid_col,
+                    rcv_col=rcv_col,
+                    cdf_on=cdf_on,
+                    constraints=constraints,
+                    now_ms=now_ms,
+                    version=version,
+                    next_row_id=next_row_id,
+                    staged=staged,
+                    actions=actions,
+                    persisted=persisted,
+                    metrics=metrics,
+                    dv_mode=True,
+                    touched_counts=touched_counts,
+                    inline_threshold=inline_threshold,
+                )
             next_row_id = _merge_inserts(
                 spark=spark,
                 base=base,
@@ -5355,15 +5566,20 @@ def merge_rows(
             if n_adds == 0 and n_removes == 0:
                 return state.version  # nothing matched any clause
 
+            dv_files = int(metrics.get("dv_files", 0))
             op_metrics = {
                 "numSourceRows": str(n_source_rows),
                 "numTargetRowsUpdated": str(metrics["updated"]),
                 "numTargetRowsInserted": str(metrics["inserted"]),
-                "numTargetFilesRemoved": str(n_removes),
-                "numTargetFilesAdded": str(n_adds),
+                # a DV file's remove+add pair is a mask update, not a
+                # file removal
+                "numTargetFilesRemoved": str(n_removes - dv_files),
+                "numTargetFilesAdded": str(n_adds - dv_files),
             }
+            if dv_files:
+                op_metrics["numDeletionVectorsAdded"] = str(dv_files)
             removed_live = 0
-            for rel in touched:
+            for rel in touched_rw:
                 stats_s = (state.adds.get(rel) or {}).get("stats")
                 n = None
                 if stats_s:
@@ -5387,9 +5603,16 @@ def merge_rows(
                 removed_live += max(0, n - card)
             if metrics["derivable"]:
                 # rewrites conserve non-deleted rows, so deletes fall
-                # out of the arithmetic — no extra pass
+                # out of the arithmetic — no extra pass. DV groups:
+                # mask growth counts updated+deleted positions, and the
+                # replacement rows are exactly the updates
                 op_metrics["numTargetRowsDeleted"] = str(
                     max(0, removed_live - metrics["rewritten_rows"])
+                    + max(
+                        0,
+                        int(metrics.get("dv_mask_growth", 0))
+                        - int(metrics.get("dv_rewritten", 0)),
+                    )
                 )
             actions[0]["commitInfo"]["operationMetrics"] = op_metrics
 

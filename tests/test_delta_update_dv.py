@@ -305,3 +305,145 @@ def test_set_properties_refusals(spark, tmp_path):
         set_table_properties(
             spark, path, {"delta.enableRowTracking": "true"}
         )
+
+
+# ---------------------------------------------------------------- merge
+
+
+def test_merge_low_selectivity_writes_dvs(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+    path = str(tmp_path / "t")
+    _t(spark, path, n=8000, files=8)
+    before = set(replay_log(spark, path).files)
+    src = spark.createDataFrame(
+        [(5, "U"), (1777, "U"), (9001, "I"), (333, "D")],
+        "k long, act string",
+    )
+    merge_rows(
+        spark,
+        path,
+        src,
+        "t.id = s.k",
+        matched=(
+            ("delete", "s.act = 'D'"),
+            ("update", None, {"s": "concat('m-', s.act)"}),
+        ),
+        not_matched=(
+            (
+                "insert",
+                None,
+                {
+                    "id": "s.k",
+                    "v": "cast(s.k % 100 as int)",
+                    "s": "s.act",
+                },
+            ),
+        ),
+    )
+    st = replay_log(spark, path)
+    assert before <= set(st.files), "merge must mask, not rewrite"
+    m = table_history(path)[0]["operationMetrics"]
+    assert m["numTargetFilesRemoved"] == "0"
+    assert int(m["numDeletionVectorsAdded"]) >= 1
+    assert m["numTargetRowsUpdated"] == "2"
+    assert m["numTargetRowsDeleted"] == "1"
+    assert m["numTargetRowsInserted"] == "1"
+    got = read_delta_lite(spark, path)
+    assert got.count() == 8000
+    assert got.filter("id = 333").count() == 0
+    assert got.filter("s = 'm-U'").count() == 2
+    assert got.filter("id = 9001 and s = 'I'").count() == 1
+
+
+def test_merge_dv_cdf_mixed_images(spark, tmp_path):
+    from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+    path = str(tmp_path / "t")
+    _t(spark, path, dv=False)
+    set_table_properties(
+        spark,
+        path,
+        {
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    src = spark.createDataFrame(
+        [(5, "U"), (333, "D"), (9001, "I")], "k long, act string"
+    )
+    v = merge_rows(
+        spark,
+        path,
+        src,
+        "t.id = s.k",
+        matched=(
+            ("delete", "s.act = 'D'"),
+            ("update", None, {"s": "s.act"}),
+        ),
+        not_matched=(
+            (
+                "insert",
+                None,
+                {
+                    "id": "s.k",
+                    "v": "cast(s.k % 100 as int)",
+                    "s": "s.act",
+                },
+            ),
+        ),
+    )
+    st = replay_log(spark, path)
+    assert st.dvs, "low-selectivity CDF merge should take the DV path"
+    ch = read_delta_changes(spark, path, v, v)
+    by_type = {
+        r["_change_type"]: r["id"]
+        for r in ch.select("_change_type", "id").collect()
+    }
+    assert by_type == {
+        "update_preimage": 5,
+        "update_postimage": 5,
+        "delete": 333,
+        "insert": 9001,
+    }
+
+
+def test_merge_dv_sequential_batches_union(spark, tmp_path):
+    """The incremental-load shape: repeated small merges against the
+    same files must union DVs and never resurrect or drop rows."""
+    from lcr_etl_upgrade_spark.delta_lite import merge_rows
+
+    path = str(tmp_path / "t")
+    _t(spark, path)
+    for batch in range(3):
+        src = spark.createDataFrame(
+            [(i + batch * 10, batch) for i in range(5)],
+            "k long, b int",
+        )
+        merge_rows(
+            spark,
+            path,
+            src,
+            "t.id = s.k",
+            matched=(("update", None, {"v": "cast(s.b as int)"}),),
+            not_matched=(
+                (
+                    "insert",
+                    None,
+                    {"id": "s.k", "v": "cast(s.b as int)", "s": "'i'"},
+                ),
+            ),
+        )
+    got = read_delta_lite(spark, path)
+    assert got.count() == 4000
+    # batch 2 overwrote the overlap of batch 1's keys (20..24)
+    vals = {
+        r["id"]: r["v"]
+        for r in got.filter("id < 35").select("id", "v").collect()
+    }
+    for k in range(5):
+        assert vals[k] == 0
+    for k in range(10, 15):
+        assert vals[k] == 1
+    for k in range(20, 25):
+        assert vals[k] == 2

@@ -371,6 +371,9 @@ def run_case(spark, rng, i: int) -> dict | None:
                             ("delete", f"s.nv % {d} = 0"),
                         ),
                         not_matched=(("insert", None, ins_vals),),
+                        # r13: the DV write path (mask + append) must
+                        # produce the same end state as the rewrite
+                        use_dvs=True if rng.random() < 0.4 else None,
                     )
                     refused = False
                 except ValueError as exc:
