@@ -17,6 +17,51 @@ from pyspark.sql import functions as F
 TRUE_TOKENS = ("true", "1", "yes")
 FALSE_TOKENS = ("false", "0", "no")
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the Column helpers below. Building a 100-column cleansing
+# projection through the Column API costs 2-4 py4j round-trips per method
+# call (~0.3 s of pure driver time for the LEAD spec, measured r13); the same
+# projection as selectExpr strings is one round-trip total and parses in the
+# JVM in microseconds. The Column forms stay for single-column composition;
+# the *_sql forms MUST mirror them exactly (tests/test_cleanse_sql_equiv.py
+# pins Column-vs-SQL result equality on adversarial inputs).
+# ---------------------------------------------------------------------------
+
+_TRUE_SQL = ", ".join(f"'{t}'" for t in TRUE_TOKENS)
+_FALSE_SQL = ", ".join(f"'{t}'" for t in FALSE_TOKENS)
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column identifier for SQL-text expressions."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def invalid_timestamp_predicate_sql(c: str) -> str:
+    """SQL text of ``invalid_timestamp_predicate`` over expression ``c``
+    (which must already be a STRING-typed expression)."""
+    return f"((length({c}) <= 3) OR (NOT ({c} RLIKE '.*\\\\d+.*')))"
+
+
+def boolean_expr_sql(c: str) -> str:
+    """SQL text of ``boolean_expr`` over expression ``c``."""
+    low = f"lower(CAST({c} AS STRING))"
+    return (
+        f"(CASE WHEN ({low} IN ({_TRUE_SQL}) OR {low} = 't') THEN true "
+        f"WHEN ({low} IN ({_FALSE_SQL}) OR {low} = 'f') THEN false "
+        f"ELSE CAST(NULL AS BOOLEAN) END)"
+    )
+
+
+def boolean_string_expr_sql(c: str) -> str:
+    """SQL text of ``boolean_string_expr`` over expression ``c``."""
+    low = f"lower(CAST({c} AS STRING))"
+    return (
+        f"(CASE WHEN {c} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN {low} IN ({_TRUE_SQL}, 't') THEN 'TRUE' "
+        f"WHEN {low} IN ({_FALSE_SQL}, 'f') THEN 'FALSE' "
+        f"ELSE CAST({c} AS STRING) END)"
+    )
+
 
 def invalid_timestamp_predicate(col: Column) -> Column:
     """True when a raw string can't possibly be a timestamp.

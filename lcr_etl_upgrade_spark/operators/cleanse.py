@@ -16,8 +16,12 @@ from pyspark.sql import types as T
 
 from lcr_etl_upgrade_spark.functions.cleansing import (
     boolean_expr,
+    boolean_expr_sql,
     boolean_string_expr,
+    boolean_string_expr_sql,
     invalid_timestamp_predicate,
+    invalid_timestamp_predicate_sql,
+    quote_ident,
     residual_garbage_predicate,
 )
 
@@ -94,6 +98,54 @@ def date_expr(col: Column, fuzzy: bool = True, as_of: str | None = None) -> Colu
     return F.coalesce(native, fuzzy_parse_date(cleaned, as_of=as_of))
 
 
+def scrub_sql(c: str) -> str:
+    """SQL text of ``scrub_expr`` over expression ``c`` (STRING-typed)."""
+    return (
+        f"(CASE WHEN {invalid_timestamp_predicate_sql(c)} "
+        f"THEN NULL ELSE {c} END)"
+    )
+
+
+def as_of_sql(as_of: str | None) -> str:
+    """SQL text of conform._as_of_col (TIMESTAMP_NTZ in both modes)."""
+    if as_of is None:
+        return "localtimestamp()"
+    return "CAST('" + as_of.replace("'", "''") + "' AS TIMESTAMP_NTZ)"
+
+
+def coerce_sql(
+    c: str,
+    dtype: T.DataType,
+    *,
+    json_column: bool = False,
+    boolean_string: bool = False,
+) -> str | None:
+    """SQL text mirror of ``coerce_expr`` for the non-fuzzy paths;
+    returns None for the dtypes whose cleansing needs the Column API
+    (the Arrow fuzzy-parser fallback is a pandas UDF, not SQL text).
+
+    Why text: a wide cleansing projection built through the Column API
+    costs 2-4 py4j driver round-trips per method call — ~0.3 s of plan
+    construction for the 101-column LEAD spec — where the identical
+    projection as parsed SQL strings is microseconds in the JVM
+    (measured r13; equality pinned by tests/test_cleanse_sql_equiv.py).
+    """
+    if json_column:
+        return (
+            f"(CASE WHEN {c} IS NULL THEN CAST(NULL AS STRING) "
+            f"ELSE CAST({c} AS STRING) END)"
+        )
+    if boolean_string:
+        return boolean_string_expr_sql(c)
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        return f"try_to_timestamp({scrub_sql(f'CAST({c} AS STRING)')})"
+    if isinstance(dtype, T.DateType):
+        return f"TRY_CAST({scrub_sql(f'CAST({c} AS STRING)')} AS DATE)"
+    if isinstance(dtype, T.BooleanType):
+        return boolean_expr_sql(c)
+    return f"TRY_CAST({c} AS {dtype.simpleString()})"
+
+
 def coerce_expr(
     col: Column,
     dtype: T.DataType,
@@ -156,39 +208,71 @@ def cleanse_to_schema(
     """
     json_columns = json_columns or set()
     boolean_string_columns = boolean_string_columns or set()
-    cols: list[Column] = []
+    # Per column, either SQL text (the cheap path — one parsed string
+    # instead of dozens of py4j Column calls) or a Column (the fuzzy
+    # timestamp/date fallback composes a pandas UDF, which has no SQL
+    # spelling). All-text projections go through ONE selectExpr call.
+    items: list[tuple[str, str | Column]] = []
+    aof = as_of_sql(as_of)
     for field in target.fields:
+        ddl = field.dataType.simpleString()
+        is_etl_ts = field.name.startswith("ETL_") and isinstance(
+            field.dataType, T.TimestampType | T.TimestampNTZType
+        )
         if field.name not in df.columns:
-            missing: Column = F.lit(None).cast(field.dataType)
-            if field.name.startswith("ETL_") and isinstance(
-                field.dataType, T.TimestampType | T.TimestampNTZType
-            ):
-                # the documented coalesce-to-as_of fallback applies to an
-                # ABSENT ETL_* timestamp column too — an all-NULL audit
-                # column contradicts ingest.py:529-535's semantics
-                missing = _as_of_col(as_of).cast(field.dataType)
-            cols.append(missing.alias(field.name))
+            # the documented coalesce-to-as_of fallback applies to an
+            # ABSENT ETL_* timestamp column too — an all-NULL audit
+            # column contradicts ingest.py:529-535's semantics
+            missing = f"CAST({aof} AS {ddl})" if is_etl_ts else f"CAST(NULL AS {ddl})"
+            items.append((field.name, missing))
             continue
-        expr = coerce_expr(
-            F.col(field.name),
+        fuzzy_field = fuzzy and isinstance(
+            field.dataType, T.TimestampType | T.TimestampNTZType | T.DateType
+        ) and field.name not in json_columns and field.name not in boolean_string_columns
+        if fuzzy_field:
+            expr = coerce_expr(
+                F.col(field.name),
+                field.dataType,
+                json_column=False,
+                boolean_string=False,
+                fuzzy=True,
+                as_of=as_of,
+            )
+            if is_etl_ts:
+                expr = F.coalesce(expr, _as_of_col(as_of).cast(field.dataType))
+            if isinstance(field.dataType, T.DateType):
+                # U2 semantics: future dates -> NULL (the timestamp/date
+                # asymmetry, reference ingest.py:438-441), relative to as_of.
+                expr = F.when(
+                    expr > _as_of_col(as_of).cast("date"),
+                    F.lit(None).cast("date"),
+                ).otherwise(expr)
+            items.append((field.name, expr.cast(field.dataType)))
+            continue
+        s = coerce_sql(
+            quote_ident(field.name),
             field.dataType,
             json_column=field.name in json_columns,
             boolean_string=field.name in boolean_string_columns,
-            fuzzy=fuzzy,
-            as_of=as_of,
         )
-        if field.name.startswith("ETL_") and isinstance(
-            field.dataType, T.TimestampType | T.TimestampNTZType
-        ):
-            expr = F.coalesce(expr, _as_of_col(as_of).cast(field.dataType))
+        if is_etl_ts:
+            s = f"coalesce({s}, CAST({aof} AS {ddl}))"
         if isinstance(field.dataType, T.DateType):
-            # U2 semantics: future dates -> NULL (the timestamp/date
-            # asymmetry, reference ingest.py:438-441), relative to as_of.
-            expr = F.when(
-                expr > _as_of_col(as_of).cast("date"), F.lit(None).cast("date")
-            ).otherwise(expr)
-        cols.append(expr.cast(field.dataType).alias(field.name))
-    return df.select(*cols)
+            s = (
+                f"(CASE WHEN ({s} > CAST({aof} AS DATE)) "
+                f"THEN CAST(NULL AS DATE) ELSE {s} END)"
+            )
+        items.append((field.name, f"CAST({s} AS {ddl})"))
+    if all(isinstance(s, str) for _, s in items):
+        return df.selectExpr(
+            *[f"{s} AS {quote_ident(n)}" for n, s in items]
+        )
+    return df.select(
+        *[
+            (F.expr(s) if isinstance(s, str) else s).alias(n)
+            for n, s in items
+        ]
+    )
 
 
 def cap_future_timestamps(

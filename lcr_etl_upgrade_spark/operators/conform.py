@@ -70,14 +70,20 @@ def conform_columns(
             if actual is not None:
                 target_to_source[name] = actual
 
-    cols: list[Column] = []
+    # SQL-text projection: one selectExpr round-trip instead of 3 py4j
+    # calls per column (~0.09 s -> ~0.03 s for the 101-column LEAD spec).
+    from lcr_etl_upgrade_spark.functions.cleansing import quote_ident
+
+    exprs: list[str] = []
     for name, dtype in target:
         src = target_to_source.get(name)
         if src is not None:
-            cols.append(F.col(src).cast(dtype).alias(name))
+            exprs.append(
+                f"CAST({quote_ident(src)} AS {dtype}) AS {quote_ident(name)}"
+            )
         else:
-            cols.append(F.lit(None).cast(dtype).alias(name))
-    return df.select(*cols)
+            exprs.append(f"CAST(NULL AS {dtype}) AS {quote_ident(name)}")
+    return df.selectExpr(*exprs)
 
 
 def _as_of_col(as_of: str | None) -> Column:

@@ -29,15 +29,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lcr_etl_upgrade_spark.operators.cleanse import (
-    cap_future_timestamps,
-    cleanse_to_schema,
-)
+from lcr_etl_upgrade_spark.operators.cleanse import cleanse_to_schema
 from lcr_etl_upgrade_spark.operators.conform import (
     AUDIT_COLUMNS,
-    add_audit_columns,
     conform_columns,
-    select_target,
     validate_schema,
 )
 
@@ -97,20 +92,41 @@ def transform_table(
         as_of=as_of,
         fuzzy=fuzzy,
     )
-    if spec.cap_future_columns:
-        cleansed = cap_future_timestamps(
-            cleansed, list(spec.cap_future_columns), as_of=as_of
-        )
-    enriched = add_audit_columns(cleansed, as_of=as_of)
-    # audit columns are wall-clock/constant typed; align to target dtypes
-    enriched = enriched.withColumns(
-        {
-            f.name: F.col(f.name).cast(f.dataType)
-            for f in spec.target_schema.fields
-            if f.name in AUDIT_COLUMNS
-        }
-    )
-    final = select_target(enriched, spec.target_schema)
+    # Future-cap (F5), audit enrichment (P4, dtype-aligned) and the final
+    # ordered projection (P3) folded into ONE selectExpr: each chained
+    # DataFrame op re-runs the analyzer over the whole accumulated plan
+    # (~0.04-0.07 s per op at 101 columns, measured r13), and the audit
+    # values are constants — semantics identical to cap_future_timestamps
+    # + add_audit_columns + the dtype-align withColumns + select_target,
+    # which remain the standalone operators for non-TableSpec callers.
+    from lcr_etl_upgrade_spark.operators.cleanse import as_of_sql
+    from lcr_etl_upgrade_spark.operators.conform import CREATED_BY, SOURCE_SYSTEM
+    from lcr_etl_upgrade_spark.functions.cleansing import quote_ident
+
+    aof = as_of_sql(as_of)
+    cleansed_ddl = {f.name: f.dataType.simpleString() for f in cleansed.schema.fields}
+    audit_sql = {
+        "ETL_CREATED_DATE": aof,
+        "ETL_LAST_UPDATE_DATE": aof,
+        "CREATED_BY": f"'{CREATED_BY}'",
+        "TO_PROCESS": "true",
+        "EDW_EXTERNAL_SOURCE_SYSTEM": f"'{SOURCE_SYSTEM}'",
+    }
+    exprs: list[str] = []
+    for f in spec.target_schema.fields:
+        n = quote_ident(f.name)
+        if f.name in AUDIT_COLUMNS:
+            exprs.append(
+                f"CAST({audit_sql[f.name]} AS {f.dataType.simpleString()}) AS {n}"
+            )
+        elif f.name in spec.cap_future_columns:
+            exprs.append(
+                f"(CASE WHEN {n} > {aof} THEN CAST({aof} AS "
+                f"{cleansed_ddl[f.name]}) ELSE {n} END) AS {n}"
+            )
+        else:
+            exprs.append(n)
+    final = cleansed.selectExpr(*exprs)
     # NOTE: no scrub_residual_garbage stage here — on columns already
     # CAST to timestamp types its predicate is a provable no-op (a
     # rendered timestamp contains only the characters the residue regex
