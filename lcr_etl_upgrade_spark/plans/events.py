@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+from lcr_etl_upgrade_spark.functions.numeric import (
+    davg,
+    dquantize,
+    dsum,
+    dsum_final,
+)
 from lcr_etl_upgrade_spark.plans.registry import query
 from lcr_etl_upgrade_spark.sources.testdata import load_table
 
@@ -115,6 +120,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Emit one row per covering window (the streaming sliding-window
     # semantics of F.window(ts, "1 hour", "30 minutes"), spelled with
     # date_trunc so the oracle SQL is engine-portable).
+    # value is pre-quantized below the explode: the aggregate child is
+    # evaluated per exploded row (2x per event here); dquantize runs the
+    # chain once and the explode copies a compact decimal
+    # (dsum(c) ≡ dsum_final(dquantize(c)), hash-identical).
     return (
         ev.select(
             F.explode(
@@ -128,10 +137,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("timestamp_ntz"),
                 )
             ).alias("window_start_ts"),
-            "value",
+            dquantize("value", "__q"),
         )
         .groupBy(F.col("window_start_ts").cast("string").alias("window_start"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum_final("__q", "total_value"))
         .orderBy("window_start")
     )
 

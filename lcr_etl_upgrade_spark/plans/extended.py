@@ -158,12 +158,19 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "lineitem_gsets"
     )
+    # Decimal cast pre-projected below the GROUPING SETS expand: the
+    # aggregate child is evaluated per EXPANDED row (3x per input row
+    # here), the subquery's cast runs once — same exact decimal sum.
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
-        FROM lineitem_gsets
+               CAST(SUM(__q) AS DOUBLE) AS sum_qty
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(38,6)) AS __q
+          FROM lineitem_gsets
+        )
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """

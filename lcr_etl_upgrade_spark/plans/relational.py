@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from lcr_etl_upgrade_spark.functions.numeric import (
     davg,
+    dquantize,
     dsum,
     dsum_final,
     dsum_over,
@@ -263,9 +264,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Quantize BEFORE the rollup: Expand evaluates aggregate children per
+    # expanded row (3x per input row for a 2-column rollup); the
+    # pre-projection runs the quantize chain once and Expand copies a
+    # compact decimal. dsum(c) ≡ dsum_final(dquantize(c)) — same exact
+    # sum, hash-identical (see functions/numeric.dquantize).
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        li.select(
+            "l_returnflag", "l_linestatus", dquantize("l_quantity", "__q")
+        )
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum_final("__q", "sum_qty"), F.count(F.lit(1)).alias("n"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -285,9 +294,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Same Expand-aware pre-quantize as agg_rollup (4x for a 2-col cube).
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(dsum("l_extendedprice", "sum_price"))
+        li.select(
+            "l_returnflag", "l_linestatus", dquantize("l_extendedprice", "__q")
+        )
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum_final("__q", "sum_price"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
