@@ -57,6 +57,44 @@ _SCALE = 1_000_000
 _LIMIT = 1e12  # decimal(18,6) range — values beyond were NULL before too
 
 
+def _quantized_sql(c: str) -> str:
+    """SQL-text twin of _quantized over an expression STRING: the same
+    guard/signum/floor composition parsed in one py4j round-trip instead
+    of ~15 stacked-Column calls (r13 driver-overhead rule — the d-agg
+    helpers appear up to 8x per query). Literals are spelled to parse at
+    the Column types: 1e6/1e12 are DOUBLE in Spark SQL (a bare 1000000.0
+    would be DECIMAL), 0.5D forces the double addend. Value-equivalence
+    is pinned by tests/test_numeric_sql_equiv.py and every d-agg oracle
+    row."""
+    guard = f"(NOT isnan({c})) AND (abs({c}) < 1e12)"
+    away = f"signum({c}) * floor(abs({c}) * 1e6 + 0.5D)"
+    return (
+        f"CAST(CAST(CASE WHEN {guard} THEN {away} END AS BIGINT)"
+        f" AS DECIMAL(28,0))"
+    )
+
+
+def _exact_sum_sql(c: str) -> str:
+    """SQL-text twin of _exact_sum (see _quantized_sql)."""
+    return (
+        f"CAST(sum({_quantized_sql(c)}) AS DECIMAL(38,6))"
+        f" / CAST({_SCALE} AS DECIMAL(18,0))"
+    )
+
+
+def _csql(col: str) -> str:
+    """String input -> SQL text. A plain identifier is backtick-quoted
+    (preserving the old F.col(name) semantics even for reserved words);
+    anything else is passed through as trusted SQL expression text —
+    which lets callers hand product expressions to the d-aggs without
+    paying Column-tree construction."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+        return f"`{col}`"
+    return col
+
+
 def _quantized(c: Column) -> Column:
     """round-half-AWAY-FROM-ZERO(x * 1e6) as a compact decimal(28,0);
     NULL outside the domain (NaN/±inf/|x| >= 1e12).
@@ -95,8 +133,10 @@ def _exact_sum(c: Column) -> Column:
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-insensitive exact SUM of a double column, returned as double
     (the exact decimal sum, correctly rounded)."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = _exact_sum(c).cast("double")
+    if isinstance(col, str):
+        out = F.expr(f"CAST({_exact_sum_sql(_csql(col))} AS DOUBLE)")
+    else:
+        out = _exact_sum(col).cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -107,10 +147,14 @@ def dsum_over(
     matching the oracle spelling ``CAST(SUM(CAST(x AS DECIMAL(38,6)))
     OVER w AS DOUBLE)`` (same quantize-vs-decimal-cast equivalence as
     dsum)."""
-    c = F.col(col) if isinstance(col, str) else col
+    q = (
+        F.expr(_quantized_sql(_csql(col)))
+        if isinstance(col, str)
+        else _quantized(col)
+    )
     out = (
         (
-            F.sum(_quantized(c)).over(window).cast("decimal(38,6)")
+            F.sum(q).over(window).cast("decimal(38,6)")
             / F.lit(_SCALE).cast("decimal(18,0)")
         ).cast("double")
     )
@@ -129,8 +173,11 @@ def dquantize(col: Column | str, alias: str | None = None) -> Column:
     Expand copy a long-backed decimal (r13 guide §2.3 "shuffle fewer
     bytes / don't recompute": measured on agg_rollup at sf0.1,
     exec 0.54 s -> 0.4x s)."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = _quantized(c)
+    out = (
+        F.expr(_quantized_sql(_csql(col)))
+        if isinstance(col, str)
+        else _quantized(col)
+    )
     return out.alias(alias) if alias else out
 
 
@@ -138,8 +185,10 @@ def dsum_partial(col: Column | str, alias: str | None = None) -> Column:
     """Map-side half of a TWO-STAGE dsum (e.g. salted aggregation): the
     exact quantized partial sum, still in fixed-point. Finalize with
     ``dsum_final`` over the partial column."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(_quantized(c))
+    if isinstance(col, str):
+        out = F.expr(f"sum({_quantized_sql(_csql(col))})")
+    else:
+        out = F.sum(_quantized(col))
     return out.alias(alias) if alias else out
 
 
@@ -178,8 +227,18 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     of the full quantize chain: count() only consumes null-ness, and the
     r13 plan audit showed partial_count(quantized(c)) re-running the
     whole signum/floor/cast chain per row just to test for NULL."""
-    c = F.col(col) if isinstance(col, str) else col
-    countable = F.when((~F.isnan(c)) & (F.abs(c) < F.lit(_LIMIT)), F.lit(1))
-    out = _exact_sum(c).cast("double") / F.count(countable)
+    if isinstance(col, str):
+        cs = _csql(col)
+        out = F.expr(
+            f"CAST({_exact_sum_sql(cs)} AS DOUBLE)"
+            f" / count(CASE WHEN (NOT isnan({cs}))"
+            f" AND (abs({cs}) < 1e12) THEN 1 END)"
+        )
+    else:
+        c = col
+        countable = F.when(
+            (~F.isnan(c)) & (F.abs(c) < F.lit(_LIMIT)), F.lit(1)
+        )
+        out = _exact_sum(c).cast("double") / F.count(countable)
     return out.alias(alias) if alias else out
 

@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for parsed-SQL expression text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per duplicate group (deterministic winner).
 
@@ -198,21 +203,31 @@ def shingle_hashes(
     shuffle / join carries one long instead of a text column. This is
     the near-dup pipeline's fast path; use shingle_tokens when the
     actual shingle strings are needed.
+
+    Expressions are built as parsed SQL text, not stacked Column calls:
+    the Column spelling cost ~150 py4j round-trips here (every lambda/
+    element_at/lit is a JVM call) — one parsed string is one call with
+    an identical analyzed plan (r13 guide §1/§4 driver-overhead rule;
+    same treatment as plans/conformance).
     """
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), "")
-    hashed = (_fan_out(df) if widen else df).select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__h")
+    # '\\s+' in SQL-literal escaping == the "\\s+" Java regex the Column
+    # form passed verbatim
+    tok_sql = (
+        f"transform(array_remove(split(trim(lower({_bt(text_col)})),"
+        f" '\\\\s+'), ''), t -> xxhash64(t))"
     )
-    shingles = F.when(
-        F.size("__h") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__h") - n),
-            lambda i: F.xxhash64(
-                *[F.element_at("__h", i + j + 1) for j in range(n)]
-            ),
-        ),
-    )  # NULL (-> explode drops the doc) when fewer than n tokens
-    return hashed.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    hash_args = ", ".join(f"element_at(__h, i + {j + 1})" for j in range(n))
+    # CASE -> NULL (-> explode drops the doc) when fewer than n tokens
+    sh_sql = (
+        f"CASE WHEN size(__h) >= {n} THEN "
+        f"transform(sequence(0, size(__h) - {n}), i -> xxhash64({hash_args})) END"
+    )
+    hashed = (_fan_out(df) if widen else df).selectExpr(
+        _bt(id_col), f"{tok_sql} AS __h"
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.expr(sh_sql)).alias("shingle")
+    )
 
 
 def dedup_shingles(st: DataFrame, id_col: str) -> DataFrame:
@@ -264,20 +279,20 @@ def minhash_signatures(
 def minhash_from_tokens(
     tokens: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """Signatures from an (id, shingle) relation (see shingle_tokens)."""
+    """Signatures from an (id, shingle) relation (see shingle_tokens).
+
+    Aggregates are parsed SQL text (one py4j call each vs ~5 for the
+    stacked-Column form; SQL integer literals are IntegerType exactly
+    like F.lit(seed), so the xxhash64 seeds hash identically)."""
     aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"__h{seed}")
+        F.expr(f"min(xxhash64({seed}, shingle)) AS __h{seed}")
         for seed in range(num_hashes)
     ]
+    sig = ", ".join(f"__h{seed}" for seed in range(num_hashes))
     return (
         tokens.groupBy(id_col)
         .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"__h{seed}") for seed in range(num_hashes)]).alias(
-                "minhash_sig"
-            ),
-        )
+        .selectExpr(_bt(id_col), f"array({sig}) AS minhash_sig")
     )
 
 
@@ -312,24 +327,16 @@ def _lsh_buckets(
             "each band needs at least one signature row"
         )
     rows_per_band = max(1, num_hashes // bands)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash_sig")
-                            .getItem(b * rows_per_band + i)
-                            .cast("string")
-                            for i in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
+    # parsed SQL text: minhash_sig[i] == getItem(i), same IntegerType
+    # band literal as F.lit(b); one py4j call instead of ~15 per band
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS band, xxhash64(concat_ws(',', " + ", ".join(
+                f"cast(minhash_sig[{b * rows_per_band + i}] AS string)"
+                for i in range(rows_per_band)
+            ) + ")) AS bucket)"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     banded = sigs.select(
         F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
@@ -346,18 +353,10 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     i, pair docs[i] with every later element (a < b by the bucket sort) —
     row-local higher-order array functions, no self-join; then one
     distinct to dedupe pairs co-bucketed in several bands."""
-    pairs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("docs"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, greatest(size(docs) - i - 1, 0)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
@@ -495,39 +494,30 @@ def _jaccard_from_tokens(
     ).persist()
     if caches is not None:
         caches.append(sets)
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    a = sets.selectExpr(f"{_bt(id_col)} AS doc_a", "__sh AS __sh_a")
+    b = sets.selectExpr(f"{_bt(id_col)} AS doc_b", "__sh AS __sh_b")
     # LEFT joins + empty-set coalesce: a candidate doc with fewer than n
     # tokens (or NULL text) produces ZERO shingle rows and is absent from
     # `sets` — an inner join would silently DROP the requested pair,
     # where the contract (and the doc_ngram_jaccard DuckDB oracle) says
     # jaccard = 0.0 against an empty shingle set
-    empty = F.array().cast(sets.schema["__sh"].dataType.simpleString())
+    elem_t = sets.schema["__sh"].dataType.simpleString()
     return (
         candidates.join(a, "doc_a", "left")
         .join(b, "doc_b", "left")
-        .withColumns(
-            {
-                "__sh_a": F.coalesce("__sh_a", empty),
-                "__sh_b": F.coalesce("__sh_b", empty),
-            }
-        )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("__n_int"),
-            F.size("__sh_a").alias("__sz_a"),
-            F.size("__sh_b").alias("__sz_b"),
+            f"size(array_intersect(coalesce(__sh_a, cast(array() AS {elem_t})),"
+            f" coalesce(__sh_b, cast(array() AS {elem_t})))) AS __n_int",
+            f"size(coalesce(__sh_a, cast(array() AS {elem_t}))) AS __sz_a",
+            f"size(coalesce(__sh_b, cast(array() AS {elem_t}))) AS __sz_b",
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (
-                F.col("__n_int").cast("double")
-                / F.greatest(
-                    F.col("__sz_a") + F.col("__sz_b") - F.col("__n_int"), F.lit(1)
-                )
-            ).alias("jaccard"),
+            "cast(__n_int AS double)"
+            " / greatest(__sz_a + __sz_b - __n_int, 1) AS jaccard",
         )
     )
 

@@ -25,9 +25,34 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lcr_etl_upgrade_spark.operators.dedup import _bt
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of dot_expr over column NAMES: the identical
+    zip_with/aggregate fold (same operations, same sequential order →
+    bit-identical doubles), parsed in one py4j call instead of ~40
+    stacked-Column calls (r13 driver-overhead rule; the hash-green
+    oracle on ROUND(cosine, 6) pins the equivalence). CAST(0 AS DOUBLE)
+    keeps the accumulator double — a bare 0.0 literal would parse as
+    DECIMAL and change the fold type."""
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+        f" transform({b}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def safe_cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of safe_cosine_expr (see _dot_sql)."""
+    return (
+        f"try_divide({_dot_sql(a, b)},"
+        f" sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -137,7 +162,7 @@ def cosine_topk(
     )
     scored = _drop_unscorable(
         scored.withColumn(
-            "cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec"))
+            "cosine", F.expr(safe_cosine_sql(_bt(vec_col), "__qvec"))
         )
     )
     return _rank_topk(scored, query_id, corpus_id, k)
@@ -309,7 +334,7 @@ def cosine_topk_lsh(
     scored = _drop_unscorable(
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .dropDuplicates([query_id, corpus_id])
-        .withColumn("cosine", safe_cosine_expr(F.col(vec_col), F.col("__qvec")))
+        .withColumn("cosine", F.expr(safe_cosine_sql(_bt(vec_col), "__qvec")))
     )
     return _rank_topk(scored, query_id, corpus_id, k)
 

@@ -60,8 +60,10 @@ from lcr_etl_upgrade_spark.sources.testdata import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # SQL text (left-assoc parse == the Column tree's Multiply nesting,
+    # identical double ops) — the d-aggs take the one-round-trip path
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -122,7 +124,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -179,7 +181,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

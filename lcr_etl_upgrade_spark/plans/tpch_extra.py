@@ -86,7 +86,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    ).agg(dsum("l_extendedprice * l_discount", "revenue"))
 
 
 @query(
@@ -371,7 +371,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     revenue = li.groupBy("l_suppkey").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+        dsum("l_extendedprice * (1 - l_discount)", "total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -468,7 +468,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+            dsum("l_extendedprice * (1 - l_discount)", "revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )

@@ -46,10 +46,22 @@ TABLES = (
 # schema-drift-proof.
 _SCHEMA_MEMO: dict[tuple[str, float], object] = {}
 
+# DataFrame memo, keyed by (session, path, mtime): even with the schema
+# declared, every `spark.read.schema(s).parquet(path)` call re-creates the
+# reader, relation and file index — 23-45 ms of driver/py4j work per call
+# (q5 does five of them, three bench reps each). A DataFrame is an immutable
+# PLAN, not a result: handing the same plan object to every query changes
+# nothing about execution (each action still scans the parquet; persist/
+# clearCache operate on derived relations) and is the local spelling of
+# "don't re-list the source per query" (guide §6). Keyed by the session
+# object so a restarted JVM/session never sees a stale plan, and by mtime so
+# a rewritten file drops the entry (same single-regular-file rule as the
+# schema memo).
+_DF_MEMO: dict[tuple[int, str, float], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; normalizes `events.ts` to timestamp_ntz."""
-    ensure_runtime_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     import os
 
@@ -62,6 +74,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = (path, st.st_mtime) if _stat.S_ISREG(st.st_mode) else None
     except OSError:
         key = None  # remote path: infer every time
+    df_key = (id(spark), path, key[1]) if key is not None else None
+    if df_key is not None and df_key in _DF_MEMO:
+        # a hit implies a prior full call on THIS session, which already
+        # ran ensure_runtime_conf — skip its two conf round-trips
+        return _DF_MEMO[df_key]
+    ensure_runtime_conf(spark)
     if key is not None and key in _SCHEMA_MEMO:
         df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
     else:
@@ -73,6 +91,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if df_key is not None:
+        _DF_MEMO[df_key] = df
+        # id(spark) cannot collide with a different live session: the
+        # memoized DataFrame references its session, keeping the object
+        # alive (and its id unavailable for reuse) as long as the entry
+        # exists. Stopped-session entries just go stale under a new key;
+        # cap the dict so test suites that cycle sessions don't grow it.
+        if len(_DF_MEMO) > 256:
+            _DF_MEMO.clear()
     return df
 
 

@@ -73,7 +73,10 @@ SHUFFLE_BUDGET = {
     # pure per-row expressions: the only shuffle is the result ordering
     "doc_text_stats": 1,
     # broadcast-nested-loop scoring (no shuffle) + per-query top-k window
-    "embedding_cosine_topk": 2,
+    # + the r13 fan_out round-robin repartition (deliberate: widens the
+    # provably-narrow local corpus scan; a no-op — and no exchange — at
+    # cluster scale where the scan already carries enough splits)
+    "embedding_cosine_topk": 3,
     "window_topk_per_group": 2,
     "events_tumbling_window": 2,
     "agg_rollup": 2,
