@@ -64,6 +64,46 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """Codegen-able twin of _dot_sql for vectors of a KNOWN dimension.
+
+    The zip_with/aggregate fold is a CodegenFallback expression: every
+    multiply-add runs through interpreted lambda eval (~10 us per
+    64-dim fold), which is what made the exact all-pairs near-dup query
+    single-digit-minutes (r13 sweep: 77 s for 2000 vectors = 4M ordered
+    pairs x up to 3 fold evaluations). This spelling unrolls the SAME
+    fold — CAST(0 AS DOUBLE) + p0 + p1 + ... left-associated, each
+    p_i = CAST(get(a,i) AS DOUBLE) * CAST(get(b,i) AS DOUBLE) — into a
+    flat expression tree WholeStageCodegen compiles to straight-line
+    multiply-adds (measured ~20x per pair; r4's "unrolled is no better"
+    note measured the INTERPRETED tree, which codegen bypasses).
+
+    Bit-identical to _dot_sql on every input, enforced by construction:
+
+    - equal-length dim vectors: same casts, same multiplies, same
+      left-assoc additions from the same double-zero accumulator
+      (0.0 + p0 keeps the fold's -0.0/NaN semantics exactly);
+    - NULL / NaN / inf elements: null or NaN products poison the sum in
+      the same positions (get() is OOB-safe, never an ANSI error);
+    - anything whose max length is NOT dim (ragged, truncated, longer):
+      the CASE guard routes to the _dot_sql fold itself — the unrolled
+      branch never evaluates (CASE branches are lazy in both codegen
+      and interpreted eval), so exotic shapes keep exact-fold results.
+
+    Pinned by tests/test_dot_unrolled_equiv.py (binary-double equality
+    over adversarial vectors).
+    """
+    terms = " + ".join(
+        f"(CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return (
+        f"CASE WHEN greatest(size({a}), size({b})) = {dim} "
+        f"THEN CAST(0 AS DOUBLE) + {terms} "
+        f"ELSE {_dot_sql(a, b)} END"
+    )
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -346,6 +386,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     bits: int = 0,
     dim: int = 64,
+    caches: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -370,7 +411,17 @@ def cosine_near_dup_pairs(
         .filter(F.col("__norm") > 0)
     )
     if bits > 0:
-        base = hyperplane_signature(base, vec_col, bits, dim)
+        # the signed relation feeds BOTH pair sides and Spark does not
+        # share common subplans — without the persist the
+        # norm-filter + ArrowEvalPython signature subtree executes twice
+        # (two ArrowEvalPython chains in the r13 before-plan; measured
+        # 2.9 s -> 2.0 s at sf0.1). Bounded by the corpus row count the
+        # caller already accepted for bucketing; pass ``caches`` to
+        # receive it for unpersist (same contract as the Jaccard sets
+        # relation in operators.dedup).
+        base = hyperplane_signature(base, vec_col, bits, dim).persist()
+        if caches is not None:
+            caches.append(base)
     a_cols = [
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -389,11 +440,24 @@ def cosine_near_dup_pairs(
     if bits > 0:
         joined = a.join(b, (F.col("__ba") == F.col("__bb")) & cond)
     else:
-        joined = a.join(b, cond)
+        # exact path: the `<` join has no equi key, so Spark picks a
+        # broadcast nested-loop join that streams the LEFT side — off a
+        # 1-split local scan EVERY pair scored on one core (r13 sweep:
+        # 77 s). fan_out widens provably-narrow scans to session
+        # parallelism, a no-op at cluster scale (same rationale as
+        # cosine_topk above; measured 77 s -> ~4 s before the unrolled
+        # dot below, ~1.8 s with it).
+        from lcr_etl_upgrade_spark.operators.dedup import fan_out
+
+        joined = fan_out(a).join(b, cond)
     return (
         joined.withColumn(
             "cosine",
-            dot_expr(F.col("__va"), F.col("__vb"))
+            # codegen-able unrolled fold (bit-identical; see
+            # dot_unrolled_sql) — the pushed-down threshold filter makes
+            # this expression part of the join condition evaluated per
+            # ORDERED pair, where an interpreted fold is the whole cost
+            F.expr(dot_unrolled_sql(_bt("__va"), _bt("__vb"), dim))
             / (F.col("__na") * F.col("__nb")),
         )
         # ~isnan: an INFINITE coordinate passes __norm > 0 (norm = inf)

@@ -47,12 +47,28 @@ N_ROWS = 5_000_000
 N_FILES = 32
 
 
-def _gate(idle_bar: float = 1.0, max_wait: int = 300) -> float:
+IDLE_BAR = 1.0
+
+
+def _gate(idle_bar: float = IDLE_BAR, max_wait: int = 300) -> float:
     waited = 0
     while os.getloadavg()[0] > idle_bar and waited < max_wait:
         time.sleep(5)
         waited += 5
     return round(os.getloadavg()[0], 2)
+
+
+def _gated(rec: dict, key: str, fn, *a, **k) -> None:
+    """Re-gate on the idle bar before EVERY config (r13, verdict ask
+    #2: the r12 artifact gated once at start and the box degraded
+    mid-run — merge spread hit 8.5x). The bench's own 32-core work
+    inflates the 1-min load average, so between configs we wait for it
+    to decay; what we must NOT start under is load we didn't create."""
+    load = _gate()
+    out = fn(*a, **k)
+    out["load_at_start"] = load
+    rec[key] = out
+    print(key, out, flush=True)
 
 
 def _build_template(spark, out: str, clustered: bool) -> None:
@@ -99,13 +115,45 @@ def _enable_cdf(path: str) -> None:
         fh.write(json.dumps({"metaData": meta}) + "\n")
 
 
+def _enable_dvs(path: str) -> None:
+    """Flip delta.enableDeletionVectors=true (update_rows' DV-write
+    gate, same as delta-spark's) via a config-only commit."""
+    from pyspark.sql import SparkSession
+
+    from lcr_etl_upgrade_spark.delta_lite import replay_log
+
+    spark = SparkSession.getActiveSession()
+    st = replay_log(spark, path)
+    meta = dict(st.metadata)
+    cfg = dict(meta.get("configuration") or {})
+    cfg["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = cfg
+    proto = st.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rfeats = set(proto.get("readerFeatures") or ())
+    wfeats = set(proto.get("writerFeatures") or ())
+    rfeats.add("deletionVectors")
+    wfeats |= {"deletionVectors", "appendOnly", "invariants"}
+    pact = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rfeats),
+        "writerFeatures": sorted(wfeats),
+    }
+    with open(
+        os.path.join(path, "_delta_log", f"{st.version + 1:020d}.json"),
+        "w",
+    ) as fh:
+        fh.write(json.dumps({"protocol": pact}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+
+
 def _fresh_copy(template: str, scratch: str) -> str:
     dst = os.path.join(scratch, f"run-{time.monotonic_ns()}")
     shutil.copytree(template, dst)
     return dst
 
 
-def measure_update(spark, template, scratch, pred, cdf, reps):
+def measure_update(spark, template, scratch, pred, cdf, reps, dvs=False):
     from lcr_etl_upgrade_spark.delta_lite import (
         read_delta_changes,
         replay_log,
@@ -114,18 +162,36 @@ def measure_update(spark, template, scratch, pred, cdf, reps):
     from pyspark.sql import functions as F
 
     best, worst = float("inf"), 0.0
-    touched = change_rows = None
+    touched = change_rows = dv_files = bytes_added = None
     for _ in range(reps):
         path = _fresh_copy(template, scratch)
         if cdf:
             _enable_cdf(path)
+        if dvs:
+            _enable_dvs(path)
         before = set(replay_log(spark, path).files)
         t0 = time.monotonic()
         v = update_rows(spark, path, pred, {"v": F.col("v") + 1})
         dt = time.monotonic() - t0
         best, worst = min(best, dt), max(worst, dt)
         after = replay_log(spark, path)
+        # rewritten files leave the live set; DV'd files stay (same
+        # path, remove(old)+add(same path + deletionVector))
         touched = len(before - set(after.files))
+        dv_files = len(after.dvs)
+        # bytes the commit ADDED (new data files + DV files): the
+        # 100 TB discriminator — wall-seconds converge at 5M page-
+        # cached rows, but a rewrite writes O(touched file bytes)
+        # while the DV path writes O(matched rows + bitmap)
+        new_files = set(after.files) - before
+        bytes_added = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in new_files
+            if os.path.exists(os.path.join(path, f))
+        )
+        for dv in getattr(after, "dvs", {}).values():
+            if isinstance(dv, dict):  # bitmap size, inline or on-disk
+                bytes_added += int(dv.get("sizeInBytes") or 0)
         if cdf:
             change_rows = (
                 read_delta_changes(spark, path, v, v)
@@ -137,6 +203,8 @@ def measure_update(spark, template, scratch, pred, cdf, reps):
         "best_sec": round(best, 3),
         "worst_sec": round(worst, 3),
         "touched_files": touched,
+        "dv_files": dv_files,
+        "bytes_added": bytes_added,
         "change_rows": change_rows,
     }
 
@@ -297,35 +365,52 @@ def main() -> int:
         clustered = os.path.join(scratch, "template-clustered")
         _build_template(spark, clustered, clustered=True)
 
+        # JIT warm-up (r13): the first update ever run in the session
+        # pays codegen/classload for the whole command machinery — the
+        # r12/r13 artifacts recorded it INSIDE update_1pct (making 1%
+        # read slower than 50%). One unrecorded warm pass on a scratch
+        # copy, mirroring bench.py's warm-up.
+        measure_update(spark, uniform, scratch, "id % 1000 = 7", True, 1)
         for sel, pred in (("1pct", "id % 100 = 0"), ("50pct", "id % 2 = 0")):
             for cdf in (False, True):
-                key = f"update_{sel}_{'cdf' if cdf else 'nocdf'}"
-                rec[key] = measure_update(
-                    spark, uniform, scratch, pred, cdf, args.reps
+                _gated(
+                    rec, f"update_{sel}_{'cdf' if cdf else 'nocdf'}",
+                    measure_update,
+                    spark, uniform, scratch, pred, cdf, args.reps,
                 )
-                print(key, rec[key], flush=True)
-        # clustered layout, range predicate: the file-pruning shape
-        rec["update_range_clustered_nocdf"] = measure_update(
-            spark,
-            clustered,
-            scratch,
-            f"id >= 0 AND id < {N_ROWS // 32}",
-            False,
-            args.reps,
-        )
-        print("update_range_clustered_nocdf",
-              rec["update_range_clustered_nocdf"], flush=True)
+        # DV write path (r13): same 1% update with deletionVectors
+        # enabled — low-selectivity files take DV + appended-replacement
+        # commits instead of rewrites (the 100 TB shape)
         for cdf in (False, True):
-            key = f"merge_upsert_{'cdf' if cdf else 'nocdf'}"
-            rec[key] = measure_merge(
-                spark, uniform, scratch, cdf, args.reps
+            _gated(
+                rec, f"update_1pct_dv_{'cdf' if cdf else 'nocdf'}",
+                measure_update,
+                spark, uniform, scratch, "id % 100 = 0", cdf,
+                args.reps, dvs=True,
             )
-            print(key, rec[key], flush=True)
+        # clustered layout, range predicate: the file-pruning shape
+        _gated(
+            rec, "update_range_clustered_nocdf",
+            measure_update,
+            spark, clustered, scratch,
+            f"id >= 0 AND id < {N_ROWS // 32}", False, args.reps,
+        )
+        for cdf in (False, True):
+            _gated(
+                rec, f"merge_upsert_{'cdf' if cdf else 'nocdf'}",
+                measure_merge, spark, uniform, scratch, cdf, args.reps,
+            )
         for n_dead in (64, 512):
-            key = f"vacuum_{n_dead}_dead"
-            rec[key] = measure_vacuum(spark, scratch, n_dead, args.reps)
-            print(key, rec[key], flush=True)
+            _gated(
+                rec, f"vacuum_{n_dead}_dead",
+                measure_vacuum, spark, scratch, n_dead, args.reps,
+            )
         rec["load_avg_end"] = round(os.getloadavg()[0], 2)
+        rec["idle_bar_met"] = all(
+            v.get("load_at_start", 0.0) <= IDLE_BAR
+            for v in rec.values()
+            if isinstance(v, dict)
+        )
         with open(args.out, "w") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
