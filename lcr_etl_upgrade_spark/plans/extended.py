@@ -195,12 +195,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r13: the two l_extendedprice percentiles share ONE counts-map
+    # buffer via the array form (each separate percentile() call builds
+    # its own OpenHashMap over every row — 583k distinct prices in 600k
+    # rows; measured 3.24 s -> 1.73 s). percentile(c, array(..)) walks
+    # the same sorted buffer once per requested p, so every returned
+    # double is bit-identical to the scalar calls (oracle hash-green).
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
-            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.95D))"
+            ).alias("__pp"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty",
+            F.col("__pp")[0].alias("p25_price"),
+            F.col("__pp")[1].alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -480,19 +493,19 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     accuracy = 1000  # approx_percentile: error <= 1/accuracy of rank
+    # r13: the three exact percentiles share ONE counts-map buffer via
+    # the array form (three separate percentile() calls each built their
+    # own OpenHashMap over every row; measured 3.80 s -> 1.82 s).
+    # Bit-identical values — same buffer, same interpolation per p.
     out = (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_percentile(
                 "l_extendedprice", F.lit(0.5), F.lit(accuracy)
             ).alias("approx_median"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
             F.expr(
-                "percentile(l_extendedprice, 0.45)"
-            ).alias("exact_p45"),
-            F.expr(
-                "percentile(l_extendedprice, 0.55)"
-            ).alias("exact_p55"),
+                "percentile(l_extendedprice, array(0.45D, 0.5D, 0.55D))"
+            ).alias("__pe"),
         )
     )
     # rank-error bound: the approx median must land between the exact
@@ -500,10 +513,10 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         F.round("approx_median", 2).alias("approx_median"),
-        F.round("exact_median", 2).alias("exact_median"),
+        F.round(F.col("__pe")[1], 2).alias("exact_median"),
         (
-            (F.col("approx_median") >= F.col("exact_p45"))
-            & (F.col("approx_median") <= F.col("exact_p55"))
+            (F.col("approx_median") >= F.col("__pe")[0])
+            & (F.col("approx_median") <= F.col("__pe")[2])
         ).alias("within_bound"),
     ).orderBy("l_returnflag")
 
