@@ -208,9 +208,14 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lcr_etl_upgrade_spark.operators.dedup import near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs(
+    # persist the threshold-bounded pair set before the deterministic
+    # output sort: the range exchange's sampling job re-executes the
+    # sort's child down to the nearest exchange — the whole
+    # Jaccard-verify join ran twice (see embedding_cosine_near_dup)
+    pairs = near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
-    ).orderBy("doc_a", "doc_b")
+    ).persist()
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -261,6 +266,9 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("lang_a") == F.col("lang_b"))
     ).select("doc_a", "doc_b")
+    # no persist before the output sort here: measured flat (r13 — the
+    # jaccard_pairs subtree the range sampling re-runs is one cheap
+    # cached-sets join, unlike the near-dup pipelines)
     return jaccard_pairs(docs, "doc_id", "text", pairs).orderBy("doc_a")
 
 
@@ -272,6 +280,9 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lcr_etl_upgrade_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
+    # no persist before the output sort here: measured +0.2 s (r13) —
+    # the re-sampled final aggregate reads already-shuffled partials,
+    # cheaper than materializing the signature relation into the cache
     return simhash(docs, "text", "doc_id").orderBy("doc_id")
 
 
@@ -375,11 +386,18 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lcr_etl_upgrade_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
+    # persist the threshold-bounded pair set before the deterministic
+    # output sort: RangePartitioning's sampling job re-executes the
+    # sort's child down to the nearest exchange — here the whole
+    # all-pairs scoring pass ran TWICE (r13: 3.5 s -> 1.5 s on the LSH
+    # twin; same shape). Bounded by threshold selectivity, same caches
+    # contract as the operators' internal persists.
+    pairs = (
         cosine_near_dup_pairs(emb, threshold=0.4, bits=0)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-        .orderBy("id_a", "id_b")
+        .persist()
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -390,11 +408,13 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     from lcr_etl_upgrade_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
+    # persist before the output sort — see embedding_cosine_near_dup
+    pairs = (
         cosine_near_dup_pairs(emb, threshold=0.4, bits=4)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-        .orderBy("id_a", "id_b")
+        .persist()
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
