@@ -26,6 +26,7 @@ hash-match DuckDB bit-for-bit regardless of partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
@@ -666,19 +667,34 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    # Per-order stats as WINDOW functions over lo instead of a groupBy +
+    # re-join: the aggregate-then-join spelling instantiated the
+    # orders⋈lineitem subtree TWICE (r13 before-plan: 4 SortMergeJoins,
+    # 20 Exchanges, countDistinct's two-phase expansion on top — Spark
+    # shares no common subplans), where one window pass annotates each
+    # row with its order's distinct-supplier counts in place.
+    # size(collect_set(..)) over the order partition IS countDistinct
+    # (DISTINCT aggregates are barred from windows; collect_set ignores
+    # the NULLs the `when` emits for on-time rows). The window needs
+    # only a sort on l_orderkey, which the join's merge output already
+    # carries — no extra exchange, no extra sort.
+    w_ord = W.partitionBy("l_orderkey")
     sole_late = (
-        lo.filter(F.col("is_late"))
-        .join(
-            stats.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
+        lo.select(
             "l_orderkey",
+            "l_suppkey",
+            "is_late",
+            F.size(F.collect_set("l_suppkey").over(w_ord)).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w_ord)
+            ).alias("n_late_supp"),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .select("l_suppkey")
     )
