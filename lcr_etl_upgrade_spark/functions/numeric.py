@@ -242,3 +242,23 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
         out = _exact_sum(c).cast("double") / F.count(countable)
     return out.alias(alias) if alias else out
 
+
+def davg_over(
+    col: Column | str, window, alias: str | None = None
+) -> Column:
+    """davg's WINDOWED form: the identical numerator (dsum_over — the
+    same quantize/decimal/double chain as dsum) over the identical
+    denominator (count of the same cheap guard with davg's null mask),
+    evaluated per window partition instead of per group. Bit-identical
+    to ``davg`` on the same groups: same double numerator, same long
+    count, same single double division. Lets a correlated per-key
+    average be computed in ONE pass over the fact table (window) instead
+    of aggregate + join-back, which instantiates the child subtree
+    twice (r13: q17)."""
+    c = F.col(col) if isinstance(col, str) else col
+    countable = F.when(
+        (~F.isnan(c)) & (F.abs(c) < F.lit(_LIMIT)), F.lit(1)
+    )
+    out = dsum_over(col, window) / F.count(countable).over(window)
+    return out.alias(alias) if alias else out
+

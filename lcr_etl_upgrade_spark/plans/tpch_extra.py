@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from lcr_etl_upgrade_spark.functions.numeric import davg, dsum
+from lcr_etl_upgrade_spark.functions.numeric import davg, davg_over, dsum
 from lcr_etl_upgrade_spark.plans.registry import query
 from lcr_etl_upgrade_spark.sources.testdata import load_table
 
@@ -223,17 +223,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-aggregate shape (TPC-H Q17): per-key average joined back
-    against the same fact table, rows below their own key's threshold.
-    The aggregate side shrinks to |parts| rows before the join; both sides
-    share the l_partkey shuffle key, so the join reuses the aggregation's
-    partitioning (one exchange each, no extra)."""
+    """Correlated-aggregate shape (TPC-H Q17): per-key average compared
+    against the same fact table's rows, keeping rows below their own
+    key's threshold.
+
+    r13 restatement: the threshold is a WINDOW average over l_partkey
+    (davg_over — bit-identical to the davg group form) instead of a
+    groupBy joined back, which scanned and shuffled lineitem TWICE
+    (the aggregate side and the probe side are the same table; Spark
+    shares no common subplans). One scan, one l_partkey exchange, one
+    window pass. The explicit isNotNull filter preserves the old inner
+    join's null-key drop (no null l_partkey exists in the data; the
+    filter keeps the restatement total)."""
     li = load_table(spark, sf_dir, "lineitem")
-    thresholds = li.groupBy("l_partkey").agg(
-        (0.5 * davg("l_quantity")).alias("threshold")
-    )
+    w_part = W.partitionBy("l_partkey")
     return (
-        li.join(thresholds, "l_partkey")
+        li.filter(F.col("l_partkey").isNotNull())
+        .withColumn("threshold", 0.5 * davg_over("l_quantity", w_part))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
     )
@@ -815,15 +821,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("unit").alias("cost"))
     )
-    min_cost = supply.groupBy(F.col("l_partkey").alias("__mk")).agg(
-        F.min("cost").alias("__min_cost")
-    )
+    # r13: per-part minimum as a WINDOW over the supply relation instead
+    # of a groupBy joined back — the join-back spelling instantiated the
+    # whole supply subtree (two broadcast joins + groupBy) TWICE. The
+    # window needs only the l_partkey grouping the aggregate's exchange
+    # already established. isNotNull preserves the old equi-join's
+    # null-key drop; cost == __min_cost is the same double==double
+    # comparison of identically-computed values.
+    w_mk = W.partitionBy("l_partkey")
     return (
-        supply.join(
-            min_cost,
-            (F.col("l_partkey") == F.col("__mk"))
-            & (F.col("cost") == F.col("__min_cost")),
-        )
+        supply.filter(F.col("l_partkey").isNotNull())
+        .withColumn("__min_cost", F.min("cost").over(w_mk))
+        .filter(F.col("cost") == F.col("__min_cost"))
         .select(
             "s_acctbal",
             "s_name",

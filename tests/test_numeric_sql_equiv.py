@@ -120,3 +120,23 @@ def test_safe_cosine_sql_twin_bitwise(spark):
     ).collect()
     for r in got:
         assert _bits(r.c) == _bits(r.s), r
+
+
+def test_davg_over_matches_group_davg_bitwise(adv_df):
+    """davg_over (window twin, r13 q17 restatement) must produce the
+    IDENTICAL double per group as the groupBy davg: same quantized
+    numerator, same guard-count denominator, one double division."""
+    from pyspark.sql import Window as W
+
+    from lcr_etl_upgrade_spark.functions.numeric import davg, davg_over
+
+    grouped = {
+        r.g: _bits(r.a)
+        for r in adv_df.groupBy("g").agg(davg("v", "a")).collect()
+    }
+    windowed = adv_df.select(
+        "g", davg_over("v", W.partitionBy("g"), "a")
+    ).collect()
+    assert windowed  # non-empty
+    for r in windowed:
+        assert _bits(r.a) == grouped[r.g], r
