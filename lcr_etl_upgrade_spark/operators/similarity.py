@@ -371,6 +371,15 @@ def cosine_topk_lsh(
         F.floor(F.col("__pos") / probes).cast("int").alias("__t"),
         "__bucket",
     )
+    # Dedup-THEN-score kept deliberately (r13, measured): the score-first
+    # restructure that paid off in ivf_topk (narrow dedup exchange) was
+    # tried here too and REJECTED — a pair matched in several
+    # (table, bucket) combinations re-evaluates the 3-fold interpreted
+    # safe_cosine per duplicate (duplication bounded by tables x probes),
+    # and the fan_out needed to keep that scoring parallel adds its own
+    # exchange: paired A/B over 5 rounds measured +13% on the registered
+    # 8-table x 4-probe config (min 0.961 -> 1.086 s) and flat on the
+    # recall query. Post-dedup scoring runs 32-way after the exchange.
     scored = _drop_unscorable(
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .dropDuplicates([query_id, corpus_id])
@@ -510,8 +519,15 @@ def _top_cells_udf(cents: np.ndarray, n: int):
     stable argsort on the negated sims). Centroid rows are unit-norm, so
     cosine ranking needs only the dot products (the row's own norm is a
     positive constant factor). Same engine rationale as _buckets_udf.
-    NULL and wrong-dimension embeddings map to NULL (the latter would
-    make the batch matrix ragged; same contract as _buckets_udf)."""
+
+    The UDF also OWNS the scorable() contract for the assignment/probe
+    paths (r13): NULL, wrong-dimension (would make the batch matrix
+    ragged), zero-norm and NaN-coordinate embeddings all map to NULL
+    cells — ``(v*v).sum() > 0`` is order-independent over the
+    non-negative squares, so the decision is identical to the
+    interpreted ``dot_expr(c, c) > 0`` filter it replaces (NaN poisons
+    both, inf passes both), but vectorized in the numpy pass the rows
+    already take instead of an extra per-row fold over the scan."""
     cmat = cents.astype(np.float64)
     n = min(n, len(cmat))
     dim = cmat.shape[1]
@@ -522,9 +538,16 @@ def _top_cells_udf(cents: np.ndarray, n: int):
         if not mask.any():
             return pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
         v = np.array(list(vecs[mask]), dtype=np.float64)
-        sims = v @ cmat.T
+        with np.errstate(invalid="ignore", over="ignore"):
+            sq = np.einsum("ij,ij->i", v, v)
+            sims = v @ cmat.T
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-        rows = iter(r.tolist() for r in top.astype(np.int32))
+        # NaN > 0 is False, inf > 0 is True — dot(v,v) > 0 exactly
+        scorable_rows = sq > 0
+        rows = iter(
+            (r.tolist() if ok else None)
+            for r, ok in zip(top.astype(np.int32), scorable_rows)
+        )
         data = [next(rows) if ok else None for ok in mask.tolist()]
         return pd.Series(data, index=vecs.index, dtype=object)
 
@@ -581,14 +604,25 @@ def ivf_topk(
     # runs on the RAW corpus — it only feeds the sampling fraction, so
     # paying the interpreted-dot scorable() filter for an exact filtered
     # count was a whole wasted corpus pass (the all-unscorable edge is
-    # caught below when the training sample comes back empty).
-    n_corpus = corpus.count()
-    if n_corpus == 0 or queries.isEmpty():
+    # caught below when the training sample comes back empty). The two
+    # probes are independent actions — overlapped on driver threads
+    # (guide §2.6), they cost one job latency instead of two.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_count = pool.submit(corpus.count)
+        f_qempty = pool.submit(queries.isEmpty)
+        n_corpus, q_empty = f_count.result(), f_qempty.result()
+    if n_corpus == 0 or q_empty:
         return _empty()
-    # a NULL or zero-norm vector can be neither indexed nor scored: drop
-    # such rows before sampling/assignment
-    corpus = scorable(corpus, vec_col)
-    queries = scorable(queries, vec_col)
+    # a NULL or zero-norm vector can be neither indexed nor scored. The
+    # TRAINING sample keeps the explicit scorable() chain (the Bernoulli
+    # draw sequence — and therefore the centroids and the pinned results
+    # — depends on the exact filtered row stream); the assignment/probe
+    # paths get the identical exclusion from _top_cells_udf itself
+    # (NULL cells -> explode emits nothing), vectorized in the numpy
+    # pass instead of an interpreted dot fold per scanned row (r13).
+    train_corpus = scorable(corpus, vec_col)
 
     # Centroid TRAINING is deliberately a driver-scale problem, not a
     # Spark job: the fit sees a bounded SAMPLE (~256 rows per centroid,
@@ -605,16 +639,16 @@ def ivf_topk(
     n_train_target = 256 * n_centroids
     frac = min(1.0, n_train_target / n_corpus)
     train_src = (
-        corpus.sample(withReplacement=False, fraction=frac, seed=seed)
+        train_corpus.sample(withReplacement=False, fraction=frac, seed=seed)
         if frac < 1.0
-        else corpus
+        else train_corpus
     )
     rows = train_src.select(vec_col).collect()
     if not rows:
         # Bernoulli sampling CAN return zero rows (P ~ e^-4096, but a
         # crash path is a crash path); fall back to an arbitrary bounded
         # prefix — seeding quality is irrelevant in a regime this small
-        rows = corpus.select(vec_col).limit(n_train_target).collect()
+        rows = train_corpus.select(vec_col).limit(n_train_target).collect()
         if not rows:
             # raw corpus was non-empty but EVERY row is unscorable
             return _empty()
@@ -636,7 +670,7 @@ def ivf_topk(
             # the explicit dim exists to close; fetch a bounded
             # dim-filtered training set before giving up
             rows = (
-                corpus.filter(F.size(F.col(vec_col)) == index_dim)
+                train_corpus.filter(F.size(F.col(vec_col)) == index_dim)
                 .select(vec_col)
                 .limit(n_train_target)
                 .collect()
@@ -669,7 +703,16 @@ def ivf_topk(
     # cells, a query to its n_probe nearest, by cosine against the SAME
     # centroids (metric coherence: Euclidean assignment on raw vectors
     # put long vectors in cells their direction never probes).
-    assigned = corpus.select(
+    # fan_out (r13): with scoring now fused into the map side BEFORE the
+    # dedup exchange (below), a 1-2 split local scan would evaluate every
+    # candidate's interpreted cosine fold on one core; widen provably-
+    # narrow scans to session parallelism — a no-op at cluster scale
+    # (same guard as cosine_topk / the near-dup paths).
+    from lcr_etl_upgrade_spark.operators.dedup import fan_out
+
+    assigned = fan_out(
+        corpus.select(F.col(corpus_id), F.col(vec_col))
+    ).select(
         F.col(corpus_id),
         F.col(vec_col),
         F.explode(_top_cells_udf(cents, n_assign)(F.col(vec_col))).alias("cell"),
@@ -679,21 +722,28 @@ def ivf_topk(
         F.col(vec_col).alias("__qvec"),
         F.explode(_top_cells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
-    scored = assigned.join(F.broadcast(probes), "cell")
-    if n_assign > 1:
-        # a corpus row indexed into several probed cells would otherwise
-        # occupy several top-k ranks with the same cosine
-        scored = scored.dropDuplicates([query_id, corpus_id])
-    # _drop_unscorable: scorable() guarantees positive norms (no ANSI
-    # divide-by-zero) but an INFINITE coordinate passes dot(v,v) > 0 and
+    # Score BEFORE the duplicate-candidate dedup and project the vectors
+    # away (r13, guide §2.3 "shuffle fewer bytes"): duplicates of a
+    # (query, corpus) pair carry the SAME two vectors, so their cosines
+    # are identical and dedup-then-score == score-then-dedup row for
+    # row — but scored-first the dedup exchange moves (ids, cosine)
+    # instead of two dim-length arrays through first(array) sort-agg
+    # buffers (the r13 before-plan shuffled both full vectors per
+    # candidate). The cosine division is safe without try_divide:
+    # _top_cells_udf masks zero-norm rows to NULL cells on both sides.
+    # _drop_unscorable: an INFINITE coordinate passes dot(v,v) > 0 and
     # yields a NaN cosine — which desc-sorts FIRST in Spark and would
     # displace a true neighbor at rank 1 (every other top-k path already
     # drops NaN)
     scored = _drop_unscorable(
-        scored.withColumn(
-            "cosine", cosine_expr(F.col(vec_col), F.col("__qvec"))
-        )
+        assigned.join(F.broadcast(probes), "cell")
+        .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("__qvec")))
+        .select(query_id, corpus_id, "cosine")
     )
+    if n_assign > 1:
+        # a corpus row indexed into several probed cells would otherwise
+        # occupy several top-k ranks with the same cosine
+        scored = scored.dropDuplicates([query_id, corpus_id])
     return _rank_topk(scored, query_id, corpus_id, k)
 
 
