@@ -766,6 +766,15 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lcr_etl_upgrade_spark.operators.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
+    # NO fan_out before the sketch (measured r13, same lesson as the
+    # vectorized-cosine probe): the single-split sketch pass is already
+    # batch-vectorized (value_counts per Arrow batch — 0.36 s for 1.4M
+    # tokens), so widening to 32 partitions pays 32 Python-worker
+    # spin-ups plus a repartition exchange for ~10 ms of work each
+    # (sketch 0.36 -> 0.60 s, full query 1.59 -> 1.72 s same-session).
+    # Result-invariant either way (superset + exact recount), so the
+    # cluster case needs no valve: inputs there arrive multi-split and
+    # the sketch parallelizes naturally.
     toks = docs.select(
         F.explode(tokens_expr(F.col("text"))).alias("token")
     )
