@@ -7129,20 +7129,13 @@ def optimize(
         total = sum(sizes[r] for r in rels)
         n_out = max(1, -(-total // target_file_bytes))
         if zorder_by:
-            from lcr_etl_upgrade_spark.operators.layout import (
-                quantile_buckets,
-                zorder_key,
-            )
+            from lcr_etl_upgrade_spark.operators.layout import optimize_layout
 
-            buckets = [
-                quantile_buckets(df, logical_to_phys[c], zorder_bits)
-                for c in zorder_by
-            ]
-            df = (
-                df.withColumn("__zkey", zorder_key(buckets, zorder_bits))
-                .repartitionByRange(n_out, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
+            df = optimize_layout(
+                df,
+                [logical_to_phys[c] for c in zorder_by],
+                n_out,
+                bits=zorder_bits,
             )
         else:
             df = df.coalesce(n_out)

@@ -201,9 +201,15 @@ def test_parquet_zorder_sink_clusters_files(spark, tmp_path):
         return spans / n
 
     # 16 files over a 2-dim curve -> 4x4 blocks: each file should span
-    # roughly a quarter of each dimension, far under the full range
-    assert mean_span(str(tmp_path / "zs"), "x") < 10_000 * 0.45
-    assert mean_span(str(tmp_path / "zs"), "y") < 10_000 * 0.45
+    # roughly a quarter of each dimension (0.25 of the range). File
+    # boundaries are fixed equal-length curve segments (no sampled
+    # range boundaries straddling blocks) and the quantile cells use a
+    # rel_err scaled to the cell width, so the measured mean span sits
+    # at 0.25-0.27 with one range-exchange block merge at worst; 0.35
+    # leaves margin for that merge while still proving 4x4 clustering
+    # (the pre-fix sampled-boundary layout measured 0.40-0.46).
+    assert mean_span(str(tmp_path / "zs"), "x") < 10_000 * 0.35
+    assert mean_span(str(tmp_path / "zs"), "y") < 10_000 * 0.35
     # and the write is a permutation
     back = spark.read.parquet(str(tmp_path / "zs"))
     assert back.count() == 20_000
