@@ -461,6 +461,451 @@ def decode_container(data: bytes) -> tuple[dict, list]:
     return schema, rows
 
 
+# ----------------------------------------------------- vectorized decode --
+#
+# The row decoder above is the reference semantics (and the path exotic
+# schemas still take), but it pays per-row Python for every field:
+# BytesIO reads, lambda dispatch, dict construction, datetime objects.
+# For FLAT records of primitive-ish fields the block can be decoded in
+# two phases instead (guide: do the heavy lifting in native code):
+#
+#   1. a compiled "skipper" walks the block once recording each field's
+#      byte OFFSET per row (the only sequentially-dependent work — avro
+#      varints and length-prefixed strings make offsets data-dependent),
+#      touching no values and building no objects;
+#   2. numpy gathers and decodes every column in bulk from the offset
+#      arrays (vectorized zigzag-varint, strided float views, one
+#      gather + offsets array for strings a la Arrow), producing
+#      pyarrow arrays directly — no Python value objects ever exist.
+#
+# Supported: flat records whose fields are boolean/int/long/float/
+# double/bytes/string, enum, fixed, date / timestamp-micros logicals,
+# and ``["null", T]`` unions of those. Nested records, arrays, maps and
+# multi-branch unions fall back to the row decoder.
+
+_VEC_WIDTHS = {"boolean": 1, "float": 4, "double": 8}
+_VEC_VARINTS = {"int", "long", "date", "ts", "ts_ntz", "enum"}
+
+
+def _vec_leaf(s):
+    """Non-union schema -> vector kind (str or (kind, extra)) or None."""
+    if isinstance(s, str):
+        return s if s in (
+            "boolean", "int", "long", "float", "double", "bytes", "string"
+        ) else None
+    if isinstance(s, dict):
+        t = s["type"]
+        if t == "enum":
+            return ("enum", tuple(s["symbols"]))
+        if t == "fixed":
+            return ("fixed", int(s["size"]))
+        if t in ("record", "array", "map"):
+            return None
+        if t == "int" and _logical(s) == "date":
+            return "date"
+        if t == "long" and _logical(s) == "timestamp-micros":
+            return "ts"
+        if t == "long" and _logical(s) == "local-timestamp-micros":
+            return "ts_ntz"
+        if isinstance(t, (str, dict)):
+            # wrapper form / unknown logical: decodes as the underlying
+            # primitive (same rule the row decoder follows)
+            return _vec_leaf(t)
+    return None
+
+
+def _vec_spec(fs):
+    """Field schema -> (kind, n_branches, null_idx, val_idx) or None.
+    n_branches is None for a bare (non-union) field."""
+    if isinstance(fs, list):
+        non_null = _union_branches(fs)
+        if len(non_null) != 1:
+            return None  # multi-branch / all-null: row path
+        kind = _vec_leaf(non_null[0])
+        if kind is None:
+            return None
+        null_idx = fs.index("null") if "null" in fs else None
+        return (kind, len(fs), null_idx, fs.index(non_null[0]))
+    kind = _vec_leaf(fs)
+    return None if kind is None else (kind, None, None, None)
+
+
+# Per-field skip templates. Offsets are appended to ONE flat
+# array('q') (A = out.append): array('q') appends cost the same as
+# list appends but the result converts to int64 numpy for free via
+# np.frombuffer — np.array() over 200k Python tuples cost ~0.1 s.
+# The end-finding walk is the skipper's hot loop (a timestamp-micros
+# varint is 8-9 bytes); an unrolled comparison chain beats the
+# read-byte/test/increment loop ~25% because each arm is one index +
+# compare with no byte store. >10 bytes is out of spec (64-bit zigzag).
+_SKIP_VARINT = """\
+A(p)
+if mv[p] < 128: p += 1
+elif mv[p + 1] < 128: p += 2
+elif mv[p + 2] < 128: p += 3
+elif mv[p + 3] < 128: p += 4
+elif mv[p + 4] < 128: p += 5
+elif mv[p + 5] < 128: p += 6
+elif mv[p + 6] < 128: p += 7
+elif mv[p + 7] < 128: p += 8
+elif mv[p + 8] < 128: p += 9
+elif mv[p + 9] < 128: p += 10
+else: raise ValueError("avro varint longer than 10 bytes")
+"""
+
+_SKIP_FIXED = """\
+A(p)
+p += {w}
+"""
+
+# fixed-width field whose start is derivable from an earlier recorded
+# offset plus a constant — nothing to record
+_SKIP_FIXED_DERIVED = """\
+p += {w}
+"""
+
+# single-byte fast path: lengths < 64 encode in one byte
+_SKIP_LENDATA = """\
+b = mv[p]
+p += 1
+if b < 128:
+    ln = (b >> 1) ^ -(b & 1)
+else:
+    acc = b & 127
+    sh = 7
+    while True:
+        b = mv[p]
+        p += 1
+        acc |= (b & 127) << sh
+        if b < 128:
+            break
+        sh += 7
+    ln = (acc >> 1) ^ -(acc & 1)
+if ln < 0:
+    raise ValueError("negative avro bytes length %d" % ln)
+A(p)
+A(ln)
+p += ln
+"""
+
+# union branch index, cold path only: spec-minimal encoders emit one
+# byte for any union of <= 64 branches (hot path compares that raw byte
+# against the known zigzag constants), but over-long encodings are
+# still legal input for the row decoder, so decode fully before
+# rejecting
+_SKIP_BRANCH_COLD = """\
+if b < 128:
+    ix = (b >> 1) ^ -(b & 1)
+else:
+    acc = b & 127
+    sh = 7
+    while True:
+        b = mv[p]
+        p += 1
+        acc |= (b & 127) << sh
+        if b < 128:
+            break
+        sh += 7
+    ix = (acc >> 1) ^ -(acc & 1)
+"""
+
+
+def _compile_skipper(specs):
+    """Codegen one Python function that walks a block and returns
+    (end_offset, flat array('q') of per-row offset/length slots). The
+    generated body inlines every field's skip logic — no per-field
+    dispatch, no BytesIO, no value construction."""
+    from array import array
+
+    def fixed_width(kind):
+        if isinstance(kind, tuple) and kind[0] == "fixed":
+            return kind[1]
+        return _VEC_WIDTHS.get(kind)
+
+    lines = [
+        "def _skip(mv, n_rows):",
+        "    p = 0",
+        "    out = array('q')",
+        "    A = out.append",
+        "    for _ in range(n_rows):",
+    ]
+
+    def emit(block, indent):
+        for ln in block.splitlines():
+            lines.append(" " * indent + ln)
+
+    # Flat column layout per row: start_col[i] is either the slot index
+    # of the recorded offset, or ("derived", root_field, const_offset)
+    # when the field is a fixed-width follower of a recorded
+    # non-nullable field (its offset needs no per-row append at all).
+    # len_col[i] is the slot of a lendata field's length.
+    n_cols = 0
+    start_col: list = []
+    len_col: dict[int, int] = {}
+    # (root_field_idx, byte_offset_from_root) when the CURRENT field's
+    # start is a constant distance from an earlier recorded offset
+    anchor: tuple[int, int] | None = None
+    for i, (kind, n_br, null_idx, val_idx) in enumerate(specs):
+        w = fixed_width(kind)
+        derived = anchor is not None and w is not None and n_br is None
+        if derived:
+            start_col.append(("derived", anchor[0], anchor[1]))
+        else:
+            start_col.append(n_cols)
+            n_cols += 1
+        if kind in ("bytes", "string"):
+            len_col[i] = n_cols
+            n_cols += 1
+
+        if kind in _VEC_VARINTS or (
+            isinstance(kind, tuple) and kind[0] == "enum"
+        ):
+            body = _SKIP_VARINT
+        elif w is not None:
+            body = (
+                _SKIP_FIXED_DERIVED if derived else _SKIP_FIXED
+            ).format(w=w)
+        else:
+            body = _SKIP_LENDATA
+        if n_br is None:
+            emit(body, 8)
+        else:
+            err = (
+                'raise ValueError("avro union branch index %d out of '
+                f'range 0..{n_br - 1}" % ix)'
+            )
+            null_app = ["A(-1)"] + (
+                ["A(0)"] if kind in ("bytes", "string") else []
+            )
+            lines.append("        b = mv[p]")
+            lines.append("        p += 1")
+            if null_idx is None:
+                lines.append(f"        if b == {2 * val_idx}:")
+                emit(body, 12)
+                lines.append("        else:")
+            else:
+                lines.append(f"        if b == {2 * val_idx}:")
+                emit(body, 12)
+                lines.append(f"        elif b == {2 * null_idx}:")
+                for app in null_app:
+                    lines.append(" " * 12 + app)
+                lines.append("        else:")
+            # cold path: over-long branch varints are legal input
+            emit(_SKIP_BRANCH_COLD, 12)
+            if null_idx is not None:
+                lines.append(f"            if ix == {null_idx}:")
+                for app in null_app:
+                    lines.append(" " * 16 + app)
+                lines.append(f"            elif ix != {val_idx}:")
+                lines.append(" " * 16 + err)
+                lines.append("            else:")
+                emit(body, 16)
+            else:
+                lines.append(f"            if ix != {val_idx}:")
+                lines.append(" " * 16 + err)
+                emit(body, 12)
+        # maintain the derivation anchor for the NEXT field: only a
+        # non-nullable fixed-width field keeps offsets constant
+        if n_br is None and w is not None:
+            if derived:
+                anchor = (anchor[0], anchor[1] + w)
+            else:
+                anchor = (i, w)
+        else:
+            anchor = None
+    lines.append("    return p, out")
+    ns: dict = {"array": array}
+    exec(compile("\n".join(lines), "<avro-skipper>", "exec"), ns)
+    return ns["_skip"], start_col, len_col, n_cols
+
+
+def _vec_varint_values(np, buf, starts, valid):
+    """Vectorized zigzag-varint decode at the given start offsets.
+    ``valid`` is a bool mask (or None for all-valid); invalid rows
+    decode as 0 and are masked out by the caller."""
+    n = len(starts)
+    acc = np.zeros(n, np.uint64)
+    if valid is None:
+        idx = starts.copy()
+        cont = np.ones(n, bool)
+    else:
+        idx = np.where(valid, starts, 0)
+        cont = valid.copy()
+    limit = max(len(buf) - 1, 0)
+    shift = np.uint64(0)
+    while cont.any():
+        if shift > np.uint64(63):
+            raise ValueError("avro varint longer than 10 bytes")
+        b = buf[np.minimum(idx, limit)]
+        add = (b & 0x7F).astype(np.uint64) << shift
+        acc = np.where(cont, acc | add, acc)
+        cont = cont & (b >= 0x80)
+        idx = idx + 1
+        shift += np.uint64(7)
+    return (acc >> np.uint64(1)).astype(np.int64) ^ -(
+        (acc & np.uint64(1)).astype(np.int64)
+    )
+
+
+def _vec_gather_fixed(np, buf, starts, valid, width):
+    idx = starts if valid is None else np.where(valid, starts, 0)
+    return buf[idx[:, None] + np.arange(width)]
+
+
+def _vec_gather_var(np, buf, starts, lens):
+    """Gather scattered (start, len) slices into one contiguous data
+    buffer + int32 offsets — the Arrow varbinary layout."""
+    cum = np.cumsum(lens, dtype=np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    if total >= 1 << 31:
+        raise ValueError("avro block string/bytes column exceeds 2 GiB")
+    if total:
+        prev = np.concatenate((np.zeros(1, np.int64), cum[:-1]))
+        gather = np.repeat(starts - prev, lens) + np.arange(total)
+        data = buf[gather]
+    else:
+        data = np.empty(0, np.uint8)
+    offsets = np.concatenate((np.zeros(1, np.int64), cum)).astype(np.int32)
+    return data, offsets
+
+
+def _vector_block_decoder(schema):
+    """Compile a flat record schema into ``f(block, n_rows) ->
+    list[pyarrow.Array]`` plus the arrow output types, or None when any
+    field needs the row decoder."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        return None
+    specs = [_vec_spec(f["type"]) for f in schema["fields"]]
+    if any(sp is None for sp in specs):
+        return None
+    import numpy as np
+    import pyarrow as pa
+
+    skip, start_col, len_col, n_cols = _compile_skipper(specs)
+    atypes = []
+    for kind, *_rest in specs:
+        if isinstance(kind, tuple):
+            atypes.append(pa.utf8() if kind[0] == "enum" else pa.binary())
+        else:
+            atypes.append(
+                {
+                    "boolean": pa.bool_(),
+                    "int": pa.int32(),
+                    "long": pa.int64(),
+                    "float": pa.float32(),
+                    "double": pa.float64(),
+                    "bytes": pa.binary(),
+                    "string": pa.utf8(),
+                    "date": pa.date32(),
+                    "ts": pa.timestamp("us"),
+                    "ts_ntz": pa.timestamp("us"),
+                }[kind]
+            )
+
+    int32_range = (-(1 << 31), (1 << 31) - 1)
+
+    def _varbinary(atype, n, data, offsets, valid):
+        # pa.py_buffer wraps the numpy arrays zero-copy (and keeps them
+        # alive); .tobytes() would copy the whole data buffer again
+        if valid is None:
+            vbuf, nulls = None, 0
+        else:
+            vbuf = pa.py_buffer(np.packbits(valid, bitorder="little"))
+            nulls = int(n - valid.sum())
+        arr = pa.Array.from_buffers(
+            atype,
+            n,
+            [vbuf, pa.py_buffer(offsets), pa.py_buffer(data)],
+            null_count=nulls,
+        )
+        if atype == pa.utf8():
+            arr.validate(full=True)  # C-side utf-8 check (row path decoded)
+        return arr
+
+    def extract(i, buf, cols):
+        kind, n_br, null_idx, _ = specs[i]
+        sc = start_col[i]
+        if isinstance(sc, tuple):  # ("derived", root_field, offset)
+            starts = cols[:, start_col[sc[1]]] + sc[2]
+        else:
+            starts = cols[:, sc]
+        n = len(starts)
+        nullable = n_br is not None and null_idx is not None
+        valid = (starts >= 0) if nullable else None
+        mask = None if valid is None else ~valid
+        if kind == "boolean":
+            idx = starts if valid is None else np.where(valid, starts, 0)
+            return pa.array(buf[idx] == 1, mask=mask)
+        if kind in ("float", "double"):
+            w, fmt = (4, "<f4") if kind == "float" else (8, "<f8")
+            raw = _vec_gather_fixed(np, buf, starts, valid, w)
+            return pa.array(raw.view(fmt).ravel(), mask=mask)
+        if isinstance(kind, tuple) and kind[0] == "fixed":
+            w = kind[1]
+            raw = _vec_gather_fixed(np, buf, starts, valid, w)
+            offsets = np.arange(0, (n + 1) * w, w, dtype=np.int64)
+            if offsets[-1] >= 1 << 31:
+                raise ValueError("avro fixed column exceeds 2 GiB")
+            return _varbinary(
+                pa.binary(), n, raw.ravel(), offsets.astype(np.int32), valid
+            )
+        if kind in ("bytes", "string"):
+            lens = cols[:, len_col[i]]
+            data, offsets = _vec_gather_var(np, buf, starts, lens)
+            return _varbinary(
+                pa.utf8() if kind == "string" else pa.binary(),
+                n, data, offsets, valid,
+            )
+        vals = _vec_varint_values(np, buf, starts, valid)
+        if isinstance(kind, tuple):  # enum
+            symbols = kind[1]
+            check = vals if valid is None else vals[valid]
+            if len(check) and (
+                (check < 0).any() or (check >= len(symbols)).any()
+            ):
+                raise IndexError("avro enum index out of range")
+            import pyarrow.compute as pc
+
+            return pc.take(
+                pa.array(list(symbols), pa.string()),
+                pa.array(vals.astype(np.int32), mask=mask),
+            )
+        if kind in ("int", "date"):
+            check = vals if valid is None else vals[valid]
+            if len(check) and (
+                (check < int32_range[0]).any() or (check > int32_range[1]).any()
+            ):
+                raise ValueError("avro int value outside 32-bit range")
+            arr = pa.array(vals.astype(np.int32), mask=mask)
+            return arr.cast(pa.date32()) if kind == "date" else arr
+        arr = pa.array(vals, mask=mask)
+        if kind in ("ts", "ts_ntz"):
+            return arr.cast(pa.timestamp("us"))
+        return arr  # long
+
+    def decode_block(block, n_rows):
+        if not isinstance(block, bytes):
+            block = bytes(block)
+        try:
+            p, out = skip(block, n_rows)
+        except IndexError:
+            raise EOFError("truncated varint") from None
+        if p != len(block):
+            raise ValueError(
+                f"avro block declared {n_rows} rows but carries "
+                f"{len(block) - p} undecoded trailing bytes"
+            )
+        buf = np.frombuffer(block, np.uint8)
+        cols = (
+            np.frombuffer(out, np.int64).reshape(-1, n_cols)
+            if len(out)
+            else np.empty((0, n_cols), np.int64)
+        )
+        return [extract(i, buf, cols) for i in range(len(specs))]
+
+    return decode_block, atypes
+
+
 # ---------------------------------------------------------------- encode --
 
 
@@ -779,13 +1224,37 @@ def encode_container(
 # ----------------------------------------------------------------- spark --
 
 
+def _check_file_schema(fschema, names, want_types) -> None:
+    """Every file must carry the first file's field NAMES and resolve to
+    the same Spark field TYPES (nullability aside): a file with the same
+    names but different types would decode under its own writer schema
+    and feed mistyped values into the driver schema."""
+    got = [f["name"] for f in fschema["fields"]]
+    if got != names:
+        raise ValueError(f"avro file field names {got} != {names}")
+    resolved = avro_to_spark_type(fschema)
+    got_types = [f.dataType for f in resolved.fields]
+    if got_types != want_types:
+        mism = [
+            f"{n}: {g.simpleString()} != {w.simpleString()}"
+            for n, g, w in zip(names, got_types, want_types)
+            if g != w
+        ]
+        raise ValueError(
+            "avro file field types differ from the first "
+            f"file's schema: {'; '.join(mism)}"
+        )
+
+
 def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
     """S8 Avro scan without the spark-avro jar: driver-side header peek
     resolves the schema; files then decode distributed (binaryFile +
-    mapInPandas, one task per file batch). Every file must carry a
-    schema whose field NAMES match the first file's (the reader decodes
-    each file with its own writer schema, so physical evolution like
-    added defaults is out of scope — the spark-avro jar covers that)."""
+    one task per file batch). Flat primitive records decode through the
+    vectorized block decoder and stream out as Arrow batches
+    (mapInArrow — column values never exist as Python objects); schemas
+    with nested/multi-branch structure take the row decoder via
+    mapInPandas. Physical evolution like added defaults is out of scope
+    — the spark-avro jar covers that."""
     import glob as _glob
 
     local = path[len("file:") :] if path.startswith("file:") else path
@@ -809,44 +1278,72 @@ def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
     names = [f.name for f in spark_schema.fields]
     want_types = [f.dataType for f in spark_schema.fields]
 
-    def decode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            for content in pdf["content"]:
-                fschema, rows = decode_container(bytes(content))
-                got = [f["name"] for f in fschema["fields"]]
-                if got != names:
-                    raise ValueError(
-                        f"avro file field names {got} != {names}"
-                    )
-                # names alone are not enough: a second file with the same
-                # names but different field TYPES would decode under its
-                # own writer schema and feed mistyped values into the
-                # driver schema — compare the RESOLVED Spark type per
-                # field (nullability aside)
-                resolved = avro_to_spark_type(fschema)
-                got_types = [f.dataType for f in resolved.fields]
-                if got_types != want_types:
-                    mism = [
-                        f"{n}: {g.simpleString()} != {w.simpleString()}"
-                        for n, g, w in zip(names, got_types, want_types)
-                        if g != w
-                    ]
-                    raise ValueError(
-                        "avro file field types differ from the first "
-                        f"file's schema: {'; '.join(mism)}"
-                    )
-                yield pd.DataFrame(
-                    {n: [r[n] for r in rows] for n in names}
-                ) if rows else pd.DataFrame({n: [] for n in names})
-
     binary = (
         spark.read.format("binaryFile")
         .load([f"file:{os.path.abspath(c)}" for c in candidates])
         .select("content")
     )
-    return binary.mapInPandas(decode, spark_schema)
+
+    if _vector_block_decoder(schema) is None:
+        # row path: nested / multi-branch schemas
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for content in pdf["content"]:
+                    fschema, rows = decode_container(bytes(content))
+                    _check_file_schema(fschema, names, want_types)
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in rows] for n in names}
+                    ) if rows else pd.DataFrame({n: [] for n in names})
+
+        return binary.mapInPandas(decode, spark_schema)
+
+    def decode_arrow(batches):
+        import pyarrow as pa
+
+        compiled: dict = {}
+        arrow_types = _vector_block_decoder(schema)[1]
+
+        def file_batches(data: bytes):
+            buf = io.BytesIO(data)
+            fschema, codec, sync = _read_header(buf)
+            _check_file_schema(fschema, names, want_types)
+            key = json.dumps(fschema, sort_keys=True)
+            if key not in compiled:
+                compiled[key] = _vector_block_decoder(fschema)
+            dec = compiled[key]
+            if dec is None:
+                # same resolved types but row-only physical schema (e.g.
+                # a multi-branch numeric union): decode rows, convert once
+                _, rows = decode_container(data)
+                if rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([r[n] for r in rows], type=t)
+                            for n, t in zip(names, arrow_types)
+                        ],
+                        names,
+                    )
+                return
+            decode_block, _atypes = dec
+            while buf.tell() < len(data):
+                n_rows = _read_long(buf)
+                block = _read_bytes(buf)
+                if codec == "deflate":
+                    block = zlib.decompress(block, -15)
+                arrays = decode_block(block, n_rows)
+                if buf.read(16) != sync:
+                    raise ValueError("avro block sync marker mismatch")
+                if n_rows:
+                    yield pa.RecordBatch.from_arrays(arrays, names)
+
+        for rb in batches:
+            col = rb.column(0)
+            for k in range(len(col)):
+                yield from file_batches(col[k].as_py())
+
+    return binary.mapInArrow(decode_arrow, spark_schema)
 
 
 def write_avro_lite(df: DataFrame, path: str, codec: str = "null") -> None:
