@@ -59,6 +59,13 @@ from pyspark.sql import functions as F
 
 _SUMMARY_SCHEMA = "item string, cnt bigint, dec bigint, n bigint"
 
+# Above this many unfiltered merged-summary rows (partitions x (k+1)),
+# candidate discovery keeps the two-job filtered spelling instead of the
+# fused single-job collect: ~100k rows x ~40 B is still a trivial driver
+# result, well under spark.driver.maxResultSize, while partition counts
+# at cluster scale can push partitions x k into the tens of millions.
+_FUSED_COLLECT_MAX = 100_000
+
 
 def _mg_partition(k: int):
     """Build the mapInPandas function: one Misra-Gries sketch per
@@ -137,41 +144,85 @@ def frequent_item_candidates(
     safety/(phi*(safety-1)) items survive the filter) and in absolute
     mode by partitions x k — so it is collected EAGERLY (bounded driver
     rows, not a data-path collect) and rebuilt as a small local
-    DataFrame ready for ``F.broadcast``. Eager collection lets the
-    persisted summaries be released deterministically in a ``finally``
-    (r12 ADVICE fix: the r11 lazy-candidates spelling pinned the cached
-    summary blocks for the candidate frame's whole lifetime, relying on
-    driver GC + ContextCleaner — long-lived sessions running benches or
-    fuzz batteries accumulated cached summary RDDs)."""
+    DataFrame ready for ``F.broadcast``.
+
+    Driver-job shape (r14, guide §2.6 job-latency floor): the candidate
+    filter needs the TOTAL error budget D, which the totals pass
+    produces — the two aggregations are NOT independent, so they cannot
+    simply be overlapped on driver threads (and two concurrent jobs
+    over a not-yet-materialized persisted relation would each compute
+    the sketch pass: a cache stampede). Instead, when the UNFILTERED
+    merged summary is itself driver-small (<= _FUSED_COLLECT_MAX rows,
+    known a priori: partitions x (k+1)), both aggregations fuse into
+    ONE job — groupBy(item) over the summaries, where the NULL-sentinel
+    group's sum(dec)/sum(n) ARE the totals — and the threshold filter
+    runs on the driver. One job, no persist, no cache to release.
+    Past that bound (huge partition counts x k), the two-job spelling
+    remains: totals first, then the D-filtered candidate aggregation
+    over the persisted summaries, released deterministically in a
+    ``finally`` (r12 ADVICE fix: lazy candidates pinned cached summary
+    blocks for the frame's lifetime)."""
     if (threshold is None) == (phi is None):
         raise ValueError("pass exactly one of threshold or phi")
-    summaries = mg_summaries(items, col, k).persist()
-    try:
-        # one full materialization of the sketch pass; the candidate
-        # aggregation below reuses the persisted summary rows
-        tot = summaries.agg(
-            F.sum("dec").alias("d"), F.sum("n").alias("n")
-        ).first()
-        d_total = int(tot["d"] or 0)
-        n_total = int(tot["n"] or 0)
-        if phi is not None:
-            if not (0.0 < phi < 1.0):
-                raise ValueError(f"phi must be in (0, 1), got {phi}")
+    if phi is not None and not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    summaries = mg_summaries(items, col, k)
+    n_parts = items.rdd.getNumPartitions()
+    if n_parts * (k + 1) <= _FUSED_COLLECT_MAX:
+        rows = (
+            summaries.groupBy("item")
+            .agg(
+                F.sum("cnt").alias("lo"),
+                F.sum("dec").alias("d"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        d_total = n_total = 0
+        for r in rows:
+            if r["item"] is None:
+                d_total = int(r["d"] or 0)
+                n_total = int(r["n"] or 0)
+                break
         threshold = (
             int(math.floor(phi * n_total)) if phi is not None else threshold
         )
-        cand_rows = (
-            summaries.filter(F.col("item").isNotNull())
-            .groupBy("item")
-            .agg(F.sum("cnt").alias("lo"))
-            .filter(F.col("lo") + F.lit(int(d_total)) > int(threshold))
-            .collect()
-        )
-    finally:
-        summaries.unpersist(blocking=False)
+        cand_rows = [
+            (r["item"], r["lo"])
+            for r in rows
+            if r["item"] is not None and r["lo"] + d_total > threshold
+        ]
+    else:
+        summaries = summaries.persist()
+        try:
+            # one full materialization of the sketch pass; the candidate
+            # aggregation below reuses the persisted summary rows
+            tot = summaries.agg(
+                F.sum("dec").alias("d"), F.sum("n").alias("n")
+            ).first()
+            d_total = int(tot["d"] or 0)
+            n_total = int(tot["n"] or 0)
+            threshold = (
+                int(math.floor(phi * n_total))
+                if phi is not None
+                else threshold
+            )
+            cand_rows = [
+                (r["item"], r["lo"])
+                for r in (
+                    summaries.filter(F.col("item").isNotNull())
+                    .groupBy("item")
+                    .agg(F.sum("cnt").alias("lo"))
+                    .filter(
+                        F.col("lo") + F.lit(int(d_total)) > int(threshold)
+                    )
+                    .collect()
+                )
+            ]
+        finally:
+            summaries.unpersist(blocking=False)
     cands = items.sparkSession.createDataFrame(
-        [(r["item"], r["lo"]) for r in cand_rows],
-        schema="item string, lo bigint",
+        cand_rows, schema="item string, lo bigint"
     )
     return cands, d_total, n_total, int(threshold)
 

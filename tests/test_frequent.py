@@ -167,3 +167,32 @@ def test_phi_candidates_constant_bound(spark):
     cands, d, n, thr = frequent_item_candidates(items, "item", k, phi=phi)
     assert d < thr / safety + 8  # D < phi*n/safety (+ partition rounding)
     assert cands.count() <= safety / (phi * (safety - 1))
+
+
+def test_fused_and_two_job_candidate_paths_agree(spark, monkeypatch):
+    """The single-job fused collect (totals read off the NULL-sentinel
+    group, threshold filter on the driver) and the two-job filtered
+    spelling must produce identical candidates, totals, and final
+    heavy-hitter rows, in both threshold modes."""
+    import lcr_etl_upgrade_spark.operators.frequent as FR
+
+    items = _zipf_items(spark, 7, n=30_000, vocab=2_000)
+    results = {}
+    for tag, bound in (("two_job", 0), ("fused", 1 << 30)):
+        monkeypatch.setattr(FR, "_FUSED_COLLECT_MAX", bound)
+        cands, d, n, thr = frequent_item_candidates(
+            items, "item", 400, phi=0.005
+        )
+        hh = heavy_hitters(items, "item", phi=0.005)
+        results[tag] = (
+            sorted(map(tuple, cands.collect())),
+            d,
+            n,
+            thr,
+            sorted(map(tuple, hh.collect())),
+        )
+        abs_hh = heavy_hitters(items, "item", threshold=300, k=512)
+        results[tag + "_abs"] = sorted(map(tuple, abs_hh.collect()))
+    assert results["two_job"] == results["fused"]
+    assert results["two_job_abs"] == results["fused_abs"]
+    assert len(results["fused"][4]) > 0  # non-vacuous

@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $SPARK_GRAFT_PLAN_ROUND, default r14).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: "before" or "after" (file name becomes <query>_<suffix>.txt)
@@ -33,7 +34,12 @@ def main() -> None:
     spark = get_session(
         "capture_plans", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        rnd,
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
