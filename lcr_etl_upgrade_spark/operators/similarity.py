@@ -380,6 +380,17 @@ def cosine_topk_lsh(
     # exchange: paired A/B over 5 rounds measured +13% on the registered
     # 8-table x 4-probe config (min 0.961 -> 1.086 s) and flat on the
     # recall query. Post-dedup scoring runs 32-way after the exchange.
+    #
+    # Also measured and REJECTED (r14): ids-only dedup BEFORE vector
+    # attachment (dedup exchange carries (query_id, corpus_id) only,
+    # then join corpus vectors back and broadcast-attach query vectors,
+    # scoring once per deduped pair). Rows identical; paired A/B over 6
+    # alternating rounds: min 0.809 vs 0.813 s, med 0.879 vs 0.934 s —
+    # the ~1 KB/candidate shuffle saving is noise at bounded candidate
+    # counts while the join-back adds a stage, and at large corpus the
+    # join-back re-shuffles the FULL corpus by id (the exact §8 trap:
+    # the attach join sneaks the payload shuffle back in), so the shape
+    # is not the scale answer either.
     scored = _drop_unscorable(
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .dropDuplicates([query_id, corpus_id])
@@ -523,11 +534,17 @@ def _top_cells_udf(cents: np.ndarray, n: int):
     The UDF also OWNS the scorable() contract for the assignment/probe
     paths (r13): NULL, wrong-dimension (would make the batch matrix
     ragged), zero-norm and NaN-coordinate embeddings all map to NULL
-    cells — ``(v*v).sum() > 0`` is order-independent over the
-    non-negative squares, so the decision is identical to the
-    interpreted ``dot_expr(c, c) > 0`` filter it replaces (NaN poisons
-    both, inf passes both), but vectorized in the numpy pass the rows
-    already take instead of an extra per-row fold over the scan."""
+    cells, vectorized in the numpy pass the rows already take instead
+    of an extra per-row fold over the scan. NaN caveat (r13 ADVICE):
+    this ``sq > 0`` mask is STRICTER than the interpreted
+    ``dot_expr(c, c) > 0`` filter it replaced, not identical — numpy's
+    NaN > 0 is False, but Spark SQL orders NaN ABOVE every numeric, so
+    scorable() PASSES a NaN-coordinate row where this UDF nulls it.
+    End-to-end results match because scorable()-passed NaN rows score
+    NaN cosines that _drop_unscorable discards later; any refactor
+    moving this mask back to SQL must not rely on filter identity (and
+    note the kmeans TRAINING path still uses scorable(), so the two
+    paths genuinely differ on NaN rows before that final drop)."""
     cmat = cents.astype(np.float64)
     n = min(n, len(cmat))
     dim = cmat.shape[1]
@@ -609,9 +626,15 @@ def ivf_topk(
     # (guide §2.6), they cost one job latency instead of two.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target (r13 ADVICE): plain pool threads do not
+    # inherit PySpark's JVM thread-locals (job group/tags, scheduler
+    # pool), so a caller's cancelJobGroup or pool assignment would not
+    # cover the overlapped jobs without the wrapper.
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_count = pool.submit(corpus.count)
-        f_qempty = pool.submit(queries.isEmpty)
+        f_count = pool.submit(inheritable_thread_target(corpus.count))
+        f_qempty = pool.submit(inheritable_thread_target(queries.isEmpty))
         n_corpus, q_empty = f_count.result(), f_qempty.result()
     if n_corpus == 0 or q_empty:
         return _empty()
