@@ -105,6 +105,13 @@ HEADLINE = [
     "merge_scd2",
     "merge_upsert",
     "q10_returned_items",
+    # r14 (additive — never remove/rename existing rows): the
+    # approx-first percentile twin, benched so the 100 TB routing
+    # guidance (approx_percentile's mergeable sketch instead of
+    # agg_percentiles' exact per-key value->count maps) is a measured
+    # row, not prose. The exact query stays a correctness contract
+    # (oracle-pinned), unbenchmarked: its cost is the definition.
+    "agg_approx_percentiles",
 ]
 
 

@@ -209,14 +209,13 @@ def measure_update(spark, template, scratch, pred, cdf, reps, dvs=False):
     }
 
 
-def measure_merge(spark, template, scratch, cdf, reps):
+def measure_merge(spark, template, scratch, cdf, reps, dvs=False, sel="half"):
     from lcr_etl_upgrade_spark.delta_lite import merge_rows, replay_log
     from pyspark.sql import functions as F
 
-    # 250k-row source: half hits existing ids (update), half is new
-    src = (
-        spark.range(0, 250_000)
-        .select(
+    if sel == "half":
+        # 250k-row source: half hits existing ids (update), half is new
+        src = spark.range(0, 250_000).select(
             F.when(
                 F.col("id") % 2 == 0, F.col("id") * 20
             )  # existing ids, spread over the full range
@@ -224,15 +223,28 @@ def measure_merge(spark, template, scratch, cdf, reps):
             .alias("k"),
             (F.col("id") % 31).alias("nv"),
         )
-        .persist()
-    )
+    elif sel == "1pct":
+        # 100k-row source: 50k existing ids = 1% of the target, spread
+        # over the full range (~1% of every file — inside the per-file
+        # DV routing fraction), plus 50k inserts
+        src = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 2 == 0, F.col("id") * 50)
+            .otherwise(N_ROWS + F.col("id"))
+            .alias("k"),
+            (F.col("id") % 31).alias("nv"),
+        )
+    else:
+        raise ValueError(f"unknown merge selectivity {sel!r}")
+    src = src.persist()
     src.count()
     best, worst = float("inf"), 0.0
-    touched = None
+    touched = dv_files = bytes_added = None
     for _ in range(reps):
         path = _fresh_copy(template, scratch)
         if cdf:
             _enable_cdf(path)
+        if dvs:
+            _enable_dvs(path)
         before = set(replay_log(spark, path).files)
         t0 = time.monotonic()
         merge_rows(
@@ -247,13 +259,30 @@ def measure_merge(spark, template, scratch, cdf, reps):
         )
         dt = time.monotonic() - t0
         best, worst = min(best, dt), max(worst, dt)
-        touched = len(before - set(replay_log(spark, path).files))
+        after = replay_log(spark, path)
+        # rewritten files leave the live set; DV'd files stay
+        touched = len(before - set(after.files))
+        dv_files = len(after.dvs)
+        # bytes the commit ADDED (inserted/rewritten data files + DV
+        # bitmaps) — the state-independent 100 TB discriminator, same
+        # as measure_update
+        new_files = set(after.files) - before
+        bytes_added = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in new_files
+            if os.path.exists(os.path.join(path, f))
+        )
+        for dv in getattr(after, "dvs", {}).values():
+            if isinstance(dv, dict):
+                bytes_added += int(dv.get("sizeInBytes") or 0)
         shutil.rmtree(path, ignore_errors=True)
     src.unpersist()
     return {
         "best_sec": round(best, 3),
         "worst_sec": round(worst, 3),
         "touched_files": touched,
+        "dv_files": dv_files,
+        "bytes_added": bytes_added,
     }
 
 
@@ -400,6 +429,21 @@ def main() -> int:
                 rec, f"merge_upsert_{'cdf' if cdf else 'nocdf'}",
                 measure_merge, spark, uniform, scratch, cdf, args.reps,
             )
+        # MERGE DV cost curve (r14): 1%-selectivity merge with and
+        # without deletionVectors — merge_rows gained the per-file DV
+        # routing in r13 but the bench only exercised DV for UPDATE.
+        # bytes_added is the discriminator: the DV path commits
+        # O(matched rows + bitmaps + inserts), the rewrite path
+        # O(touched file bytes).
+        for dvs in (False, True):
+            for cdf in (False, True):
+                _gated(
+                    rec,
+                    f"merge_1pct{'_dv' if dvs else ''}"
+                    f"_{'cdf' if cdf else 'nocdf'}",
+                    measure_merge, spark, uniform, scratch, cdf,
+                    args.reps, dvs=dvs, sel="1pct",
+                )
         for n_dead in (64, 512):
             _gated(
                 rec, f"vacuum_{n_dead}_dead",
